@@ -1,0 +1,26 @@
+"""ocracle_ray — a Ray-Data-native main-content extraction engine.
+
+A from-scratch reimplementation of the query/data-processing
+capabilities of ``magnusendresen/OCRacle`` (reference, read-only at
+``/root/reference``) over Common-Crawl-style web-page Parquet at
+10^12-row design scale.
+
+Layout:
+
+- ``core``      pure, Ray-free, deterministic functions. Byte-identity of
+                extracted text lives here; every function is unit-tested
+                against hand-written goldens.
+- ``sources``   input readers + the deterministic synthetic ``pages``
+                table generator (schema mandated by BASELINE.json
+                ``input_hint``).
+- ``stages``    Ray Data ``map_batches`` wrappers (stateless fns and
+                stateful actor-pool classes) around ``core``.
+- ``pipelines`` end-to-end Dataset compositions (extraction flagship,
+                dedup families, similarity search, text analysis) plus
+                checkpoint manifests for exact resume.
+
+Nothing in this package calls ``ray.init``/``ray.shutdown`` — sessions
+are owned by the caller (driver, tests' conftest, bench.py).
+"""
+
+ENGINE_VERSION = "0.1.0"

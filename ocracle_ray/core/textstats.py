@@ -1,0 +1,127 @@
+"""Text-analysis primitives: lang-id, quality, token counts, fingerprints.
+
+Large-scale training-data-pipeline operators (SURVEY.md addendum). All
+pure and deterministic; the Ray stages vectorize them per batch.
+
+Quality-score components deliberately reuse the reference's text-shape
+heuristics: ``line_ratio = len/(newlines+1)`` and squeezed average word
+length (``/root/reference/scripts/extract_images.py:297-311``,
+``scripts/avglen.py:1-4``).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)   # BPE-ish pre-tokenizer
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+
+# Tiny stopword profiles for deterministic n-gram/stopword lang-id.
+# Covers the langs present in the fixtures (documents.parquet: en de es
+# fr zh; pages: nb nn en).
+_STOPWORDS: tuple[tuple[str, frozenset[str]], ...] = (
+    ("en", frozenset("the and of to a in is it you that for on with as".split())),
+    ("de", frozenset("der die das und ist nicht ein eine zu den von mit für".split())),
+    ("es", frozenset("el la los las y es de que en un una por con para".split())),
+    ("fr", frozenset("le la les et est de que un une pour dans sur avec".split())),
+    ("nb", frozenset("og i det er en til av på som med ikke for den".split())),
+    ("nn", frozenset("og i det er ein til av på som med ikkje for eit".split())),
+)
+
+
+def whitespace_token_count(text: str) -> int:
+    """Whitespace tokenization count (matches DuckDB oracle:
+    ``len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x != ''))``)."""
+    return len(text.split())
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Word/punct pre-tokenizer count — the BPE-ish upper bound."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def punct_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    return len(_PUNCT_RE.findall(text)) / len(text)
+
+
+def stopword_ratio(text: str, lang: str = "en") -> float:
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    table = dict(_STOPWORDS).get(lang, dict(_STOPWORDS)["en"])
+    return sum(1 for w in words if w in table) / len(words)
+
+
+def quality_score(text: str) -> float:
+    """Deterministic [0,1] quality score from length, punctuation and
+    word-shape signals. SQL-expressible (see __ray_entry__ oracle):
+
+        0.25*(len between 50 and 10000)
+      + 0.25*(mean word len between 3 and 12)
+      + 0.25*(punct ratio < 0.2)
+      + 0.25*(token count >= 10)
+    """
+    n = len(text)
+    words = text.split()
+    n_words = len(words)
+    mean_wl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    score = 0.0
+    if 50 <= n <= 10000:
+        score += 0.25
+    if 3.0 <= mean_wl <= 12.0:
+        score += 0.25
+    if punct_ratio(text) < 0.2:
+        score += 0.25
+    if n_words >= 10:
+        score += 0.25
+    return score
+
+
+def detect_lang(text: str) -> str:
+    """Stopword/charclass lang-id. CJK-ratio shortcut for zh; otherwise
+    argmax stopword hits with fixed table-order tiebreak; no hits -> 'und'."""
+    if not text:
+        return "und"
+    sample = text[:2000]
+    cjk = sum(1 for c in sample if "一" <= c <= "鿿")
+    if 10 * cjk >= len(sample):
+        return "zh"
+    words = sample.lower().split()
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, table in _STOPWORDS:
+        hits = sum(1 for w in words if w in table)
+        if hits > best_hits:
+            best_hits = hits
+            best_lang = lang
+    return best_lang
+
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    """64-bit FNV-1a — deterministic across processes (Python's ``hash``
+    is salted and MUST NOT be used for content keys)."""
+    h = _FNV_OFFSET
+    for byte in data:
+        h ^= byte
+        h = (h * _FNV_PRIME) & _MASK64
+    return h
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    """lower + whitespace collapse — matches the SQL oracle
+    ``regexp_replace(lower(text), '\\s+', ' ', 'g')`` exactly."""
+    return re.sub(r"\s+", " ", text.lower()).strip()
+
+
+def fingerprint(text: str) -> int:
+    """Document fingerprint: FNV-1a over the normalized text, as a
+    non-negative int64 (top bit cleared for Arrow/SQL friendliness)."""
+    return fnv1a64(normalize_for_fingerprint(text).encode("utf-8")) & 0x7FFFFFFFFFFFFFFF

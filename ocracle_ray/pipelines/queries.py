@@ -1,0 +1,653 @@
+"""Driver-checkable query surface: Ray pipelines + DuckDB oracle SQL.
+
+Each ``q_*`` function takes ``sf_dir`` (e.g. ``/root/testdata/sf0.01``)
+and returns a small result (Dataset/pandas/Arrow). ``ORACLE_SQL`` holds
+the ANSI-SQL equivalent DuckDB runs on the same parquet views; column
+names match EXACTLY (the driver hashes values after sorting columns by
+name). Aggregates over doubles are rounded on BOTH sides so float
+summation order can't flip the hash.
+
+Operator coverage mapping (SURVEY.md §2): groupby aggregates (G2/G6/
+G10), broadcast small-side joins (J1/J4), numeric-aware sort (G5),
+exact dedup (G4), filters/projections (M-family scalar kernels),
+windowed/sessionized event aggregates and top-k (engine addenda),
+brute-force cosine kNN over embeddings (similarity-search addendum).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.assemble import task_sort_key
+from ..core.textstats import normalize_for_fingerprint
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational surface
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with batch-level pre-aggregation
+    feeding a tiny groupby (partial/combiner pattern, SURVEY.md §4)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc)
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out
+
+
+def q_order_priority_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp("1994-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        ds.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+
+
+def q_mktsegment_revenue(sf_dir: str):
+    """Broadcast small-side hash join (J1 pattern): customer segment map
+    shipped once via ray.put, looked up per batch — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class AttachSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg).fillna("UNKNOWN")
+            return df[["c_mktsegment", "o_totalprice"]]
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(AttachSegment, batch_format="pandas", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="order_count"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_nation_region_counts(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count
+
+    region = pd.read_parquet(_p(sf_dir, "region"))
+    rmap_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        rmap = _ray.get(rmap_ref)
+        df["r_name"] = df["n_regionkey"].map(rmap)
+        return df[["r_name"]]
+
+    return (
+        _read(sf_dir, "nation", ["n_regionkey"])
+        .map_batches(attach, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="nation_count"))
+        .to_pandas()
+    )
+
+
+def q_top_orders_by_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    out = (
+        ds.map_batches(add_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort("revenue", descending=True)
+        .limit(10)
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H-Q6-style scan-filter-sum: one output row."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = pa.scalar(pd.Timestamp("1994-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.02)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.08)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(25.0)),
+            ),
+        )
+        sub = t.filter(mask)
+        rev = pc.sum(pc.multiply(sub["l_extendedprice"], sub["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    ds2 = ds.map_batches(partial, batch_format="pyarrow")
+    total = ds2.aggregate(Sum("revenue", alias_name="revenue"))
+    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+
+
+def q_supplier_positive_acctbal(sf_dir: str):
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["s_acctbal"], pa.scalar(0.0))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out["s_acctbal"] = out["s_acctbal"].round(2)
+    return out
+
+
+def q_part_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+
+    out = (
+        _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="part_count"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .to_pandas()
+    )
+    out["avg_price"] = out["avg_price"].round(2)
+    return out
+
+
+# --------------------------------------------------------------------------
+# events: windowed aggregate, top-k, sessionization
+# --------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"hour": hour, "event_type": t["event_type"], "value": t["value"]})
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def q_events_user_totals(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .sort("total_value", descending=True)
+        .limit(10)
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
+def q_events_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) — the streaming-shaped
+    operator: groupby(user).map_groups over ts-sorted groups (ray_guide
+    'Streaming-shaped workloads' pattern; ordering assumption: per-user
+    events fit one group and are sorted inside the UDF)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = (ts.diff() > pd.Timedelta(minutes=30)).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps) + 1]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
+# --------------------------------------------------------------------------
+# documents: dedup, token/quality stats, numeric-aware sort
+# --------------------------------------------------------------------------
+
+def _add_tnorm(t: pa.Table) -> pa.Table:
+    tnorm = pa.array(
+        [normalize_for_fingerprint(x) for x in t["text"].to_pylist()], pa.string()
+    )
+    return t.append_column("tnorm", tnorm)
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup (G4 global form): hash-partition by normalized text,
+    keep min(doc_id) per group + copy count."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(_add_tnorm, batch_format="pyarrow")
+        .groupby("tnorm")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+        .drop_columns(["tnorm"])
+        .to_pandas()
+    )
+
+
+def q_docs_dup_count(sf_dir: str):
+    """Document-fingerprint dup stat: how many docs share their
+    normalized text with another doc (single row)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        ds.map_batches(_add_tnorm, batch_format="pyarrow")
+        .groupby("tnorm")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    n = int(counts.loc[counts["c"] > 1, "c"].sum())
+    return pd.DataFrame({"n_dup_docs": [n]})
+
+
+def q_docs_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def add_tokens(t: pa.Table) -> pa.Table:
+        toks = pa.array([len(x.split()) for x in t["text"].to_pylist()], pa.int64())
+        return pa.table({"lang": t["lang"], "n_tokens": toks, "n_chars": t["n_chars"]})
+
+    return (
+        ds.map_batches(add_tokens, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+        .to_pandas()
+    )
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality scoring (SQL-mirrorable formula; see textstats.quality_score)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..core.textstats import quality_score
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def add_q(t: pa.Table) -> pa.Table:
+        q = pa.array([quality_score(x) for x in t["text"].to_pylist()], pa.float64())
+        return pa.table({"lang": t["lang"], "q": q})
+
+    out = (
+        ds.map_batches(add_q, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("q", alias_name="sum_q"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["avg_quality"] = (out["sum_q"] / out["n_docs"]).round(4)
+    return out[["lang", "n_docs", "avg_quality"]]
+
+
+def q_docs_numeric_sort(sf_dir: str):
+    """Numeric-aware sort (G5, object_handling.py:241-246 key) over the
+    distinct sources; rank materialized so the order is hash-visible."""
+    ds = _read(sf_dir, "documents", ["source"])
+    values = ds.unique("source")  # distinct (shuffle); small result
+    distinct = sorted(values, key=task_sort_key)
+    return pd.DataFrame({"source": distinct, "rk": range(1, len(distinct) + 1)})
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_knn_bruteforce(sf_dir: str):
+    """Brute-force cosine top-k (similarity-search baseline): query
+    vector broadcast once, per-batch numpy matmul, per-batch top-k
+    candidates, tiny global resolve on the driver."""
+    import ray
+
+    emb0 = pd.read_parquet(_p(sf_dir, "embeddings")).query("vec_id == 0")["embedding"].iloc[0]
+    q = np.asarray(list(emb0), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+    K = 10
+
+    class TopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ self.q) / norms
+            keep = np.argsort(-cos)[: K + 1]  # +1 in case self is in batch
+            return pa.table(
+                {"vec_id": pa.array(ids[keep], pa.int64()),
+                 "cosine": pa.array(cos[keep], pa.float64())}
+            )
+
+    cand = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(TopK, batch_format="pyarrow", batch_size=512, concurrency=2)
+        .to_pandas()
+    )
+    cand = cand[cand["vec_id"] != 0].sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).head(K)
+    cand["cosine"] = cand["cosine"].round(6)
+    return cand.reset_index(drop=True)
+
+
+def q_embeddings_label_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def first_dim(t: pa.Table) -> pa.Table:
+        mat = t["embedding"].to_pandas()
+        first = pa.array([float(v[0]) for v in mat], pa.float64())
+        return pa.table({"label": t["label"], "dim0": first})
+
+    out = (
+        ds.map_batches(first_dim, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Sum("dim0", alias_name="sum_dim0"))
+        .to_pandas()
+    )
+    out["sum_dim0"] = out["sum_dim0"].round(4)
+    return out
+
+
+# --------------------------------------------------------------------------
+# flagship extraction (rows-only check — pages table is synthesized)
+# --------------------------------------------------------------------------
+
+def q_extract_flagship(sf_dir: str):
+    """Flagship pages->records pipeline at the sf matching ``sf_dir``.
+
+    The pages table is synthesized deterministically (FIXTURES.md T1 —
+    not SQL-expressible against the driver's views, so this entry is
+    rows-only). Returns a per-record scalar summary: stable schema,
+    deterministic values."""
+    from ..sources.pages import n_docs_for_sf, sf_of_dir, generate_pages_dataset
+    from .extraction import extract_records
+
+    n = min(2000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    recs = extract_records(generate_pages_dataset(n), concurrency=2)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "branch": t["branch"],
+                "n_blocks": t["n_blocks"],
+                "n_tasks": t["n_tasks"],
+                "points_total": t["points_total"],
+                "text_fingerprint": t["text_fingerprint"],
+                "n_chars": pa.array(
+                    [len(x) for x in t["extracted_text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return recs.map_batches(summarize, batch_format="pyarrow").to_pandas()
+
+
+# --------------------------------------------------------------------------
+# registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "order_priority_count": q_order_priority_count,
+    "mktsegment_revenue": q_mktsegment_revenue,
+    "nation_region_counts": q_nation_region_counts,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "revenue_forecast": q_revenue_forecast,
+    "supplier_positive_acctbal": q_supplier_positive_acctbal,
+    "part_brand_stats": q_part_brand_stats,
+    "events_hourly": q_events_hourly,
+    "events_user_totals": q_events_user_totals,
+    "events_sessions": q_events_sessions,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_dup_count": q_docs_dup_count,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_numeric_sort": q_docs_numeric_sort,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embeddings_label_stats": q_embeddings_label_stats,
+    "extract_flagship": q_extract_flagship,
+}
+
+_TNORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+ORACLE_SQL = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                         AS sum_qty,
+               round(sum(l_extendedprice), 2)                    AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*)                                          AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
+    "mktsegment_revenue": """
+        SELECT c.c_mktsegment,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(*)                      AS order_count
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "nation_region_counts": """
+        SELECT r.r_name, count(*) AS nation_count
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "top_orders_by_revenue": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "revenue_forecast": """
+        SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.08
+          AND l_quantity < 25
+    """,
+    "supplier_positive_acctbal": """
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier WHERE s_acctbal > 0
+    """,
+    "part_brand_stats": """
+        SELECT p_brand, count(*) AS part_count,
+               round(avg(p_retailprice), 2) AS avg_price,
+               max(p_size) AS max_size
+        FROM part GROUP BY p_brand
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_user_totals": """
+        SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY sum(value) DESC, user_id LIMIT 10
+    """,
+    "events_sessions": """
+        SELECT user_id, count(*) AS n_sessions
+        FROM (
+            SELECT user_id,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            )
+        ) WHERE new_session = 1
+        GROUP BY user_id
+    """,
+    "docs_exact_dedup": f"""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM (SELECT doc_id, {_TNORM} AS tnorm FROM documents)
+        GROUP BY tnorm
+    """,
+    "docs_dup_count": f"""
+        SELECT coalesce(sum(c), 0) AS n_dup_docs
+        FROM (
+            SELECT count(*) AS c
+            FROM (SELECT {_TNORM} AS tnorm FROM documents)
+            GROUP BY tnorm HAVING count(*) > 1
+        )
+    """,
+    "docs_token_stats": """
+        SELECT lang, count(*) AS n_docs,
+               sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''))) AS total_tokens,
+               sum(n_chars) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+    "docs_quality": """
+        SELECT lang, count(*) AS n_docs,
+               round(avg(
+                 (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words > 0 AND (sum_wl * 1.0 / n_words) BETWEEN 3.0 AND 12.0
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN length(text) = 0
+                       OR (n_punct * 1.0 / length(text)) < 0.2 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END)
+               ), 4) AS avg_quality
+        FROM (
+            SELECT lang, text,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS n_words,
+                   coalesce(list_sum(list_transform(
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                       x -> length(x))), 0) AS sum_wl,
+                   length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS n_punct
+            FROM documents
+        )
+        GROUP BY lang
+    """,
+    "docs_numeric_sort": """
+        SELECT source,
+               row_number() OVER (
+                   ORDER BY CAST(coalesce(nullif(regexp_extract(source, '[0-9]+'), ''), '9223372036854775807') AS BIGINT),
+                            source
+               ) AS rk
+        FROM (SELECT DISTINCT source FROM documents)
+    """,
+    "knn_bruteforce": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        LIMIT 10
+    """,
+    "embeddings_label_stats": """
+        SELECT label, count(*) AS n_vecs,
+               round(sum(embedding[1]), 4) AS sum_dim0
+        FROM embeddings GROUP BY label
+    """,
+    # extract_flagship: intentionally no oracle — pages are synthesized
+    # (FIXTURES.md T1); the driver records a rows-only check.
+}
