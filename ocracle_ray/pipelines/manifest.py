@@ -1,0 +1,155 @@
+"""Resumable partitioned output: per-partition parquet + lineage manifest.
+
+The reference's only run state is a display-only ``progress.json``
+(``/root/reference/scripts/utils.py:22-31,48-66``); the north_rule
+promotes it to durable lineage: every partition writes
+
+    out_dir/part-{pid:05d}/*.parquet        (atomic: tmp dir + rename)
+    out_dir/manifest/part-{pid:05d}.json    (atomic: tmp file + rename)
+
+with counters (rows in/out, errors, dropped), an order-independent
+checksum (XOR of per-record ``text_fingerprint``), and the input files.
+A restart skips every partition whose manifest validates — resume ≡
+fresh run byte-identically (tested in tests/test_manifest.py).
+
+Partition = input shard(s). Exact global url-dedup composes with resume
+when input shards are url-disjoint (the normal WARC layout: one url
+appears in one crawl shard); otherwise run ``compact()`` afterwards for
+a cross-partition keep-latest pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Sequence
+
+from .. import ENGINE_VERSION
+
+
+def _manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, "manifest", f"part-{pid:05d}.json")
+
+
+def _part_dir(out_dir: str, pid: int) -> str:
+    return os.path.join(out_dir, f"part-{pid:05d}")
+
+
+def partition_inputs(input_files: Sequence[str], files_per_partition: int = 1) -> list[list[str]]:
+    files = sorted(input_files)
+    return [
+        files[i : i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)
+    ]
+
+
+def manifest_is_valid(out_dir: str, pid: int, input_files: list[str]) -> bool:
+    path = _manifest_path(out_dir, pid)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return (
+        m.get("input_files") == sorted(input_files)
+        and os.path.isdir(_part_dir(out_dir, pid))
+        and m.get("engine_version") == ENGINE_VERSION
+    )
+
+
+def _counters_of_written(part_dir: str) -> dict:
+    """Aggregate counters by re-reading ONLY the narrow columns of the
+    partition just written (no second extraction pass)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(part_dir, format="parquet")
+    rows = 0
+    errors = 0
+    tasks = 0
+    checksum = 0
+    for batch in dset.to_batches(columns=["text_fingerprint", "error", "n_tasks"]):
+        rows += batch.num_rows
+        for fp in batch.column("text_fingerprint"):
+            checksum ^= fp.as_py()
+        for e in batch.column("error"):
+            if e.as_py():
+                errors += 1
+        for t in batch.column("n_tasks"):
+            tasks += t.as_py()
+    return {"rows_out": rows, "errors": errors, "tasks": tasks, "checksum": checksum}
+
+
+def write_partition(pid: int, input_files: list[str], out_dir: str, **extract_kwargs) -> dict:
+    """Run the extraction pipeline over one partition's input files and
+    commit output + manifest atomically."""
+    from .extraction import extract_records, read_pages
+
+    part_dir = _part_dir(out_dir, pid)
+    tmp_dir = part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    pages = read_pages(input_files)
+    rows_in = pages.count()
+    records = extract_records(read_pages(input_files), **extract_kwargs)
+    records.write_parquet(tmp_dir)
+    os.rename(tmp_dir, part_dir)
+
+    counters = _counters_of_written(part_dir)
+    manifest = {
+        "partition_id": pid,
+        "input_files": sorted(input_files),
+        "rows_in": rows_in,
+        "rows_deduped": rows_in - counters["rows_out"],
+        "engine_version": ENGINE_VERSION,
+        "output_dir": part_dir,
+        **counters,
+    }
+    mpath = _manifest_path(out_dir, pid)
+    os.makedirs(os.path.dirname(mpath), exist_ok=True)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, mpath)
+    return manifest
+
+
+def run_partitioned(
+    input_files: Sequence[str],
+    out_dir: str,
+    files_per_partition: int = 1,
+    **extract_kwargs,
+) -> dict:
+    """Resumable run: skip partitions with valid manifests, (re)run the
+    rest. Returns the run summary (manifests + skipped/ran counts)."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = partition_inputs(input_files, files_per_partition)
+    ran, skipped, manifests = 0, 0, []
+    for pid, files in enumerate(parts):
+        if manifest_is_valid(out_dir, pid, files):
+            with open(_manifest_path(out_dir, pid)) as f:
+                manifests.append(json.load(f))
+            skipped += 1
+            continue
+        manifests.append(write_partition(pid, files, out_dir, **extract_kwargs))
+        ran += 1
+    totals = {
+        "rows_in": sum(m["rows_in"] for m in manifests),
+        "rows_out": sum(m["rows_out"] for m in manifests),
+        "errors": sum(m["errors"] for m in manifests),
+        "tasks": sum(m["tasks"] for m in manifests),
+        "checksum": _xor_all(m["checksum"] for m in manifests),
+    }
+    return {"partitions": len(parts), "ran": ran, "skipped": skipped,
+            "totals": totals, "manifests": manifests}
+
+
+def _xor_all(vals) -> int:
+    out = 0
+    for v in vals:
+        out ^= v
+    return out

