@@ -444,6 +444,182 @@ def q_embeddings_label_stats(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# join family: hash join (both sides large), semi/anti, as-of, top-k/group
+# --------------------------------------------------------------------------
+
+def q_orders_lineitem_revenue(sf_dir: str):
+    """Both-sides-large hash join (Dataset.join, hash-partitioned on the
+    key) -> grouped aggregate. The lineitem side is pre-aggregated to
+    one row per orderkey BEFORE the join (combiner pattern) so the join
+    moves |orders| + |distinct orderkeys| rows, not raw lineitems."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li_agg = (
+        li.map_batches(add_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        li_agg,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def q_customers_without_big_orders(sf_dir: str):
+    """Anti join (left_anti, hash-partitioned): customers with no order
+    above 400k (threshold keeps the result non-empty at every sf)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.select(["o_custkey"]).filter(
+            pc.greater(t["o_totalprice"], pa.scalar(400000.0))
+        ),
+        batch_format="pyarrow",
+    )
+    out = cust.join(
+        big,
+        join_type="left_anti",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_parts_in_lineitem(sf_dir: str):
+    """Semi join via broadcast key set (ray_guide semi-join pattern):
+    parts that appear in lineitem, counted per brand."""
+    import ray
+    from ray.data.aggregate import Count
+
+    used = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
+    used_ref = ray.put(frozenset(used))
+
+    def pick(t: pa.Table) -> pa.Table:
+        keys = ray.get(used_ref)
+        mask = pa.array([k in keys for k in t["p_partkey"].to_pylist()])
+        return t.filter(mask)
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n_parts"))
+        .to_pandas()
+    )
+
+
+def q_events_asof_prev_click(sf_dir: str):
+    """As-of join (SURVEY.md custom-operator rule (a)): for each
+    purchase, the most recent STRICTLY-prior click by the same user.
+    Implemented as groupby(user).map_groups + pd.merge_asof over
+    ts-sorted groups; partitioning assumption: one user's events fit a
+    group."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        buys = g[g["event_type"] == "purchase"].sort_values("ts")
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        if buys.empty or clicks.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "prev_click_id": pd.Series(dtype="int64")})
+        m = pd.merge_asof(
+            buys[["ts", "event_id"]],
+            clicks[["ts", "event_id"]].rename(columns={"event_id": "prev_click_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        m = m.dropna(subset=["prev_click_id"])
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "prev_click_id": m["prev_click_id"].astype("int64")}
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+
+
+def q_events_props_k(sf_dir: str):
+    """JSON property extraction (scalar parser kernel) + grouped stats."""
+    import json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = pa.array(
+            [int(json.loads(p)["k"]) for p in t["props"].to_pylist()], pa.int64()
+        )
+        return pa.table({"event_type": t["event_type"], "k": ks})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+
+
+def q_union_distinct_keys(sf_dir: str):
+    """union + distinct (set-op coverage): one row with the distinct
+    count of order custkeys ∪ customer keys."""
+    a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"key": t["o_custkey"]}), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table({"key": t["c_custkey"]}), batch_format="pyarrow"
+    )
+    n = len(a.union(b).unique("key"))
+    return pd.DataFrame({"n_keys": [n]})
+
+
+def q_top_users_per_event_type(sf_dir: str):
+    """Top-3 users per event_type by summed value (windowed top-k per
+    group: grouped agg then per-group head)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    per_user = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Sum("value", alias_name="total_value"))
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_value", "user_id"], ascending=[False, True]).head(3)
+        g["rk"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        per_user.groupby("event_type")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
+# --------------------------------------------------------------------------
 # dedup family (scale addenda)
 # --------------------------------------------------------------------------
 
@@ -569,6 +745,13 @@ QUERIES = {
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     "embeddings_label_stats": q_embeddings_label_stats,
+    "orders_lineitem_revenue": q_orders_lineitem_revenue,
+    "customers_without_big_orders": q_customers_without_big_orders,
+    "parts_in_lineitem": q_parts_in_lineitem,
+    "events_asof_prev_click": q_events_asof_prev_click,
+    "events_props_k": q_events_props_k,
+    "union_distinct_keys": q_union_distinct_keys,
+    "top_users_per_event_type": q_top_users_per_event_type,
     "docs_ngram_neardup": q_docs_ngram_neardup,
     "docs_minhash_neardup": q_docs_minhash_neardup,
     "docs_simhash_dups": q_docs_simhash_dups,
@@ -683,7 +866,7 @@ ORACLE_SQL = {
         GROUP BY tnorm
     """,
     "docs_dup_count": f"""
-        SELECT coalesce(sum(c), 0) AS n_dup_docs
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_docs
         FROM (
             SELECT count(*) AS c
             FROM (SELECT {_TNORM} AS tnorm FROM documents)
@@ -692,9 +875,9 @@ ORACLE_SQL = {
     """,
     "docs_token_stats": """
         SELECT lang, count(*) AS n_docs,
-               sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                   x -> x <> ''))) AS total_tokens,
-               sum(n_chars) AS total_chars
+               CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang
     """,
     "docs_quality": """
@@ -742,6 +925,53 @@ ORACLE_SQL = {
         SELECT label, count(*) AS n_vecs,
                round(sum(embedding[1]), 4) AS sum_dim0
         FROM embeddings GROUP BY label
+    """,
+    "orders_lineitem_revenue": """
+        SELECT o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "customers_without_big_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
+    "parts_in_lineitem": """
+        SELECT p_brand, count(*) AS n_parts FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+    """,
+    "events_asof_prev_click": """
+        SELECT a.event_id, b.event_id AS prev_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+          ON a.user_id = b.user_id AND a.ts > b.ts
+    """,
+    "events_props_k": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "union_distinct_keys": """
+        SELECT count(DISTINCT key) AS n_keys FROM (
+            SELECT o_custkey AS key FROM orders
+            UNION ALL SELECT c_custkey AS key FROM customer
+        )
+    """,
+    "top_users_per_event_type": """
+        SELECT event_type, user_id, round(total_value, 4) AS total_value, rk
+        FROM (
+            SELECT event_type, user_id, sum(value) AS total_value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY sum(value) DESC, user_id
+                   ) AS rk
+            FROM events GROUP BY event_type, user_id
+        ) WHERE rk <= 3
     """,
     "docs_ngram_neardup": _SHINGLE_JACCARD_SQL,
     # same oracle: the LSH parameters make recall indistinguishable from 1

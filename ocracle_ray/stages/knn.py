@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns: brute force + IVF.
+
+- ``brute_force_topk``   exact cosine top-k against a broadcast query
+                         matrix: per-batch numpy matmul emits per-batch
+                         candidates; a tiny driver-side resolve merges
+                         them. Baseline and verifier.
+- ``IvfIndex``           the scale path: deterministic k-means (seeded
+                         init, fixed iterations) fit on a driver-side
+                         sample, centroids broadcast via ``ray.put``;
+                         per-batch assignment tags every row with its
+                         cell, and queries probe only the ``n_probe``
+                         closest cells. Recall < 1 by design — measured
+                         against brute force in tests, never assumed.
+
+Partitioning assumption: one cell's rows fit in a worker (cells ≈
+sqrt(N) for balanced IVF); probing reads only tagged cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def brute_force_topk(ds, query_vecs: np.ndarray, *, key: str = "vec_id",
+                     emb: str = "embedding", k: int = 10, concurrency=2):
+    """Exact cosine top-k for each query row; returns pandas
+    (query_id, vec_id, cosine, rank) sorted by (query_id, rank)."""
+    import pandas as pd
+    import ray
+
+    q_unit = _unit(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q_unit)
+
+    class BatchTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[key].to_pylist(), dtype=np.int64)
+            unit = _unit(_as_matrix(t[emb]))
+            cos = unit @ self.q.T  # (batch, n_queries)
+            n = min(k, len(ids))
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(self.q.shape[0]):
+                top = np.argpartition(-cos[:, qi], n - 1)[:n]
+                out_q.extend([qi] * n)
+                out_id.extend(ids[top])
+                out_cos.extend(cos[top, qi])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    key: pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_cos, pa.float64()),
+                }
+            )
+
+    cand = ds.map_batches(
+        BatchTopK, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+    ).to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", key], ascending=[True, False, True])
+    cand["rank"] = cand.groupby("query_id").cumcount() + 1
+    out = cand[cand["rank"] <= k].reset_index(drop=True)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def deterministic_kmeans(sample: np.ndarray, n_cells: int, *, iters: int = 10,
+                         seed: int = 42) -> np.ndarray:
+    """Seeded k-means with a fixed iteration count (no convergence test
+    — determinism over optimality). Returns unit-normalized centroids."""
+    rng = np.random.RandomState(seed)
+    unit = _unit(sample)
+    idx = rng.choice(len(unit), size=min(n_cells, len(unit)), replace=False)
+    centroids = unit[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(centroids.shape[0]):
+            members = unit[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+class IvfIndex:
+    """IVF over a Dataset with (key, embedding) columns."""
+
+    def __init__(self, ds, *, key: str = "vec_id", emb: str = "embedding",
+                 n_cells: int = 16, sample_size: int = 2048, seed: int = 42):
+        import ray
+
+        self.key, self.emb, self.n_cells = key, emb, n_cells
+        sample = _as_matrix(
+            pa.chunked_array(
+                [pa.array([r[emb] for r in ds.take(sample_size)])]
+            )
+        )
+        self.centroids = deterministic_kmeans(sample, n_cells, seed=seed)
+        cent_ref = ray.put(self.centroids)
+        key_col, emb_col = key, emb
+
+        class Assign:
+            def __init__(self):
+                self.cent = ray.get(cent_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                unit = _unit(_as_matrix(t[emb_col]))
+                cell = (unit @ self.cent.T).argmax(axis=1).astype(np.int32)
+                return pa.table(
+                    {
+                        key_col: t[key_col],
+                        emb_col: t[emb_col],
+                        "cell": pa.array(cell, pa.int32()),
+                    }
+                )
+
+        # tagged and materialized once: the "index build" (at design
+        # scale this is write_parquet(partition_cols=["cell"]))
+        self.tagged = ds.map_batches(
+            Assign, batch_format="pyarrow", concurrency=2
+        ).materialize()
+
+    def search(self, query_vec: np.ndarray, *, k: int = 10, n_probe: int = 4):
+        """Probe the n_probe closest cells, exact cosine inside them."""
+        import pyarrow.compute as pc
+
+        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
+        probe = np.argsort(-(self.centroids @ q))[:n_probe].astype(np.int32)
+        probe_set = pa.array(probe, pa.int32())
+
+        def in_cells(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["cell"], value_set=probe_set))
+
+        def score(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {self.key: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            unit = _unit(_as_matrix(t[self.emb]))
+            cos = unit @ q
+            return pa.table(
+                {self.key: t[self.key], "cosine": pa.array(cos, pa.float64())}
+            )
+
+        out = (
+            self.tagged.map_batches(in_cells, batch_format="pyarrow")
+            .map_batches(score, batch_format="pyarrow")
+            .to_pandas()
+        )
+        out = out.sort_values(["cosine", self.key], ascending=[False, True]).head(k)
+        out["cosine"] = out["cosine"].round(6)
+        return out.reset_index(drop=True)

