@@ -65,6 +65,9 @@ _MATH_SPAN_RE = re.compile(
     r"[^\s]*(?:[−×÷∞∑√π]|\d\s*[=^]\s*\d|\d+\s*/\s*\d+|_\w|\^\w)[^\s]*"
     r"(?:\s+[^\s]*[−×÷∞∑√π=^/_][^\s]*)*"
 )
+# cheap pre-filter: a text without any of these chars cannot contain a
+# math span, so the expensive span regex is skipped entirely
+_MATH_HINT_RE = re.compile(r"[−×÷∞∑√π^_=/]")
 
 
 def find_math_spans(text: str) -> list[tuple[int, int, str]]:
@@ -72,6 +75,8 @@ def find_math_spans(text: str) -> list[tuple[int, int, str]]:
     ``(start, end, katex)`` with offsets into ``text`` and the
     normalized KaTeX for each span (SURVEY.md records schema:
     ``equation_spans: list<struct<start,end,katex>>``)."""
+    if not _MATH_HINT_RE.search(text):
+        return []
     spans: list[tuple[int, int, str]] = []
     for m in _MATH_SPAN_RE.finditer(text):
         raw = m.group(0)

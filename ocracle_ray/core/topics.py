@@ -41,17 +41,31 @@ TOPIC_TABLE: tuple[tuple[str, tuple[str, ...]], ...] = (
 DEFAULT_IGNORED_TOPICS: frozenset[str] = frozenset()
 
 
+# One combined alternation (longest-first so overlapping keywords match
+# their longest form) -> a single C-level scan instead of ~100
+# str.count passes per call. keyword -> first owning topic (table order).
+import re as _re
+
+_KW_TO_TOPIC: dict[str, str] = {}
+for _topic, _kws in TOPIC_TABLE:
+    for _kw in _kws:
+        _KW_TO_TOPIC.setdefault(_kw, _topic)
+_TOPIC_ORDER = {t: i for i, (t, _) in enumerate(TOPIC_TABLE)}
+_KW_RE = _re.compile(
+    "|".join(_re.escape(k) for k in sorted(_KW_TO_TOPIC, key=len, reverse=True))
+)
+
+
 def classify_topic(text: str) -> str:
     """Argmax keyword-hit topic; fixed-order tiebreak; 0 hits -> Unknown."""
     low = text.lower()
-    best_topic = UNKNOWN_TOPIC
-    best_score = 0
-    for topic, keywords in TOPIC_TABLE:
-        score = sum(low.count(kw) for kw in keywords)
-        if score > best_score:
-            best_score = score
-            best_topic = topic
-    return best_topic
+    scores: dict[str, int] = {}
+    for m in _KW_RE.finditer(low):
+        t = _KW_TO_TOPIC[m.group(0)]
+        scores[t] = scores.get(t, 0) + 1
+    if not scores:
+        return UNKNOWN_TOPIC
+    return min(scores.items(), key=lambda kv: (-kv[1], _TOPIC_ORDER[kv[0]]))[0]
 
 
 def is_ignored(topic: str, ignored: frozenset[str] = DEFAULT_IGNORED_TOPICS) -> bool:

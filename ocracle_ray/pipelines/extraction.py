@@ -17,7 +17,7 @@ from typing import Sequence
 
 import pyarrow as pa
 
-from ..stages.extract import Extract, dedup_keep_latest_records
+from ..stages.extract import Extract, decode_tasks, dedup_keep_latest_records
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "lang"]  # prune: `text` unused
 
@@ -29,14 +29,67 @@ def read_pages(paths: str | Sequence[str], **kwargs):
     return rd.read_parquet(paths, columns=PAGES_COLUMNS, **kwargs)
 
 
+def dup_winner_map(paths) -> dict:
+    """Winner timestamps for DUPLICATED urls only, from a column-pruned
+    key read (url, warc_ts — the html payload never leaves storage).
+
+    Each block emits a partial (url, max_ts, count) aggregate; the
+    driver streams the partials and merges them (NOT a distributed
+    groupby: at bench scale the groupby's fixed shuffle latency swamped
+    the whole job, and broadcast-mode dedup already presumes the url
+    population of a partition fits driver memory). When the merged map
+    exceeds ``DUP_BROADCAST_LIMIT`` callers must use the full-shuffle
+    dedup instead — that path has no driver-side state at all."""
+    import ray.data as rd
+
+    keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby("url", as_index=False).agg(
+            max_ts=("warc_ts", "max"), cnt=("warc_ts", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged: dict = {}
+    for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for url, ts, cnt in zip(
+            batch["url"].to_pylist(), batch["max_ts"].to_pylist(), batch["cnt"].to_pylist()
+        ):
+            prev = merged.get(url)
+            if prev is None:
+                merged[url] = (ts, cnt)
+            else:
+                merged[url] = (max(prev[0], ts), prev[1] + cnt)
+    return {u: ts for u, (ts, cnt) in merged.items() if cnt > 1}
+
+
+DUP_BROADCAST_LIMIT = 5_000_000  # winner-map entries; beyond this, shuffle
+
+
 def extract_records(
     pages_ds,
     *,
     batch_size: int = 64,
     concurrency=(2, 8),
     dedup: bool = True,
+    dup_winners: dict | None = None,
 ):
-    """pages Dataset -> records Dataset (lazy; caller consumes/streams)."""
+    """pages Dataset -> records Dataset (lazy; caller consumes/streams).
+
+    Dedup modes (G4 keep-latest, ``object_handling.py:230-239``):
+
+    - ``dup_winners`` given (broadcast mode): the winner map rides the
+      object store once; a vectorized filter keeps a row iff its url is
+      unconflicted or its warc_ts IS the winner. NO record shuffle.
+    - otherwise (shuffle mode): block-level combiner + bucketed
+      ``groupby`` keep-latest (`dedup_keep_latest_records`) — exact at
+      any scale and any dup distribution.
+    """
     records = pages_ds.map_batches(
         Extract,
         batch_format="pyarrow",
@@ -44,9 +97,36 @@ def extract_records(
         concurrency=concurrency,
         num_cpus=1,
     )
-    if dedup:
+    if dedup and dup_winners is not None:
+        import ray
+
+        winners_ref = ray.put(dup_winners)
+
+        def keep_winners(t: pa.Table) -> pa.Table:
+            winners = ray.get(winners_ref)
+            if not winners:
+                return t
+            urls = t["url"].to_pylist()
+            ts = t["warc_ts"].to_pylist()
+            mask = pa.array(
+                [u not in winners or winners[u] == x for u, x in zip(urls, ts)]
+            )
+            return t.filter(mask)
+
+        records = records.map_batches(keep_winners, batch_format="pyarrow")
+    elif dedup:
         records = dedup_keep_latest_records(records)
-    return records
+    # restore the nested tasks column AFTER the shuffle (winners only)
+    return records.map_batches(decode_tasks, batch_format="pyarrow")
+
+
+def extract_records_from_paths(paths, **kwargs):
+    """read + auto-dedup: broadcast mode when the winner map is small,
+    full shuffle otherwise."""
+    winners = dup_winner_map(paths)
+    if len(winners) <= DUP_BROADCAST_LIMIT:
+        return extract_records(read_pages(paths), dup_winners=winners, **kwargs)
+    return extract_records(read_pages(paths), **kwargs)
 
 
 def run_extraction(paths, out_dir: str, **kwargs) -> None:

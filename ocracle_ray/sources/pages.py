@@ -34,7 +34,7 @@ import pyarrow as pa
 from ..core.textstats import fnv1a64
 
 DEFAULT_SEED = 42
-PAGES_PER_SF = 200_000  # sf0.1 -> 20_000 docs (~100 MB) for the bench
+PAGES_PER_SF = 500_000  # sf0.1 -> 50_000 docs (~250 MB) for the bench
 EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
 
 SUBJECTS = ("IFYX1000", "IMAX2150", "INGX1002", "TDT4110", "TMA4100")
@@ -270,7 +270,7 @@ def ensure_pages_parquet(sf: float, seed: int = DEFAULT_SEED, root: str = "/tmp/
     under /tmp; returns the directory. Used by bench + queries so repeat
     runs read parquet (the real input mode) instead of regenerating."""
     n = n_docs_for_sf(sf)
-    out = os.path.join(root, f"sf{sf:g}-seed{seed}")
+    out = os.path.join(root, f"sf{sf:g}-seed{seed}-n{n}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

@@ -35,37 +35,50 @@ TASK_STRUCT = pa.struct(
         ("equation_spans", pa.list_(EQ_SPAN_STRUCT)),
     ]
 )
-RECORDS_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us")),
-        ("lang", pa.string()),
-        ("branch", pa.string()),
-        ("extracted_text", pa.large_string()),
-        ("text_fingerprint", pa.int64()),
-        ("n_blocks", pa.int32()),
-        ("n_body_blocks", pa.int32()),
-        ("n_boilerplate_blocks", pa.int32()),
-        ("n_figure_blocks", pa.int32()),
-        ("n_code_blocks", pa.int32()),
-        ("n_tasks", pa.int32()),
-        ("n_invalid_segments", pa.int32()),
-        ("points_total", pa.int32()),
-        ("tasks", pa.list_(TASK_STRUCT)),
-        ("error", pa.string()),
-    ]
+_COMMON_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("lang", pa.string()),
+    ("branch", pa.string()),
+    ("extracted_text", pa.large_string()),
+    ("text_fingerprint", pa.int64()),
+    ("n_blocks", pa.int32()),
+    ("n_body_blocks", pa.int32()),
+    ("n_boilerplate_blocks", pa.int32()),
+    ("n_figure_blocks", pa.int32()),
+    ("n_code_blocks", pa.int32()),
+    ("n_tasks", pa.int32()),
+    ("n_invalid_segments", pa.int32()),
+    ("points_total", pa.int32()),
+]
+
+# Final output schema (SURVEY.md §1.2 `records`): nested tasks.
+RECORDS_SCHEMA = pa.schema(_COMMON_FIELDS + [("tasks", pa.list_(TASK_STRUCT)), ("error", pa.string())])
+
+# In-flight schema: `tasks` serialized as JSON. Sort-based shuffles copy
+# nested list<struct> columns pathologically (measured 4x the whole-
+# pipeline cost at sf0.1); a flat large_string shuffles at string speed
+# and a cheap post-dedup map decodes winners back to the nested schema.
+INTERNAL_RECORDS_SCHEMA = pa.schema(
+    _COMMON_FIELDS + [("tasks_json", pa.large_string()), ("error", pa.string())]
 )
 
 
 def records_batch_from_pages(batch: pa.Table) -> pa.Table:
-    """pages batch -> records batch (pure, deterministic)."""
+    """pages batch -> in-flight records batch (pure, deterministic).
+
+    ``tasks`` is emitted as canonical JSON (sorted keys, compact
+    separators) — byte-stable, shuffle-cheap; ``decode_tasks`` restores
+    the nested Arrow column after the dedup shuffle."""
+    import json
+
     urls = batch["url"].to_pylist()
     langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
     ts = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
     htmls = batch["html"].to_pylist()
 
     recs = [extract_document(u, h or b"", l or "") for u, h, l in zip(urls, htmls, langs)]
-    cols: dict[str, list] = {name: [] for name in RECORDS_SCHEMA.names}
+    cols: dict[str, list] = {name: [] for name in INTERNAL_RECORDS_SCHEMA.names}
     for r, t in zip(recs, ts):
         cols["url"].append(r["url"])
         cols["warc_ts"].append(t)
@@ -84,24 +97,38 @@ def records_batch_from_pages(batch: pa.Table) -> pa.Table:
             "points_total",
         ):
             cols[k].append(r[k])
-        cols["tasks"].append(
-            [
-                {
-                    "task_number": t_["task_number"],
-                    "points": t_["points"],
-                    "topic": t_["topic"],
-                    "task_text": t_["task_text"],
-                    "start": t_["start"],
-                    "end": t_["end"],
-                    "equation_spans": t_["equation_spans"],
-                }
-                for t_ in r["tasks"]
-            ]
+        cols["tasks_json"].append(
+            json.dumps(r["tasks"], sort_keys=True, separators=(",", ":"), ensure_ascii=False)
         )
         cols["error"].append(r["error"])
 
-    arrays = [pa.array(cols[f.name], type=f.type) for f in RECORDS_SCHEMA]
-    return pa.Table.from_arrays(arrays, schema=RECORDS_SCHEMA)
+    arrays = [pa.array(cols[f.name], type=f.type) for f in INTERNAL_RECORDS_SCHEMA]
+    return pa.Table.from_arrays(arrays, schema=INTERNAL_RECORDS_SCHEMA)
+
+
+def decode_tasks(batch: pa.Table) -> pa.Table:
+    """tasks_json -> nested ``tasks`` column (final RECORDS_SCHEMA)."""
+    import json
+
+    tasks = [
+        [
+            {
+                "task_number": t_["task_number"],
+                "points": t_["points"],
+                "topic": t_["topic"],
+                "task_text": t_["task_text"],
+                "start": t_["start"],
+                "end": t_["end"],
+                "equation_spans": t_["equation_spans"],
+            }
+            for t_ in json.loads(tj)
+        ]
+        for tj in batch["tasks_json"].to_pylist()
+    ]
+    idx = batch.column_names.index("tasks_json")
+    out = batch.remove_column(idx)
+    out = out.add_column(idx, "tasks", pa.array(tasks, pa.list_(TASK_STRUCT)))
+    return out.select([f.name for f in RECORDS_SCHEMA])
 
 
 class Extract:
@@ -148,6 +175,21 @@ def dedup_keep_latest_records(records_ds, n_buckets: int = 64):
 
     import numpy as np
 
+    def local_keep_latest(t: pa.Table) -> pa.Table:
+        """Block-level combiner: drop same-url losers BEFORE the shuffle.
+        Crawl inputs usually carry a url's recrawls near each other, so
+        this eliminates most duplicates locally (partial-agg pattern)."""
+        if t.num_rows <= 1:
+            return t
+        order = t.sort_by(
+            [("url", "ascending"), ("warc_ts", "ascending"),
+             ("text_fingerprint", "ascending")]
+        )
+        urls = order["url"].to_numpy(zero_copy_only=False)
+        is_last = np.ones(len(urls), dtype=bool)
+        is_last[:-1] = urls[:-1] != urls[1:]
+        return order.filter(pa.array(is_last))
+
     def add_bucket(t: pa.Table) -> pa.Table:
         buckets = np.fromiter(
             (zlib.crc32(u.encode("utf-8", "surrogatepass")) % n_buckets
@@ -174,7 +216,8 @@ def dedup_keep_latest_records(records_ds, n_buckets: int = 64):
         return group.drop_columns(["_bucket"])
 
     return (
-        records_ds.map_batches(add_bucket, batch_format="pyarrow")
+        records_ds.map_batches(local_keep_latest, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(keep_latest, batch_format="pyarrow")
     )
