@@ -726,6 +726,89 @@ def q_extract_flagship(sf_dir: str):
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
+def q_pages_block_kinds(sf_dir: str):
+    """Block-kind histogram over the exploded ``blocks`` table
+    (SURVEY.md §1.2 central intermediate; rows-only — pages are
+    synthesized)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+    from ..stages.blocks import pages_to_blocks
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    blocks = pages_to_blocks(generate_pages_dataset(n), concurrency=2)
+    return (
+        blocks.groupby("kind")
+        .aggregate(Count(alias_name="n_blocks"), Sum("n_chars", alias_name="total_chars"))
+        .sort("kind")
+        .to_pandas()
+    )
+
+
+def q_pages_figures(sf_dir: str):
+    """Figure spans with per-url near-dup suppression (F5 analogue;
+    rows-only)."""
+    from ray.data.aggregate import Count
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+    from ..stages.blocks import figures_of_blocks, pages_to_blocks
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    figs = figures_of_blocks(pages_to_blocks(generate_pages_dataset(n), concurrency=2))
+    return figs.groupby("url").aggregate(Count(alias_name="n_figures")).to_pandas()
+
+
+def q_webview_tasks(sf_dir: str):
+    """The web-viewer consumer surface (E3/G12,
+    ``/root/reference/web/OCRacle.html:227-237``): filter records by
+    exam version, explode tasks, numeric-aware sort within
+    (subject, version). Rows-only (pages are synthesized)."""
+    from ..core.assemble import task_sort_key
+    from ..pipelines.extraction import extract_records
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    recs = extract_records(generate_pages_dataset(n), concurrency=2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "subject": [], "exam_version": [], "url": [],
+            "task_number": [], "points": [], "topic": [],
+        }
+        for url, tasks in zip(t["url"].to_pylist(), t["tasks"].to_pylist()):
+            parts = url.split("/")
+            subject, version = parts[-3], parts[-2]
+            if version not in ("V23", "H24"):  # the viewer's exam filter
+                continue
+            for task in tasks:
+                rows["subject"].append(subject)
+                rows["exam_version"].append(version)
+                rows["url"].append(url)
+                rows["task_number"].append(task["task_number"])
+                rows["points"].append(task["points"])
+                rows["topic"].append(task["topic"])
+        return pa.Table.from_pydict(rows)
+
+    df = recs.map_batches(explode, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return df
+    df["_key"] = df["task_number"].map(task_sort_key)
+    df = df.sort_values(["subject", "exam_version", "url", "_key"]).drop(columns="_key")
+    df["rk"] = range(1, len(df) + 1)
+    return df.reset_index(drop=True)
+
+
+def q_salted_events_value(sf_dir: str):
+    """Hot-key-safe salted grouped sum (north_rule shuffle protection);
+    results identical to a plain groupby — oracled in SQL."""
+    from ..stages.skew import salted_groupby_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = salted_groupby_sum(ds, "event_type", "value", alias="total_value").to_pandas()
+    out["total_value"] = out["total_value"].round(4)
+    return out
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -757,6 +840,10 @@ QUERIES = {
     "docs_simhash_dups": q_docs_simhash_dups,
     "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
+    "pages_block_kinds": q_pages_block_kinds,
+    "pages_figures": q_pages_figures,
+    "webview_tasks": q_webview_tasks,
+    "salted_events_value": q_salted_events_value,
 }
 
 _SHINGLE_JACCARD_SQL = """
@@ -985,6 +1072,12 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                      CAST(e2.embedding AS DOUBLE[])) >= 0.4
     """,
+    "salted_events_value": """
+        SELECT event_type, round(sum(value), 4) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    # pages_block_kinds / pages_figures / webview_tasks: no oracle —
+    # they run over the synthesized pages table (rows-only checks).
     # docs_simhash_dups: no oracle — token-multiset identity (order-free)
     # is not faithfully SQL-expressible; rows-only check.
     # extract_flagship: intentionally no oracle — pages are synthesized
