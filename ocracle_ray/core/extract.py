@@ -49,12 +49,20 @@ def extracted_text_of(blocks: list, kinds: list[str]) -> str:
     )
 
 
-def extract_document(url: str, payload: bytes, lang: str = "") -> dict[str, Any]:
+def extract_document(
+    url: str,
+    payload: bytes,
+    lang: str = "",
+    ignored_topics: frozenset[str] = frozenset(),
+) -> dict[str, Any]:
     """Extract one document into the ``records`` row (SURVEY.md §1.2).
 
-    Never raises on malformed input: failures land in ``error`` with an
-    empty-but-schema-stable record (per-row try/except kept EXPLICIT,
-    SURVEY.md §4 retries row).
+    ``ignored_topics`` is the M19 anti-join blacklist
+    (``task_processing.py:453-476``): tasks classified into a
+    blacklisted topic are dropped and counted in
+    ``n_invalid_segments``. Never raises on malformed input: failures
+    land in ``error`` with an empty-but-schema-stable record (per-row
+    try/except kept EXPLICIT, SURVEY.md §4 retries row).
     """
     try:
         blocks, kinds, branch = extract_blocks(payload)
@@ -72,12 +80,16 @@ def extract_document(url: str, payload: bytes, lang: str = "") -> dict[str, Any]
         if not seg.valid:
             n_invalid += 1
             continue
+        topic = classify_topic(seg.text)
+        if topic in ignored_topics:  # M19 anti-join
+            n_invalid += 1
+            continue
         spans = find_math_spans(seg.text)
         tasks.append(
             {
                 "task_number": seg.task_number,
                 "points": seg.points,
-                "topic": classify_topic(seg.text),
+                "topic": topic,
                 "task_text": render_task_html(seg.task_number, seg.text, spans),
                 "start": seg.start,
                 "end": seg.end,

@@ -1,0 +1,91 @@
+"""Hypothesis property tests: robustness + determinism of the pure core."""
+
+from hypothesis import given, settings, strategies as st
+
+from ocracle_ray.core.extract import extract_document
+from ocracle_ray.core.html_tokenizer import tokenize
+from ocracle_ray.core.normalize import find_math_spans, normalize_math
+from ocracle_ray.core.segment import segment_text
+from ocracle_ray.core.translate import translate_nn_to_nb
+from ocracle_ray.core.textstats import detect_lang, fingerprint, quality_score
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_tokenizer_never_raises_and_is_deterministic(payload):
+    a = tokenize(payload)
+    b = tokenize(payload)
+    assert [vars(x) for x in a] == [vars(x) for x in b]
+    assert [x.block_id for x in a] == list(range(len(a)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_extract_document_never_raises(payload):
+    rec = extract_document("u", payload, "nb")
+    assert isinstance(rec["extracted_text"], str)
+    assert rec["n_tasks"] == len(rec["tasks"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_segment_offsets_in_bounds(text):
+    for seg in segment_text(text):
+        assert 0 <= seg.start <= seg.end <= len(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_math_spans_ordered_and_bounded(text):
+    spans = find_math_spans(text)
+    last_end = 0
+    for start, end, katex in spans:
+        assert 0 <= start <= end <= len(text)
+        assert start >= last_end  # non-overlapping, document order
+        last_end = end
+        assert isinstance(katex, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_normalize_math_deterministic_and_collapsed(text):
+    out = normalize_math(text)
+    assert out == normalize_math(text)
+    assert "  " not in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_textstats_total_functions(text):
+    assert 0.0 <= quality_score(text) <= 1.0
+    assert detect_lang(text) in ("en", "de", "es", "fr", "nb", "nn", "zh", "und")
+    assert 0 <= fingerprint(text) < 2 ** 63
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_translate_idempotent_on_bokmaal_output(text):
+    once = translate_nn_to_nb(text)
+    # wordlist maps nn->nb; nb output contains no nn keys, so stable
+    assert translate_nn_to_nb(once) == once
+
+
+def test_translate_examples():
+    assert translate_nn_to_nb("Kva er ikkje eit svar?") == "Hva er ikke et svar?"
+    assert translate_nn_to_nb("Oppgåve 1: rekne ut") == "Oppgave 1: regne ut"
+
+
+def test_ignored_topics_filter():
+    html = (
+        "<p>Oppgave 1\nSkriv en funksjon i python med en løkke over en liste "
+        "som gjør noe fint og langt nok her. Maks poeng: 5</p>"
+        "<p>Oppgave 2\nFinn kraften som virker på klossen når friksjon og "
+        "masse er oppgitt i systemet her. Maks poeng: 3</p>"
+    ).encode()
+    rec = extract_document("u", html, "nb")
+    topics = {t["topic"] for t in rec["tasks"]}
+    assert "Programmering" in topics and "Dynamikk" in topics
+    rec2 = extract_document("u", html, "nb", ignored_topics=frozenset(["Programmering"]))
+    topics2 = {t["topic"] for t in rec2["tasks"]}
+    assert "Programmering" not in topics2 and "Dynamikk" in topics2
+    assert rec2["n_invalid_segments"] == rec["n_invalid_segments"] + 1
