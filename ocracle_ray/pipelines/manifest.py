@@ -153,3 +153,95 @@ def _xor_all(vals) -> int:
     for v in vals:
         out ^= v
     return out
+
+
+def compact(out_dir: str) -> dict:
+    """Cross-partition keep-latest url dedup over an already-written run.
+
+    ``run_partitioned`` dedups within each partition; when input shards
+    are NOT url-disjoint the same url can win in two partitions. This
+    pass reads ONLY the key projection (url, warc_ts, text_fingerprint)
+    of every partition, finds cross-partition conflicts, and rewrites
+    just the affected partitions (atomic tmp+rename, manifests
+    refreshed). Unconflicted partitions are untouched — at design scale
+    this touches O(conflicts), not O(data)."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    part_dirs = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "part-*")) if os.path.isdir(d)
+    )
+    # 1. key scan
+    best: dict[str, tuple] = {}  # url -> (warc_ts, fp, part_dir)
+    counts: dict[str, int] = {}
+    for pd_ in part_dirs:
+        dset = pads.dataset(pd_, format="parquet")
+        for b in dset.to_batches(columns=["url", "warc_ts", "text_fingerprint"]):
+            for u, ts, fp in zip(
+                b.column("url").to_pylist(),
+                b.column("warc_ts").to_pylist(),
+                b.column("text_fingerprint").to_pylist(),
+            ):
+                counts[u] = counts.get(u, 0) + 1
+                cur = best.get(u)
+                if (
+                    cur is None
+                    or (ts, fp) > cur[:2]
+                    # exact tie (same ts+fingerprint in two partitions):
+                    # the lexically-first partition keeps the copy
+                    or ((ts, fp) == cur[:2] and pd_ < cur[2])
+                ):
+                    best[u] = (ts, fp, pd_)
+    conflicted = {u for u, c in counts.items() if c > 1}
+    if not conflicted:
+        return {"rewritten_partitions": 0, "dropped_rows": 0}
+
+    # 2. rewrite only partitions holding a losing copy
+    dropped = 0
+    rewritten = 0
+    for pid, pd_ in enumerate(part_dirs):
+        files = sorted(glob.glob(os.path.join(pd_, "*.parquet")))
+        needs = False
+        tables = []
+        for f in files:
+            t = pq.read_table(f)
+            mask = []
+            for u, ts, fp in zip(
+                t["url"].to_pylist(),
+                t["warc_ts"].to_pylist(),
+                t["text_fingerprint"].to_pylist(),
+            ):
+                win = u not in conflicted or best[u] == (ts, fp, pd_)
+                mask.append(win)
+                if not win:
+                    dropped += 1
+                    needs = True
+            tables.append(t.filter(pa.array(mask)))
+        if not needs:
+            continue
+        tmp = pd_ + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for i, t in enumerate(tables):
+            pq.write_table(t, os.path.join(tmp, f"part-{i:05d}.parquet"))
+        backup = pd_ + ".old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(pd_, backup)
+        os.rename(tmp, pd_)
+        shutil.rmtree(backup)
+        rewritten += 1
+        # refresh this partition's manifest counters
+        mpath = _manifest_path(out_dir, pid)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            m.update(_counters_of_written(pd_))
+            m["compacted"] = True
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(m, f, indent=1, sort_keys=True)
+            os.rename(mpath + ".tmp", mpath)
+    return {"rewritten_partitions": rewritten, "dropped_rows": dropped}

@@ -370,6 +370,46 @@ def q_docs_quality(sf_dir: str):
     return out[["lang", "n_docs", "avg_quality"]]
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (word/punct split) per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..core.textstats import bpe_ish_token_count
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def add(t: pa.Table) -> pa.Table:
+        toks = pa.array(
+            [bpe_ish_token_count(x) for x in t["text"].to_pylist()], pa.int64()
+        )
+        return pa.table({"lang": t["lang"], "n_tokens": toks})
+
+    return (
+        ds.map_batches(add, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_bpe_tokens"),
+                   Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+
+
+def q_docs_langid(sf_dir: str):
+    """Lang-id stage over documents: predicted-vs-labelled confusion
+    counts (rows-only: the stopword-argmax detector is not faithfully
+    SQL-expressible)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import annotate_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return (
+        annotate_text(ds)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+
+
 def q_docs_numeric_sort(sf_dir: str):
     """Numeric-aware sort (G5, object_handling.py:241-246 key) over the
     distinct sources; rank materialized so the order is hash-visible."""
@@ -653,6 +693,17 @@ def q_docs_simhash_dups(sf_dir: str):
     return simhash_dups(ds, "doc_id", "text").to_pandas()
 
 
+def q_docs_neardup_clusters(sf_dir: str):
+    """Near-dup clustering: MinHash-LSH pairs -> connected components;
+    each doc in a cluster mapped to its min-doc_id representative."""
+    from ..stages.dedup import minhash_lsh_pairs, neardup_clusters_from_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8, n_bands=32)
+    out = neardup_clusters_from_pairs(pairs)
+    return out.rename(columns={"key": "doc_id"})
+
+
 def q_emb_label_neardup(sf_dir: str):
     """Same-label cosine pairs >= 0.4 via co-partitioned (groupby label)
     in-group vectorized matmul — the 'both sides large, co-located key'
@@ -825,6 +876,8 @@ QUERIES = {
     "docs_dup_count": q_docs_dup_count,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
+    "docs_langid": q_docs_langid,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     "embeddings_label_stats": q_embeddings_label_stats,
@@ -838,6 +891,7 @@ QUERIES = {
     "docs_ngram_neardup": q_docs_ngram_neardup,
     "docs_minhash_neardup": q_docs_minhash_neardup,
     "docs_simhash_dups": q_docs_simhash_dups,
+    "docs_neardup_clusters": q_docs_neardup_clusters,
     "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
     "pages_block_kinds": q_pages_block_kinds,
@@ -989,6 +1043,13 @@ ORACLE_SQL = {
         )
         GROUP BY lang
     """,
+    "docs_bpe_tokens": """
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
+                    AS BIGINT) AS total_bpe_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
     "docs_numeric_sort": """
         SELECT source,
                row_number() OVER (
@@ -1063,6 +1124,21 @@ ORACLE_SQL = {
     "docs_ngram_neardup": _SHINGLE_JACCARD_SQL,
     # same oracle: the LSH parameters make recall indistinguishable from 1
     "docs_minhash_neardup": _SHINGLE_JACCARD_SQL,
+    "docs_neardup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_SHINGLE_JACCARD_SQL}),
+        nodes AS (SELECT DISTINCT x AS node FROM
+                  (SELECT a AS x FROM pairs UNION SELECT b AS x FROM pairs)),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+            WHERE w.label < e.b
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(label) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY node
+    """,
     "emb_label_neardup": """
         SELECT e1.vec_id AS a, e2.vec_id AS b,
                round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),

@@ -193,6 +193,60 @@ def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:
     return {r[key]: r[text] for r in rows}
 
 
+# ---------------------------------------------------- clustering (CC)
+
+def neardup_clusters_from_pairs(pairs) -> "pd.DataFrame":  # noqa: F821
+    """Connected components over verified near-dup pairs -> (key,
+    cluster_id=min key in component).
+
+    Driver-side union-find: the verified pair set is orders of magnitude
+    smaller than the corpus (ray_guide dedup note: union-find on the
+    driver only when the candidate set is provably small — here it is
+    the POST-verification set). For pathological pair volumes run
+    min-label propagation in rounds of groupby instead."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min root wins -> deterministic representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in sorted(zip(pairs["a"], pairs["b"])):
+        union(int(a), int(b))
+    rows = sorted((k, find(k)) for k in parent)
+    return pd.DataFrame(rows, columns=["key", "cluster_id"]).astype("int64")
+
+
+def neardup_dedup(ds, key: str, text: str, **lsh_kwargs):
+    """Near-dup removal: keep each cluster's min-key representative.
+    Returns (clusters_df, dataset filtered of non-representatives)."""
+    import ray
+
+    pairs = minhash_lsh_pairs(ds, key, text, **lsh_kwargs)
+    clusters = neardup_clusters_from_pairs(pairs)
+    losers = frozenset(
+        int(k) for k, c in zip(clusters["key"], clusters["cluster_id"]) if k != c
+    )
+    losers_ref = ray.put(losers)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bad = ray.get(losers_ref)
+        mask = pa.array([k not in bad for k in t[key].to_pylist()])
+        return t.filter(mask)
+
+    return clusters, ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- simhash
 
 def simhash_dups(ds, key: str, text: str):

@@ -1,0 +1,59 @@
+"""Tests: cross-partition compaction and near-dup clustering."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocracle_ray.pipelines.manifest import compact, run_partitioned
+from ocracle_ray.sources.pages import gen_page, pages_table
+from ocracle_ray.stages.dedup import neardup_clusters_from_pairs
+
+
+def test_clusters_union_find():
+    pairs = pd.DataFrame({"a": [1, 2, 10, 11], "b": [2, 3, 11, 12]})
+    out = neardup_clusters_from_pairs(pairs)
+    m = dict(zip(out["key"], out["cluster_id"]))
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_clusters_empty():
+    out = neardup_clusters_from_pairs(pd.DataFrame({"a": [], "b": []}))
+    assert len(out) == 0
+
+
+def test_compact_cross_partition_dups(tmp_path):
+    """Shards that OVERLAP in urls: per-partition dedup leaves one
+    winner per url per shard; compact() must leave one global winner."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    # shard 0 holds rows 0..39; shard 1 holds rows 20..59 (overlap 20..39)
+    pq.write_table(pages_table(0, 40), str(d / "s0.parquet"))
+    pq.write_table(pages_table(20, 40), str(d / "s1.parquet"))
+    files = sorted(glob.glob(str(d / "*.parquet")))
+    out = str(tmp_path / "out")
+    run_partitioned(files, out, concurrency=2)
+
+    def all_urls():
+        fs = sorted(glob.glob(os.path.join(out, "part-*", "*.parquet")))
+        return pd.concat([pd.read_parquet(f, columns=["url", "warc_ts"]) for f in fs])
+
+    before = all_urls()
+    assert before["url"].duplicated().any()  # cross-partition dups exist
+
+    res = compact(out)
+    assert res["rewritten_partitions"] >= 1
+    assert res["dropped_rows"] > 0
+
+    after = all_urls()
+    assert not after["url"].duplicated().any()
+    # winner is max warc_ts: row i=20..39 appear in both shards with the
+    # SAME warc_ts (same generator row) — compact keeps exactly one copy
+    expect_urls = {gen_page(i)["url"] for i in range(60)}
+    assert set(after["url"]) == expect_urls
+
+    # idempotent: second compact is a no-op
+    res2 = compact(out)
+    assert res2 == {"rewritten_partitions": 0, "dropped_rows": 0}
