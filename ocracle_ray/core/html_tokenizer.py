@@ -178,19 +178,26 @@ def tokenize(doc: bytes | str) -> list[Block]:
             i = lt + 1
             continue
 
-        # find tag end, honouring quoted attribute values
-        p = k
-        quote: str | None = None
-        while p < n:
-            c = s[p]
-            if quote is not None:
-                if c == quote:
-                    quote = None
-            elif c in "\"'":
-                quote = c
-            elif c == ">":
-                break
-            p += 1
+        # find tag end, honouring quoted attribute values.
+        # fast path: no quote chars before the next '>' (the common
+        # case) — one C-level find + substring scan instead of a
+        # per-character Python loop.
+        p = s.find(">", k)
+        if p < 0:
+            p = n
+        elif '"' in s[k:p] or "'" in s[k:p]:
+            p = k
+            quote: str | None = None
+            while p < n:
+                c = s[p]
+                if quote is not None:
+                    if c == quote:
+                        quote = None
+                elif c in "\"'":
+                    quote = c
+                elif c == ">":
+                    break
+                p += 1
         tag_src = s[lt : p + 1]
         self_closing = tag_src.rstrip(">").endswith("/")
         i = p + 1 if p < n else n
