@@ -77,7 +77,26 @@ def run_bench() -> dict:
         concurrency=pool,
         dup_winners=winners,
     )
-    n_docs = recs.count()
+
+    # consume with a per-batch (count, xor-of-fingerprints) projection:
+    # one streaming pass yields both the row count and an order-
+    # independent output checksum — the byte-identity evidence across
+    # parallelism levels (asserted by --scaling).
+    import pyarrow as pa
+
+    def summarize(t: pa.Table) -> pa.Table:
+        x = 0
+        for fp in t["text_fingerprint"].to_pylist():
+            x ^= fp
+        return pa.table({"n": pa.array([t.num_rows]), "x": pa.array([x])})
+
+    n_docs, checksum = 0, 0
+    for b in recs.map_batches(summarize, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_docs += sum(b["n"].to_pylist())
+        for x in b["x"].to_pylist():
+            checksum ^= x
     flagship_sec = time.perf_counter() - t0
     results["extract_flagship"] = round(flagship_sec, 3)
 
@@ -99,6 +118,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "flagship_docs": int(n_docs),
         "flagship_docs_per_sec": round(n_docs / flagship_sec, 2),
+        "flagship_checksum": checksum,  # XOR of per-record fingerprints
         # co-tenant load on this shared host when the run started —
         # context for run-to-run variance (see BASELINE.md)
         "loadavg_1m": round(os.getloadavg()[0], 1),
@@ -144,7 +164,14 @@ def run_scaling() -> dict:
     t_lo = lo["queries"]["extract_flagship"]
     t_hi = hi["queries"]["extract_flagship"]
     eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
+    identical = (
+        lo["flagship_docs"] == hi["flagship_docs"]
+        and lo["flagship_checksum"] == hi["flagship_checksum"]
+    )
     return {
+        # byte-identity across parallelism levels (north_rule invariant):
+        # same record count AND same XOR-of-fingerprints checksum
+        "identical_outputs_across_levels": identical,
         "metric": f"scaling efficiency, flagship extraction, num_cpus {SCALE_LO} vs {SCALE_HI}",
         f"sec_{SCALE_LO}": t_lo,
         f"sec_{SCALE_HI}": t_hi,
