@@ -270,6 +270,49 @@ def q_events_user_totals(sf_dir: str):
     return out
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (p50/p95) via ts-sorted
+    map_groups; numpy 'linear' interpolation == DuckDB quantile_cont."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.percentile(v, 50)), 4)],
+                "p95": [round(float(np.percentile(v, 95)), 4)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quants, batch_format="pandas").to_pandas()
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width value histogram (bucket = floor(value/50)*50) with
+    per-batch partial counts before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        v = t["value"].to_numpy(zero_copy_only=False)
+        buckets = (_np.floor(v / 50.0) * 50.0).astype(_np.int64)
+        uniq, counts = _np.unique(buckets, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq, pa.int64()), "c": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n_events"))
+        .to_pandas()
+    )
+
+
 def q_events_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) — the streaming-shaped
     operator: groupby(user).map_groups over ts-sorted groups (ray_guide
@@ -872,6 +915,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_user_totals": q_events_user_totals,
     "events_sessions": q_events_sessions,
+    "events_value_quantiles": q_events_value_quantiles,
+    "events_value_histogram": q_events_value_histogram,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_count": q_docs_dup_count,
     "docs_token_stats": q_docs_token_stats,
@@ -1000,6 +1045,17 @@ ORACLE_SQL = {
             )
         ) WHERE new_session = 1
         GROUP BY user_id
+    """,
+    "events_value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "events_value_histogram": """
+        SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket,
+               count(*) AS n_events
+        FROM events GROUP BY 1
     """,
     "docs_exact_dedup": f"""
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -81,3 +81,22 @@ def test_giant_doc_handled(records_df):
     row = records_df[records_df["url"] == giant_url].iloc[0]
     assert row["n_blocks"] > 1000
     assert row["n_tasks"] >= 25
+
+
+def test_extract_records_from_paths_auto_dedup(tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocracle_ray.pipelines.extraction import extract_records_from_paths
+    from ocracle_ray.sources.pages import pages_table
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(pages_table(0, 60), str(d / "p0.parquet"))
+    files = sorted(glob.glob(os.path.join(str(d), "*.parquet")))
+    df = extract_records_from_paths(files, concurrency=2).to_pandas()
+    expect_urls = {gen_page(i)["url"] for i in range(60)}
+    assert set(df["url"]) == expect_urls
+    assert len(df) == len(expect_urls)  # winners only
