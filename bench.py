@@ -70,12 +70,15 @@ def run_bench() -> dict:
     # scale), sized to leave headroom for read + filter tasks
     pool = max(2, NUM_CPUS * 3 // 4)
     t0 = time.perf_counter()
-    winners = dup_winner_map(pages_dir)  # broadcast keep-latest dedup
+    winners, ambiguous = dup_winner_map(pages_dir)  # broadcast keep-latest dedup
     recs = extract_records(
         read_pages(pages_dir),
         batch_size=64,
         concurrency=pool,
-        dup_winners=winners,
+        # exact-ts ties would need the shuffle path's fingerprint
+        # tiebreak; the generator's timestamps are unique per url
+        dup_winners=winners if not ambiguous else None,
+        dedup=True,
     )
 
     # consume with a per-batch (count, xor-of-fingerprints) projection:

@@ -66,7 +66,7 @@ def render_task_html(task_number: str, text: str, spans: list[tuple[int, int, st
         if start < pos:
             continue
         pieces.append(_escape(text[pos:start]))
-        pieces.append(f"${katex}$")
+        pieces.append(f"${_escape(katex)}$")  # katex may carry <, >, &
         pos = end
     pieces.append(_escape(text[pos:]))
     body = "".join(pieces)

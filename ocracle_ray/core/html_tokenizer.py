@@ -199,7 +199,14 @@ def tokenize(doc: bytes | str) -> list[Block]:
                     break
                 p += 1
         tag_src = s[lt : p + 1]
-        self_closing = tag_src.rstrip(">").endswith("/")
+        # self-closing only when "/>" follows the tag name directly, a
+        # quote, or whitespace — an UNQUOTED attribute value ending in
+        # "/" (e.g. <a href=http://x/>) is NOT self-closing (browsers
+        # ignore the slash there; found by review)
+        self_closing = False
+        if tag_src.endswith("/>") and len(tag_src) >= 3:
+            prev = tag_src[-3]
+            self_closing = prev in " \t\n\r\"'" or tag_src[1:-2].lower() == name
         i = p + 1 if p < n else n
 
         if skip_tag is not None:

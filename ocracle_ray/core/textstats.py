@@ -14,7 +14,12 @@ from __future__ import annotations
 import re
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)   # BPE-ish pre-tokenizer
-_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# ASCII punctuation ranges !-/ :-@ [-` {-~ — deliberately ASCII-only so
+# the SQL oracle (RE2, whose \w is ASCII) can mirror it exactly;
+# non-ASCII letters (æøå, umlauts, CJK) count as punctuation on NEITHER
+# side (review finding: the previous unicode [^\w\s] diverged from the
+# oracle on non-ASCII text)
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 
 # Tiny stopword profiles for deterministic n-gram/stopword lang-id.
 # Covers the langs present in the fixtures (documents.parquet: en de es

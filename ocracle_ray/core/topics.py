@@ -5,10 +5,15 @@ Replaces the reference's LLM topic picker
 ``scripts/task_processing.py:495-515``) with a static keyword-scoring
 table whose vocabulary comes from the reference's own published topic
 sets (``/root/reference/exams.json`` topics,
-``prompts/exam_topics.txt:8-14`` exemplars). Scoring: count keyword hits
-per topic over the lowercased task text; argmax with ties broken by
-TOPIC_TABLE order (fixed); zero hits -> "Unknown Topic" (the reference's
-enum index 0 fallback, ``task_processing.py:102-107``).
+``prompts/exam_topics.txt:8-14`` exemplars). Scoring: one combined
+longest-first alternation scan of the lowercased task text — each
+NON-OVERLAPPING match scores 1 for the keyword's owning topic (so
+"vinkelfart" scores Rotasjonsdynamikk, not also Kinematikk's "fart";
+this longest-match-wins rule is this engine's deliberate spec, chosen
+over independent per-keyword substring counting for single-pass
+scanning). Argmax with ties broken by TOPIC_TABLE order (fixed); zero
+hits -> "Unknown Topic" (the reference's enum index 0 fallback,
+``task_processing.py:102-107``).
 
 The ignored-topic filter is the reference's anti-join against a small
 blacklist (``task_processing.py:453-476``) as a plain set lookup.

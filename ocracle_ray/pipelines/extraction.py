@@ -51,21 +51,43 @@ def dup_winner_map(paths) -> dict:
         g = df.groupby("url", as_index=False).agg(
             max_ts=("warc_ts", "max"), cnt=("warc_ts", "size")
         )
+        # multiplicity of the per-url max ts within this block (tie detection)
+        mx = df.merge(g[["url", "max_ts"]], on="url")
+        ties = (
+            mx[mx["warc_ts"] == mx["max_ts"]]
+            .groupby("url", as_index=False)
+            .size()
+            .rename(columns={"size": "max_ts_n"})
+        )
+        g = g.merge(ties, on="url", how="left").fillna({"max_ts_n": 1})
+        g["max_ts_n"] = g["max_ts_n"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    merged: dict = {}
+    merged: dict = {}  # url -> (max_ts, total_cnt, max_ts_multiplicity)
     for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        for url, ts, cnt in zip(
-            batch["url"].to_pylist(), batch["max_ts"].to_pylist(), batch["cnt"].to_pylist()
+        for url, ts, cnt, ts_n in zip(
+            batch["url"].to_pylist(),
+            batch["max_ts"].to_pylist(),
+            batch["cnt"].to_pylist(),
+            batch["max_ts_n"].to_pylist(),
         ):
             prev = merged.get(url)
             if prev is None:
-                merged[url] = (ts, cnt)
+                merged[url] = (ts, cnt, ts_n)
+            elif ts > prev[0]:
+                merged[url] = (ts, prev[1] + cnt, ts_n)
+            elif ts == prev[0]:
+                merged[url] = (ts, prev[1] + cnt, prev[2] + ts_n)
             else:
-                merged[url] = (max(prev[0], ts), prev[1] + cnt)
-    return {u: ts for u, (ts, cnt) in merged.items() if cnt > 1}
+                merged[url] = (prev[0], prev[1] + cnt, prev[2])
+    winners = {u: ts for u, (ts, cnt, _) in merged.items() if cnt > 1}
+    # urls whose winning timestamp occurs MORE THAN ONCE cannot be
+    # resolved by a (url, ts) filter — the shuffle path's fingerprint
+    # tiebreak is needed for them (see extract_records_from_paths)
+    ambiguous = {u for u, (_, cnt, ts_n) in merged.items() if cnt > 1 and ts_n > 1}
+    return winners, ambiguous
 
 
 DUP_BROADCAST_LIMIT = 5_000_000  # winner-map entries; beyond this, shuffle
@@ -121,10 +143,15 @@ def extract_records(
 
 
 def extract_records_from_paths(paths, **kwargs):
-    """read + auto-dedup: broadcast mode when the winner map is small,
-    full shuffle otherwise."""
-    winners = dup_winner_map(paths)
-    if len(winners) <= DUP_BROADCAST_LIMIT:
+    """read + auto-dedup: broadcast mode when the winner map is small
+    AND unambiguous; full shuffle otherwise.
+
+    Ambiguous = some url's winning warc_ts occurs twice (exact tie).
+    Broadcast filtering would keep BOTH tied rows while the shuffle
+    path keeps exactly one (fingerprint tiebreak), so ties force the
+    shuffle path to preserve output identity between modes."""
+    winners, ambiguous = dup_winner_map(paths)
+    if len(winners) <= DUP_BROADCAST_LIMIT and not ambiguous:
         return extract_records(read_pages(paths), dup_winners=winners, **kwargs)
     return extract_records(read_pages(paths), **kwargs)
 

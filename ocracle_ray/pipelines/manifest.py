@@ -203,7 +203,10 @@ def compact(out_dir: str) -> dict:
     # 2. rewrite only partitions holding a losing copy
     dropped = 0
     rewritten = 0
-    for pid, pd_ in enumerate(part_dirs):
+    for pd_ in part_dirs:
+        # pid from the directory name, NOT enumerate — part dirs can be
+        # non-contiguous after a crashed write_partition
+        pid = int(os.path.basename(pd_).split("-")[1])
         files = sorted(glob.glob(os.path.join(pd_, "*.parquet")))
         needs = False
         tables = []

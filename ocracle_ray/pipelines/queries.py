@@ -169,7 +169,9 @@ def q_top_orders_by_revenue(sf_dir: str):
         ds.map_batches(add_rev, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
-        .sort("revenue", descending=True)
+        # key tiebreak mirrors the oracle's ORDER BY — float-sum ties at
+        # the top-10 boundary must resolve identically on both sides
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
     )
@@ -262,7 +264,7 @@ def q_events_user_totals(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "value"])
         .groupby("user_id")
         .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
-        .sort("total_value", descending=True)
+        .sort(["total_value", "user_id"], descending=[True, False])
         .limit(10)
         .to_pandas()
     )
@@ -951,9 +953,16 @@ _SHINGLE_JACCARD_SQL = """
              list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
       FROM documents
     ), shingles AS (
-      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
-      WHERE len(ws) >= 3
+      -- docs with <3 words contribute their whole text as one shingle,
+      -- mirroring core.dedup.word_shingles' short-doc rule
+      SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+          FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+          WHERE len(ws) >= 3
+          UNION ALL
+          SELECT doc_id, array_to_string(ws, ' ') AS sh
+          FROM words WHERE len(ws) BETWEEN 1 AND 2
+      )
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
     ), inter AS (
@@ -1094,7 +1103,7 @@ ORACLE_SQL = {
                    coalesce(list_sum(list_transform(
                        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
                        x -> length(x))), 0) AS sum_wl,
-                   length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g')) AS n_punct
+                   length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct
             FROM documents
         )
         GROUP BY lang

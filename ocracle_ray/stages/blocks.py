@@ -75,22 +75,31 @@ def pages_to_blocks(pages_ds, *, batch_size: int = 64, concurrency=2):
 def figures_of_blocks(blocks_ds):
     """figure blocks with per-url near-dup suppression (F5 analogue).
 
-    Runs inside ``map_batches`` under the assumption that one url's
-    blocks arrive in the same batch (true for the exploded layout: a
-    page's blocks are emitted contiguously and batches are formed from
-    whole pages upstream)."""
+    The figure subset is filtered vectorized per batch; the suppression
+    itself groups by url so a giant document whose blocks straddle
+    batch boundaries still dedups correctly (batch-layout independent —
+    found by review: a per-batch ``seen`` set silently missed
+    cross-batch duplicates). The shuffle moves only figure rows, a tiny
+    fraction of blocks. First occurrence (min block_id) wins."""
     import pyarrow.compute as pc
 
-    def dedup_figures(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t["kind"], "figure"))
-        if sub.num_rows == 0:
-            return sub.select(["url", "block_id", "text"])
-        seen: set[tuple[str, int]] = set()
-        keep = []
-        for url, text in zip(sub["url"].to_pylist(), sub["text"].to_pylist()):
-            key = (url, fingerprint(text))
-            keep.append(key not in seen)
-            seen.add(key)
-        return sub.filter(pa.array(keep)).select(["url", "block_id", "text"])
+    def only_figures(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["kind"], "figure")).select(
+            ["url", "block_id", "text"]
+        )
 
-    return blocks_ds.map_batches(dedup_figures, batch_format="pyarrow")
+    def dedup_in_url(group: pa.Table) -> pa.Table:
+        order = group.sort_by([("block_id", "ascending")])
+        seen: set[int] = set()
+        keep = []
+        for text in order["text"].to_pylist():
+            fp = fingerprint(text)
+            keep.append(fp not in seen)
+            seen.add(fp)
+        return order.filter(pa.array(keep))
+
+    return (
+        blocks_ds.map_batches(only_figures, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(dedup_in_url, batch_format="pyarrow")
+    )

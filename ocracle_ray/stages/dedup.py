@@ -20,8 +20,10 @@ Five operators over any Dataset with a text column + int64 key column:
 
 Partitioning assumption (documented per the custom-operator rule): a
 candidate *bucket* fits in one worker's heap. Band count / bucket bits
-control bucket size; hot buckets are bounded by ``max_bucket`` and
-counted in the result, never silently dropped.
+control bucket size; buckets larger than ``max_bucket`` (mega-clusters
+of near-identical docs) degrade to a STAR against the bucket's min key
+— O(n) pairs that preserve cluster connectivity — instead of the full
+O(n²) pair set.
 """
 
 from __future__ import annotations
@@ -145,13 +147,23 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ks = sorted(set(group[key].to_pylist()))
-        if len(ks) < 2 or len(ks) > max_bucket:
+        if len(ks) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                out_a.append(ks[i])
-                out_b.append(ks[j])
+        if len(ks) > max_bucket:
+            # oversized bucket (mega-cluster of near-identical docs):
+            # emit a STAR against the min key instead of all O(n^2)
+            # pairs — connectivity for clustering is preserved (every
+            # member links to the representative) and output stays O(n)
+            rep = ks[0]
+            for other in ks[1:]:
+                out_a.append(rep)
+                out_b.append(other)
+        else:
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    out_a.append(ks[i])
+                    out_b.append(ks[j])
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
     cand = (
@@ -397,7 +409,7 @@ def embedding_neardup_pairs(ds, key: str, emb: str, *, threshold: float = 0.95,
                 "cosine": pa.array([], pa.float64()),
             }
         )
-        if n < 2 or n > max_bucket:
+        if n < 2:
             return empty
         ks = np.asarray(group[key].to_pylist(), dtype=np.int64)
         order = np.argsort(ks)
@@ -406,6 +418,18 @@ def embedding_neardup_pairs(ds, key: str, emb: str, *, threshold: float = 0.95,
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
+        if n > max_bucket:
+            # oversized bucket: star vs the min-key row (O(n), keeps
+            # cluster connectivity; see minhash bucket_pairs note)
+            cos0 = unit[1:] @ unit[0]
+            mask0 = cos0 >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(np.full(mask0.sum(), ks[0]), pa.int64()),
+                    "b": pa.array(ks[1:][mask0], pa.int64()),
+                    "cosine": pa.array(np.round(cos0[mask0], 6), pa.float64()),
+                }
+            )
         cos = unit @ unit.T
         ii, jj = np.triu_indices(n, k=1)
         mask = cos[ii, jj] >= threshold
