@@ -1,0 +1,96 @@
+"""CLI entry point: resumable extraction job over pages parquet.
+
+    python -m ocracle_ray --input '/data/pages/*.parquet' --out /data/records
+    python -m ocracle_ray --input ... --out ... --compact     # cross-shard dedup
+    python -m ocracle_ray --demo /tmp/ocracle_demo            # self-contained demo
+
+This is the ONE place in the package allowed to own a Ray session
+(guarded — the driver/bench/tests own their own)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ocracle_ray")
+    ap.add_argument("--input", help="glob of pages parquet files")
+    ap.add_argument("--out", help="output directory (records + manifests)")
+    ap.add_argument("--files-per-partition", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--compact", action="store_true",
+                    help="run cross-partition keep-latest dedup after the job")
+    ap.add_argument("--demo", metavar="DIR",
+                    help="generate a small synthetic pages corpus under DIR "
+                         "and run the job against it")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.demo:
+            import os
+
+            import pyarrow.parquet as pq
+
+            from .sources.pages import pages_table
+
+            in_dir = os.path.join(args.demo, "pages")
+            out_dir = args.out or os.path.join(args.demo, "records")
+            os.makedirs(in_dir, exist_ok=True)
+            for s in range(4):
+                pq.write_table(pages_table(s * 100, 100),
+                               os.path.join(in_dir, f"shard-{s:02d}.parquet"))
+            files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+        else:
+            if not args.input or not args.out:
+                ap.error("--input and --out are required (or use --demo)")
+            files = sorted(glob.glob(args.input))
+            if not files:
+                print(f"no input files match {args.input}", file=sys.stderr)
+                return 2
+            out_dir = args.out
+
+        from .pipelines.manifest import compact, run_partitioned
+
+        summary = run_partitioned(
+            files,
+            out_dir,
+            files_per_partition=args.files_per_partition,
+            batch_size=args.batch_size,
+            concurrency=args.concurrency,
+        )
+        result = {
+            "out_dir": out_dir,
+            "partitions": summary["partitions"],
+            "ran": summary["ran"],
+            "skipped": summary["skipped"],
+            **summary["totals"],
+        }
+        if args.compact:
+            result["compact"] = compact(out_dir)
+        print(json.dumps(result))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
