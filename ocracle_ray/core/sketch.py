@@ -1,0 +1,95 @@
+"""KMV (k-minimum-values) distinct-count sketch — mergeable.
+
+The scale path for ``COUNT(DISTINCT x)`` when an exact shuffle is too
+expensive (ray_guide "Aggregation at scale": emit one serialized sketch
+per batch, merge in a tiny second stage). Deterministic: hashing is
+FNV-1a, so the same input always yields the same estimate.
+
+Estimator: with the k smallest 64-bit hash values h_(1..k) of the
+distinct set, E[distinct] ≈ (k - 1) / (h_(k) / 2^64)  (classic KMV).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .textstats import fnv1a64
+
+_MAX64 = float(1 << 64)
+_M64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — FNV-1a's upper bits are biased on short
+    keys (small ints hashed via repr), which skews the KMV estimator;
+    the finalizer restores full-range uniformity. Deterministic."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+class KMV:
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self._hashes: set[int] = set()
+        self._max_kept: int | None = None
+
+    def add(self, value) -> None:
+        h = _mix64(fnv1a64(repr(value).encode("utf-8")))
+        self._insert(h)
+
+    def add_hashes(self, hashes) -> None:
+        for h in hashes:
+            self._insert(int(h))
+
+    def _insert(self, h: int) -> None:
+        if self._max_kept is not None and h >= self._max_kept and len(self._hashes) >= self.k:
+            return
+        self._hashes.add(h)
+        if len(self._hashes) > self.k:
+            self._hashes.discard(max(self._hashes))
+        if len(self._hashes) >= self.k:
+            self._max_kept = max(self._hashes)
+
+    def merge(self, other: "KMV") -> "KMV":
+        out = KMV(self.k)
+        out.add_hashes(self._hashes)
+        out.add_hashes(other._hashes)
+        return out
+
+    def estimate(self) -> float:
+        n = len(self._hashes)
+        if n < self.k:
+            return float(n)  # exact below k
+        kth = max(self._hashes)
+        return (self.k - 1) / (kth / _MAX64)
+
+    def serialize(self) -> bytes:
+        return np.array(sorted(self._hashes), dtype=np.uint64).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, k: int = 1024) -> "KMV":
+        out = cls(k)
+        out.add_hashes(np.frombuffer(data, dtype=np.uint64))
+        return out
+
+
+def kmv_distinct_estimate(ds, column: str, *, k: int = 1024) -> float:
+    """Distributed distinct-count estimate: one serialized sketch per
+    batch (map), merged on the driver (sketches are tiny: ≤ 8k bytes)."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = KMV(k)
+        for v in t[column].to_pylist():
+            s.add(v)
+        return pa.table({"sketch": pa.array([s.serialize()], pa.large_binary())})
+
+    merged = KMV(k)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["sketch"].to_pylist():
+            merged = merged.merge(KMV.deserialize(blob, k))
+    return merged.estimate()

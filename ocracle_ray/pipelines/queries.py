@@ -455,6 +455,35 @@ def q_docs_langid(sf_dir: str):
     )
 
 
+def q_docs_hash_sample(sf_dir: str):
+    """Deterministic sampling: keep docs whose id hashes into bucket 0
+    of 10 (hash-based, reproducible at any parallelism — unlike
+    random_sample). Oracle mirrors the modulus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        mod = _pc.subtract(
+            t["doc_id"], _pc.multiply(_pc.divide(t["doc_id"], 10), 10)
+        )
+        return t.filter(_pc.equal(mod, 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+def q_events_distinct_users_kmv(sf_dir: str):
+    """KMV sketch distinct-count estimate of user_id. With k=1024 and
+    ≤ 1024 true distinct users the sketch is EXACT (estimate == n
+    kept), so it is oracled against COUNT(DISTINCT). On larger domains
+    it degrades gracefully to an estimate (rows-only territory)."""
+    from ..core.sketch import kmv_distinct_estimate
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = kmv_distinct_estimate(ds, "user_id", k=1024)
+    return pd.DataFrame({"n_users": [int(round(est))]})
+
+
 def q_docs_numeric_sort(sf_dir: str):
     """Numeric-aware sort (G5, object_handling.py:241-246 key) over the
     distinct sources; rank materialized so the order is hash-visible."""
@@ -925,6 +954,8 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_langid": q_docs_langid,
+    "docs_hash_sample": q_docs_hash_sample,
+    "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     "embeddings_label_stats": q_embeddings_label_stats,
@@ -1114,6 +1145,12 @@ ORACLE_SQL = {
                     AS BIGINT) AS total_bpe_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY lang
+    """,
+    "docs_hash_sample": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
+    """,
+    "events_distinct_users_kmv": """
+        SELECT count(DISTINCT user_id) AS n_users FROM events
     """,
     "docs_numeric_sort": """
         SELECT source,

@@ -72,6 +72,22 @@ def pages_to_blocks(pages_ds, *, batch_size: int = 64, concurrency=2):
     )
 
 
+def build_container_string(blocks: list, with_identifier: bool = False) -> str:
+    """Debug/inspection formatter (M2): blocks -> one string, optionally
+    with ``=== CONTAINER i (kind) ===`` markers — the reference's prompt
+    builders (``task_boundaries.py:103-126``) minus the LLM consumer.
+    The ≥95% full-page reclass the reference applies here lives in
+    ``core.classify.classify_block`` instead."""
+    kinds = classify_blocks(blocks)
+    if not with_identifier:
+        return "\n\n".join(b.text for b in blocks)
+    parts = [
+        f"\n\n=== CONTAINER {b.block_id} ({k}) ===\n{b.text}"
+        for b, k in zip(blocks, kinds)
+    ]
+    return "".join(parts)
+
+
 def figures_of_blocks(blocks_ds):
     """figure blocks with per-url near-dup suppression (F5 analogue).
 
