@@ -3,8 +3,8 @@
 The reference's only near-dup operator is per-document template matching
 (``/root/reference/scripts/extract_images.py:266-274``, G13); corpus-level
 dedup is the scale addendum (SURVEY.md §2 addendum). All hashes are
-derived from FNV-1a / splitmix64 — deterministic across processes (never
-Python's salted ``hash``). Vectorized with numpy where it matters; the
+derived from blake2b-64 (``textstats.hash64``) and splitmix64 perms —
+deterministic across processes (never Python's salted ``hash``). Vectorized with numpy where it matters; the
 Ray stages fan these out per batch and shuffle only the tiny
 (band_id, band_hash, key) projections.
 """
@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .textstats import fnv1a64, normalize_for_fingerprint
+from .textstats import fnv1a64, hash64, normalize_for_fingerprint
 
 _MASK64 = (1 << 64) - 1
 
@@ -29,7 +29,7 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """uint64 FNV-1a hash per distinct shingle (sorted, deduped)."""
-    hs = {fnv1a64(s.encode("utf-8")) for s in word_shingles(text, k)}
+    hs = {hash64(s.encode("utf-8")) for s in word_shingles(text, k)}
     return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
 
 
@@ -72,7 +72,7 @@ def lsh_band_hashes(sig: np.ndarray, n_bands: int = 16) -> list[tuple[int, int]]
     out: list[tuple[int, int]] = []
     for b in range(n_bands):
         band = sig[b * rows : (b + 1) * rows]
-        h = fnv1a64(band.tobytes())
+        h = hash64(band.tobytes())
         out.append((b, h & 0x7FFFFFFFFFFFFFFF))
     return out
 
@@ -99,7 +99,7 @@ def simhash(text: str, n_bits: int = 64) -> int:
     if not words:
         return 0
     hs = np.fromiter(
-        (fnv1a64(w.encode("utf-8")) for w in words), dtype=np.uint64, count=len(words)
+        (hash64(w.encode("utf-8")) for w in words), dtype=np.uint64, count=len(words)
     )
     bits = ((hs[:, None] >> np.arange(n_bits, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int32

@@ -13,20 +13,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from .textstats import fnv1a64
+from .textstats import hash64
 
 _MAX64 = float(1 << 64)
-_M64 = (1 << 64) - 1
-
-
-def _mix64(x: int) -> int:
-    """splitmix64 finalizer — FNV-1a's upper bits are biased on short
-    keys (small ints hashed via repr), which skews the KMV estimator;
-    the finalizer restores full-range uniformity. Deterministic."""
-    x = (x + 0x9E3779B97F4A7C15) & _M64
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
-    return x ^ (x >> 31)
 
 
 class KMV:
@@ -36,7 +25,7 @@ class KMV:
         self._max_kept: int | None = None
 
     def add(self, value) -> None:
-        h = _mix64(fnv1a64(repr(value).encode("utf-8")))
+        h = hash64(repr(value).encode("utf-8"))  # blake2b: already uniform
         self._insert(h)
 
     def add_hashes(self, hashes) -> None:
