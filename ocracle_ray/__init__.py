@@ -20,7 +20,13 @@ Layout:
                 checkpoint manifests for exact resume.
 
 Nothing in this package calls ``ray.init``/``ray.shutdown`` — sessions
-are owned by the caller (driver, tests' conftest, bench.py).
+are owned by the caller (driver, tests' conftest, bench.py) — with ONE
+recorded exception: the ``python -m ocracle_ray`` CLI (``__main__.py``)
+guard-inits a session for standalone use and shuts down only the
+session it created.
 """
 
-ENGINE_VERSION = "0.1.0"
+# Bump on ANY change that alters persisted record bytes (fingerprint
+# scheme, extraction semantics, schema): manifest resume validates
+# against this so mixed-version outputs are re-run, never merged.
+ENGINE_VERSION = "0.2.0"  # 0.2.0: content hashing FNV-1a -> blake2b-64

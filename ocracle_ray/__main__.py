@@ -32,7 +32,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -89,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller-owned session
+            ray.shutdown()
 
 
 if __name__ == "__main__":

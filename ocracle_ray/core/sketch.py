@@ -50,7 +50,7 @@ class KMV:
     def estimate(self) -> float:
         n = len(self._hashes)
         if n < self.k:
-            return float(n)  # exact below k
+            return float(n)  # exact while true distinct < k (not <=)
         kth = max(self._hashes)
         return (self.k - 1) / (kth / _MAX64)
 

@@ -11,9 +11,14 @@ length (``/root/reference/scripts/extract_images.py:297-311``,
 
 from __future__ import annotations
 
+import hashlib
 import re
 
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)   # BPE-ish pre-tokenizer
+# BPE-ish pre-tokenizer: ASCII word runs | single non-word-non-space
+# chars. Deliberately ASCII classes (like _PUNCT_RE below) so the SQL
+# oracle (RE2, ASCII \w) mirrors it exactly; a non-ASCII letter counts
+# as its own token on BOTH sides.
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
 # ASCII punctuation ranges !-/ :-@ [-` {-~ — deliberately ASCII-only so
 # the SQL oracle (RE2, whose \w is ASCII) can mirror it exactly;
 # non-ASCII letters (æøå, umlauts, CJK) count as punctuation on NEITHER
@@ -126,8 +131,6 @@ def hash64(data: bytes) -> int:
     """Deterministic 64-bit content hash (blake2b/8 — C speed, uniform
     across the full range). The standard hash for fingerprints,
     shingles, simhash tokens and sketches."""
-    import hashlib
-
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 

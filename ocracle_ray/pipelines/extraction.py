@@ -29,7 +29,7 @@ def read_pages(paths: str | Sequence[str], **kwargs):
     return rd.read_parquet(paths, columns=PAGES_COLUMNS, **kwargs)
 
 
-def dup_winner_map(paths) -> dict:
+def dup_winner_map(paths) -> tuple[dict, set]:
     """Winner timestamps for DUPLICATED urls only, from a column-pruned
     key read (url, warc_ts — the html payload never leaves storage).
 

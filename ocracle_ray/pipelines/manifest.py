@@ -15,17 +15,24 @@ fresh run byte-identically (tested in tests/test_manifest.py).
 Partition = input shard(s). Exact global url-dedup composes with resume
 when input shards are url-disjoint (the normal WARC layout: one url
 appears in one crawl shard); otherwise run ``compact()`` afterwards for
-a cross-partition keep-latest pass.
+a cross-partition keep-latest pass. ``compact()`` keeps a driver-side
+url->winner dict and is therefore bounded by ``COMPACT_URL_LIMIT``
+(analogous to the broadcast winner-map guard); larger url populations
+must dedup in-pipeline (``stages.extract.dedup_keep_latest_records``)
+before writing instead.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Sequence
 
 from .. import ENGINE_VERSION
+
+COMPACT_URL_LIMIT = 50_000_000  # driver-side url dict guard (see docstring)
 
 
 def _manifest_path(out_dir: str, pid: int) -> str:
@@ -172,13 +179,35 @@ def compact(out_dir: str) -> dict:
     import pyarrow.compute as pc
     import pyarrow as pa
 
+    # crash recovery BEFORE scanning: a kill between compact()'s two
+    # renames can leave part-NNNNN.old (data!) and/or *.tmp dirs that
+    # would otherwise match the part glob and double-count urls
+    for stale in glob.glob(os.path.join(out_dir, "part-*.old")):
+        live = stale[: -len(".old")]
+        if not os.path.isdir(live):
+            os.rename(stale, live)  # restore the partition lost mid-swap
+        else:
+            shutil.rmtree(stale)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.tmp")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+    part_re = re.compile(r"part-\d{5}$")
     part_dirs = sorted(
-        d for d in glob.glob(os.path.join(out_dir, "part-*")) if os.path.isdir(d)
+        d
+        for d in glob.glob(os.path.join(out_dir, "part-*"))
+        if os.path.isdir(d) and part_re.search(os.path.basename(d))
     )
     # 1. key scan
     best: dict[str, tuple] = {}  # url -> (warc_ts, fp, part_dir)
     counts: dict[str, int] = {}
     for pd_ in part_dirs:
+        if len(best) > COMPACT_URL_LIMIT:
+            raise RuntimeError(
+                f"compact(): url population exceeds COMPACT_URL_LIMIT "
+                f"({COMPACT_URL_LIMIT}); dedup in-pipeline with "
+                f"stages.extract.dedup_keep_latest_records before writing "
+                f"instead of compacting after"
+            )
         dset = pads.dataset(pd_, format="parquet")
         for b in dset.to_batches(columns=["url", "warc_ts", "text_fingerprint"]):
             for u, ts, fp in zip(

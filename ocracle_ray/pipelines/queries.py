@@ -473,14 +473,16 @@ def q_docs_hash_sample(sf_dir: str):
 
 
 def q_events_distinct_users_kmv(sf_dir: str):
-    """KMV sketch distinct-count estimate of user_id. With k=1024 and
-    ≤ 1024 true distinct users the sketch is EXACT (estimate == n
-    kept), so it is oracled against COUNT(DISTINCT). On larger domains
-    it degrades gracefully to an estimate (rows-only territory)."""
+    """KMV sketch distinct-count of user_id. The sketch is EXACT while
+    true distinct < k, so k=65536 keeps this oracled against
+    COUNT(DISTINCT) at every fixture sf (users scale ~15k/sf-unit;
+    sf0.1 has 1,500 — a k=1024 first cut diverged there, caught by
+    review). Beyond k the estimator degrades gracefully (rows-only
+    territory; memory stays ≤ 8·k bytes per sketch)."""
     from ..core.sketch import kmv_distinct_estimate
 
     ds = _read(sf_dir, "events", ["user_id"])
-    est = kmv_distinct_estimate(ds, "user_id", k=1024)
+    est = kmv_distinct_estimate(ds, "user_id", k=65536)
     return pd.DataFrame({"n_users": [int(round(est))]})
 
 
@@ -1140,6 +1142,7 @@ ORACLE_SQL = {
         GROUP BY lang
     """,
     "docs_bpe_tokens": """
+        -- mirrors textstats._TOKEN_RE exactly (ASCII classes both sides)
         SELECT lang,
                CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
                     AS BIGINT) AS total_bpe_tokens,

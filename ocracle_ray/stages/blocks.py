@@ -78,9 +78,9 @@ def build_container_string(blocks: list, with_identifier: bool = False) -> str:
     builders (``task_boundaries.py:103-126``) minus the LLM consumer.
     The ≥95% full-page reclass the reference applies here lives in
     ``core.classify.classify_block`` instead."""
-    kinds = classify_blocks(blocks)
     if not with_identifier:
         return "\n\n".join(b.text for b in blocks)
+    kinds = classify_blocks(blocks)
     parts = [
         f"\n\n=== CONTAINER {b.block_id} ({k}) ===\n{b.text}"
         for b, k in zip(blocks, kinds)

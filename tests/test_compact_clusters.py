@@ -57,3 +57,29 @@ def test_compact_cross_partition_dups(tmp_path):
     # idempotent: second compact is a no-op
     res2 = compact(out)
     assert res2 == {"rewritten_partitions": 0, "dropped_rows": 0}
+
+
+def test_compact_crash_recovery(tmp_path):
+    """Leftover part-NNNNN.old / .tmp dirs from a killed compact() are
+    recovered/cleaned, not scanned as data partitions."""
+    import shutil
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(pages_table(0, 30), str(d / "s0.parquet"))
+    pq.write_table(pages_table(30, 30), str(d / "s1.parquet"))
+    files = sorted(glob.glob(str(d / "*.parquet")))
+    out = str(tmp_path / "out")
+    run_partitioned(files, out, concurrency=2)
+
+    # simulate: crash after os.rename(part, part.old) — part dir gone
+    part1 = os.path.join(out, "part-00001")
+    shutil.move(part1, part1 + ".old")
+    # and a stale tmp from another kill
+    os.makedirs(os.path.join(out, "part-00000.compact.tmp"))
+
+    res = compact(out)
+    assert os.path.isdir(part1)          # restored from .old
+    assert not os.path.exists(part1 + ".old")
+    assert not os.path.exists(os.path.join(out, "part-00000.compact.tmp"))
+    assert res == {"rewritten_partitions": 0, "dropped_rows": 0}
