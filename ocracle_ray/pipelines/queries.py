@@ -455,6 +455,27 @@ def q_docs_langid(sf_dir: str):
     )
 
 
+def q_docs_wildcard_sources(sf_dir: str):
+    """M22 wildcard matching in-pipeline: docs whose source matches the
+    'SRCX' joker pattern (X = any single char), counted per source."""
+    from ray.data.aggregate import Count
+
+    from ..core.subject import wildcard_match
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pa.array([wildcard_match("SRCX", s) for s in t["source"].to_pylist()])
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(pick, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+
+
 def q_docs_hash_sample(sf_dir: str):
     """Deterministic sampling: keep docs whose id hashes into bucket 0
     of 10 (hash-based, reproducible at any parallelism — unlike
@@ -956,6 +977,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_langid": q_docs_langid,
+    "docs_wildcard_sources": q_docs_wildcard_sources,
     "docs_hash_sample": q_docs_hash_sample,
     "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
@@ -1148,6 +1170,11 @@ ORACLE_SQL = {
                     AS BIGINT) AS total_bpe_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY lang
+    """,
+    "docs_wildcard_sources": """
+        SELECT source, count(*) AS n_docs FROM documents
+        WHERE regexp_matches(upper(source), '^SRC.$')
+        GROUP BY source
     """,
     "docs_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
