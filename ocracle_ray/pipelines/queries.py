@@ -31,6 +31,49 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
+                       batch_format: str = "pyarrow"):
+    """LOW-CARDINALITY grouped aggregate: per-batch pandas partials,
+    folded on the driver — no distributed shuffle at all.
+
+    The sort-based groupby's fixed shuffle latency (~3-7 s/session)
+    dwarfs these tiny-result aggregates; partials are ≤ n_groups rows
+    per block, so the driver folds KBs. Only for group keys with SMALL
+    cardinality (correctness is unaffected, driver memory is O(groups ×
+    blocks)); high-cardinality keys keep the real shuffle
+    (e.g. top_orders_by_revenue, exact dedup).
+
+    Determinism: partial rows are sorted by (group keys, values) before
+    the final fold so float addition order never depends on block
+    arrival order.
+
+    ``named_aggs``: out_col -> (in_col, 'sum'|'count'|'max'|'min').
+    """
+
+    def partial(t) -> pa.Table:
+        df = t.to_pandas() if isinstance(t, pa.Table) else t
+        g = df.groupby(group_cols, as_index=False).agg(
+            **{out: (col, how if how != "count" else "size")
+               for out, (col, how) in named_aggs.items()}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format=batch_format).iter_batches(
+        batch_format="pandas", batch_size=65536
+    ):
+        parts.append(b)
+    if not parts:
+        return pd.DataFrame(columns=group_cols + list(named_aggs))
+    allp = pd.concat(parts, ignore_index=True)
+    allp = allp.sort_values(group_cols + list(named_aggs)).reset_index(drop=True)
+    final = {
+        out: (out, "sum" if how == "count" else how)
+        for out, (col, how) in named_aggs.items()
+    }
+    return allp.groupby(group_cols, as_index=False).agg(**final)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -42,41 +85,27 @@ def _read(sf_dir: str, table: str, columns=None):
 # --------------------------------------------------------------------------
 
 def q_pricing_summary(sf_dir: str):
-    """TPC-H-Q1-style grouped aggregate with batch-level pre-aggregation
-    feeding a tiny groupby (partial/combiner pattern, SURVEY.md §4)."""
-    from ray.data.aggregate import Count, Sum
-
+    """TPC-H-Q1-style grouped aggregate: per-batch partials folded on
+    the driver (6 groups — `driver_grouped_agg` low-cardinality path)."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
+    def add_disc(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", disc)
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                count_order=("l_quantity", "size"),
-            )
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return t.append_column("disc_price", disc)
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
+    out = driver_grouped_agg(
+        ds.map_batches(add_disc, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": ("l_quantity", "count"),
+        },
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         out[c] = out[c].round(2)
@@ -84,8 +113,6 @@ def q_pricing_summary(sf_dir: str):
 
 
 def q_order_priority_count(sf_dir: str):
-    from ray.data.aggregate import Count
-
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
     lo = pa.scalar(pd.Timestamp("1994-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
@@ -95,10 +122,8 @@ def q_order_priority_count(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return (
-        ds.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="order_count"))
-        .to_pandas()
+    return driver_grouped_agg(
+        ds, ["o_orderpriority"], {"order_count": ("o_orderdate", "count")}
     )
 
 
@@ -111,23 +136,18 @@ def q_mktsegment_revenue(sf_dir: str):
     cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class AttachSegment:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)  # local plasma get — cheap per batch
+        df["c_mktsegment"] = df["o_custkey"].map(seg).fillna("UNKNOWN")
+        return df[["c_mktsegment", "o_totalprice"]]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg).fillna("UNKNOWN")
-            return df[["c_mktsegment", "o_totalprice"]]
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(AttachSegment, batch_format="pandas", concurrency=2)
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            Count(alias_name="order_count"),
-        )
-        .to_pandas()
+    out = driver_grouped_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            attach, batch_format="pandas"
+        ),
+        ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"), "order_count": ("o_totalprice", "count")},
+        batch_format="pandas",
     )
     out["revenue"] = out["revenue"].round(2)
     return out
@@ -147,12 +167,13 @@ def q_nation_region_counts(sf_dir: str):
         df["r_name"] = df["n_regionkey"].map(rmap)
         return df[["r_name"]]
 
-    return (
-        _read(sf_dir, "nation", ["n_regionkey"])
-        .map_batches(attach, batch_format="pandas")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="nation_count"))
-        .to_pandas()
+    return driver_grouped_agg(
+        _read(sf_dir, "nation", ["n_regionkey"]).map_batches(
+            attach, batch_format="pandas"
+        ),
+        ["r_name"],
+        {"nation_count": ("r_name", "count")},
+        batch_format="pandas",
     )
 
 
@@ -161,12 +182,16 @@ def q_top_orders_by_revenue(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def add_rev(t: pa.Table) -> pa.Table:
+    def partial_rev(t: pa.Table) -> pa.Table:
+        # per-batch combine (lineitem rows cluster by orderkey, ~4x
+        # shuffle-volume reduction) before the high-cardinality groupby
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        df = pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(add_rev, batch_format="pyarrow")
+        ds.map_batches(partial_rev, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
         # key tiebreak mirrors the oracle's ORDER BY — float-sum ties at
@@ -218,20 +243,17 @@ def q_supplier_positive_acctbal(sf_dir: str):
 
 
 def q_part_brand_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean
-
-    out = (
-        _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
-        .groupby("p_brand")
-        .aggregate(
-            Count(alias_name="part_count"),
-            Mean("p_retailprice", alias_name="avg_price"),
-            Max("p_size", alias_name="max_size"),
-        )
-        .to_pandas()
+    out = driver_grouped_agg(
+        _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]),
+        ["p_brand"],
+        {
+            "part_count": ("p_retailprice", "count"),
+            "sum_price": ("p_retailprice", "sum"),
+            "max_size": ("p_size", "max"),
+        },
     )
-    out["avg_price"] = out["avg_price"].round(2)
-    return out
+    out["avg_price"] = (out["sum_price"] / out["part_count"]).round(2)
+    return out[["p_brand", "part_count", "avg_price", "max_size"]]
 
 
 # --------------------------------------------------------------------------
@@ -239,19 +261,16 @@ def q_part_brand_stats(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def add_hour(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table({"hour": hour, "event_type": t["event_type"], "value": t["value"]})
 
-    out = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    out = driver_grouped_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        ["hour", "event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
     )
     out["sum_value"] = out["sum_value"].round(4)
     return out
@@ -260,13 +279,15 @@ def q_events_hourly(sf_dir: str):
 def q_events_user_totals(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
+    out = driver_grouped_agg(
+        _read(sf_dir, "events", ["user_id", "value"]),
+        ["user_id"],
+        {"total_value": ("value", "sum"), "n_events": ("value", "count")},
+    )
     out = (
-        _read(sf_dir, "events", ["user_id", "value"])
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
-        .sort(["total_value", "user_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+        out.sort_values(["total_value", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
     out["total_value"] = out["total_value"].round(4)
     return out
@@ -307,11 +328,10 @@ def q_events_value_histogram(sf_dir: str):
             {"bucket": pa.array(uniq, pa.int64()), "c": pa.array(counts, pa.int64())}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("c", alias_name="n_events"))
-        .to_pandas()
+    return driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_events": ("c", "sum")},
     )
 
 
@@ -381,15 +401,14 @@ def q_docs_token_stats(sf_dir: str):
         toks = pa.array([len(x.split()) for x in t["text"].to_pylist()], pa.int64())
         return pa.table({"lang": t["lang"], "n_tokens": toks, "n_chars": t["n_chars"]})
 
-    return (
-        ds.map_batches(add_tokens, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tokens", alias_name="total_tokens"),
-            Sum("n_chars", alias_name="total_chars"),
-        )
-        .to_pandas()
+    return driver_grouped_agg(
+        ds.map_batches(add_tokens, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "n_docs": ("n_tokens", "count"),
+            "total_tokens": ("n_tokens", "sum"),
+            "total_chars": ("n_chars", "sum"),
+        },
     )
 
 
@@ -405,11 +424,10 @@ def q_docs_quality(sf_dir: str):
         q = pa.array([quality_score(x) for x in t["text"].to_pylist()], pa.float64())
         return pa.table({"lang": t["lang"], "q": q})
 
-    out = (
-        ds.map_batches(add_q, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("q", alias_name="sum_q"), Count(alias_name="n_docs"))
-        .to_pandas()
+    out = driver_grouped_agg(
+        ds.map_batches(add_q, batch_format="pyarrow"),
+        ["lang"],
+        {"sum_q": ("q", "sum"), "n_docs": ("q", "count")},
     )
     out["avg_quality"] = (out["sum_q"] / out["n_docs"]).round(4)
     return out[["lang", "n_docs", "avg_quality"]]
@@ -429,12 +447,10 @@ def q_docs_bpe_tokens(sf_dir: str):
         )
         return pa.table({"lang": t["lang"], "n_tokens": toks})
 
-    return (
-        ds.map_batches(add, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n_tokens", alias_name="total_bpe_tokens"),
-                   Count(alias_name="n_docs"))
-        .to_pandas()
+    return driver_grouped_agg(
+        ds.map_batches(add, batch_format="pyarrow"),
+        ["lang"],
+        {"total_bpe_tokens": ("n_tokens", "sum"), "n_docs": ("n_tokens", "count")},
     )
 
 
@@ -570,11 +586,10 @@ def q_embeddings_label_stats(sf_dir: str):
         first = pa.array([float(v[0]) for v in mat], pa.float64())
         return pa.table({"label": t["label"], "dim0": first})
 
-    out = (
-        ds.map_batches(first_dim, batch_format="pyarrow")
-        .groupby("label")
-        .aggregate(Count(alias_name="n_vecs"), Sum("dim0", alias_name="sum_dim0"))
-        .to_pandas()
+    out = driver_grouped_agg(
+        ds.map_batches(first_dim, batch_format="pyarrow"),
+        ["label"],
+        {"n_vecs": ("dim0", "count"), "sum_dim0": ("dim0", "sum")},
     )
     out["sum_dim0"] = out["sum_dim0"].round(4)
     return out
@@ -657,12 +672,12 @@ def q_parts_in_lineitem(sf_dir: str):
         mask = pa.array([k in keys for k in t["p_partkey"].to_pylist()])
         return t.filter(mask)
 
-    return (
-        _read(sf_dir, "part", ["p_partkey", "p_brand"])
-        .map_batches(pick, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(Count(alias_name="n_parts"))
-        .to_pandas()
+    return driver_grouped_agg(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            pick, batch_format="pyarrow"
+        ),
+        ["p_brand"],
+        {"n_parts": ("p_partkey", "count")},
     )
 
 
@@ -710,11 +725,10 @@ def q_events_props_k(sf_dir: str):
         )
         return pa.table({"event_type": t["event_type"], "k": ks})
 
-    return (
-        ds.map_batches(parse, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
-        .to_pandas()
+    return driver_grouped_agg(
+        ds.map_batches(parse, batch_format="pyarrow"),
+        ["event_type"],
+        {"sum_k": ("k", "sum"), "n_events": ("k", "count")},
     )
 
 
