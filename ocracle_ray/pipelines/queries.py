@@ -190,15 +190,27 @@ def q_top_orders_by_revenue(sf_dir: str):
         g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    grouped = (
         ds.map_batches(partial_rev, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
-        # key tiebreak mirrors the oracle's ORDER BY — float-sum ties at
-        # the top-10 boundary must resolve identically on both sides
-        .sort(["revenue", "l_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    )
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        # per-batch candidates: global top-10 ⊆ union of batch top-10s
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    cand = grouped.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    # key tiebreak mirrors the oracle's ORDER BY — float-sum ties at the
+    # top-10 boundary must resolve identically on both sides
+    out = (
+        cand.sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
     )
     out["revenue"] = out["revenue"].round(2)
     return out
