@@ -47,13 +47,20 @@ def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
     the final fold so float addition order never depends on block
     arrival order.
 
-    ``named_aggs``: out_col -> (in_col, 'sum'|'count'|'max'|'min').
+    ``named_aggs``: out_col -> (in_col, how) with how ∈
+    'sum'|'count'|'count_nonnull'|'max'|'min' — 'count' counts ROWS
+    (SQL COUNT(*)), 'count_nonnull' counts non-null values (COUNT(col),
+    the AVG divisor).
+
+    Null group keys are KEPT (``dropna=False``) to match SQL GROUP BY
+    and the distributed groupby this replaces.
     """
+    _PARTIAL_HOW = {"count": "size", "count_nonnull": "count"}
 
     def partial(t) -> pa.Table:
         df = t.to_pandas() if isinstance(t, pa.Table) else t
-        g = df.groupby(group_cols, as_index=False).agg(
-            **{out: (col, how if how != "count" else "size")
+        g = df.groupby(group_cols, as_index=False, dropna=False).agg(
+            **{out: (col, _PARTIAL_HOW.get(how, how))
                for out, (col, how) in named_aggs.items()}
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -68,16 +75,30 @@ def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
     allp = pd.concat(parts, ignore_index=True)
     allp = allp.sort_values(group_cols + list(named_aggs)).reset_index(drop=True)
     final = {
-        out: (out, "sum" if how == "count" else how)
+        out: (out, "sum" if how in ("count", "count_nonnull") else how)
         for out, (col, how) in named_aggs.items()
     }
-    return allp.groupby(group_cols, as_index=False).agg(**final)
+    return allp.groupby(group_cols, as_index=False, dropna=False).agg(**final)
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(_p(sf_dir, table), columns=columns)
+
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_broadcast(ref):
+    """ray.get of a broadcast object, unpickled once per worker process
+    (a bare ray.get of a plain dict re-deserializes on EVERY call)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -131,13 +152,12 @@ def q_mktsegment_revenue(sf_dir: str):
     """Broadcast small-side hash join (J1 pattern): customer segment map
     shipped once via ray.put, looked up per batch — no shuffle join."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     cust = pd.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        seg = ray.get(seg_ref)  # local plasma get — cheap per batch
+        seg = _cached_broadcast(seg_ref)  # unpickled once per worker
         df["c_mktsegment"] = df["o_custkey"].map(seg).fillna("UNKNOWN")
         return df[["c_mktsegment", "o_totalprice"]]
 
@@ -155,7 +175,6 @@ def q_mktsegment_revenue(sf_dir: str):
 
 def q_nation_region_counts(sf_dir: str):
     import ray
-    from ray.data.aggregate import Count
 
     region = pd.read_parquet(_p(sf_dir, "region"))
     rmap_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
@@ -260,11 +279,13 @@ def q_part_brand_stats(sf_dir: str):
         ["p_brand"],
         {
             "part_count": ("p_retailprice", "count"),
+            # AVG's divisor is the NON-NULL count (COUNT(col)), not rows
+            "price_n": ("p_retailprice", "count_nonnull"),
             "sum_price": ("p_retailprice", "sum"),
             "max_size": ("p_size", "max"),
         },
     )
-    out["avg_price"] = (out["sum_price"] / out["part_count"]).round(2)
+    out["avg_price"] = (out["sum_price"] / out["price_n"]).round(2)
     return out[["p_brand", "part_count", "avg_price", "max_size"]]
 
 
@@ -289,15 +310,41 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_user_totals(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    out = driver_grouped_agg(
-        _read(sf_dir, "events", ["user_id", "value"]),
-        ["user_id"],
-        {"total_value": ("value", "sum"), "n_events": ("value", "count")},
+    # user_id cardinality scales with sf (unlike the fixed-cardinality
+    # keys on the driver-fold path), so keep the distributed groupby:
+    # per-batch partials -> shuffle -> per-batch top-k candidates ->
+    # driver resolve (same shape as top_orders_by_revenue)
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("user_id", as_index=False).agg(
+            total_value=("value", "sum"), n_events=("value", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grouped = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Sum("total_value", alias_name="total_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
     )
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    cand = grouped.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     out = (
-        out.sort_values(["total_value", "user_id"], ascending=[False, True])
+        cand.sort_values(["total_value", "user_id"], ascending=[False, True])
         .head(10)
         .reset_index(drop=True)
     )
@@ -326,7 +373,6 @@ def q_events_value_quantiles(sf_dir: str):
 def q_events_value_histogram(sf_dir: str):
     """Fixed-width value histogram (bucket = floor(value/50)*50) with
     per-batch partial counts before the tiny groupby."""
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["value"])
 
@@ -405,7 +451,6 @@ def q_docs_dup_count(sf_dir: str):
 
 
 def q_docs_token_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
 
@@ -426,7 +471,6 @@ def q_docs_token_stats(sf_dir: str):
 
 def q_docs_quality(sf_dir: str):
     """Quality scoring (SQL-mirrorable formula; see textstats.quality_score)."""
-    from ray.data.aggregate import Count, Sum
 
     from ..core.textstats import quality_score
 
@@ -447,7 +491,6 @@ def q_docs_quality(sf_dir: str):
 
 def q_docs_bpe_tokens(sf_dir: str):
     """BPE-ish pre-tokenizer counts (word/punct split) per lang."""
-    from ray.data.aggregate import Count, Sum
 
     from ..core.textstats import bpe_ish_token_count
 
@@ -589,7 +632,6 @@ def q_knn_bruteforce(sf_dir: str):
 
 
 def q_embeddings_label_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
@@ -674,7 +716,6 @@ def q_parts_in_lineitem(sf_dir: str):
     """Semi join via broadcast key set (ray_guide semi-join pattern):
     parts that appear in lineitem, counted per brand."""
     import ray
-    from ray.data.aggregate import Count
 
     used = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
     used_ref = ray.put(frozenset(used))
@@ -726,8 +767,6 @@ def q_events_asof_prev_click(sf_dir: str):
 def q_events_props_k(sf_dir: str):
     """JSON property extraction (scalar parser kernel) + grouped stats."""
     import json
-
-    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
