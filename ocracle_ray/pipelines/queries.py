@@ -393,6 +393,75 @@ def q_events_value_histogram(sf_dir: str):
     )
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """SLIDING window (1 h width, 30 min slide): each event lands in
+    exactly two windows — emitted per batch as (window_start, type)
+    partials, folded on the driver. Oracle: UNION ALL of the two
+    half-hour-aligned assignments."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    HALF_H = 1_800_000_000  # 30 min in µs
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64())
+        w0 = pc.multiply(pc.divide(ts_us, HALF_H), HALF_H)
+        w1 = pc.subtract(w0, HALF_H)
+        t0 = pa.table(
+            {"window_start": w0.cast(pa.timestamp("us")),
+             "event_type": t["event_type"], "value": t["value"]}
+        )
+        t1 = pa.table(
+            {"window_start": w1.cast(pa.timestamp("us")),
+             "event_type": t["event_type"], "value": t["value"]}
+        )
+        return pa.concat_tables([t0, t1])
+
+    out = driver_grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def q_events_running_sum(sf_dir: str):
+    """Per-user running (cumulative) value sum in ts order — the window
+    function surface (groupby(user).map_groups cumsum; ordering
+    assumption: one user's events fit a group)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas").to_pandas()
+
+
+def q_events_argmax(sf_dir: str):
+    """Arg-max per group: the event carrying each type's maximum value
+    (per-batch candidates -> driver resolve; ties break on min
+    event_id, mirrored in the oracle's row_number ordering)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        idx = df.sort_values(["value", "event_id"], ascending=[False, True]).groupby(
+            "event_type", as_index=False
+        ).head(1)
+        return pa.Table.from_pandas(idx, preserve_index=False)
+
+    c = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+    out = (
+        c.sort_values(["value", "event_id"], ascending=[False, True])
+        .groupby("event_type", as_index=False)
+        .head(1)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "event_id", "value"]]
+
+
 def q_events_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) — the streaming-shaped
     operator: groupby(user).map_groups over ts-sorted groups (ray_guide
@@ -1036,6 +1105,9 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_value_quantiles": q_events_value_quantiles,
     "events_value_histogram": q_events_value_histogram,
+    "events_sliding_1h": q_events_sliding_1h,
+    "events_running_sum": q_events_running_sum,
+    "events_argmax": q_events_argmax,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_dup_count": q_docs_dup_count,
     "docs_token_stats": q_docs_token_stats,
@@ -1174,6 +1246,39 @@ ORACLE_SQL = {
             )
         ) WHERE new_session = 1
         GROUP BY user_id
+    """,
+    "events_sliding_1h": """
+        WITH halfh AS (
+            SELECT date_trunc('hour', ts)
+                   + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                          ELSE INTERVAL 0 MINUTE END AS w0,
+                   event_type, value
+            FROM events
+        ), assigned AS (
+            SELECT w0 AS window_start, event_type, value FROM halfh
+            UNION ALL
+            SELECT w0 - INTERVAL 30 MINUTE AS window_start, event_type, value FROM halfh
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM assigned GROUP BY 1, 2
+    """,
+    "events_running_sum": """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS running_value
+        FROM events
+    """,
+    "events_argmax": """
+        SELECT event_type, event_id, value FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value DESC, event_id
+                   ) AS rk
+            FROM events
+        ) WHERE rk = 1
     """,
     "events_value_quantiles": """
         SELECT event_type,
