@@ -54,13 +54,18 @@ def extract_document(
     payload: bytes,
     lang: str = "",
     ignored_topics: frozenset[str] = frozenset(),
+    translate_nn: bool = False,
 ) -> dict[str, Any]:
     """Extract one document into the ``records`` row (SURVEY.md §1.2).
 
     ``ignored_topics`` is the M19 anti-join blacklist
     (``task_processing.py:453-476``): tasks classified into a
     blacklisted topic are dropped and counted in
-    ``n_invalid_segments``. Never raises on malformed input: failures
+    ``n_invalid_segments``. ``translate_nn=True`` applies the M15
+    deterministic nynorsk->bokmål wordlist to TASK TEXT when
+    ``lang == 'nn'`` (OFF by default: it rewrites the task_text surface;
+    ``extracted_text`` — the byte-identity surface — is NEVER
+    translated). Never raises on malformed input: failures
     land in ``error`` with an empty-but-schema-stable record (per-row
     try/except kept EXPLICIT, SURVEY.md §4 retries row).
     """
@@ -84,13 +89,18 @@ def extract_document(
         if topic in ignored_topics:  # M19 anti-join
             n_invalid += 1
             continue
-        spans = find_math_spans(seg.text)
+        seg_text = seg.text
+        if translate_nn and lang == "nn":
+            from .translate import translate_nn_to_nb
+
+            seg_text = translate_nn_to_nb(seg_text)
+        spans = find_math_spans(seg_text)
         tasks.append(
             {
                 "task_number": seg.task_number,
                 "points": seg.points,
                 "topic": topic,
-                "task_text": render_task_html(seg.task_number, seg.text, spans),
+                "task_text": render_task_html(seg.task_number, seg_text, spans),
                 "start": seg.start,
                 "end": seg.end,
                 "equation_spans": [

@@ -89,3 +89,18 @@ def test_ignored_topics_filter():
     topics2 = {t["topic"] for t in rec2["tasks"]}
     assert "Programmering" not in topics2 and "Dynamikk" in topics2
     assert rec2["n_invalid_segments"] == rec["n_invalid_segments"] + 1
+
+
+def test_translate_nn_in_pipeline_opt_in():
+    html = ("<p>Oppgåve 1\nKva er ikkje eit svar på dette? Forklar korleis "
+            "du rekne ut verdien i systemet her. Maks poeng: 3</p>").encode()
+    plain = extract_document("u", html, "nn")
+    translated = extract_document("u", html, "nn", translate_nn=True)
+    # extracted_text (byte-identity surface) is untouched
+    assert plain["extracted_text"] == translated["extracted_text"]
+    # task_text rewrites nn words
+    assert "Kva" in plain["tasks"][0]["task_text"]
+    assert "Hva" in translated["tasks"][0]["task_text"]
+    # non-nn rows are never translated
+    nb = extract_document("u", html, "nb", translate_nn=True)
+    assert nb["tasks"][0]["task_text"] == plain["tasks"][0]["task_text"]
