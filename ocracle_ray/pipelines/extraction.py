@@ -45,23 +45,19 @@ def dup_winner_map(paths) -> tuple[dict, set]:
     keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        # pyarrow group_by (C-speed; the pandas version cost ~3-4 s of
+        # the flagship wall at sf0.1)
+        g = t.group_by("url").aggregate([("warc_ts", "max"), ("warc_ts", "count")])
+        g = g.rename_columns(["url", "max_ts", "cnt"])
+        # multiplicity of the per-url max ts (tie detection): join max
+        # back and count rows equal to it
+        import pyarrow.compute as _pc
 
-        df = t.to_pandas()
-        g = df.groupby("url", as_index=False).agg(
-            max_ts=("warc_ts", "max"), cnt=("warc_ts", "size")
-        )
-        # multiplicity of the per-url max ts within this block (tie detection)
-        mx = df.merge(g[["url", "max_ts"]], on="url")
-        ties = (
-            mx[mx["warc_ts"] == mx["max_ts"]]
-            .groupby("url", as_index=False)
-            .size()
-            .rename(columns={"size": "max_ts_n"})
-        )
-        g = g.merge(ties, on="url", how="left").fillna({"max_ts_n": 1})
-        g["max_ts_n"] = g["max_ts_n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        joined = t.join(g.select(["url", "max_ts"]), keys="url")
+        at_max = joined.filter(_pc.equal(joined["warc_ts"], joined["max_ts"]))
+        ties = at_max.group_by("url").aggregate([("warc_ts", "count")])
+        ties = ties.rename_columns(["url", "max_ts_n"])
+        return g.join(ties, keys="url")
 
     merged: dict = {}  # url -> (max_ts, total_cnt, max_ts_multiplicity)
     for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(

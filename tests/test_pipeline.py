@@ -100,3 +100,14 @@ def test_extract_records_from_paths_auto_dedup(tmp_path):
     expect_urls = {gen_page(i)["url"] for i in range(60)}
     assert set(df["url"]) == expect_urls
     assert len(df) == len(expect_urls)  # winners only
+
+
+def test_identity_across_batch_sizes():
+    """Same input at batch_size 16 vs 256 -> identical records
+    (a second parallelism axis beyond block count)."""
+    outs = []
+    for bs in (16, 256):
+        ds = generate_pages_dataset(60, override_num_blocks=4)
+        df = extract_records(ds, batch_size=bs, concurrency=2).to_pandas()
+        outs.append(dict(zip(df["url"], df["text_fingerprint"])))
+    assert outs[0] == outs[1]
