@@ -144,3 +144,46 @@ def fingerprint(text: str) -> int:
     """Document fingerprint: hash64 over the normalized text, as a
     non-negative int64 (top bit cleared for Arrow/SQL friendliness)."""
     return hash64(normalize_for_fingerprint(text).encode("utf-8")) & 0x7FFFFFFFFFFFFFFF
+
+
+_ROLL_BASE = 1_000_003
+_ROLL_MASK = (1 << 61) - 1
+
+
+def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
+    """Rolling-hash document fingerprints via winnowing (the classic
+    MOSS scheme): Rabin-Karp rolling hashes of every k-char gram of the
+    normalized text, then the minimum hash of each w-gram window, deduped
+    in order. Deterministic; two documents sharing substrings of length
+    >= k + w - 1 are guaranteed to share a fingerprint — the local
+    (partial-overlap) complement to the whole-document ``fingerprint``.
+    """
+    s = normalize_for_fingerprint(text)
+    n = len(s)
+    if n < k:
+        return [fingerprint(text)] if s else []
+    # rolling Rabin-Karp over code points
+    pow_k = pow(_ROLL_BASE, k - 1, _ROLL_MASK + 1)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * _ROLL_BASE + ord(ch)) & _ROLL_MASK
+        if i >= k - 1:
+            hashes.append(h)
+            h = (h - ord(s[i - k + 1]) * pow_k) & _ROLL_MASK
+    # winnow: min per window, rightmost-min rule, dedup consecutive
+    out: list[int] = []
+    import numpy as np
+
+    arr = np.asarray(hashes, dtype=np.uint64)
+    if arr.size <= w:
+        return [int(arr.min())]
+    last = -1
+    for start in range(arr.size - w + 1):
+        window = arr[start : start + w]
+        # rightmost minimum (standard winnowing tie rule)
+        idx = start + (w - 1 - int(np.argmin(window[::-1])))
+        if idx != last:
+            out.append(int(window.min()))
+            last = idx
+    return out

@@ -595,6 +595,34 @@ def q_docs_langid(sf_dir: str):
     )
 
 
+def q_docs_winnowing(sf_dir: str):
+    """Rolling-hash (winnowing/MOSS) fingerprint stats per lang
+    (rows-only: the Rabin-Karp + window-min scheme has no SQL mirror)."""
+    from ..core.textstats import winnowing_fingerprints
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def add(t: pa.Table) -> pa.Table:
+        fps = [winnowing_fingerprints(x) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_fp": pa.array([len(f) for f in fps], pa.int64()),
+                "n_fp_distinct": pa.array([len(set(f)) for f in fps], pa.int64()),
+            }
+        )
+
+    return driver_grouped_agg(
+        ds.map_batches(add, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "n_docs": ("n_fp", "count"),
+            "total_fp": ("n_fp", "sum"),
+            "total_fp_distinct": ("n_fp_distinct", "sum"),
+        },
+    )
+
+
 def q_docs_wildcard_sources(sf_dir: str):
     """M22 wildcard matching in-pipeline: docs whose source matches the
     'SRCX' joker pattern (X = any single char), counted per source."""
@@ -1114,6 +1142,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_langid": q_docs_langid,
+    "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
     "docs_hash_sample": q_docs_hash_sample,
     "events_distinct_users_kmv": q_events_distinct_users_kmv,

@@ -61,3 +61,17 @@ def test_container_string_builder():
     marked = build_container_string(blocks, with_identifier=True)
     assert "=== CONTAINER 0 (text) ===" in marked
     assert "=== CONTAINER 1 (figure) ===" in marked
+
+
+def test_winnowing_fingerprints():
+    from ocracle_ray.core.textstats import winnowing_fingerprints
+
+    a = "helt unik innledning her. " + "felles midtparti som er langt nok til å garantere deling av vindu. " + "slutt a"
+    b = "annen start på teksten nå. " + "felles midtparti som er langt nok til å garantere deling av vindu. " + "slutt b"
+    c = "totalt urelatert innhold om noe helt annet uten felles delstrenger i det hele tatt"
+    fa, fb, fc = (winnowing_fingerprints(x) for x in (a, b, c))
+    assert fa == winnowing_fingerprints(a)          # deterministic
+    assert set(fa) & set(fb)                        # shared substring -> shared fp
+    assert not (set(fa) & set(fc))                  # unrelated -> disjoint
+    assert winnowing_fingerprints("") == []
+    assert len(winnowing_fingerprints("kort")) == 1  # < k chars -> whole-doc fp
