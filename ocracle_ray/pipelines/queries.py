@@ -728,6 +728,24 @@ def q_knn_bruteforce(sf_dir: str):
     return cand.reset_index(drop=True)
 
 
+def q_knn_ivf_fullprobe(sf_dir: str):
+    """IVF index search with n_probe = n_cells — exhaustive, therefore
+    exactly equal to brute force (shares knn_bruteforce's oracle). The
+    scale path (partial probe) trades recall for reads; its recall is
+    measured in tests/test_text_media_knn.py, not assumed."""
+    from ..stages.knn import IvfIndex
+
+    emb0 = pd.read_parquet(_p(sf_dir, "embeddings")).query("vec_id == 0")["embedding"].iloc[0]
+    q = np.asarray(list(emb0), dtype=np.float64)
+    n_cells = 8
+    idx = IvfIndex(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_cells=n_cells
+    )
+    out = idx.search(q, k=11, n_probe=n_cells)  # k+1: self is included
+    out = out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    return out
+
+
 def q_embeddings_label_stats(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
@@ -1148,6 +1166,7 @@ QUERIES = {
     "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
     "embeddings_label_stats": q_embeddings_label_stats,
     "orders_lineitem_revenue": q_orders_lineitem_revenue,
     "customers_without_big_orders": q_customers_without_big_orders,
@@ -1390,6 +1409,18 @@ ORACLE_SQL = {
         FROM (SELECT DISTINCT source FROM documents)
     """,
     "knn_bruteforce": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+        LIMIT 10
+    """,
+    # full-probe IVF is exhaustive -> identical result set
+    "knn_ivf_fullprobe": """
         SELECT e.vec_id,
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST(q.embedding AS DOUBLE[])), 6) AS cosine
