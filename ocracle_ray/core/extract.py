@@ -65,7 +65,12 @@ def extract_document(
     deterministic nynorsk->bokmål wordlist to TASK TEXT when
     ``lang == 'nn'`` (OFF by default: it rewrites the task_text surface;
     ``extracted_text`` — the byte-identity surface — is NEVER
-    translated). Never raises on malformed input: failures
+    translated). COORDINATE CONTRACT: a task's ``equation_spans``
+    offsets index the SEGMENT SOURCE TEXT that ``task_text`` was
+    rendered from — the translated text when translation is on — while
+    the task's ``start``/``end`` always index ``extracted_text``
+    (segment bounds); the two systems coincide only when no translation
+    rewrote the segment. Never raises on malformed input: failures
     land in ``error`` with an empty-but-schema-stable record (per-row
     try/except kept EXPLICIT, SURVEY.md §4 retries row).
     """

@@ -171,19 +171,17 @@ def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
         if i >= k - 1:
             hashes.append(h)
             h = (h - ord(s[i - k + 1]) * pow_k) & _ROLL_MASK
-    # winnow: min per window, rightmost-min rule, dedup consecutive
-    out: list[int] = []
+    # winnow: min per window, rightmost-min rule, dedup consecutive —
+    # fully vectorized (sliding_window_view + one argmin pass; the
+    # per-window python loop was O(n*w) with 3 numpy calls per char)
     import numpy as np
 
     arr = np.asarray(hashes, dtype=np.uint64)
     if arr.size <= w:
         return [int(arr.min())]
-    last = -1
-    for start in range(arr.size - w + 1):
-        window = arr[start : start + w]
-        # rightmost minimum (standard winnowing tie rule)
-        idx = start + (w - 1 - int(np.argmin(window[::-1])))
-        if idx != last:
-            out.append(int(window.min()))
-            last = idx
-    return out
+    sw = np.lib.stride_tricks.sliding_window_view(arr, w)
+    # rightmost minimum (standard winnowing tie rule)
+    rev_off = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+    abs_idx = np.arange(sw.shape[0]) + rev_off
+    keep = np.r_[True, abs_idx[1:] != abs_idx[:-1]]
+    return [int(v) for v in arr[abs_idx[keep]]]

@@ -44,19 +44,31 @@ def dup_winner_map(paths) -> tuple[dict, set]:
 
     keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
 
+    import pyarrow.compute as _pc
+
+    _EPOCH0 = pa.scalar(0, pa.timestamp("us"))
+
     def partial(t: pa.Table) -> pa.Table:
         # pyarrow group_by (C-speed; the pandas version cost ~3-4 s of
-        # the flagship wall at sf0.1)
+        # the flagship wall at sf0.1). Null warc_ts is defined as epoch
+        # 0 (always-loser) so count/max/tie logic never sees nulls —
+        # keep_winners applies the same fill (review finding: the
+        # rewrite had dropped the pandas null path).
+        t = t.set_column(
+            t.column_names.index("warc_ts"),
+            "warc_ts",
+            _pc.fill_null(t["warc_ts"], _EPOCH0),
+        )
         g = t.group_by("url").aggregate([("warc_ts", "max"), ("warc_ts", "count")])
-        g = g.rename_columns(["url", "max_ts", "cnt"])
-        # multiplicity of the per-url max ts (tie detection): join max
-        # back and count rows equal to it
-        import pyarrow.compute as _pc
-
+        # select by GENERATED name (aggregate column order varies across
+        # pyarrow versions), then rename positionally on that order
+        g = g.select(["url", "warc_ts_max", "warc_ts_count"]).rename_columns(
+            ["url", "max_ts", "cnt"]
+        )
         joined = t.join(g.select(["url", "max_ts"]), keys="url")
         at_max = joined.filter(_pc.equal(joined["warc_ts"], joined["max_ts"]))
         ties = at_max.group_by("url").aggregate([("warc_ts", "count")])
-        ties = ties.rename_columns(["url", "max_ts_n"])
+        ties = ties.select(["url", "warc_ts_count"]).rename_columns(["url", "max_ts_n"])
         return g.join(ties, keys="url")
 
     merged: dict = {}  # url -> (max_ts, total_cnt, max_ts_multiplicity)
@@ -96,8 +108,13 @@ def extract_records(
     concurrency=(2, 8),
     dedup: bool = True,
     dup_winners: dict | None = None,
+    ignored_topics=frozenset(),
+    translate_nn: bool = False,
 ):
     """pages Dataset -> records Dataset (lazy; caller consumes/streams).
+
+    ``ignored_topics`` (M19) and ``translate_nn`` (M15) reach
+    ``extract_document`` through the Extract actor constructor.
 
     Dedup modes (G4 keep-latest, ``object_handling.py:230-239``):
 
@@ -110,6 +127,9 @@ def extract_records(
     """
     records = pages_ds.map_batches(
         Extract,
+        fn_constructor_kwargs=dict(
+            ignored_topics=ignored_topics, translate_nn=translate_nn
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -120,6 +140,10 @@ def extract_records(
 
         winners_ref = ray.put(dup_winners)
 
+        import datetime as _dt
+
+        _EPOCH0_PY = _dt.datetime(1970, 1, 1)
+
         def keep_winners(t: pa.Table) -> pa.Table:
             winners = ray.get(winners_ref)
             if not winners:
@@ -127,7 +151,11 @@ def extract_records(
             urls = t["url"].to_pylist()
             ts = t["warc_ts"].to_pylist()
             mask = pa.array(
-                [u not in winners or winners[u] == x for u, x in zip(urls, ts)]
+                [
+                    u not in winners
+                    or winners[u] == (x if x is not None else _EPOCH0_PY)
+                    for u, x in zip(urls, ts)
+                ]
             )
             return t.filter(mask)
 

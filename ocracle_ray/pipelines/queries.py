@@ -402,9 +402,12 @@ def q_events_sliding_1h(sf_dir: str):
     HALF_H = 1_800_000_000  # 30 min in µs
 
     def assign(t: pa.Table) -> pa.Table:
-        ts_us = t["ts"].cast(pa.int64())
-        w0 = pc.multiply(pc.divide(ts_us, HALF_H), HALF_H)
-        w1 = pc.subtract(w0, HALF_H)
+        # numpy floor_divide (pyarrow divide truncates toward zero,
+        # which diverges from the oracle's date_trunc for pre-epoch ts)
+        ts_np = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w0_np = (ts_np // HALF_H) * HALF_H
+        w0 = pa.array(w0_np, pa.int64())
+        w1 = pa.array(w0_np - HALF_H, pa.int64())
         t0 = pa.table(
             {"window_start": w0.cast(pa.timestamp("us")),
              "event_type": t["event_type"], "value": t["value"]}
@@ -688,14 +691,26 @@ def q_docs_numeric_sort(sf_dir: str):
 # embeddings: similarity search
 # --------------------------------------------------------------------------
 
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    """Query vector (vec_id 0) via a column- and row-filtered read —
+    never load the whole embeddings table onto the driver."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Brute-force cosine top-k (similarity-search baseline): query
     vector broadcast once, per-batch numpy matmul, per-batch top-k
     candidates, tiny global resolve on the driver."""
     import ray
 
-    emb0 = pd.read_parquet(_p(sf_dir, "embeddings")).query("vec_id == 0")["embedding"].iloc[0]
-    q = np.asarray(list(emb0), dtype=np.float64)
+    q = _query_vec(sf_dir)
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
     K = 10
@@ -735,8 +750,7 @@ def q_knn_ivf_fullprobe(sf_dir: str):
     measured in tests/test_text_media_knn.py, not assumed."""
     from ..stages.knn import IvfIndex
 
-    emb0 = pd.read_parquet(_p(sf_dir, "embeddings")).query("vec_id == 0")["embedding"].iloc[0]
-    q = np.asarray(list(emb0), dtype=np.float64)
+    q = _query_vec(sf_dir)
     n_cells = 8
     idx = IvfIndex(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_cells=n_cells

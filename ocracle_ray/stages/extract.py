@@ -64,12 +64,18 @@ INTERNAL_RECORDS_SCHEMA = pa.schema(
 )
 
 
-def records_batch_from_pages(batch: pa.Table) -> pa.Table:
+def records_batch_from_pages(
+    batch: pa.Table,
+    *,
+    ignored_topics: frozenset = frozenset(),
+    translate_nn: bool = False,
+) -> pa.Table:
     """pages batch -> in-flight records batch (pure, deterministic).
 
     ``tasks`` is emitted as canonical JSON (sorted keys, compact
     separators) — byte-stable, shuffle-cheap; ``decode_tasks`` restores
-    the nested Arrow column after the dedup shuffle."""
+    the nested Arrow column after the dedup shuffle. ``ignored_topics``
+    and ``translate_nn`` pass through to ``extract_document`` (M19/M15)."""
     import json
 
     urls = batch["url"].to_pylist()
@@ -77,7 +83,13 @@ def records_batch_from_pages(batch: pa.Table) -> pa.Table:
     ts = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
     htmls = batch["html"].to_pylist()
 
-    recs = [extract_document(u, h or b"", l or "") for u, h, l in zip(urls, htmls, langs)]
+    recs = [
+        extract_document(
+            u, h or b"", l or "",
+            ignored_topics=ignored_topics, translate_nn=translate_nn,
+        )
+        for u, h, l in zip(urls, htmls, langs)
+    ]
     cols: dict[str, list] = {name: [] for name in INTERNAL_RECORDS_SCHEMA.names}
     for r, t in zip(recs, ts):
         cols["url"].append(r["url"])
@@ -144,13 +156,20 @@ class Extract:
     pipelines blocks through the pool with backpressure.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, ignored_topics=frozenset(), translate_nn: bool = False) -> None:
         # Touch the compiled-regex modules once per actor so all pattern
         # compilation cost is paid in __init__, not per batch.
         from ..core import boilerplate, classify, normalize, segment  # noqa: F401
 
+        self.ignored_topics = frozenset(ignored_topics)
+        self.translate_nn = translate_nn
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return records_batch_from_pages(batch)
+        return records_batch_from_pages(
+            batch,
+            ignored_topics=self.ignored_topics,
+            translate_nn=self.translate_nn,
+        )
 
 
 def dedup_keep_latest_records(records_ds, n_buckets: int = 64):

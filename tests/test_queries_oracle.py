@@ -73,3 +73,20 @@ def test_flagship_rows_only():
     # deterministic: rerun yields identical fingerprint multiset
     df2 = _to_pandas(entrymod.queries()["extract_flagship"](SF_DIR))
     assert sorted(df["text_fingerprint"]) == sorted(df2["text_fingerprint"])
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()) - {"extract_flagship"})
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_determine(name):
+    """Every rows-only entry must at least run, return rows, and be
+    deterministic across executions (the driver's weaker check)."""
+    q = entrymod.queries()[name]
+    a = _to_pandas(q(SF_DIR))
+    b = _to_pandas(q(SF_DIR))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True),
+    )
