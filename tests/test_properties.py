@@ -104,3 +104,92 @@ def test_translate_nn_in_pipeline_opt_in():
     # non-nn rows are never translated
     nb = extract_document("u", html, "nb", translate_nn=True)
     assert nb["tasks"][0]["task_text"] == plain["tasks"][0]["task_text"]
+
+
+# ---------------------------------------------------------------- dedup
+
+from hypothesis import HealthCheck
+from ocracle_ray.core.dedup import (
+    jaccard as _jaccard,
+    lsh_band_hashes,
+    minhash_signature,
+)
+from ocracle_ray.core.textstats import winnowing_fingerprints
+
+_words = st.lists(st.sampled_from("en to tre fire fem seks sju åtte ni ti".split()),
+                  min_size=0, max_size=40)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words)
+def test_minhash_identical_text_identical_signature(ws):
+    text = " ".join(ws)
+    a = minhash_signature(text)
+    b = minhash_signature(text)
+    assert (a == b).all()
+    assert _jaccard(text, text) == 1.0 or text == ""
+
+
+@settings(max_examples=50, deadline=None)
+@given(_words, _words)
+def test_jaccard_symmetric_and_bounded(wa, wb):
+    a, b = " ".join(wa), " ".join(wb)
+    j = _jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == _jaccard(b, a)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_words)
+def test_lsh_bands_deterministic(ws):
+    text = " ".join(ws)
+    sig = minhash_signature(text, n_perm=64)
+    assert lsh_band_hashes(sig, n_bands=16) == lsh_band_hashes(sig, n_bands=16)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400))
+def test_winnowing_total_and_deterministic(text):
+    fps = winnowing_fingerprints(text)
+    assert fps == winnowing_fingerprints(text)
+    assert all(isinstance(f, int) and f >= 0 for f in fps)
+
+
+def test_noise_robust_pipeline_end_to_end(ray_session):
+    """OCR-noised corpus through the full Ray pipeline: no errors, and
+    the noisy rows still segment into tasks (robustness, NOT identity —
+    FIXTURES.md excludes noise rows from byte-identity goldens)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.pipelines.extraction import extract_records
+    from ocracle_ray.sources.noise import add_ocr_noise
+    from ocracle_ray.sources.pages import gen_page
+
+    rows = []
+    for i in range(30):
+        p = gen_page(i)
+        # OCR noise hits TEXT, not markup: noise the pre-extracted text
+        # surface and re-wrap it (noising raw html corrupts tags, which
+        # is malformed-input territory, already covered elsewhere)
+        src = p["text"] or p["html"].decode("utf-8", "replace")
+        noisy = add_ocr_noise(src, confuse_p=0.05, drop_p=0.01, space_p=0.01)
+        # one <p> per task chunk — a single giant block would be
+        # admin-phrase-classified boilerplate wholesale (header text
+        # shares the block), which is correct classifier behavior but
+        # not what this robustness test probes
+        import re as _re
+
+        chunks = [c for c in _re.split(r"(?=Oppgave \d)", noisy) if c.strip()]
+        html = "".join(f"<p>{c}</p>" for c in chunks).encode("utf-8")
+        rows.append({"url": p["url"], "warc_ts": p["warc_ts"], "html": html,
+                     "text": "", "lang": p["lang"]})
+    t = pa.Table.from_pydict(
+        {k: [r[k] for r in rows] for k in ("url", "warc_ts", "html", "text", "lang")},
+        schema=pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                          ("html", pa.large_binary()), ("text", pa.large_string()),
+                          ("lang", pa.string())]),
+    )
+    df = extract_records(rd.from_arrow(t), concurrency=2).to_pandas()
+    assert (df["error"] == "").all()
+    assert (df["n_tasks"] > 0).mean() > 0.8
