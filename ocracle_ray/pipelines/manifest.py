@@ -162,6 +162,114 @@ def _xor_all(vals) -> int:
     return out
 
 
+def compact_distributed(out_dir: str) -> dict:
+    """Cross-partition keep-latest dedup with NO driver-side url state.
+
+    The scale form of ``compact()``: per-partition key projections
+    (url, warc_ts, text_fingerprint, partition) are read as a Dataset,
+    hash-grouped by url (the only shuffle — keys, never records), and
+    each group emits its LOSERS (every copy except the winner:
+    max (warc_ts, fingerprint), exact ties resolved to the
+    lexically-first partition — identical rule to ``compact``). Losers
+    spill to ``out_dir/_compact_losers`` parquet; each affected
+    partition is then rewritten against ITS loser set only. Driver
+    memory: partition paths + per-partition loser frames (bounded by
+    that partition's dup copies)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    part_re = re.compile(r"part-\d{5}$")
+    part_dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(out_dir, "part-*"))
+        if os.path.isdir(d) and part_re.search(os.path.basename(d))
+    )
+    if not part_dirs:
+        return {"rewritten_partitions": 0, "dropped_rows": 0}
+
+    key_sets = []
+    for pd_ in part_dirs:
+        ds = rd.read_parquet(pd_, columns=["url", "warc_ts", "text_fingerprint"])
+        part_name = os.path.basename(pd_)
+        ds = ds.map_batches(
+            lambda t, _p=part_name: t.append_column(
+                "part", pa.array([_p] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        key_sets.append(ds)
+    keys = key_sets[0]
+    for other in key_sets[1:]:
+        keys = keys.union(other)
+
+    def losers_of(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group.slice(0, 0)
+        order = group.sort_by(
+            [("warc_ts", "descending"), ("text_fingerprint", "descending"),
+             ("part", "ascending")]
+        )
+        return order.slice(1)  # everything but the winner
+
+    losers_dir = os.path.join(out_dir, "_compact_losers")
+    shutil.rmtree(losers_dir, ignore_errors=True)
+    losers = keys.groupby("url").map_groups(losers_of, batch_format="pyarrow")
+    n_losers = losers.count()
+    if n_losers == 0:
+        return {"rewritten_partitions": 0, "dropped_rows": 0}
+    losers.write_parquet(losers_dir)
+
+    import pandas as _pd
+
+    loser_df = _pd.concat(
+        [_pd.read_parquet(f) for f in sorted(_glob.glob(os.path.join(losers_dir, "*.parquet")))]
+    )
+    dropped = 0
+    rewritten = 0
+    for pd_ in part_dirs:
+        mine = loser_df[loser_df["part"] == os.path.basename(pd_)]
+        if mine.empty:
+            continue
+        bad = set(zip(mine["url"], mine["warc_ts"], mine["text_fingerprint"]))
+        files = sorted(_glob.glob(os.path.join(pd_, "*.parquet")))
+        tmp = pd_ + ".compact.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for i, f in enumerate(files):
+            t = pq.read_table(f)
+            mask = [
+                (u, ts, fp) not in bad
+                for u, ts, fp in zip(
+                    t["url"].to_pylist(),
+                    _pd.to_datetime(t["warc_ts"].to_pylist()),
+                    t["text_fingerprint"].to_pylist(),
+                )
+            ]
+            dropped += mask.count(False)
+            pq.write_table(t.filter(pa.array(mask)), os.path.join(tmp, f"part-{i:05d}.parquet"))
+        backup = pd_ + ".old"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(pd_, backup)
+        os.rename(tmp, pd_)
+        shutil.rmtree(backup)
+        rewritten += 1
+        pid = int(os.path.basename(pd_).split("-")[1])
+        mpath = _manifest_path(out_dir, pid)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                m = json.load(fh)
+            m.update(_counters_of_written(pd_))
+            m["compacted"] = True
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump(m, fh, indent=1, sort_keys=True)
+            os.rename(mpath + ".tmp", mpath)
+    shutil.rmtree(losers_dir, ignore_errors=True)
+    return {"rewritten_partitions": rewritten, "dropped_rows": dropped}
+
+
 def compact(out_dir: str) -> dict:
     """Cross-partition keep-latest url dedup over an already-written run.
 

@@ -83,3 +83,37 @@ def test_compact_crash_recovery(tmp_path):
     assert not os.path.exists(part1 + ".old")
     assert not os.path.exists(os.path.join(out, "part-00000.compact.tmp"))
     assert res == {"rewritten_partitions": 0, "dropped_rows": 0}
+
+
+def test_compact_distributed_equals_local(tmp_path):
+    """Distributed compaction (key-shuffle + per-partition loser lists)
+    produces exactly the same surviving rows as driver-dict compact()."""
+    from ocracle_ray.pipelines.manifest import compact_distributed
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    pq.write_table(pages_table(0, 40), str(d / "s0.parquet"))
+    pq.write_table(pages_table(20, 40), str(d / "s1.parquet"))
+    files = sorted(glob.glob(str(d / "*.parquet")))
+
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    run_partitioned(files, out_a, concurrency=2)
+    run_partitioned(files, out_b, concurrency=2)
+
+    from ocracle_ray.pipelines.manifest import compact
+
+    ra = compact(out_a)
+    rb = compact_distributed(out_b)
+    assert ra["dropped_rows"] == rb["dropped_rows"] > 0
+
+    def rows(out):
+        fs = sorted(glob.glob(os.path.join(out, "part-*", "*.parquet")))
+        df = pd.concat(
+            [pd.read_parquet(f, columns=["url", "warc_ts", "text_fingerprint"]) for f in fs]
+        )
+        return df.sort_values(["url"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(rows(out_a), rows(out_b))
+    # idempotent
+    assert compact_distributed(out_b) == {"rewritten_partitions": 0, "dropped_rows": 0}
