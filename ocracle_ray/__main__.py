@@ -25,6 +25,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--compact", action="store_true",
                     help="run cross-partition keep-latest dedup after the job")
+    ap.add_argument("--compact-mode", choices=["local", "distributed"],
+                    default="local",
+                    help="local: driver-dict scan (guarded by COMPACT_URL_LIMIT); "
+                         "distributed: key-only shuffle + per-partition loser lists")
     ap.add_argument("--demo", metavar="DIR",
                     help="generate a small synthetic pages corpus under DIR "
                          "and run the job against it")
@@ -69,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             out_dir = args.out
 
-        from .pipelines.manifest import compact, run_partitioned
+        from .pipelines.manifest import compact, compact_distributed, run_partitioned
 
         summary = run_partitioned(
             files,
@@ -86,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
             **summary["totals"],
         }
         if args.compact:
-            result["compact"] = compact(out_dir)
+            fn = compact_distributed if args.compact_mode == "distributed" else compact
+            result["compact"] = fn(out_dir)
         print(json.dumps(result))
         return 0
     finally:
