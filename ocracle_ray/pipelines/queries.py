@@ -1068,6 +1068,26 @@ def q_extract_flagship(sf_dir: str):
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
+def q_pages_pdf_branch(sf_dir: str):
+    """The PDF actor-pool branch in isolation (SURVEY §2.3 surface):
+    per-record summary of every %PDF-sniffed page (rows-only)."""
+    import pyarrow.compute as _pc
+
+    from ..pipelines.extraction import extract_records
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+
+    n = min(2000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    recs = extract_records(generate_pages_dataset(n), concurrency=2)
+    pdfs = recs.map_batches(
+        lambda t: t.filter(_pc.equal(t["branch"], "pdf")).select(
+            ["url", "n_blocks", "n_figure_blocks", "n_tasks", "points_total",
+             "text_fingerprint"]
+        ),
+        batch_format="pyarrow",
+    )
+    return pdfs.to_pandas()
+
+
 def q_pages_block_kinds(sf_dir: str):
     """Block-kind histogram over the exploded ``blocks`` table
     (SURVEY.md §1.2 central intermediate; rows-only — pages are
@@ -1195,6 +1215,7 @@ QUERIES = {
     "docs_neardup_clusters": q_docs_neardup_clusters,
     "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
+    "pages_pdf_branch": q_pages_pdf_branch,
     "pages_block_kinds": q_pages_block_kinds,
     "pages_figures": q_pages_figures,
     "webview_tasks": q_webview_tasks,
