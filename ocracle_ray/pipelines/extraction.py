@@ -29,7 +29,7 @@ def read_pages(paths: str | Sequence[str], **kwargs):
     return rd.read_parquet(paths, columns=PAGES_COLUMNS, **kwargs)
 
 
-def dup_winner_map(paths) -> tuple[dict, set]:
+def dup_winner_map(paths, limit: int | None = None) -> tuple[dict | None, set | None]:
     """Winner timestamps for DUPLICATED urls only, from a column-pruned
     key read (url, warc_ts — the html payload never leaves storage).
 
@@ -37,9 +37,14 @@ def dup_winner_map(paths) -> tuple[dict, set]:
     driver streams the partials and merges them (NOT a distributed
     groupby: at bench scale the groupby's fixed shuffle latency swamped
     the whole job, and broadcast-mode dedup already presumes the url
-    population of a partition fits driver memory). When the merged map
-    exceeds ``DUP_BROADCAST_LIMIT`` callers must use the full-shuffle
-    dedup instead — that path has no driver-side state at all."""
+    population of a partition fits driver memory).
+
+    ``limit`` is the driver-memory guard: the merge ABORTS the moment
+    the in-progress dict exceeds it (returning ``(None, None)`` —
+    caller must take the full-shuffle dedup, which has no driver state
+    at all). The check is per merge step, BEFORE the dict is fully
+    built, so a 10^10-url corpus costs O(limit) driver memory, not
+    O(distinct urls), before the fallback fires."""
     import ray.data as rd
 
     keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
@@ -75,6 +80,8 @@ def dup_winner_map(paths) -> tuple[dict, set]:
     for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
+        if limit is not None and len(merged) > limit:
+            return None, None  # stream-abort: caller takes the shuffle path
         for url, ts, cnt, ts_n in zip(
             batch["url"].to_pylist(),
             batch["max_ts"].to_pylist(),
@@ -90,6 +97,8 @@ def dup_winner_map(paths) -> tuple[dict, set]:
                 merged[url] = (ts, prev[1] + cnt, prev[2] + ts_n)
             else:
                 merged[url] = (prev[0], prev[1] + cnt, prev[2])
+    if limit is not None and len(merged) > limit:
+        return None, None
     winners = {u: ts for u, (ts, cnt, _) in merged.items() if cnt > 1}
     # urls whose winning timestamp occurs MORE THAN ONCE cannot be
     # resolved by a (url, ts) filter — the shuffle path's fingerprint
@@ -138,26 +147,39 @@ def extract_records(
     if dedup and dup_winners is not None:
         import ray
 
-        winners_ref = ray.put(dup_winners)
+        # ship the dict AND its url set as an Arrow array once: the hot
+        # filter is then a C-speed pc.is_in; the Python dict lookup runs
+        # only over the (rare) conflicted rows
+        winners_ref = ray.put(
+            (dup_winners, pa.array(list(dup_winners), pa.string()))
+        )
+        _cache: dict = {}  # per-worker unpickle cache (see queries._cached_broadcast)
 
-        import datetime as _dt
+        import numpy as np
+        import pyarrow.compute as _pc
 
-        _EPOCH0_PY = _dt.datetime(1970, 1, 1)
+        _EPOCH0 = pa.scalar(0, pa.timestamp("us"))
 
         def keep_winners(t: pa.Table) -> pa.Table:
-            winners = ray.get(winners_ref)
+            key = winners_ref.hex()
+            if key not in _cache:
+                _cache[key] = ray.get(winners_ref)
+            winners, winner_urls = _cache[key]
             if not winners:
                 return t
-            urls = t["url"].to_pylist()
-            ts = t["warc_ts"].to_pylist()
-            mask = pa.array(
-                [
-                    u not in winners
-                    or winners[u] == (x if x is not None else _EPOCH0_PY)
-                    for u, x in zip(urls, ts)
-                ]
-            )
-            return t.filter(mask)
+            conflicted = _pc.is_in(t["url"], value_set=winner_urls)
+            idx = np.flatnonzero(conflicted.to_numpy(zero_copy_only=False))
+            if idx.size == 0:
+                return t
+            take = pa.array(idx)
+            urls = t["url"].take(take).to_pylist()
+            ts = _pc.fill_null(
+                _pc.cast(t["warc_ts"].take(take), pa.timestamp("us")), _EPOCH0
+            ).to_pylist()
+            keep = np.ones(t.num_rows, dtype=bool)
+            for i, u, x in zip(idx, urls, ts):
+                keep[i] = winners[u] == x
+            return t.filter(pa.array(keep))
 
         records = records.map_batches(keep_winners, batch_format="pyarrow")
     elif dedup:
@@ -173,9 +195,14 @@ def extract_records_from_paths(paths, **kwargs):
     Ambiguous = some url's winning warc_ts occurs twice (exact tie).
     Broadcast filtering would keep BOTH tied rows while the shuffle
     path keeps exactly one (fingerprint tiebreak), so ties force the
-    shuffle path to preserve output identity between modes."""
-    winners, ambiguous = dup_winner_map(paths)
-    if len(winners) <= DUP_BROADCAST_LIMIT and not ambiguous:
+    shuffle path to preserve output identity between modes.
+
+    ``limit`` (driver guard, default ``DUP_BROADCAST_LIMIT``) is
+    enforced INSIDE ``dup_winner_map``'s merge loop — the driver never
+    holds more than ~limit urls before the shuffle fallback fires."""
+    limit = kwargs.pop("limit", DUP_BROADCAST_LIMIT)
+    winners, ambiguous = dup_winner_map(paths, limit=limit)
+    if winners is not None and not ambiguous:
         return extract_records(read_pages(paths), dup_winners=winners, **kwargs)
     return extract_records(read_pages(paths), **kwargs)
 

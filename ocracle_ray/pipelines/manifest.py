@@ -125,25 +125,94 @@ def write_partition(pid: int, input_files: list[str], out_dir: str, **extract_kw
     return manifest
 
 
+def _harden_fs_probe_for_threads() -> None:
+    """Make Ray's http-filesystem probe safe under concurrent Dataset
+    construction. ``path_util._is_http_filesystem`` does ``from
+    fsspec.implementations.http import HTTPFileSystem`` on EVERY
+    read/write-path resolution and catches only ModuleNotFoundError;
+    when aiohttp is absent (this container) the failed import is
+    retried each call, and two threads resolving paths at once can race
+    the import machinery into a bare ImportError ("cannot import name
+    'HTTPFileSystem'") that Ray does not catch. Treat any ImportError
+    as "not an http filesystem" — semantically identical to Ray's own
+    ModuleNotFoundError branch. Idempotent."""
+    from ray.data.datasource import path_util
+
+    orig = path_util._is_http_filesystem
+    if getattr(orig, "_ocracle_hardened", False):
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._ocracle_hardened = True
+    path_util._is_http_filesystem = safe
+
+
 def run_partitioned(
     input_files: Sequence[str],
     out_dir: str,
     files_per_partition: int = 1,
+    max_concurrent: int = 4,
     **extract_kwargs,
 ) -> dict:
     """Resumable run: skip partitions with valid manifests, (re)run the
-    rest. Returns the run summary (manifests + skipped/ran counts)."""
+    rest. Returns the run summary (manifests + skipped/ran counts).
+
+    ``max_concurrent`` partitions run at once (driver threads, each
+    owning its own streaming Dataset execution): one 1–4 GB shard
+    cannot fill a cluster, so partition pipelines must overlap — wall
+    ≈ max(shard) not sum(shards). Per-partition atomic commit (tmp dir
+    + rename) and manifest semantics are unchanged; partitions never
+    share output paths so concurrency cannot interleave their files.
+
+    The worker count is clamped to the cluster CPU budget: each
+    in-flight partition needs its minimum actor-pool CPUs PLUS a free
+    CPU for its read/write tasks — without the clamp, N concurrent
+    actor pools can hold every CPU and starve all N reads (observed
+    resource deadlock on a 4-CPU session)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _harden_fs_probe_for_threads()
     os.makedirs(out_dir, exist_ok=True)
     parts = partition_inputs(input_files, files_per_partition)
-    ran, skipped, manifests = 0, 0, []
+    ran, skipped = 0, 0
+    manifests: list = [None] * len(parts)
+    todo: list[tuple[int, list[str]]] = []
     for pid, files in enumerate(parts):
         if manifest_is_valid(out_dir, pid, files):
             with open(_manifest_path(out_dir, pid)) as f:
-                manifests.append(json.load(f))
+                manifests[pid] = json.load(f)
             skipped += 1
             continue
-        manifests.append(write_partition(pid, files, out_dir, **extract_kwargs))
-        ran += 1
+        todo.append((pid, files))
+    if todo:
+        import ray
+
+        if ray.is_initialized():
+            total_cpus = int(ray.cluster_resources().get("CPU", 0)) or 1
+        else:
+            total_cpus = os.cpu_count() or 1
+        conc = extract_kwargs.get("concurrency", (2, 8))
+        min_actors = conc[0] if isinstance(conc, (tuple, list)) else conc
+        cpus_per_part = int(min_actors) + 1  # actor pool + task headroom
+        workers = max(1, min(max_concurrent, len(todo), total_cpus // cpus_per_part))
+        if workers == 1:
+            for pid, files in todo:
+                manifests[pid] = write_partition(pid, files, out_dir, **extract_kwargs)
+                ran += 1
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = {
+                    pid: pool.submit(write_partition, pid, files, out_dir, **extract_kwargs)
+                    for pid, files in todo
+                }
+                for pid, fut in futs.items():
+                    manifests[pid] = fut.result()
+                    ran += 1
     totals = {
         "rows_in": sum(m["rows_in"] for m in manifests),
         "rows_out": sum(m["rows_out"] for m in manifests),
@@ -162,6 +231,40 @@ def _xor_all(vals) -> int:
     return out
 
 
+def _recover_partitions(out_dir: str) -> None:
+    """Crash recovery for the rename(part->old); rename(tmp->part) swap
+    used by both compact passes: a kill between the two renames leaves
+    the live data as ``part-NNNNN.old`` (excluded by the part glob) —
+    restore it; stale ``*.tmp`` / ``*.compact.tmp`` dirs are partial
+    writes — remove them. MUST run before any part-glob scan or a
+    crashed partition's rows silently vanish from the winner scan."""
+    import glob
+
+    for stale in glob.glob(os.path.join(out_dir, "part-*.old")):
+        live = stale[: -len(".old")]
+        if not os.path.isdir(live):
+            os.rename(stale, live)  # restore the partition lost mid-swap
+        else:
+            shutil.rmtree(stale)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.tmp")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+_EPOCH0_DT = None  # lazily-built datetime(1970,1,1); see _ts_or_epoch0
+
+
+def _ts_or_epoch0(ts):
+    """Null warc_ts ≡ epoch 0 (always-loser) — the same convention as
+    ``dup_winner_map``'s fill_null; keeps None out of tuple comparisons
+    (None vs datetime raises TypeError)."""
+    global _EPOCH0_DT
+    if _EPOCH0_DT is None:
+        import datetime
+
+        _EPOCH0_DT = datetime.datetime(1970, 1, 1)
+    return ts if ts is not None else _EPOCH0_DT
+
+
 def compact_distributed(out_dir: str) -> dict:
     """Cross-partition keep-latest dedup with NO driver-side url state.
 
@@ -178,8 +281,12 @@ def compact_distributed(out_dir: str) -> dict:
     import glob as _glob
 
     import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray.data as rd
+
+    _recover_partitions(out_dir)  # same swap as compact(): restore first
 
     part_re = re.compile(r"part-\d{5}$")
     part_dirs = sorted(
@@ -205,14 +312,20 @@ def compact_distributed(out_dir: str) -> dict:
     for other in key_sets[1:]:
         keys = keys.union(other)
 
+    _EPOCH0 = pa.scalar(0, pa.timestamp("us"))
+
     def losers_of(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
             return group.slice(0, 0)
-        order = group.sort_by(
-            [("warc_ts", "descending"), ("text_fingerprint", "descending"),
+        # null warc_ts ≡ epoch 0 (always-loser) — sort on a filled temp
+        # key; pyarrow's default null_placement would otherwise rank a
+        # null-ts copy inconsistently with compact()/broadcast mode
+        filled = pc.fill_null(pc.cast(group["warc_ts"], pa.timestamp("us")), _EPOCH0)
+        order = group.append_column("_ts_filled", filled).sort_by(
+            [("_ts_filled", "descending"), ("text_fingerprint", "descending"),
              ("part", "ascending")]
         )
-        return order.slice(1)  # everything but the winner
+        return order.drop_columns(["_ts_filled"]).slice(1)  # all but the winner
 
     losers_dir = os.path.join(out_dir, "_compact_losers")
     shutil.rmtree(losers_dir, ignore_errors=True)
@@ -220,20 +333,27 @@ def compact_distributed(out_dir: str) -> dict:
     n_losers = losers.count()
     if n_losers == 0:
         return {"rewritten_partitions": 0, "dropped_rows": 0}
-    losers.write_parquet(losers_dir)
+    # hive-partition the spill by source partition: the rewrite loop
+    # below reads ONLY its own partition's loser subdir — driver memory
+    # is bounded by ONE partition's dup copies, never the global set
+    losers.write_parquet(losers_dir, partition_cols=["part"])
 
-    import pandas as _pd
-
-    loser_df = _pd.concat(
-        [_pd.read_parquet(f) for f in sorted(_glob.glob(os.path.join(losers_dir, "*.parquet")))]
-    )
     dropped = 0
     rewritten = 0
     for pd_ in part_dirs:
-        mine = loser_df[loser_df["part"] == os.path.basename(pd_)]
-        if mine.empty:
-            continue
-        bad = set(zip(mine["url"], mine["warc_ts"], mine["text_fingerprint"]))
+        my_losers = os.path.join(losers_dir, f"part={os.path.basename(pd_)}")
+        if not os.path.isdir(my_losers):
+            continue  # no losing copy lives in this partition
+        mine = pads.dataset(my_losers, format="parquet").to_table(
+            columns=["url", "warc_ts", "text_fingerprint"]
+        )
+        bad = set(
+            zip(
+                mine["url"].to_pylist(),
+                (_ts_or_epoch0(x) for x in mine["warc_ts"].to_pylist()),
+                mine["text_fingerprint"].to_pylist(),
+            )
+        )
         files = sorted(_glob.glob(os.path.join(pd_, "*.parquet")))
         tmp = pd_ + ".compact.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -241,10 +361,10 @@ def compact_distributed(out_dir: str) -> dict:
         for i, f in enumerate(files):
             t = pq.read_table(f)
             mask = [
-                (u, ts, fp) not in bad
+                (u, _ts_or_epoch0(ts), fp) not in bad
                 for u, ts, fp in zip(
                     t["url"].to_pylist(),
-                    _pd.to_datetime(t["warc_ts"].to_pylist()),
+                    t["warc_ts"].to_pylist(),
                     t["text_fingerprint"].to_pylist(),
                 )
             ]
@@ -290,14 +410,7 @@ def compact(out_dir: str) -> dict:
     # crash recovery BEFORE scanning: a kill between compact()'s two
     # renames can leave part-NNNNN.old (data!) and/or *.tmp dirs that
     # would otherwise match the part glob and double-count urls
-    for stale in glob.glob(os.path.join(out_dir, "part-*.old")):
-        live = stale[: -len(".old")]
-        if not os.path.isdir(live):
-            os.rename(stale, live)  # restore the partition lost mid-swap
-        else:
-            shutil.rmtree(stale)
-    for stale in glob.glob(os.path.join(out_dir, "part-*.tmp")):
-        shutil.rmtree(stale, ignore_errors=True)
+    _recover_partitions(out_dir)
 
     part_re = re.compile(r"part-\d{5}$")
     part_dirs = sorted(
@@ -323,6 +436,7 @@ def compact(out_dir: str) -> dict:
                 b.column("warc_ts").to_pylist(),
                 b.column("text_fingerprint").to_pylist(),
             ):
+                ts = _ts_or_epoch0(ts)  # None vs datetime is unorderable
                 counts[u] = counts.get(u, 0) + 1
                 cur = best.get(u)
                 if (
@@ -355,7 +469,7 @@ def compact(out_dir: str) -> dict:
                 t["warc_ts"].to_pylist(),
                 t["text_fingerprint"].to_pylist(),
             ):
-                win = u not in conflicted or best[u] == (ts, fp, pd_)
+                win = u not in conflicted or best[u] == (_ts_or_epoch0(ts), fp, pd_)
                 mask.append(win)
                 if not win:
                     dropped += 1

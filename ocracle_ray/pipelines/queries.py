@@ -847,12 +847,11 @@ def q_parts_in_lineitem(sf_dir: str):
     import ray
 
     used = _read(sf_dir, "lineitem", ["l_partkey"]).unique("l_partkey")
-    used_ref = ray.put(frozenset(used))
+    used_ref = ray.put(pa.array(sorted(used), pa.int64()))
 
     def pick(t: pa.Table) -> pa.Table:
-        keys = ray.get(used_ref)
-        mask = pa.array([k in keys for k in t["p_partkey"].to_pylist()])
-        return t.filter(mask)
+        keys = _cached_broadcast(used_ref)
+        return t.filter(pc.is_in(t["p_partkey"], value_set=keys))
 
     return driver_grouped_agg(
         _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(

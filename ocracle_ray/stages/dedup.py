@@ -44,6 +44,15 @@ def _text_col(t: pa.Table, col: str) -> list[str]:
     return [x if x is not None else "" for x in t[col].to_pylist()]
 
 
+# Driver-side guards (mirror manifest.COMPACT_URL_LIMIT): the candidate
+# pair set and the candidate text gather are *assumed* tiny relative to
+# the corpus — these caps make the assumption enforced, not hoped. Past
+# them, verification must become a bucketed exchange (keys × texts
+# co-partitioned by candidate-set hash); raising beats a silent OOM.
+CANDIDATE_PAIR_LIMIT = 20_000_000
+GATHER_TEXT_LIMIT = 2_000_000
+
+
 def _empty_pairs_df(score_col: str):
     import pandas as pd
 
@@ -166,12 +175,19 @@ def minhash_lsh_pairs(
                     out_b.append(ks[j])
         return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
-    cand = (
+    cand_ds = (
         band_rows.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .materialize()  # blocks stay in the object store; count() is then free
     )
+    if cand_ds.count() > CANDIDATE_PAIR_LIMIT:
+        raise RuntimeError(
+            f"minhash_lsh_pairs: candidate pair count {cand_ds.count()} exceeds "
+            f"CANDIDATE_PAIR_LIMIT ({CANDIDATE_PAIR_LIMIT}); raise n_bands "
+            f"granularity / threshold or verify via a bucketed exchange "
+            f"instead of the driver gather"
+        )
+    cand = cand_ds.to_pandas().drop_duplicates()
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -190,15 +206,28 @@ def minhash_lsh_pairs(
 
 def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:
     """Fetch texts for a (small) candidate key set via a semi-join
-    filter inside map_batches (broadcast key set)."""
-    import ray
+    filter inside map_batches (broadcast key set, C-speed ``pc.is_in``).
 
-    need_ref = ray.put(frozenset(needed))
+    Guarded by ``GATHER_TEXT_LIMIT``: the gather is driver-side by
+    design (candidate set ≪ corpus); past the cap the caller must use a
+    bucketed text exchange instead — raising here beats an OOM."""
+    import ray
+    import pyarrow.compute as pc
+
+    if len(needed) > GATHER_TEXT_LIMIT:
+        raise RuntimeError(
+            f"_gather_texts: candidate key count {len(needed)} exceeds "
+            f"GATHER_TEXT_LIMIT ({GATHER_TEXT_LIMIT}); verify near-dups via "
+            f"a bucketed exchange instead of the driver gather"
+        )
+    need_ref = ray.put(pa.array(needed, pa.int64()))
+    _cache: dict = {}
 
     def pick(t: pa.Table) -> pa.Table:
-        need = ray.get(need_ref)
-        mask = pa.array([k in need for k in t[key].to_pylist()])
-        sub = t.filter(mask)
+        k = need_ref.hex()
+        if k not in _cache:
+            _cache[k] = ray.get(need_ref)
+        sub = t.filter(pc.is_in(t[key], value_set=_cache[k]))
         return pa.table({key: sub[key], text: sub[text]})
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
@@ -244,17 +273,21 @@ def neardup_dedup(ds, key: str, text: str, **lsh_kwargs):
     Returns (clusters_df, dataset filtered of non-representatives)."""
     import ray
 
+    import pyarrow.compute as pc
+
     pairs = minhash_lsh_pairs(ds, key, text, **lsh_kwargs)
     clusters = neardup_clusters_from_pairs(pairs)
-    losers = frozenset(
+    losers = [
         int(k) for k, c in zip(clusters["key"], clusters["cluster_id"]) if k != c
-    )
-    losers_ref = ray.put(losers)
+    ]
+    losers_ref = ray.put(pa.array(losers, pa.int64()))
+    _cache: dict = {}
 
     def keep(t: pa.Table) -> pa.Table:
-        bad = ray.get(losers_ref)
-        mask = pa.array([k not in bad for k in t[key].to_pylist()])
-        return t.filter(mask)
+        h = losers_ref.hex()
+        if h not in _cache:
+            _cache[h] = ray.get(losers_ref)
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=_cache[h])))
 
     return clusters, ds.map_batches(keep, batch_format="pyarrow")
 

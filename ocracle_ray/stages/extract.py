@@ -193,6 +193,22 @@ def dedup_keep_latest_records(records_ds, n_buckets: int = 64):
     import zlib
 
     import numpy as np
+    import pyarrow.compute as pc
+
+    _EPOCH0 = pa.scalar(0, pa.timestamp("us"))
+
+    def _sort_latest(t: pa.Table) -> pa.Table:
+        """Sort by (url, ts, fp) with null warc_ts counted as epoch 0 —
+        the SAME always-loser convention as broadcast mode's
+        ``dup_winner_map`` fill_null (pyarrow's default null_placement
+        'at_end' would otherwise make a null-ts copy win here while it
+        loses in broadcast mode, breaking mode byte-identity)."""
+        filled = pc.fill_null(pc.cast(t["warc_ts"], pa.timestamp("us")), _EPOCH0)
+        order = t.append_column("_ts_filled", filled).sort_by(
+            [("url", "ascending"), ("_ts_filled", "ascending"),
+             ("text_fingerprint", "ascending")]
+        )
+        return order.drop_columns(["_ts_filled"])
 
     def local_keep_latest(t: pa.Table) -> pa.Table:
         """Block-level combiner: drop same-url losers BEFORE the shuffle.
@@ -200,10 +216,7 @@ def dedup_keep_latest_records(records_ds, n_buckets: int = 64):
         this eliminates most duplicates locally (partial-agg pattern)."""
         if t.num_rows <= 1:
             return t
-        order = t.sort_by(
-            [("url", "ascending"), ("warc_ts", "ascending"),
-             ("text_fingerprint", "ascending")]
-        )
+        order = _sort_latest(t)
         urls = order["url"].to_numpy(zero_copy_only=False)
         is_last = np.ones(len(urls), dtype=bool)
         is_last[:-1] = urls[:-1] != urls[1:]
@@ -220,13 +233,7 @@ def dedup_keep_latest_records(records_ds, n_buckets: int = 64):
 
     def keep_latest(group: pa.Table) -> pa.Table:
         if group.num_rows > 1:
-            order = group.sort_by(
-                [
-                    ("url", "ascending"),
-                    ("warc_ts", "ascending"),
-                    ("text_fingerprint", "ascending"),
-                ]
-            )
+            order = _sort_latest(group)
             urls = order["url"].to_numpy(zero_copy_only=False)
             # last row of each url run
             is_last = np.ones(len(urls), dtype=bool)
