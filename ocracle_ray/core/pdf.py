@@ -5,14 +5,21 @@ The reference renders PDF pages with PyMuPDF and walks layout blocks in
 8 px (``/root/reference/scripts/task_boundaries.py:51-100``). This
 container has no PDF rasterizer (no PyMuPDF/OpenCV), so:
 
-- real PDF bytes are parsed only when ``fitz`` is importable (it is not
-  here) — gated behind an import-try, raising a clearly-marked
-  ``NotImplementedError`` otherwise;
+- real PDF bytes go through a minimal STDLIB text extractor
+  (``_parse_minimal_pdf``): object scan → /Root → /Pages page tree →
+  per-page /Contents streams (zlib FlateDecode) → BT/ET text operators
+  (Td/TD/Tm/T* positioning; Tj/TJ/'/" show ops) → runs sorted in
+  (page, descending y, x) reading order — PDF y grows UP, so the
+  reference's top-down walk maps to sorting y DESCENDING. Covers the
+  common uncompressed-xref, Flate-or-plain-stream case; encrypted
+  files, object streams (ObjStm) and images-ONLY PDFs still raise the
+  clearly-marked ``NotImplementedError`` (and PyMuPDF is used instead
+  whenever it IS importable);
 - the fixture generator (``sources/pages.py``) emits a synthetic
   ``%PDF-``-prefixed micro-format ("OCRSYN") that mimics PDF text runs
   with explicit layout, so the *Ray-side plumbing* — actor-pool stage,
   (page, y, x) reading-order sort, px drop rule, run→block merge — is
-  real and tested even though the decoder is synthetic.
+  real and tested with byte-stable fixtures.
 
 OCRSYN format (one text run per line, y grows downward like PyMuPDF)::
 
@@ -62,13 +69,9 @@ def parse_pdf_blocks(payload: bytes) -> list[Block]:
     text = payload.decode("utf-8", errors="replace")
     lines = text.split("\n")
     if len(lines) < 2 or lines[1].strip() != "%OCRSYN":
-        if fitz is None:
-            raise NotImplementedError(
-                "real-PDF layout parsing needs PyMuPDF, which is not "
-                "installed in this container; only OCRSYN synthetic "
-                "payloads are supported (see module docstring)"
-            )
-        return _parse_real_pdf(payload)  # pragma: no cover
+        if fitz is not None:
+            return _parse_real_pdf(payload)  # pragma: no cover
+        return _parse_minimal_pdf(payload)
 
     runs: list[tuple[int, int, int, int, int, str, str]] = []
     page = 1
@@ -143,6 +146,357 @@ def parse_pdf_blocks(payload: bytes) -> list[Block]:
             cur_texts = [txt]
         cur_page, cur_y, cur_h = page, y, h
 
+    flush()
+    return blocks
+
+
+# ------------------------------------------------------------------
+# Minimal stdlib real-PDF text extraction (no PyMuPDF)
+# ------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\n?endstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAMEVAL_RE = {
+    "Root": re.compile(rb"/Root\s+(\d+)\s+\d+\s+R"),
+    "Pages": re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R"),
+}
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\[(?:[^\]]*)\]|\d+\s+\d+\s+R)", re.DOTALL)
+_TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
+
+# content-stream tokens: strings / hex strings / arrays handled by the
+# scanner; this regex only finds operator words and numbers between them
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _objects_of(payload: bytes) -> dict[int, bytes]:
+    """All ``N 0 obj ... endobj`` bodies, scanned directly (more robust
+    than trusting the xref table, and equivalent for well-formed files:
+    every xref entry points at exactly such an object)."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+
+
+def _stream_of(body: bytes) -> bytes | None:
+    """Decoded stream bytes of one object body (Flate or plain), or
+    None if the object has no stream / an unsupported filter."""
+    import zlib
+
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    raw = m.group(1)
+    head = body[: m.start()]
+    if b"/FlateDecode" in head:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    if b"/Filter" in head:  # DCTDecode etc. — not text
+        return None
+    return raw
+
+
+def _page_content_streams(objects: dict[int, bytes], payload: bytes) -> list[bytes]:
+    """Per-page concatenated content streams, in page-tree order.
+    Falls back to 'every stream, object order' when the tree is
+    missing/unparseable (linearized or damaged files)."""
+
+    def kids_of(oid: int, depth: int = 0) -> list[int]:
+        if depth > 32 or oid not in objects:
+            return []
+        body = objects[oid]
+        t = _TYPE_RE.search(body)
+        if t and t.group(1) == b"Page":
+            return [oid]
+        km = _KIDS_RE.search(body)
+        if not km:
+            return []
+        out: list[int] = []
+        for rm in _REF_RE.finditer(km.group(1)):
+            out.extend(kids_of(int(rm.group(1)), depth + 1))
+        return out
+
+    pages: list[int] = []
+    rm = _NAMEVAL_RE["Root"].search(payload)
+    root = objects.get(int(rm.group(1))) if rm else None
+    if root is not None:
+        pm = _NAMEVAL_RE["Pages"].search(root)
+        if pm:
+            pages = kids_of(int(pm.group(1)))
+    if not pages:  # fallback: any object typed /Page, in id order
+        pages = sorted(
+            oid for oid, b in objects.items()
+            if (t := _TYPE_RE.search(b)) and t.group(1) == b"Page"
+        )
+
+    streams: list[bytes] = []
+    for oid in pages:
+        cm = _CONTENTS_RE.search(objects[oid])
+        if not cm:
+            continue
+        parts = []
+        for ref in _REF_RE.finditer(cm.group(1)):
+            s = _stream_of(objects.get(int(ref.group(1)), b""))
+            if s:
+                parts.append(s)
+        if parts:
+            streams.append(b"\n".join(parts))
+    if not streams:  # no page tree at all: treat every stream as a page
+        streams = [s for oid in sorted(objects) if (s := _stream_of(objects[oid]))]
+    return streams
+
+
+def _pdf_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ``(...)`` literal starting at ``i`` (at the '(').
+    Handles \\-escapes, octal codes, and nested parens. Returns
+    (decoded text, index past the closing paren). Latin-1 byte map —
+    the common single-byte-font case; custom CMaps are out of scope."""
+    out: list[str] = []
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt.isdigit():  # octal \ddd (1-3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(data[i + 1 : j], 8) & 0xFF))
+                i = j
+                continue
+            out.append(_ESCAPES.get(nxt, nxt.decode("latin-1")))
+            i += 2
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        out.append(c.decode("latin-1"))
+        i += 1
+    return "".join(out), i
+
+
+def _pdf_hex_string(data: bytes, i: int) -> tuple[str, int]:
+    j = data.find(b">", i)
+    if j < 0:
+        return "", len(data)
+    hx = bytes(ch for ch in data[i + 1 : j] if ch not in b" \t\r\n")
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+    except ValueError:
+        return "", j + 1
+
+
+TJ_SPACE_KERN = -180  # TJ kern gaps wider than this render as a space
+
+
+def _text_runs_of_stream(data: bytes, page: int) -> list[tuple[int, float, float, str]]:
+    """Scan one content stream for text-show operators, tracking the
+    text-line position (Td/TD/Tm/T*). Returns (page, y, x, text) runs;
+    y is PDF user space (origin bottom-left, grows UP)."""
+    runs: list[tuple[int, float, float, str]] = []
+    stack: list[float] = []  # numeric operands since the last operator
+    x = y = 0.0
+    line_x = line_y = 0.0
+    leading = 12.0
+    in_text = False
+    in_array = False  # inside a TJ [...] show array
+    pending: list[str] = []
+    pend_x = pend_y = 0.0
+
+    def flush_pending() -> None:
+        nonlocal pending
+        txt = "".join(pending)
+        if txt.strip():
+            runs.append((page, pend_y, pend_x, txt))
+        pending = []
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+            continue
+        if c == b"%":  # comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == b"(":
+            s, i = _pdf_string(data, i)
+            if in_text:
+                if not pending:
+                    pend_x, pend_y = x, y
+                pending.append(s)
+            continue
+        if c == b"<":
+            if data[i : i + 2] == b"<<":  # dict (e.g. inline image) — skip token
+                i += 2
+                continue
+            s, i = _pdf_hex_string(data, i)
+            if in_text:
+                if not pending:
+                    pend_x, pend_y = x, y
+                pending.append(s)
+            continue
+        if c == b"[":
+            in_array = in_text  # TJ arrays: elements parsed by the main loop
+            i += 1
+            continue
+        if c == b"]":
+            in_array = False
+            i += 1
+            continue
+        m = _NUM_RE.match(data, i)
+        if m and m.end() > i:
+            v = float(m.group(0))
+            if in_array:
+                # TJ kern: a wide negative gap between strings renders
+                # as an inter-word space
+                if v <= TJ_SPACE_KERN and pending and not pending[-1].endswith(" "):
+                    pending.append(" ")
+            else:
+                stack.append(v)
+            i = m.end()
+            continue
+        if c == b"/":  # name token
+            j = i + 1
+            while j < n and data[j : j + 1] not in b" \t\r\n/[]()<>":
+                j += 1
+            i = j
+            continue
+        # operator word
+        j = i
+        while j < n and data[j : j + 1] not in b" \t\r\n/[]()<>%":
+            j += 1
+        op = data[i:j]
+        i = j if j > i else i + 1
+        if op == b"BT":
+            in_text = True
+            x = y = line_x = line_y = 0.0
+        elif op == b"ET":
+            flush_pending()
+            in_text = False
+        elif op == b"Td" and len(stack) >= 2:
+            flush_pending()
+            line_x += stack[-2]
+            line_y += stack[-1]
+            x, y = line_x, line_y
+        elif op == b"TD" and len(stack) >= 2:
+            flush_pending()
+            leading = -stack[-1]
+            line_x += stack[-2]
+            line_y += stack[-1]
+            x, y = line_x, line_y
+        elif op == b"Tm" and len(stack) >= 6:
+            flush_pending()
+            line_x, line_y = stack[-2], stack[-1]
+            x, y = line_x, line_y
+        elif op == b"T*":
+            flush_pending()
+            line_y -= leading
+            x, y = line_x, line_y
+        elif op == b"TL" and stack:
+            leading = stack[-1]
+        elif op in (b"'", b'"'):
+            # ' / " show their (already-scanned) string on the NEXT
+            # line: emit prior pending at the old position, move the
+            # just-shown string down one leading
+            if pending:
+                shown = pending.pop()
+                txt = "".join(pending)
+                if txt.strip():
+                    runs.append((page, pend_y, pend_x, txt))
+                line_y -= leading
+                x, y = line_x, line_y
+                pending = [shown]
+                pend_x, pend_y = x, y
+            else:
+                line_y -= leading
+                x, y = line_x, line_y
+        # Tj / TJ: string(s) already accumulated into pending at the
+        # current position; nothing further to do
+        stack.clear()
+    flush_pending()
+    return runs
+
+
+def _parse_minimal_pdf(payload: bytes) -> list[Block]:
+    """Best-effort stdlib text extraction for real PDF bytes (module
+    docstring: scope and fallbacks). Raises NotImplementedError for
+    encrypted / object-stream / images-only files — exactly the cases
+    where only a rasterizing backend could do better."""
+    if b"/Encrypt" in payload[:2048] or b"/Encrypt" in payload[-2048:]:
+        raise NotImplementedError(
+            "encrypted PDF: stdlib extractor handles only unencrypted files"
+        )
+    objects = _objects_of(payload)
+    if not objects:
+        raise NotImplementedError(
+            "no parseable PDF objects (object streams / damaged file); "
+            "real layout parsing needs PyMuPDF, absent in this container"
+        )
+
+    runs: list[tuple[int, float, float, str]] = []
+    for pageno, stream in enumerate(_page_content_streams(objects, payload), 1):
+        runs.extend(_text_runs_of_stream(stream, pageno))
+    if not runs:
+        raise NotImplementedError(
+            "PDF contains no extractable text operators (images-only?); "
+            "OCR needs a rasterizing backend, absent in this container"
+        )
+
+    # reading order: page, top-to-bottom (PDF y grows UP -> sort y
+    # DESCENDING), then x — the task_boundaries.py:51-100 walk order
+    runs.sort(key=lambda r: (r[0], -r[1], r[2]))
+
+    blocks: list[Block] = []
+    cur_texts: list[str] = []
+    cur_page: int | None = None
+    cur_y: float | None = None
+
+    def flush() -> None:
+        nonlocal cur_texts
+        txt = " ".join(" ".join(cur_texts).split())
+        if txt:
+            blocks.append(
+                Block(
+                    block_id=len(blocks),
+                    tag="pdf",
+                    text=txt,
+                    n_chars=len(txt),
+                    link_chars=0,
+                    depth=0,
+                    boiler_ctx=False,
+                    pre_ctx=False,
+                )
+            )
+        cur_texts = []
+
+    for page, y, x_, txt in runs:
+        if (
+            cur_page is not None
+            and page == cur_page
+            and cur_y is not None
+            and (cur_y - y) <= MERGE_GAP
+        ):
+            cur_texts.append(txt)
+        else:
+            flush()
+            cur_texts = [txt]
+        cur_page, cur_y = page, y
     flush()
     return blocks
 

@@ -760,6 +760,29 @@ def q_knn_ivf_fullprobe(sf_dir: str):
     return out
 
 
+def q_knn_ivf_partial(sf_dir: str):
+    """IVF search on the SCALE path: n_probe < n_cells, so only a
+    fraction of cells is read. Rows-only (recall < 1 by design — no SQL
+    mirror); each row carries the MEASURED recall vs brute force, so
+    the driver re-checks the scale path's quality every round instead
+    of trusting the test suite (VERDICT r1 item 7)."""
+    from ..stages.knn import IvfIndex
+
+    q = _query_vec(sf_dir)
+    n_cells, n_probe, K = 8, 2, 10
+    idx = IvfIndex(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_cells=n_cells
+    )
+    out = idx.search(q, k=K + 1, n_probe=n_probe)  # k+1: self is included
+    out = out[out["vec_id"] != 0].head(K).reset_index(drop=True)
+    exact = set(q_knn_bruteforce(sf_dir)["vec_id"])
+    recall = round(len(set(out["vec_id"]) & exact) / max(len(exact), 1), 4)
+    out["rank"] = out.index + 1
+    out["n_probe"] = n_probe
+    out["recall_vs_brute"] = recall
+    return out
+
+
 def q_embeddings_label_stats(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
@@ -1200,6 +1223,8 @@ QUERIES = {
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+    # rows-only: partial probe's recall is measured in-query vs brute
+    "knn_ivf_partial": q_knn_ivf_partial,
     "embeddings_label_stats": q_embeddings_label_stats,
     "orders_lineitem_revenue": q_orders_lineitem_revenue,
     "customers_without_big_orders": q_customers_without_big_orders,

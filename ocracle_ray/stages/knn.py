@@ -95,13 +95,25 @@ def deterministic_kmeans(sample: np.ndarray, n_cells: int, *, iters: int = 10,
 
 
 class IvfIndex:
-    """IVF over a Dataset with (key, embedding) columns."""
+    """IVF over a Dataset with (key, embedding) columns.
+
+    Two storage modes:
+
+    - in-memory (default): tagged rows materialized in the object
+      store; ``search`` filter-scans them (fine in one session).
+    - ``index_dir`` given: tagged rows written as hive-partitioned
+      parquet (``cell=N/``) and ``search`` READS ONLY the probed
+      cells' directories — the pruned-read cluster form (n_probe /
+      n_cells of the data leaves storage, per the module docstring).
+    """
 
     def __init__(self, ds, *, key: str = "vec_id", emb: str = "embedding",
-                 n_cells: int = 16, sample_size: int = 2048, seed: int = 42):
+                 n_cells: int = 16, sample_size: int = 2048, seed: int = 42,
+                 index_dir: str | None = None):
         import ray
 
         self.key, self.emb, self.n_cells = key, emb, n_cells
+        self.index_dir = index_dir
         sample = _as_matrix(
             pa.chunked_array(
                 [pa.array([r[emb] for r in ds.take(sample_size)])]
@@ -126,22 +138,50 @@ class IvfIndex:
                     }
                 )
 
-        # tagged and materialized once: the "index build" (at design
-        # scale this is write_parquet(partition_cols=["cell"]))
-        self.tagged = ds.map_batches(
-            Assign, batch_format="pyarrow", concurrency=2
-        ).materialize()
+        tagged = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        if index_dir is not None:
+            # the index build: one partition directory per cell; search
+            # then reads ONLY the probed cells from storage
+            tagged.write_parquet(index_dir, partition_cols=["cell"])
+            self.tagged = None
+        else:
+            self.tagged = tagged.materialize()
 
-    def search(self, query_vec: np.ndarray, *, k: int = 10, n_probe: int = 4):
-        """Probe the n_probe closest cells, exact cosine inside them."""
+    def _probed_rows(self, probe: np.ndarray):
+        """Dataset of rows in the probed cells: pruned directory read
+        (index_dir mode) or an is_in filter over the in-memory tag."""
         import pyarrow.compute as pc
 
-        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
-        probe = np.argsort(-(self.centroids @ q))[:n_probe].astype(np.int32)
+        if self.index_dir is not None:
+            import glob
+            import os
+
+            import ray.data as rd
+
+            paths = [
+                f
+                for c in probe
+                for f in sorted(
+                    glob.glob(
+                        os.path.join(self.index_dir, f"cell={int(c)}", "*.parquet")
+                    )
+                )
+            ]
+            if not paths:
+                return None
+            return rd.read_parquet(paths, columns=[self.key, self.emb])
+
         probe_set = pa.array(probe, pa.int32())
 
         def in_cells(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["cell"], value_set=probe_set))
+
+        return self.tagged.map_batches(in_cells, batch_format="pyarrow")
+
+    def search(self, query_vec: np.ndarray, *, k: int = 10, n_probe: int = 4):
+        """Probe the n_probe closest cells, exact cosine inside them."""
+        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
+        probe = np.argsort(-(self.centroids @ q))[:n_probe].astype(np.int32)
 
         def score(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -155,11 +195,15 @@ class IvfIndex:
                 {self.key: t[self.key], "cosine": pa.array(cos, pa.float64())}
             )
 
-        out = (
-            self.tagged.map_batches(in_cells, batch_format="pyarrow")
-            .map_batches(score, batch_format="pyarrow")
-            .to_pandas()
-        )
+        rows = self._probed_rows(probe)
+        if rows is None:
+            import pandas as pd
+
+            return pd.DataFrame(
+                {self.key: pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        out = rows.map_batches(score, batch_format="pyarrow").to_pandas()
         out = out.sort_values(["cosine", self.key], ascending=[False, True]).head(k)
         out["cosine"] = out["cosine"].round(6)
         return out.reset_index(drop=True)

@@ -78,12 +78,21 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 class ImageFeatures:
     """Actor-pool image decode + feature extraction.
 
-    Real path (PIL) decodes and measures; the deterministic fake parses
-    the IMG1 header and computes byte statistics — same output schema.
+    Three decode paths, same output schema:
+
+    - IMG1 synthetic header (byte statistics),
+    - real PNG via the stdlib decoder (``core.png`` — zlib inflate +
+      scanline unfilter, no PIL needed),
+    - anything else (JPEG, 16-bit/interlaced PNG) needs PIL; absent in
+      this container, so a clearly-marked ``NotImplementedError``.
     """
 
     def __init__(self):
         self.real = Image is not None
+        from ..core.png import decode_png, is_png  # bind once per actor
+
+        self._decode_png = decode_png  # instance attrs: no self-binding
+        self._is_png = is_png
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, w_out, h_out, means = [], [], [], []
@@ -92,17 +101,21 @@ class ImageFeatures:
         ):
             if kind != "image":
                 continue
-            if payload[:4] != b"IMG1":
+            if payload[:4] == b"IMG1":
+                w, h = struct.unpack("<HH", payload[4:8])
+                body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+            elif self._is_png(payload):
+                w, h, _ch, px = self._decode_png(payload)
+                body = px.reshape(-1)
+            else:
                 if not self.real:
-                    # STUB: real codecs (png/jpeg) need PIL, absent here
+                    # STUB: non-PNG codecs (jpeg/webp) need PIL, absent here
                     raise NotImplementedError(
-                        "real image decode requires PIL, which is not "
-                        "installed in this container; only IMG1 synthetic "
-                        "payloads are supported"
+                        "non-PNG image decode requires PIL, which is not "
+                        "installed in this container; IMG1 synthetic and "
+                        "stdlib-PNG payloads are supported"
                     )
                 continue  # pragma: no cover — PIL path not exercised here
-            w, h = struct.unpack("<HH", payload[4:8])
-            body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
             ids.append(mid)
             w_out.append(w)
             h_out.append(h)

@@ -1,0 +1,152 @@
+"""Stdlib PNG codec tests (core/png.py): chunk walk, every scanline
+filter, palette expansion, and the multimodal ImageFeatures wiring."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocracle_ray.core.png import PNG_SIGNATURE, decode_png, encode_png, is_png
+
+
+def _rng_image(h, w, ch, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_roundtrip(ch):
+    px = _rng_image(13, 9, ch)
+    w, h, ch_out, out = decode_png(encode_png(px))
+    assert (w, h, ch_out) == (9, 13, ch)
+    np.testing.assert_array_equal(out, px)
+
+
+def _png_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-filter each scanline with the given per-row filter types —
+    exercises the decoder's unfilter paths directly."""
+    h, w, ch = px.shape
+    bpp = ch
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int16)
+    rows = []
+    for r, f in enumerate(filters):
+        line = flat[r]
+        prev = flat[r - 1] if r else np.zeros(stride, np.int16)
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+            enc = (line - left) % 256
+        elif f == 2:  # Up
+            enc = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) % 256
+        elif f == 4:  # Paeth
+            enc = np.zeros(stride, np.int16)
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                enc[i] = (int(line[i]) - pred) % 256
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+    def chunk(name, body):
+        return (
+            struct.pack(">I", len(body)) + name + body
+            + struct.pack(">I", zlib.crc32(name + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_all_filter_types_unfilter_correctly():
+    px = _rng_image(5, 6, 3)
+    data = _png_with_filters(px, [0, 1, 2, 3, 4])
+    _w, _h, _ch, out = decode_png(data)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_palette_expands_to_rgb():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    rows = b"\x00" + idx[0].tobytes() + b"\x00" + idx[1].tobytes()
+
+    def chunk(name, body):
+        return (
+            struct.pack(">I", len(body)) + name + body
+            + struct.pack(">I", zlib.crc32(name + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, out = decode_png(data)
+    assert (w, h, ch) == (2, 2, 3)
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+def test_unsupported_depth_raises():
+    px = _rng_image(2, 2, 1)
+    data = encode_png(px)
+    # flip the IHDR depth byte (8 -> 16); skip signature+len+type
+    ihdr_off = 8 + 8
+    bad = bytearray(data)
+    bad[ihdr_off + 8] = 16
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(bytes(bad))
+
+
+def test_not_png_raises():
+    assert not is_png(b"IMG1xxxx")
+    with pytest.raises(ValueError):
+        decode_png(b"IMG1xxxx")
+
+
+def test_image_features_decodes_png_payload():
+    from ocracle_ray.stages.multimodal import ImageFeatures
+
+    px = _rng_image(10, 8, 3)
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([encode_png(px)], pa.large_binary()),
+        }
+    )
+    out = ImageFeatures()(t)
+    assert out["width"].to_pylist() == [8]
+    assert out["height"].to_pylist() == [10]
+    assert out["mean_intensity"].to_pylist()[0] == round(float(px.mean()), 4)
+
+
+def test_image_features_jpeg_still_raises():
+    from ocracle_ray.stages.multimodal import ImageFeatures
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], pa.large_binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        ImageFeatures()(t)

@@ -153,3 +153,24 @@ def test_ivf_recall_vs_bruteforce():
     assert recall >= 0.5  # measured, not assumed; full probe -> exact
     full = idx.search(q, k=10, n_probe=8)
     assert set(full["vec_id"]) == exact
+
+
+def test_ivf_pruned_read_equals_filter_scan(tmp_path):
+    """index_dir mode: hive-partitioned cell dirs on disk, search reads
+    ONLY the probed subset — results identical to the in-memory scan."""
+    import os
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    q = mat[7]
+
+    mem = IvfIndex(_emb_ds(), n_cells=8)
+    disk = IvfIndex(_emb_ds(), n_cells=8, index_dir=str(tmp_path / "ivf"))
+
+    cells = sorted(os.listdir(tmp_path / "ivf"))
+    assert all(c.startswith("cell=") for c in cells) and len(cells) > 1
+
+    for n_probe in (2, 8):
+        a = mem.search(q, k=10, n_probe=n_probe)
+        b = disk.search(q, k=10, n_probe=n_probe)
+        pd.testing.assert_frame_equal(a, b)
