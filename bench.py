@@ -79,6 +79,9 @@ def run_bench() -> dict:
         # tiebreak; the generator's timestamps are unique per url
         dup_winners=winners if not ambiguous else None,
         dedup=True,
+        # skew knob (stages/skew.spread_giants): identical output, only
+        # the block layout of giant pages changes — A/B via env var
+        spread_giant_pages=os.environ.get("GRAFT_SPREAD_GIANTS") == "1",
     )
 
     # consume with a per-batch (count, xor-of-fingerprints) projection:

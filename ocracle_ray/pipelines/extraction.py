@@ -119,11 +119,18 @@ def extract_records(
     dup_winners: dict | None = None,
     ignored_topics=frozenset(),
     translate_nn: bool = False,
+    spread_giant_pages: bool = False,
 ):
     """pages Dataset -> records Dataset (lazy; caller consumes/streams).
 
     ``ignored_topics`` (M19) and ``translate_nn`` (M15) reach
     ``extract_document`` through the Extract actor constructor.
+
+    ``spread_giant_pages`` routes >64KiB pages through
+    ``stages.skew.spread_giants`` (one giant per block) so they
+    interleave with cheap rows instead of convoying a giant-heavy
+    block through one actor. Output is identical either way (the
+    pipeline is order-independent); it is a scheduling knob only.
 
     Dedup modes (G4 keep-latest, ``object_handling.py:230-239``):
 
@@ -134,6 +141,10 @@ def extract_records(
       ``groupby`` keep-latest (`dedup_keep_latest_records`) — exact at
       any scale and any dup distribution.
     """
+    if spread_giant_pages:
+        from ..stages.skew import spread_giants
+
+        pages_ds = spread_giants(pages_ds)
     records = pages_ds.map_batches(
         Extract,
         fn_constructor_kwargs=dict(
