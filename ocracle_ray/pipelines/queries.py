@@ -1142,6 +1142,43 @@ def q_pages_figures(sf_dir: str):
     return figs.groupby("url").aggregate(Count(alias_name="n_figures")).to_pandas()
 
 
+def q_figure_pixel_crops(sf_dir: str):
+    """Pixel-domain figure pipeline F1-F5/F8 (stages/figures.py):
+    synthetic PNG page renders -> contour crops -> keep/skip heuristics
+    -> near-dup suppression -> PNG render. Rows-only (fixtures are
+    synthesized); returns the per-(action, reason) crop census plus
+    saved-bytes totals — stable across runs and parallelism."""
+    from ray.data import from_arrow
+
+    from ..sources.figures import synth_figures_table
+    from ..sources.pages import sf_of_dir
+    from ..stages.figures import figure_crops
+
+    n = max(24, min(500, int(2000 * sf_of_dir(sf_dir))))
+    # from_arrow yields ONE block; split so the actor pool parallelizes
+    figs = from_arrow(synth_figures_table(n)).repartition(max(2, n // 16))
+    crops = figure_crops(figs)
+
+    def census(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "action": t["action"],
+                "reason": t["reason"],
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "saved_bytes": pc.cast(
+                    pc.binary_length(t["crop_png"]), pa.int64()
+                ),
+            }
+        )
+
+    out = driver_grouped_agg(
+        crops.map_batches(census, batch_format="pyarrow"),
+        ["action", "reason"],
+        {"n_crops": ("n", "sum"), "saved_bytes": ("saved_bytes", "sum")},
+    )
+    return out.sort_values(["action", "reason"]).reset_index(drop=True)
+
+
 def q_webview_tasks(sf_dir: str):
     """The web-viewer consumer surface (E3/G12,
     ``/root/reference/web/OCRacle.html:227-237``): filter records by
@@ -1242,6 +1279,8 @@ QUERIES = {
     "pages_pdf_branch": q_pages_pdf_branch,
     "pages_block_kinds": q_pages_block_kinds,
     "pages_figures": q_pages_figures,
+    # rows-only: pixel fixtures are synthesized (F1-F5/F8 census)
+    "figure_pixel_crops": q_figure_pixel_crops,
     "webview_tasks": q_webview_tasks,
     "salted_events_value": q_salted_events_value,
 }
