@@ -71,9 +71,17 @@ def resolve_subject_code(code: str, alias_map: dict[str, str]) -> str:
     return alias_map.get(norm, norm)
 
 
-def lookup_subject(query: str, catalog: list[str]) -> str | None:
+def lookup_subject(query: str, catalog: list[str], *, fuzzy: bool = False) -> str | None:
     """Exact match, else unique-prefix match, else None (deterministic
-    stand-in for old/checkempty.py:12-44's difflib lookup)."""
+    stand-in for old/checkempty.py:12-44's difflib lookup).
+
+    ``fuzzy=True`` restores the reference's behavior verbatim —
+    ``difflib.get_close_matches(q, catalog, n=1, cutoff=0.6)`` — as a
+    last resort after exact/prefix miss. difflib is stdlib and
+    deterministic (stable tie-break by catalog order), so parity costs
+    nothing; it stays opt-in because SURVEY.md M23 documents the
+    0.6-ratio rule as fragile for short codes (e.g. one edit away from
+    a different real course code)."""
     q = normalize_subject_code(query)
     norm = [normalize_subject_code(c) for c in catalog]
     if q in norm:
@@ -81,4 +89,10 @@ def lookup_subject(query: str, catalog: list[str]) -> str | None:
     prefixed = [c for c in norm if c.startswith(q)] if q else []
     if len(prefixed) == 1:
         return prefixed[0]
+    if fuzzy and q:
+        import difflib
+
+        close = difflib.get_close_matches(q, norm, n=1, cutoff=0.6)
+        if close:
+            return close[0]
     return None

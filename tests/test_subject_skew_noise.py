@@ -55,6 +55,19 @@ def test_lookup_subject():
     assert lookup_subject("XXX", cat) is None
 
 
+def test_lookup_subject_fuzzy_mode():
+    """Opt-in difflib mode (the reference's checkempty.py:12-44 rule):
+    one-typo codes resolve; default mode stays strict."""
+    cat = ["TMA4100", "TMA4105", "TDT4110"]
+    assert lookup_subject("TDT411O", cat) is None             # strict: miss
+    assert lookup_subject("TDT411O", cat, fuzzy=True) == "TDT4110"
+    assert lookup_subject("QQQQ", cat, fuzzy=True) is None    # below 0.6
+    # deterministic: repeated calls identical
+    assert lookup_subject("TMA410", cat, fuzzy=True) == lookup_subject(
+        "TMA410", cat, fuzzy=True
+    )
+
+
 # ---------------------------------------------------------------- skew
 
 def test_size_bucket_of():
