@@ -29,4 +29,6 @@ session it created.
 # Bump on ANY change that alters persisted record bytes (fingerprint
 # scheme, extraction semantics, schema): manifest resume validates
 # against this so mixed-version outputs are re-run, never merged.
-ENGINE_VERSION = "0.2.0"  # 0.2.0: content hashing FNV-1a -> blake2b-64
+ENGINE_VERSION = "0.3.0"  # 0.3.0: null warc_ts ≡ epoch-0 loser in EVERY
+# dedup mode (shuffle keep-latest previously let a null-ts copy win via
+# pyarrow null_placement='at_end'); 0.2.0: FNV-1a -> blake2b-64 hashing

@@ -52,10 +52,11 @@ MIN_SAMPLED_COLORS = 10
 
 
 def to_gray(px: np.ndarray) -> np.ndarray:
-    """(h, w[, ch]) u8 -> (h, w) u8 luminance."""
+    """(h, w[, ch]) u8 -> (h, w) u8 luminance. ch ∈ {1, 2, 3, 4}:
+    2 = gray+alpha (alpha dropped), 4 = RGBA (alpha dropped)."""
     if px.ndim == 2:
         return px
-    if px.shape[2] == 1:
+    if px.shape[2] in (1, 2):
         return px[:, :, 0]
     rgb = px[:, :, :3].astype(np.float64)
     return (rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)

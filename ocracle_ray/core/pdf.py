@@ -162,7 +162,7 @@ _NAMEVAL_RE = {
     "Pages": re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R"),
 }
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\[(?:[^\]]*)\]|\d+\s+\d+\s+R)", re.DOTALL)
+_CONTENTS_RE = re.compile(rb"/Contents\s*(\[(?:[^\]]*)\]|\d+\s+\d+\s+R)", re.DOTALL)
 _TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
 
 # content-stream tokens: strings / hex strings / arrays handled by the

@@ -164,18 +164,16 @@ def extract_records(
         winners_ref = ray.put(
             (dup_winners, pa.array(list(dup_winners), pa.string()))
         )
-        _cache: dict = {}  # per-worker unpickle cache (see queries._cached_broadcast)
 
         import numpy as np
         import pyarrow.compute as _pc
 
+        from ..broadcast import cached_get
+
         _EPOCH0 = pa.scalar(0, pa.timestamp("us"))
 
         def keep_winners(t: pa.Table) -> pa.Table:
-            key = winners_ref.hex()
-            if key not in _cache:
-                _cache[key] = ray.get(winners_ref)
-            winners, winner_urls = _cache[key]
+            winners, winner_urls = cached_get(winners_ref)
             if not winners:
                 return t
             conflicted = _pc.is_in(t["url"], value_set=winner_urls)

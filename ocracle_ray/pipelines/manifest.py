@@ -146,10 +146,15 @@ def _harden_fs_probe_for_threads() -> None:
     the import machinery into a bare ImportError ("cannot import name
     'HTTPFileSystem'") that Ray does not catch. Treat any ImportError
     as "not an http filesystem" — semantically identical to Ray's own
-    ModuleNotFoundError branch. Idempotent."""
-    from ray.data.datasource import path_util
+    ModuleNotFoundError branch. Idempotent, and best-effort: the symbol
+    is Ray-private, so a Ray that moved it just skips the hardening
+    (sequential runs never needed it)."""
+    try:
+        from ray.data.datasource import path_util
 
-    orig = path_util._is_http_filesystem
+        orig = path_util._is_http_filesystem
+    except (ImportError, AttributeError):
+        return
     if getattr(orig, "_ocracle_hardened", False):
         return
 

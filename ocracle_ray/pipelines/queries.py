@@ -87,18 +87,7 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(_p(sf_dir, table), columns=columns)
 
 
-_BROADCAST_CACHE: dict = {}
-
-
-def _cached_broadcast(ref):
-    """ray.get of a broadcast object, unpickled once per worker process
-    (a bare ray.get of a plain dict re-deserializes on EVERY call)."""
-    import ray
-
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+from ..broadcast import cached_get as _cached_broadcast  # noqa: E402
 
 
 # --------------------------------------------------------------------------

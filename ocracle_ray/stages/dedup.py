@@ -220,14 +220,12 @@ def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:
             f"GATHER_TEXT_LIMIT ({GATHER_TEXT_LIMIT}); verify near-dups via "
             f"a bucketed exchange instead of the driver gather"
         )
+    from ..broadcast import cached_get
+
     need_ref = ray.put(pa.array(needed, pa.int64()))
-    _cache: dict = {}
 
     def pick(t: pa.Table) -> pa.Table:
-        k = need_ref.hex()
-        if k not in _cache:
-            _cache[k] = ray.get(need_ref)
-        sub = t.filter(pc.is_in(t[key], value_set=_cache[k]))
+        sub = t.filter(pc.is_in(t[key], value_set=cached_get(need_ref)))
         return pa.table({key: sub[key], text: sub[text]})
 
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
@@ -280,14 +278,12 @@ def neardup_dedup(ds, key: str, text: str, **lsh_kwargs):
     losers = [
         int(k) for k, c in zip(clusters["key"], clusters["cluster_id"]) if k != c
     ]
+    from ..broadcast import cached_get
+
     losers_ref = ray.put(pa.array(losers, pa.int64()))
-    _cache: dict = {}
 
     def keep(t: pa.Table) -> pa.Table:
-        h = losers_ref.hex()
-        if h not in _cache:
-            _cache[h] = ray.get(losers_ref)
-        return t.filter(pc.invert(pc.is_in(t[key], value_set=_cache[h])))
+        return t.filter(pc.invert(pc.is_in(t[key], value_set=cached_get(losers_ref))))
 
     return clusters, ds.map_batches(keep, batch_format="pyarrow")
 

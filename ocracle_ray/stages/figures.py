@@ -46,12 +46,29 @@ CROPS_SCHEMA = pa.schema(
 
 
 def _decode(payload: bytes) -> np.ndarray | None:
+    """payload -> gray (h, w) or RGB (h, w, 3) u8, or None when the
+    bytes cannot be decoded (unsupported PNG flavor, truncated data,
+    unknown format) — the caller maps None to a 'skip/undecodable' row
+    rather than failing the whole actor batch (review finding r2)."""
     if is_png(payload):
-        _w, _h, _ch, px = decode_png(payload)
-        return px if px.ndim == 2 else px[:, :, 0] if px.shape[2] == 1 else px
+        try:
+            _w, _h, ch, px = decode_png(payload)
+        except Exception:  # any undecodable flavor -> skip row, not a crash
+            return None
+        if px.ndim == 3:
+            if px.shape[2] == 1:
+                return px[:, :, 0]
+            if px.shape[2] == 2:  # gray+alpha: drop alpha
+                return px[:, :, 0]
+            if px.shape[2] == 4:  # RGBA: drop alpha
+                return np.ascontiguousarray(px[:, :, :3])
+        return px
     if payload[:4] == b"IMG1":
         w, h = struct.unpack("<HH", payload[4:8])
-        return np.frombuffer(payload[8 : 8 + w * h], np.uint8).reshape(h, w)
+        body = payload[8 : 8 + w * h]
+        if len(body) < w * h:
+            return None
+        return np.frombuffer(body, np.uint8).reshape(h, w)
     return None
 
 

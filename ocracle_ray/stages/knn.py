@@ -140,8 +140,14 @@ class IvfIndex:
 
         tagged = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
         if index_dir is not None:
+            import shutil
+
             # the index build: one partition directory per cell; search
-            # then reads ONLY the probed cells from storage
+            # then reads ONLY the probed cells from storage. Clear any
+            # previous build first — write_parquet APPENDS uniquely-named
+            # files, so a stale index would double every row (review
+            # finding r2).
+            shutil.rmtree(index_dir, ignore_errors=True)
             tagged.write_parquet(index_dir, partition_cols=["cell"])
             self.tagged = None
         else:

@@ -104,18 +104,24 @@ class ImageFeatures:
             if payload[:4] == b"IMG1":
                 w, h = struct.unpack("<HH", payload[4:8])
                 body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
-            elif self._is_png(payload):
-                w, h, _ch, px = self._decode_png(payload)
-                body = px.reshape(-1)
             else:
-                if not self.real:
-                    # STUB: non-PNG codecs (jpeg/webp) need PIL, absent here
-                    raise NotImplementedError(
-                        "non-PNG image decode requires PIL, which is not "
-                        "installed in this container; IMG1 synthetic and "
-                        "stdlib-PNG payloads are supported"
-                    )
-                continue  # pragma: no cover — PIL path not exercised here
+                body = None
+                if self._is_png(payload):
+                    try:
+                        w, h, _ch, px = self._decode_png(payload)
+                        body = px.reshape(-1)
+                    except (NotImplementedError, ValueError):
+                        body = None  # 16-bit/interlaced/truncated: fall through
+                if body is None:
+                    if not self.real:
+                        # STUB: non-stdlib codecs (jpeg/webp, exotic PNG
+                        # flavors) need PIL, absent here
+                        raise NotImplementedError(
+                            "image decode requires PIL, which is not "
+                            "installed in this container; IMG1 synthetic "
+                            "and stdlib-PNG payloads are supported"
+                        )
+                    continue  # pragma: no cover — PIL path not exercised here
             ids.append(mid)
             w_out.append(w)
             h_out.append(h)

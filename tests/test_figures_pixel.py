@@ -97,6 +97,61 @@ def test_figure_crops_stage_actions_and_png_roundtrip():
     assert (out.loc[~out["saved"], "crop_png"].map(len) == 0).all()
 
 
+def test_figure_crops_alpha_png_and_undecodable():
+    """Review r2: gray+alpha / RGBA PNGs decode (alpha dropped); PNGs
+    the stdlib decoder rejects become 'skip/undecodable' rows instead
+    of crashing the actor batch."""
+    import pyarrow as pa
+
+    from ocracle_ray.core.png import encode_png
+
+    rng = np.random.RandomState(3)
+    ga = rng.randint(0, 255, (60, 60, 4), dtype=np.uint8)  # RGBA
+    gray_alpha = np.dstack(
+        [rng.randint(0, 255, (60, 60), dtype=np.uint8)] * 1
+        + [np.full((60, 60), 255, np.uint8)]
+    )
+    # hand-build a gray+alpha (ctype 4) PNG via the encoder's ctype map
+    # is not possible (it maps ch=2 to nothing), so craft it directly
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w = 60, 60
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)
+    rows = b"".join(b"\x00" + gray_alpha[r].tobytes() for r in range(h))
+
+    def chunk(name, body):
+        return (
+            _struct.pack(">I", len(body)) + name + body
+            + _struct.pack(">I", _zlib.crc32(name + body) & 0xFFFFFFFF)
+        )
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    ga_png = (
+        PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    bad = bytearray(encode_png(rng.randint(0, 255, (8, 8), dtype=np.uint8)))
+    bad[8 + 8 + 8] = 16  # depth byte -> 16-bit: stdlib decoder rejects
+
+    t = pa.table(
+        {
+            "fig_id": pa.array([1, 2, 3], pa.int64()),
+            "alt_text": pa.array(["Figur\nx\ny"] * 3, pa.string()),
+            "payload": pa.array(
+                [encode_png(ga), ga_png, bytes(bad)], pa.large_binary()
+            ),
+        }
+    )
+    out = FigureCrops()(t).to_pandas()
+    by_id = out.set_index("fig_id")
+    assert by_id.loc[1, "action"] in ("keep", "crop", "skip")  # no crash
+    assert by_id.loc[2, "action"] in ("keep", "crop", "skip")
+    assert by_id.loc[3, "action"] == "skip"
+    assert by_id.loc[3, "reason"] == "undecodable"
+
+
 def test_figure_crops_deterministic_across_parallelism():
     import ray.data as rd
 

@@ -95,6 +95,18 @@ def test_close_lines_merge_into_one_block():
     assert [b.text for b in parse_pdf_blocks(p)] == ["linje en linje to"]
 
 
+def test_contents_without_space_is_parsed():
+    """Review r2: '/Contents[4 0 R]' (no space — legal PDF syntax) must
+    not silently drop the page's text."""
+    raw = _pdf([
+        (b"BT 72 700 Td (side en) Tj ET\n", False),
+        (b"BT 72 700 Td (side to) Tj ET\n", False),
+    ])
+    squeezed = raw.replace(b"/Contents 6 0 R", b"/Contents[6 0 R]")
+    assert squeezed != raw
+    assert [b.text for b in parse_pdf_blocks(squeezed)] == ["side en", "side to"]
+
+
 def test_images_only_pdf_raises():
     p = _pdf([(b"q 100 0 0 80 72 600 cm /Im1 Do Q\n", False)])
     with pytest.raises(NotImplementedError, match="images-only"):

@@ -174,3 +174,9 @@ def test_ivf_pruned_read_equals_filter_scan(tmp_path):
         a = mem.search(q, k=10, n_probe=n_probe)
         b = disk.search(q, k=10, n_probe=n_probe)
         pd.testing.assert_frame_equal(a, b)
+
+    # review r2: rebuilding into the SAME dir must not double rows
+    disk2 = IvfIndex(_emb_ds(), n_cells=8, index_dir=str(tmp_path / "ivf"))
+    c = disk2.search(q, k=10, n_probe=8)
+    pd.testing.assert_frame_equal(c, mem.search(q, k=10, n_probe=8))
+    assert not c["vec_id"].duplicated().any()
