@@ -138,10 +138,11 @@ def minhash_lsh_pairs(
 
     Returns a pandas DataFrame (a, b, jaccard) with a < b, jaccard >=
     threshold. The LSH shuffle moves (key, band_id, band_hash) rows
-    only; texts for verification are fetched via a second bucketed pass
-    (here: a driver-side gather — the candidate set is tiny relative to
-    the corpus; at 10^12 scale swap in a bucketed join keyed on
-    candidate membership, same semantics).
+    only. Verification has two code paths chosen by candidate volume:
+    a broadcast semi-join driver gather below ``GATHER_TEXT_LIMIT``
+    (cheap, zero extra shuffle), and the fully distributed pair-side
+    join ``_verify_pairs_distributed`` above it (no driver text state;
+    the 10^12-scale form). Both paths are equivalence-tested.
     """
     import pandas as pd
 
@@ -194,14 +195,89 @@ def minhash_lsh_pairs(
         )
 
     needed = sorted(set(cand["a"]) | set(cand["b"]))
-    texts = _gather_texts(ds, key, text, needed)
-    jac = [
-        jaccard(texts.get(a, ""), texts.get(b, ""), k=k_shingle)
-        for a, b in zip(cand["a"], cand["b"])
-    ]
-    cand = cand.assign(jaccard=np.round(jac, 6))
-    out = cand[cand["jaccard"] >= threshold].sort_values(["a", "b"]).reset_index(drop=True)
-    return out
+    if len(needed) > GATHER_TEXT_LIMIT:
+        # scale path: distributed pair-side join, no driver text state
+        out = _verify_pairs_distributed(
+            ds, key, text, cand, k_shingle=k_shingle, threshold=threshold
+        )
+    else:
+        texts = _gather_texts(ds, key, text, needed)
+        jac = [
+            jaccard(texts.get(a, ""), texts.get(b, ""), k=k_shingle)
+            for a, b in zip(cand["a"], cand["b"])
+        ]
+        cand = cand.assign(jaccard=np.round(jac, 6))
+        out = cand[cand["jaccard"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
+                              threshold: float):
+    """Exact-Jaccard verification as a DISTRIBUTED exchange — the
+    10^12-scale form of the driver gather. No driver-side text or key
+    dict at any point:
+
+    1. each candidate pair (a, b) explodes into two (pair_id, key)
+       side rows — a small Dataset (2 rows per candidate);
+    2. hash-join sides ⋈ docs on key (Ray Dataset.join) — the ONE big
+       shuffle, moving each candidate document's text to its pair's
+       partition;
+    3. groupby(pair_id).map_groups computes Jaccard from the two texts
+       co-located in the group.
+
+    Semantics identical to the driver path (missing keys ≡ empty text);
+    equivalence is asserted in tests by running both paths."""
+    import pandas as pd
+    import ray.data as rd
+
+    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
+    pair_ids = np.arange(len(cand), dtype=np.int64)
+    a_vals = cand["a"].to_numpy(dtype=np.int64)
+    b_vals = cand["b"].to_numpy(dtype=np.int64)
+    # each side row carries (a, b) so the group can name its pair
+    # without any driver-side lookup shipped into the UDF
+    sides = pa.table(
+        {
+            "pair_id": pa.array(np.repeat(pair_ids, 2), pa.int64()),
+            key: pa.array(np.column_stack([a_vals, b_vals]).reshape(-1), pa.int64()),
+            "a": pa.array(np.repeat(a_vals, 2), pa.int64()),
+            "b": pa.array(np.repeat(b_vals, 2), pa.int64()),
+        }
+    )
+    docs = ds.map_batches(
+        lambda t: pa.table({key: t[key], text: t[text]}), batch_format="pyarrow"
+    )
+    joined = rd.from_arrow(sides).join(
+        docs, join_type="inner", num_partitions=8, on=(key,)
+    )
+
+    def pair_jaccard(g: pa.Table) -> pa.Table:
+        texts_by_key = dict(zip(g[key].to_pylist(), g[text].to_pylist()))
+        a, b = g["a"][0].as_py(), g["b"][0].as_py()
+        j = jaccard(texts_by_key.get(a) or "", texts_by_key.get(b) or "", k=k_shingle)
+        return pa.table(
+            {
+                "a": pa.array([a], pa.int64()),
+                "b": pa.array([b], pa.int64()),
+                "jaccard": pa.array([round(j, 6)], pa.float64()),
+            }
+        )
+
+    out = (
+        joined.groupby("pair_id")
+        .map_groups(pair_jaccard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # pairs whose BOTH keys are absent from the corpus never reach the
+    # join output; the driver path scores them jaccard(""/"")=0 — only
+    # relevant below threshold, so filtering first keeps parity
+    out = out[out["jaccard"] >= threshold]
+    if out.empty:
+        return _empty_pairs_df("jaccard")
+    return pd.DataFrame(
+        {"a": out["a"].astype("int64"), "b": out["b"].astype("int64"),
+         "jaccard": out["jaccard"].astype("float64")}
+    )
 
 
 def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:

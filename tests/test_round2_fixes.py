@@ -177,6 +177,27 @@ def test_compact_distributed_losers_in_many_partitions(tmp_path):
     assert len(df) == expect["url"].nunique()
 
 
+def test_minhash_distributed_verify_equals_driver(monkeypatch):
+    """The distributed pair-side-join verification (engaged past
+    GATHER_TEXT_LIMIT) returns exactly the driver gather's pairs."""
+    import ray.data as rd
+
+    from ocracle_ray.stages import dedup as dd
+
+    base = "fysikk oppgave om krefter og energi i systemet med kloss på skråplan "
+    items = []
+    for i in range(30):
+        # 10 near-dup trios + distinct tails
+        items.append({"key": i, "text": base + f"variant {i % 10}"})
+    ds = rd.from_items(items).repartition(4)
+
+    driver = dd.minhash_lsh_pairs(ds, "key", "text", threshold=0.8)
+    monkeypatch.setattr(dd, "GATHER_TEXT_LIMIT", 2)  # force distributed
+    dist = dd.minhash_lsh_pairs(ds, "key", "text", threshold=0.8)
+    pd.testing.assert_frame_equal(driver, dist)
+    assert len(driver) > 0  # the comparison is not vacuous
+
+
 def test_gather_texts_guard(monkeypatch):
     """VERDICT #4: the candidate-text gather raises past its cap
     instead of silently materializing an unbounded driver dict."""
