@@ -20,6 +20,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", help="glob of pages parquet files")
     ap.add_argument("--out", help="output directory (records + manifests)")
     ap.add_argument("--files-per-partition", type=int, default=1)
+    ap.add_argument("--max-concurrent", type=int, default=4,
+                    help="partitions in flight at once (clamped to the "
+                         "CPU budget; 1 = strictly sequential)")
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--concurrency", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -79,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             files,
             out_dir,
             files_per_partition=args.files_per_partition,
+            max_concurrent=args.max_concurrent,
             batch_size=args.batch_size,
             concurrency=args.concurrency,
         )
