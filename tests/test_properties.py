@@ -193,3 +193,43 @@ def test_noise_robust_pipeline_end_to_end(ray_session):
     df = extract_records(rd.from_arrow(t), concurrency=2).to_pandas()
     assert (df["error"] == "").all()
     assert (df["n_tasks"] > 0).mean() > 0.8
+
+
+# ---------------------------------------------------- round-2 codecs
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """encode_png ∘ decode_png is the identity for any u8 image."""
+    import numpy as np
+
+    from ocracle_ray.core.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed % (2**31))
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    w2, h2, ch2, out = decode_png(encode_png(px))
+    assert (w2, h2, ch2) == (w, h, ch)
+    np.testing.assert_array_equal(out, px)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=60, deadline=None)
+def test_pdf_string_escape_roundtrip(s):
+    """Any latin-1-encodable text survives PDF string escaping: write
+    it as a (...) literal with \\-escapes, parse it back identically."""
+    from ocracle_ray.core.pdf import _pdf_string
+
+    try:
+        s.encode("latin-1")
+    except UnicodeEncodeError:
+        return  # out of single-byte-font scope by design
+    esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    data = ("(" + esc + ")").encode("latin-1")
+    out, end = _pdf_string(data, 0)
+    assert out == s
+    assert end == len(data)
