@@ -572,8 +572,9 @@ def q_docs_bpe_tokens(sf_dir: str):
 
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
-    counts (rows-only: the stopword-argmax detector is not faithfully
-    SQL-expressible)."""
+    counts. ORACLED since round 2: the DuckDB mirror is generated from
+    the same stopword tables (``_langid_oracle_sql``), including the
+    CJK shortcut and the argmax table-order tiebreak."""
     from ray.data.aggregate import Count
 
     from ..stages.text import annotate_text
@@ -1304,6 +1305,55 @@ _SHINGLE_JACCARD_SQL = """
 
 _TNORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 
+
+def _langid_oracle_sql() -> str:
+    """DuckDB mirror of ``core.textstats.detect_lang`` (sample 2000
+    chars → CJK-ratio shortcut → stopword-hit argmax with table-order
+    tiebreak → 'und'), generated from the SAME stopword tables so the
+    two sides cannot drift."""
+    from ..core.textstats import _STOPWORDS
+
+    values = ",\n              ".join(
+        f"('{lang}', {i}, '{w}')"
+        for i, (lang, table) in enumerate(_STOPWORDS)
+        for w in sorted(table)
+    )
+    return f"""
+    WITH sample AS (
+      SELECT doc_id, lang, substr(coalesce(text, ''), 1, 2000) AS s FROM documents
+    ), cjk AS (
+      SELECT doc_id, lang, s, length(s) AS n,
+             length(regexp_replace(s, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS n_cjk
+      FROM sample
+    ), words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(s), '\\s+'),
+                                x -> x != '')) AS w
+      FROM cjk WHERE s != '' AND NOT (10 * n_cjk >= n)
+    ), hits AS (
+      SELECT doc_id, sw.lang_code, sw.ord, count(*) AS h
+      FROM words
+      JOIN (VALUES {values}) sw(lang_code, ord, word) ON words.w = sw.word
+      GROUP BY doc_id, sw.lang_code, sw.ord
+    ), best AS (
+      SELECT doc_id, lang_code AS pred FROM (
+        SELECT doc_id, lang_code,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, ord ASC) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ), pred AS (
+      SELECT c.doc_id, c.lang,
+             CASE WHEN c.s = '' THEN 'und'
+                  WHEN 10 * c.n_cjk >= c.n THEN 'zh'
+                  ELSE coalesce(b.pred, 'und') END AS lang_pred
+      FROM cjk c LEFT JOIN best b USING (doc_id)
+    )
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
 ORACLE_SQL = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1481,6 +1531,7 @@ ORACLE_SQL = {
         WHERE regexp_matches(upper(source), '^SRC.$')
         GROUP BY source
     """,
+    "docs_langid": _langid_oracle_sql(),
     "docs_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
     """,
