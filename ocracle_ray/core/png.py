@@ -87,15 +87,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     depth = ctype = interlace = None
     palette: np.ndarray | None = None
     idat: list[bytes] = []
-    for name, body in _chunks(data):
-        if name == b"IHDR":
-            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif name == b"PLTE":
-            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif name == b"IDAT":
-            idat.append(body)
+    try:
+        for name, body in _chunks(data):
+            if name == b"IHDR":
+                width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif name == b"PLTE":
+                palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+            elif name == b"IDAT":
+                idat.append(body)
+    except (struct.error, ValueError) as e:
+        # truncated/garbled chunk stream -> ONE error type for callers
+        raise ValueError(f"malformed PNG chunk stream: {e}") from e
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
@@ -104,7 +108,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
             "only 8-bit non-interlaced gray/RGB/palette/alpha supported"
         )
     ch = _CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG IDAT stream: {e}") from e
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch (truncated?)")
@@ -112,6 +119,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
         px = palette[px[:, :, 0]]
         ch = 3
     return width, height, ch, px

@@ -233,3 +233,33 @@ def test_pdf_string_escape_roundtrip(s):
     out, end = _pdf_string(data, 0)
     assert out == s
     assert end == len(data)
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=80, deadline=None)
+def test_pdf_parser_total_on_arbitrary_bytes(data):
+    """parse_pdf_blocks over arbitrary bytes (prefixed to sniff as PDF)
+    either returns blocks or raises the documented NotImplementedError /
+    ValueError — never hangs, never leaks another exception type."""
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+
+    try:
+        out = parse_pdf_blocks(b"%PDF-1.4\n" + data)
+        assert isinstance(out, list)
+    except (NotImplementedError, ValueError):
+        pass
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=80, deadline=None)
+def test_png_decoder_total_on_arbitrary_bytes(data):
+    """decode_png on arbitrary chunk bytes after a valid signature
+    raises ONLY the documented error types (ValueError for malformed
+    data, NotImplementedError for unsupported flavors) — the exact
+    contract ImageFeatures' catch relies on."""
+    from ocracle_ray.core.png import PNG_SIGNATURE, decode_png
+
+    try:
+        decode_png(PNG_SIGNATURE + data)
+    except (NotImplementedError, ValueError):
+        pass
