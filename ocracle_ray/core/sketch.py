@@ -64,6 +64,71 @@ class KMV:
         return out
 
 
+class MisraGries:
+    """Mergeable heavy-hitters sketch (Misra-Gries summary, merge rule
+    from Agarwal et al., "Mergeable Summaries", PODS 2012): keep at
+    most ``k`` counters; reducing past k subtracts the (k+1)-th largest
+    count from every counter and drops the non-positive ones.
+
+    Guarantee: any value with true count > n/(k+1) is ALWAYS among the
+    surviving counters (each prune subtracts at most its pivot from
+    every element, and the pivots sum to ≤ n/(k+1)); counter values
+    underestimate by at most n/(k+1). Exact heavy hitters = recount the
+    candidate set in a second pass and threshold — which is what
+    ``pipelines.queries.q_events_heavy_hitters`` does, making the
+    operator DuckDB-oracled despite being sketch-based."""
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.n = 0
+
+    def _prune(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        pivot = sorted(self.counts.values(), reverse=True)[self.k]
+        self.counts = {v: c - pivot for v, c in self.counts.items() if c > pivot}
+
+    def add_many(self, values) -> None:
+        from collections import Counter
+
+        batch = Counter(values)
+        self.n += sum(batch.values())
+        for v, c in batch.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._prune()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.n = self.n + other.n
+        out.counts = dict(self.counts)
+        for v, c in other.counts.items():
+            out.counts[v] = out.counts.get(v, 0) + c
+        out._prune()
+        return out
+
+    def candidates(self) -> list:
+        """Every possible heavy hitter (superset of the truth)."""
+        return sorted(self.counts)
+
+    def serialize(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"k": self.k, "n": self.n, "counts": sorted(self.counts.items())}
+        ).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "MisraGries":
+        import json
+
+        d = json.loads(data)
+        out = cls(d["k"])
+        out.n = d["n"]
+        out.counts = {v: c for v, c in d["counts"]}
+        return out
+
+
 def kmv_distinct_estimate(ds, column: str, *, k: int = 1024) -> float:
     """Distributed distinct-count estimate: one serialized sketch per
     batch (map), merged on the driver (sketches are tiny: ≤ 8k bytes)."""

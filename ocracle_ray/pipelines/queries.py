@@ -750,6 +750,52 @@ def q_knn_ivf_fullprobe(sf_dir: str):
     return out
 
 
+def q_events_heavy_hitters(sf_dir: str):
+    """Heavy hitters over events.event_type via the mergeable
+    Misra-Gries sketch (core.sketch.MisraGries): one k-counter sketch
+    per batch (map), driver merge (sketches are ≤ k entries), then an
+    EXACT recount of the candidate set in a second pruned pass. The MG
+    guarantee (candidates ⊇ every value with count > n/(k+1)) makes
+    the final thresholded output exactly SQL's HAVING count(*) >
+    n/(k+1) — sketch-discovered, oracle-verified. (Pruning/merge under
+    adversarial streams is exercised in tests/test_sketch.py; the
+    fixture's key distribution is too flat to force it here.)"""
+    import ray
+
+    from ..broadcast import cached_get
+    from ..core.sketch import MisraGries
+
+    K = 7  # threshold n/8: every ≥12.5% event_type is a heavy hitter
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = MisraGries(K)
+        s.add_many(t["event_type"].to_pylist())
+        return pa.table({"mg": pa.array([s.serialize()], pa.large_binary())})
+
+    merged = MisraGries(K)
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["mg"].to_pylist():
+            merged = merged.merge(MisraGries.deserialize(blob))
+    n_total = merged.n
+    cand_ref = ray.put(pa.array(merged.candidates(), pa.string()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"], value_set=cached_get(cand_ref)))
+
+    counts = driver_grouped_agg(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_events": ("event_type", "count")},
+    )
+    out = counts[counts["n_events"] > n_total / (K + 1)]
+    return out.sort_values(["n_events", "event_type"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
 def q_knn_ivf_partial(sf_dir: str):
     """IVF search on the SCALE path: n_probe < n_cells, so only a
     fraction of cells is read. Rows-only (recall < 1 by design — no SQL
@@ -1252,6 +1298,7 @@ QUERIES = {
     "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
     # rows-only: partial probe's recall is measured in-query vs brute
     "knn_ivf_partial": q_knn_ivf_partial,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "embeddings_label_stats": q_embeddings_label_stats,
     "orders_lineitem_revenue": q_orders_lineitem_revenue,
     "customers_without_big_orders": q_customers_without_big_orders,
@@ -1532,6 +1579,13 @@ ORACLE_SQL = {
         GROUP BY source
     """,
     "docs_langid": _langid_oracle_sql(),
+    "events_heavy_hitters": """
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) > (SELECT count(*) FROM events) / 8.0
+    ORDER BY n_events DESC, event_type
+""",
     "docs_hash_sample": """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
     """,

@@ -75,3 +75,65 @@ def test_winnowing_fingerprints():
     assert not (set(fa) & set(fc))                  # unrelated -> disjoint
     assert winnowing_fingerprints("") == []
     assert len(winnowing_fingerprints("kort")) == 1  # < k chars -> whole-doc fp
+
+
+# ------------------------------------------------------- Misra-Gries
+
+def test_misra_gries_superset_guarantee_adversarial():
+    """Any value with count > n/(k+1) must survive, for an adversarial
+    split of a zipf-ish stream across many sketches merged pairwise."""
+    import random
+
+    from ocracle_ray.core.sketch import MisraGries
+
+    rng = random.Random(7)
+    # zipf-ish: value v appears ~ 4000/v times
+    stream = [v for v in range(1, 200) for _ in range(4000 // v)]
+    rng.shuffle(stream)
+    n = len(stream)
+    k = 15
+
+    from collections import Counter
+
+    truth = Counter(stream)
+    heavy = {v for v, c in truth.items() if c > n / (k + 1)}
+    assert heavy  # non-vacuous
+
+    merged = MisraGries(k)
+    for i in range(0, n, 997):  # uneven chunks
+        s = MisraGries(k)
+        s.add_many(stream[i : i + 997])
+        merged = merged.merge(MisraGries.deserialize(s.serialize()))
+    assert merged.n == n
+    assert heavy <= set(merged.candidates())
+    # candidate count bounded by k
+    assert len(merged.candidates()) <= k
+
+
+def test_misra_gries_exact_when_few_values():
+    from ocracle_ray.core.sketch import MisraGries
+
+    s = MisraGries(8)
+    s.add_many([1, 1, 2, 3, 3, 3])
+    assert s.counts == {1: 2, 2: 1, 3: 3}
+    assert s.n == 6
+
+
+def test_events_heavy_hitters_query_matches_bruteforce():
+    import duckdb
+
+    from ocracle_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["events_heavy_hitters"]("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.sql(ORACLE_SQL["events_heavy_hitters"]).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"n_events": "int64"}).reset_index(drop=True),
+    )
