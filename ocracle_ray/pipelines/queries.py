@@ -1146,6 +1146,31 @@ def q_pages_pdf_branch(sf_dir: str):
     return pdfs.to_pandas()
 
 
+def q_pdf_real_branch(sf_dir: str):
+    """REAL (non-OCRSYN) PDFs through the FULL extraction pipeline:
+    deterministic minimal PDF bytes (``sources.realpdf``) parsed by the
+    stdlib extractor inside the Extract actor pool. Rows-only (fixtures
+    are synthesized); per-doc summary is stable across runs and
+    parallelism."""
+    from ray.data import from_arrow
+
+    from ..pipelines.extraction import extract_records
+    from ..sources.pages import sf_of_dir
+    from ..sources.realpdf import real_pdf_pages_table
+
+    n = max(16, min(200, int(1000 * sf_of_dir(sf_dir))))
+    pages = from_arrow(real_pdf_pages_table(n)).repartition(max(2, n // 8))
+    recs = extract_records(pages, concurrency=2)
+    out = recs.map_batches(
+        lambda t: t.select(
+            ["url", "branch", "n_blocks", "n_tasks", "points_total",
+             "text_fingerprint", "error"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_pages_block_kinds(sf_dir: str):
     """Block-kind histogram over the exploded ``blocks`` table
     (SURVEY.md §1.2 central intermediate; rows-only — pages are
@@ -1318,6 +1343,8 @@ QUERIES = {
     "pages_figures": q_pages_figures,
     # rows-only: pixel fixtures are synthesized (F1-F5/F8 census)
     "figure_pixel_crops": q_figure_pixel_crops,
+    # rows-only: real-PDF fixtures synthesized; stdlib parser in-pipeline
+    "pdf_real_branch": q_pdf_real_branch,
     "webview_tasks": q_webview_tasks,
     "salted_events_value": q_salted_events_value,
 }
