@@ -91,9 +91,14 @@ def run_bench() -> dict:
     import pyarrow as pa
 
     def summarize(t: pa.Table) -> pa.Table:
-        x = 0
-        for fp in t["text_fingerprint"].to_pylist():
-            x ^= fp
+        import numpy as np
+
+        fps = t["text_fingerprint"].to_numpy(zero_copy_only=False)
+        x = (
+            int(np.bitwise_xor.reduce(fps.astype(np.int64).view(np.uint64)).view(np.int64))
+            if len(fps)
+            else 0
+        )
         return pa.table({"n": pa.array([t.num_rows]), "x": pa.array([x])})
 
     n_docs, checksum = 0, 0
