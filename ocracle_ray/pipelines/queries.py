@@ -1146,6 +1146,41 @@ def q_pages_pdf_branch(sf_dir: str):
     return pdfs.to_pandas()
 
 
+def q_media_features(sf_dir: str):
+    """All three multimodal actor-pool stages over one synthetic media
+    Dataset: image features (IMG1 + real PNG), audio features (AUD1 +
+    real WAV), video frame sampling. Rows-only (media is synthesized);
+    returns one summary row per kind — stable across runs/parallelism."""
+    from ray.data import from_arrow
+
+    from ..sources.pages import sf_of_dir
+    from ..stages.multimodal import (
+        AudioFeatures,
+        FrameSample,
+        ImageFeatures,
+        synth_media_table,
+    )
+
+    n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
+    ds = from_arrow(synth_media_table(n)).repartition(4)
+
+    img = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2).to_pandas()
+    aud = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2).to_pandas()
+    vid = ds.map_batches(FrameSample, batch_format="pyarrow", concurrency=2).to_pandas()
+
+    return pd.DataFrame(
+        {
+            "kind": ["audio", "image", "video_frames"],
+            "n_rows": [len(aud), len(img), len(vid)],
+            "metric_sum": [
+                round(float(aud["rms"].sum()), 4),
+                round(float(img["mean_intensity"].sum()), 4),
+                int(vid["frame_index"].sum()),
+            ],
+        }
+    )
+
+
 def q_pdf_real_branch(sf_dir: str):
     """REAL (non-OCRSYN) PDFs through the FULL extraction pipeline:
     deterministic minimal PDF bytes (``sources.realpdf``) parsed by the
@@ -1345,6 +1380,8 @@ QUERIES = {
     "figure_pixel_crops": q_figure_pixel_crops,
     # rows-only: real-PDF fixtures synthesized; stdlib parser in-pipeline
     "pdf_real_branch": q_pdf_real_branch,
+    # rows-only: media fixtures synthesized (image/audio/video stages)
+    "media_features": q_media_features,
     "webview_tasks": q_webview_tasks,
     "salted_events_value": q_salted_events_value,
 }

@@ -136,6 +136,57 @@ class ImageFeatures:
         )
 
 
+class AudioFeatures:
+    """Actor-pool audio decode + feature extraction: duration, RMS and
+    peak amplitude per clip. Decode paths: AUD1 synthetic header (raw
+    u8 samples), real WAV via the stdlib codec (``core.wav``);
+    compressed codecs (mp3/ogg) honestly raise — they need a real
+    decoder this container lacks."""
+
+    def __init__(self):
+        from ..core.wav import decode_wav, is_wav  # bind once per actor
+
+        self._decode_wav = decode_wav
+        self._is_wav = is_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, rates, ns, durs, rms_out, peaks = [], [], [], [], [], []
+        for mid, kind, payload in zip(
+            t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
+        ):
+            if kind != "audio":
+                continue
+            if payload[:4] == b"AUD1":
+                rate, n = struct.unpack("<HI", payload[4:10])
+                raw = np.frombuffer(payload[10 : 10 + n], np.uint8).astype(np.float64)
+                samples = ((raw - 128.0) / 128.0).reshape(-1, 1)
+            elif self._is_wav(payload):
+                rate, _ch, samples = self._decode_wav(payload)
+            else:
+                raise NotImplementedError(
+                    "compressed audio decode (mp3/ogg/aac) requires a codec "
+                    "library absent in this container; AUD1 synthetic and "
+                    "stdlib-WAV payloads are supported"
+                )
+            mono = samples.mean(axis=1)
+            ids.append(mid)
+            rates.append(int(rate))
+            ns.append(len(mono))
+            durs.append(round(len(mono) / rate, 6) if rate else 0.0)
+            rms_out.append(round(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0, 6))
+            peaks.append(round(float(np.max(np.abs(mono))) if len(mono) else 0.0, 6))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms_out, pa.float64()),
+                "peak": pa.array(peaks, pa.float64()),
+            }
+        )
+
+
 class Resize:
     """Deterministic 'resize': nearest-neighbour over the fake pixel
     buffer (REAL resampling lives behind the PIL gate)."""

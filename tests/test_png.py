@@ -150,3 +150,79 @@ def test_image_features_jpeg_still_raises():
     )
     with pytest.raises(NotImplementedError, match="PIL"):
         ImageFeatures()(t)
+
+
+# --------------------------------------------------------------- wav
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from ocracle_ray.core.wav import decode_wav, encode_wav, is_wav
+    from ocracle_ray.stages.multimodal import AudioFeatures
+
+    t_axis = np.arange(8000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t_axis)
+    data = encode_wav(tone, 8000)
+    assert is_wav(data)
+    rate, ch, out = decode_wav(data)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_allclose(out[:, 0], tone, atol=1 / 32767)
+
+    t = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([data], pa.large_binary()),
+        }
+    )
+    feats = AudioFeatures()(t).to_pandas()
+    assert feats.loc[0, "sample_rate"] == 8000
+    assert feats.loc[0, "duration_s"] == 1.0
+    # RMS of a 0.5-amplitude sine ≈ 0.5/sqrt(2)
+    assert abs(feats.loc[0, "rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(feats.loc[0, "peak"] - 0.5) < 1e-3
+
+
+def test_wav_stereo_and_8bit():
+    import io
+    import wave
+
+    import numpy as np
+
+    from ocracle_ray.core.wav import decode_wav, encode_wav
+
+    stereo = np.stack([np.linspace(-1, 1, 100), np.linspace(1, -1, 100)], axis=1)
+    rate, ch, out = decode_wav(encode_wav(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    np.testing.assert_allclose(out, stereo, atol=2 / 32767)
+
+    buf = io.BytesIO()  # 8-bit unsigned PCM
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    rate, ch, out = decode_wav(buf.getvalue())
+    np.testing.assert_allclose(out[:, 0], [-1.0, 0.0, 127 / 128], atol=1e-9)
+
+
+def test_audio_features_synthetic_and_unsupported():
+    import struct as _struct
+
+    from ocracle_ray.stages.multimodal import AudioFeatures, synth_media_table
+
+    t = synth_media_table(9)
+    feats = AudioFeatures()(t).to_pandas()
+    assert len(feats) == 3  # every 3rd synthetic row is audio
+    assert (feats["sample_rate"] == 8000).all()
+    assert (feats["rms"] > 0).all()
+
+    bad = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "kind": pa.array(["audio"], pa.string()),
+            "payload": pa.array([b"ID3\x04mp3 bytes"], pa.large_binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="codec"):
+        AudioFeatures()(bad)
