@@ -1,0 +1,66 @@
+"""Format-agnostic pages readers: JSONL and CSV inputs produce
+byte-identical extraction output to the canonical Parquet path."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ocracle_ray.pipelines.extraction import extract_records
+from ocracle_ray.sources.pages import pages_table
+from ocracle_ray.sources.readers import read_pages_any
+
+
+def _rows(n=25):
+    t = pages_table(0, n)
+    return [
+        {
+            "url": t["url"][i].as_py(),
+            "warc_ts": t["warc_ts"][i].as_py().isoformat(),
+            "html": t["html"][i].as_py().decode("utf-8"),
+            "lang": t["lang"][i].as_py(),
+        }
+        for i in range(n)
+    ]
+
+
+def _fps(ds) -> pd.DataFrame:
+    df = extract_records(ds, concurrency=2).to_pandas()
+    return df[["url", "text_fingerprint"]].sort_values("url").reset_index(drop=True)
+
+
+def test_jsonl_and_csv_match_parquet(tmp_path):
+    rows = _rows()
+    pq_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(0, 25), pq_path)
+
+    jl_path = str(tmp_path / "pages.jsonl")
+    with open(jl_path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+    csv_path = str(tmp_path / "pages.csv")
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    want = _fps(read_pages_any(pq_path))
+    got_jl = _fps(read_pages_any(jl_path))
+    got_csv = _fps(read_pages_any(csv_path))
+    pd.testing.assert_frame_equal(want, got_jl)
+    pd.testing.assert_frame_equal(want, got_csv)
+
+
+def test_reader_schema_identical_across_formats(tmp_path):
+    rows = _rows(6)
+    jl = str(tmp_path / "p.jsonl")
+    with open(jl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    pqp = str(tmp_path / "p.parquet")
+    pq.write_table(pages_table(0, 6), pqp)
+
+    sa = read_pages_any(pqp).schema()
+    sb = read_pages_any(jl).schema()
+    assert sa.names == sb.names
+    assert [str(t) for t in sa.types] == [str(t) for t in sb.types]
+    assert os.path.exists(jl)
