@@ -108,14 +108,21 @@ class MisraGries:
         return out
 
     def candidates(self) -> list:
-        """Every possible heavy hitter (superset of the truth)."""
-        return sorted(self.counts)
+        """Every possible heavy hitter (superset of the truth).
+        Sorted by repr so heterogeneous key sets (e.g. strings plus a
+        NULL from the source column) never TypeError (review r2);
+        values must be JSON-serializable (str/int/float/bool/None)."""
+        return sorted(self.counts, key=repr)
 
     def serialize(self) -> bytes:
         import json
 
         return json.dumps(
-            {"k": self.k, "n": self.n, "counts": sorted(self.counts.items())}
+            {
+                "k": self.k,
+                "n": self.n,
+                "counts": sorted(self.counts.items(), key=lambda kv: repr(kv[0])),
+            }
         ).encode()
 
     @classmethod

@@ -89,6 +89,14 @@ def quality_score(text: str) -> float:
     return score
 
 
+# ASCII whitespace tokenizer for lang-id — deliberately ASCII (like
+# _TOKEN_RE/_PUNCT_RE above) so the DuckDB oracle's RE2 '\s+' mirrors
+# it exactly; NBSP/U+3000-joined words count as one token on BOTH
+# sides (review finding r2: Python str.split() splits on Unicode
+# whitespace and diverged from the SQL on &nbsp;-bearing text).
+_WS_ASCII_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
 def detect_lang(text: str) -> str:
     """Stopword/charclass lang-id. CJK-ratio shortcut for zh; otherwise
     argmax stopword hits with fixed table-order tiebreak; no hits -> 'und'."""
@@ -98,7 +106,7 @@ def detect_lang(text: str) -> str:
     cjk = sum(1 for c in sample if "一" <= c <= "鿿")
     if 10 * cjk >= len(sample):
         return "zh"
-    words = sample.lower().split()
+    words = [w for w in _WS_ASCII_RE.split(sample.lower()) if w]
     if not words:
         return "und"
     best_lang, best_hits = "und", 0

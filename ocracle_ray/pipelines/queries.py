@@ -1147,12 +1147,17 @@ def q_pages_pdf_branch(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """All three multimodal actor-pool stages over one synthetic media
-    Dataset: image features (IMG1 + real PNG), audio features (AUD1 +
-    real WAV), video frame sampling. Rows-only (media is synthesized);
-    returns one summary row per kind — stable across runs/parallelism."""
+    """All three multimodal actor-pool stages over one media Dataset
+    that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
+    bytes (stdlib-encoded PNG images and PCM WAV clips appended below)
+    — so the in-pipeline stdlib decode branches are driver-checked
+    every round, not only unit-tested. Rows-only; one summary row per
+    kind, stable across runs/parallelism."""
+    import numpy as np
     from ray.data import from_arrow
 
+    from ..core.png import encode_png
+    from ..core.wav import encode_wav
     from ..sources.pages import sf_of_dir
     from ..stages.multimodal import (
         AudioFeatures,
@@ -1162,7 +1167,29 @@ def q_media_features(sf_dir: str):
     )
 
     n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
-    ds = from_arrow(synth_media_table(n)).repartition(4)
+    base = synth_media_table(n)
+    # append real-codec rows: 4 PNGs + 4 WAVs, deterministic content
+    ids, kinds, payloads = [], [], []
+    for j in range(4):
+        rng = np.random.RandomState(1000 + j)
+        ids.append(n + j)
+        kinds.append("image")
+        payloads.append(encode_png(rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)))
+        tone = 0.25 * np.sin(2 * np.pi * (220 + 110 * j) * np.arange(2000) / 8000.0)
+        ids.append(n + 4 + j)
+        kinds.append("audio")
+        payloads.append(encode_wav(tone, 8000))
+    extra = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([0] * len(ids), pa.int32()),
+            "height": pa.array([0] * len(ids), pa.int32()),
+        },
+        schema=base.schema,
+    )
+    ds = from_arrow(pa.concat_tables([base, extra])).repartition(4)
 
     img = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2).to_pandas()
     aud = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2).to_pandas()

@@ -51,22 +51,46 @@ def _normalize_pages(t: pa.Table) -> pa.Table:
     )
 
 
+_COMPRESSION_EXTS = (".gz", ".bz2", ".zst", ".zstd")
+
+
+def _format_of(path: str) -> str:
+    p = path.lower()
+    for c in _COMPRESSION_EXTS:  # sniff the FORMAT under the compression
+        if p.endswith(c):
+            p = p[: -len(c)]
+            break
+    ext = p.rsplit(".", 1)[-1] if "." in p else ""
+    if ext in ("parquet", "pq"):
+        return "parquet"
+    if ext in ("json", "jsonl"):
+        return "json"
+    if ext == "csv":
+        return "csv"
+    return "parquet"  # directories / extension-less: the canonical format
+
+
 def read_pages_any(paths: str | Sequence[str], **kwargs):
-    """Pages Dataset from Parquet / JSONL / CSV, sniffed by extension.
-    Output schema is identical across formats (tested); downstream
-    pipelines don't care where the bytes came from."""
+    """Pages Dataset from Parquet / JSONL / CSV (optionally
+    gz/bz2/zst-compressed — Ray's file reader decompresses by
+    extension), sniffed per path. Mixed-format path lists are an
+    explicit error, never a silent misparse. Output schema is identical
+    across formats (tested)."""
     import ray.data as rd
 
-    first = (paths if isinstance(paths, str) else list(paths)[0]).lower()
-    if first.endswith((".parquet", ".pq")) or not first.rsplit(".", 1)[-1] in (
-        "json",
-        "jsonl",
-        "csv",
-    ):
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    formats = {_format_of(p) for p in path_list}
+    if len(formats) > 1:
+        raise ValueError(
+            f"read_pages_any: mixed input formats {sorted(formats)} in one "
+            f"call; split the read per format"
+        )
+    fmt = formats.pop()
+    if fmt == "parquet":
         return rd.read_parquet(paths, columns=PAGES_COLUMNS, **kwargs)
-    if first.endswith((".json", ".jsonl")):
+    if fmt == "json":
         ds = rd.read_json(paths, **kwargs)
-    else:  # .csv
+    else:  # csv
         from pyarrow import csv as pacsv
 
         ds = rd.read_csv(

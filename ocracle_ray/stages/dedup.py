@@ -219,11 +219,17 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
 
     1. each candidate pair (a, b) explodes into two (pair_id, key)
        side rows — a small Dataset (2 rows per candidate);
-    2. hash-join sides ⋈ docs on key (Ray Dataset.join) — the ONE big
-       shuffle, moving each candidate document's text to its pair's
-       partition;
+    2. hash-join sides ⋈ docs on key (Ray Dataset.join), moving each
+       candidate document's text to its pair's partition;
     3. groupby(pair_id).map_groups computes Jaccard from the two texts
-       co-located in the group.
+       co-located in the group (a second, equally-sized exchange of
+       the candidate texts — two bounded all-to-alls total, each
+       O(candidate texts), never O(corpus)).
+
+    Partition count scales with candidate volume (~50k pairs per
+    partition, floor 8) so per-partition text blocks stay worker-heap
+    sized at any candidate count (review r2: a hardcoded 8 squeezed
+    the whole candidate text set into 8 blocks).
 
     Semantics identical to the driver path (missing keys ≡ empty text);
     equivalence is asserted in tests by running both paths."""
@@ -247,8 +253,9 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
     docs = ds.map_batches(
         lambda t: pa.table({key: t[key], text: t[text]}), batch_format="pyarrow"
     )
+    n_parts = max(8, len(cand) // 50_000)
     joined = rd.from_arrow(sides).join(
-        docs, join_type="inner", num_partitions=8, on=(key,)
+        docs, join_type="inner", num_partitions=n_parts, on=(key,)
     )
 
     def pair_jaccard(g: pa.Table) -> pa.Table:

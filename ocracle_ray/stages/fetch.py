@@ -33,9 +33,10 @@ import pyarrow as pa
 DEFAULT_RETRIES = 3
 DEFAULT_CACHE_SIZE = 1024
 
-_GOAL_DIV_RE = re.compile(
-    r'<div[^>]*id="learning-goal-toggler"[^>]*>(.*?)</div>', re.DOTALL | re.IGNORECASE
+_GOAL_OPEN_RE = re.compile(
+    r"""<div[^>]*id=["']learning-goal-toggler["'][^>]*>""", re.IGNORECASE
 )
+_DIV_TOKEN_RE = re.compile(r"<div\b[^>]*>|</div\s*>", re.IGNORECASE)
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
@@ -68,11 +69,21 @@ def course_page_url(subject_code: str, year: int) -> str:
 def parse_learning_goals(html: str) -> str:
     """Extract the learning-goal-toggler div's text, tags stripped,
     whitespace collapsed with single-space separators
-    (task_processing.py:121-125 BeautifulSoup contract)."""
-    m = _GOAL_DIV_RE.search(html)
+    (task_processing.py:121-125 BeautifulSoup .get_text contract).
+    The close tag is found by BALANCED div counting, not the first
+    </div> — nested inner divs stay inside the extracted text, and the
+    id attribute may be single- or double-quoted (review finding r2)."""
+    m = _GOAL_OPEN_RE.search(html)
     if not m:
         return ""
-    return " ".join(_TAG_RE.sub(" ", m.group(1)).split())
+    depth = 1
+    end = len(html)
+    for tok in _DIV_TOKEN_RE.finditer(html, m.end()):
+        depth += 1 if tok.group(0)[1] != "/" else -1
+        if depth == 0:
+            end = tok.start()
+            break
+    return " ".join(_TAG_RE.sub(" ", html[m.end() : end]).split())
 
 
 class Fetcher:
@@ -100,7 +111,9 @@ class Fetcher:
     ):
         self.url_col = url_col
         self.transport = transport or no_network_transport
-        self.retries = retries
+        # at least one attempt: retries=0 would otherwise produce a
+        # (b"", "") row — a failure indistinguishable from success
+        self.retries = max(1, retries)
         self.cache: OrderedDict[str, bytes] = OrderedDict()
         self.cache_size = cache_size
         self.stats = {"hits": 0, "fetches": 0, "failures": 0}

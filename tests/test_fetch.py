@@ -116,3 +116,23 @@ def test_image_search_stage():
     )
     assert out.loc[0, "image_url"].startswith("https://img.example/")
     assert out.loc[1, "image_url"] == ""
+
+
+def test_parse_learning_goals_nested_and_single_quotes():
+    """Review r2: balanced-div close (nested inner divs included) and
+    single-quoted id attributes — the BS4 .get_text() contract."""
+    html = (
+        "<div id='learning-goal-toggler'><div class=\"intro\">Kunnskap</div>"
+        " Studenten kan analysere krefter</div><div>etterpå</div>"
+    )
+    assert (
+        parse_learning_goals(html)
+        == "Kunnskap Studenten kan analysere krefter"
+    )
+
+
+def test_fetcher_zero_retries_still_reports_error():
+    f = Fetcher(transport=lambda u: (_ for _ in ()).throw(ConnectionError("x")),
+                retries=0)
+    out = f(pa.table({"url": ["u"]}))
+    assert out["fetch_error"].to_pylist()[0] != ""

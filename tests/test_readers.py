@@ -64,3 +64,30 @@ def test_reader_schema_identical_across_formats(tmp_path):
     assert sa.names == sb.names
     assert [str(t) for t in sa.types] == [str(t) for t in sb.types]
     assert os.path.exists(jl)
+
+
+def test_mixed_formats_rejected_and_gz_sniffed(tmp_path):
+    import gzip
+    import json as _json
+
+    import pytest
+
+    from ocracle_ray.sources.readers import _format_of
+
+    assert _format_of("a/pages.jsonl.gz") == "json"
+    assert _format_of("a/pages.csv.zst") == "csv"
+    assert _format_of("a/pages.parquet") == "parquet"
+    with pytest.raises(ValueError, match="mixed input formats"):
+        read_pages_any(["a.csv", "b.jsonl"])
+
+    # gz-compressed jsonl reads identically to plain
+    rows = _rows(6)
+    jl_gz = str(tmp_path / "p.jsonl.gz")
+    with gzip.open(jl_gz, "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r, ensure_ascii=False) + "\n")
+    pq_path = str(tmp_path / "p.parquet")
+    pq.write_table(pages_table(0, 6), pq_path)
+    pd.testing.assert_frame_equal(
+        _fps(read_pages_any(pq_path)), _fps(read_pages_any(jl_gz))
+    )

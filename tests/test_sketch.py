@@ -137,3 +137,14 @@ def test_events_heavy_hitters_query_matches_bruteforce():
         got.reset_index(drop=True),
         want.astype({"n_events": "int64"}).reset_index(drop=True),
     )
+
+
+def test_misra_gries_heterogeneous_keys():
+    """Review r2: None/mixed keys survive serialize/candidates."""
+    from ocracle_ray.core.sketch import MisraGries
+
+    s = MisraGries(4)
+    s.add_many(["click", None, "click", None, None, 7])
+    out = MisraGries.deserialize(s.serialize())
+    assert out.counts == s.counts
+    assert None in out.candidates() and "click" in out.candidates()
