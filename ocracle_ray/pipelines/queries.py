@@ -654,6 +654,35 @@ def q_docs_hash_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
 
 
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic EXACT-QUOTA stratified sampling: each language
+    stratum keeps exactly ceil(10% of its size) members — the ones
+    ranking smallest by a Knuth multiplicative hash of doc_id (pure
+    64-bit arithmetic, ties by doc_id), so the DuckDB oracle reproduces
+    the exact member set. Unlike a global hash sample, small strata are
+    never under-represented. groupby(lang).map_groups is the Ray form
+    of SQL's per-partition window rank; parallelism-independent."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def pick_stratum(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * 2654435761) % 2147483648
+        quota = int(np.ceil(0.1 * len(ids)))
+        order = np.lexsort((ids, h))
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[:quota]] = True
+        return g.filter(pa.array(keep))
+
+    sampled = ds.groupby("lang").map_groups(pick_stratum, batch_format="pyarrow")
+    return driver_grouped_agg(
+        sampled,
+        ["lang"],
+        {"n_sampled": ("doc_id", "count"), "chars_sampled": ("n_chars", "sum")},
+    ).sort_values("lang").reset_index(drop=True)
+
+
 def q_events_distinct_users_kmv(sf_dir: str):
     """KMV sketch distinct-count of user_id. The sketch is EXACT while
     true distinct < k, so k=65536 keeps this oracled against
@@ -1379,6 +1408,7 @@ QUERIES = {
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
     "docs_hash_sample": q_docs_hash_sample,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
@@ -1670,6 +1700,21 @@ ORACLE_SQL = {
         GROUP BY source
     """,
     "docs_langid": _langid_oracle_sql(),
+    "docs_stratified_sample": """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_s
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM ranked WHERE rn <= ceil(0.1 * n_s)
+    GROUP BY lang ORDER BY lang
+""",
     "events_heavy_hitters": """
     SELECT event_type, count(*) AS n_events
     FROM events
