@@ -1062,6 +1062,59 @@ def q_docs_minhash_neardup(sf_dir: str):
     )
 
 
+def q_docs_incremental_neardup(sf_dir: str):
+    """STREAMING near-dup: documents arrive as two partitions appended
+    to a persistent LSH ``BandIndex`` (new docs are banded once and
+    joined against the index's key-only band rows — old texts never
+    re-read); the union of per-step candidates is then exact-Jaccard
+    verified. Must equal the one-shot ``docs_minhash_neardup`` result,
+    so it shares that query's shingle-join ORACLE — the incremental
+    path is correctness-gated every round."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..core.dedup import jaccard
+    from ..stages.dedup import _gather_texts
+    from ..stages.dedup_index import BandIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+    mid = n_docs // 2
+
+    def split(lo: bool):
+        op = (lambda c: pc.less(c, mid)) if lo else (lambda c: pc.greater_equal(c, mid))
+        return ds.map_batches(
+            lambda t, _op=op: t.filter(_op(t["doc_id"])), batch_format="pyarrow"
+        )
+
+    tmp = tempfile.mkdtemp(prefix="ocr_bandindex_")
+    try:
+        idx = BandIndex(tmp, n_perm=128, n_bands=32, max_bucket=64)
+        p1 = idx.add_partition(split(True), key="doc_id", text="text")
+        p2 = idx.add_partition(split(False), key="doc_id", text="text")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    cand = pd.concat([p1, p2], ignore_index=True).drop_duplicates()
+    if cand.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    texts = _gather_texts(ds, "doc_id", "text", sorted(set(cand["a"]) | set(cand["b"])))
+    jac = [
+        jaccard(texts.get(a, ""), texts.get(b, ""), k=3)
+        for a, b in zip(cand["a"], cand["b"])
+    ]
+    cand = cand.assign(jaccard=np.round(jac, 6))
+    return (
+        cand[cand["jaccard"] >= 0.8]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_docs_simhash_dups(sf_dir: str):
     """SimHash hamming-0 duplicate groups (rows-only: token-multiset
     identity is not SQL-expressible without order loss caveats)."""
@@ -1426,6 +1479,7 @@ QUERIES = {
     "top_users_per_event_type": q_top_users_per_event_type,
     "docs_ngram_neardup": q_docs_ngram_neardup,
     "docs_minhash_neardup": q_docs_minhash_neardup,
+    "docs_incremental_neardup": q_docs_incremental_neardup,
     "docs_simhash_dups": q_docs_simhash_dups,
     "docs_neardup_clusters": q_docs_neardup_clusters,
     "emb_label_neardup": q_emb_label_neardup,
@@ -1814,6 +1868,8 @@ ORACLE_SQL = {
     "docs_ngram_neardup": _SHINGLE_JACCARD_SQL,
     # same oracle: the LSH parameters make recall indistinguishable from 1
     "docs_minhash_neardup": _SHINGLE_JACCARD_SQL,
+    # the incremental BandIndex path must converge to the same pairs
+    "docs_incremental_neardup": _SHINGLE_JACCARD_SQL,
     "docs_neardup_clusters": f"""
         WITH RECURSIVE pairs AS ({_SHINGLE_JACCARD_SQL}),
         nodes AS (SELECT DISTINCT x AS node FROM

@@ -123,6 +123,33 @@ class MinHasher:
         )
 
 
+def make_bucket_pairs_fn(key: str, max_bucket: int):
+    """Per-LSH-bucket candidate pair emitter (shared by the one-shot
+    ``minhash_lsh_pairs`` and the incremental ``BandIndex``): all pairs
+    within a bucket; buckets larger than ``max_bucket`` (mega-clusters
+    of near-identical docs) degrade to an O(n) STAR against the min key
+    — connectivity for clustering is preserved."""
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ks = sorted(set(group[key].to_pylist()))
+        if len(ks) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        out_a, out_b = [], []
+        if len(ks) > max_bucket:
+            rep = ks[0]
+            for other in ks[1:]:
+                out_a.append(rep)
+                out_b.append(other)
+        else:
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    out_a.append(ks[i])
+                    out_b.append(ks[j])
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+    return bucket_pairs
+
+
 def minhash_lsh_pairs(
     ds,
     key: str,
@@ -155,30 +182,9 @@ def minhash_lsh_pairs(
         concurrency=2,
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ks = sorted(set(group[key].to_pylist()))
-        if len(ks) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        out_a, out_b = [], []
-        if len(ks) > max_bucket:
-            # oversized bucket (mega-cluster of near-identical docs):
-            # emit a STAR against the min key instead of all O(n^2)
-            # pairs — connectivity for clustering is preserved (every
-            # member links to the representative) and output stays O(n)
-            rep = ks[0]
-            for other in ks[1:]:
-                out_a.append(rep)
-                out_b.append(other)
-        else:
-            for i in range(len(ks)):
-                for j in range(i + 1, len(ks)):
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
-
     cand_ds = (
         band_rows.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(make_bucket_pairs_fn(key, max_bucket), batch_format="pyarrow")
         .materialize()  # blocks stay in the object store; count() is then free
     )
     if cand_ds.count() > CANDIDATE_PAIR_LIMIT:

@@ -1,0 +1,156 @@
+"""Incremental persistent LSH band index — streaming near-dup at scale.
+
+The one-shot ``minhash_lsh_pairs`` recomputes bands for the whole
+corpus; at 100 TB new crawl partitions arrive continuously and the
+operational need is "near-dups of THIS partition against everything
+seen so far, without touching old texts". ``BandIndex`` provides that:
+
+    idx = BandIndex(index_dir, n_perm=128, n_bands=16)
+    pairs1 = idx.add_partition(ds1, key="doc_id", text="text")
+    pairs2 = idx.add_partition(ds2, key="doc_id", text="text")
+    # union(pairs1, pairs2) == one-shot candidates over ds1 ∪ ds2
+
+Per ``add_partition``:
+
+1. MinHash bands for the NEW docs only (actor-pool ``MinHasher``);
+2. new-vs-new candidates via the shared per-bucket pair emitter;
+3. new-vs-INDEX candidates via a hash join on (band_id, band_hash)
+   against the persisted band rows — key projections only, old TEXTS
+   are never read (≈ 12 bytes × n_bands per indexed doc);
+4. the new band rows append to ``index_dir`` as their own parquet
+   subdir (atomic: tmp + rename), and ``meta.json`` pins the LSH
+   parameters — reopening with different parameters raises instead of
+   silently mixing incompatible signatures.
+
+Returned pairs are CANDIDATES (pre-verification, like the LSH stage of
+``minhash_lsh_pairs``); verify against your text store with
+``core.dedup.jaccard`` or the distributed pair verifier. The
+``max_bucket`` star-degradation applies per step, so candidate sets
+match the one-shot run exactly only while buckets stay under
+``max_bucket`` (the equivalence test uses a high cap).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+from .dedup import MinHasher, make_bucket_pairs_fn
+
+_META = "meta.json"
+
+
+class BandIndex:
+    def __init__(self, index_dir: str, *, n_perm: int = 128, n_bands: int = 16,
+                 k_shingle: int = 3, max_bucket: int = 64):
+        self.index_dir = index_dir
+        self.params = dict(
+            n_perm=n_perm, n_bands=n_bands, k_shingle=k_shingle, max_bucket=max_bucket
+        )
+        os.makedirs(index_dir, exist_ok=True)
+        meta_path = os.path.join(index_dir, _META)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta["params"] != self.params:
+                raise ValueError(
+                    f"BandIndex at {index_dir} was built with {meta['params']}, "
+                    f"reopened with {self.params}; signatures are incompatible"
+                )
+            self.n_partitions = meta["n_partitions"]
+        else:
+            self.n_partitions = 0
+            self._write_meta()
+
+    def _write_meta(self) -> None:
+        meta_path = os.path.join(self.index_dir, _META)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump({"params": self.params, "n_partitions": self.n_partitions}, f)
+        os.rename(meta_path + ".tmp", meta_path)
+
+    def _band_dirs(self) -> list[str]:
+        return sorted(
+            d for d in glob.glob(os.path.join(self.index_dir, "bands-*"))
+            if os.path.isdir(d)
+        )
+
+    def add_partition(self, ds, *, key: str, text: str):
+        """Near-dup CANDIDATE pairs (a < b, pandas) linking the new
+        partition's docs to each other and to every indexed doc, then
+        append the new docs' bands to the index."""
+        import pandas as pd
+        import ray.data as rd
+
+        p = self.params
+        band_rows = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                key=key, text=text, n_perm=p["n_perm"],
+                k_shingle=p["k_shingle"], n_bands=p["n_bands"],
+            ),
+            batch_format="pyarrow",
+            concurrency=2,
+        ).materialize()  # used three times: pairs, join, append
+
+        # 1. new-vs-new
+        new_new = (
+            band_rows.groupby(["band_id", "band_hash"])
+            .map_groups(make_bucket_pairs_fn(key, p["max_bucket"]), batch_format="pyarrow")
+            .to_pandas()
+        )
+
+        # 2. new-vs-index: hash join on the band bucket (keys only)
+        frames = [new_new] if len(new_new) else []
+        band_dirs = self._band_dirs()
+        if band_dirs:
+            files = [
+                f for d in band_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+            ]
+            old = rd.read_parquet(files).map_batches(
+                lambda t: t.rename_columns(
+                    ["old_key" if c == key else c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+            joined = band_rows.join(
+                old,
+                join_type="inner",
+                num_partitions=max(8, len(band_dirs)),
+                on=("band_id", "band_hash"),
+            )
+
+            def to_pairs(t: pa.Table) -> pa.Table:
+                import numpy as np
+
+                a = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t["old_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                keep = lo != hi
+                return pa.table(
+                    {"a": pa.array(lo[keep], pa.int64()),
+                     "b": pa.array(hi[keep], pa.int64())}
+                )
+
+            new_old = joined.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
+            if len(new_old):
+                frames.append(new_old)
+
+        # 3. append this partition's bands (atomic subdir)
+        sub = os.path.join(self.index_dir, f"bands-{self.n_partitions:05d}")
+        tmp = sub + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        band_rows.write_parquet(tmp)
+        os.rename(tmp, sub)
+        self.n_partitions += 1
+        self._write_meta()
+
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
