@@ -1073,15 +1073,13 @@ def q_docs_incremental_neardup(sf_dir: str):
     import shutil
     import tempfile
 
-    import numpy as np
-
-    from ..core.dedup import jaccard
-    from ..stages.dedup import _gather_texts
+    from ..stages.dedup import verify_candidate_pairs
     from ..stages.dedup_index import BandIndex
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = ds.count()
-    mid = n_docs // 2
+    # one object-store copy: ds is consumed by both splits AND the
+    # verifier's text pass (three scans of the lazy read otherwise)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    mid = ds.count() // 2
 
     def split(lo: bool):
         op = (lambda c: pc.less(c, mid)) if lo else (lambda c: pc.greater_equal(c, mid))
@@ -1097,22 +1095,9 @@ def q_docs_incremental_neardup(sf_dir: str):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     cand = pd.concat([p1, p2], ignore_index=True).drop_duplicates()
-    if cand.empty:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
-        )
-    texts = _gather_texts(ds, "doc_id", "text", sorted(set(cand["a"]) | set(cand["b"])))
-    jac = [
-        jaccard(texts.get(a, ""), texts.get(b, ""), k=3)
-        for a, b in zip(cand["a"], cand["b"])
-    ]
-    cand = cand.assign(jaccard=np.round(jac, 6))
-    return (
-        cand[cand["jaccard"] >= 0.8]
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    # the shared verifier: same gather/distributed dispatch, rounding
+    # and threshold as the one-shot query — parity by construction
+    return verify_candidate_pairs(ds, "doc_id", "text", cand, k_shingle=3, threshold=0.8)
 
 
 def q_docs_simhash_dups(sf_dir: str):

@@ -195,11 +195,24 @@ def minhash_lsh_pairs(
             f"instead of the driver gather"
         )
     cand = cand_ds.to_pandas().drop_duplicates()
+    return verify_candidate_pairs(
+        ds, key, text, cand, k_shingle=k_shingle, threshold=threshold
+    )
+
+
+def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
+                           threshold: float = 0.8):
+    """Exact-Jaccard verification of candidate pairs with the volume
+    dispatch shared by every candidate producer (one-shot LSH AND the
+    incremental ``BandIndex``): a broadcast driver gather under
+    ``GATHER_TEXT_LIMIT``, the fully distributed pair-side join above
+    it. Returns (a, b, jaccard) with jaccard >= threshold, a < b."""
+    import pandas as pd
+
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
-
     needed = sorted(set(cand["a"]) | set(cand["b"]))
     if len(needed) > GATHER_TEXT_LIMIT:
         # scale path: distributed pair-side join, no driver text state

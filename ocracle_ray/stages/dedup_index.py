@@ -61,22 +61,43 @@ class BandIndex:
                     f"BandIndex at {index_dir} was built with {meta['params']}, "
                     f"reopened with {self.params}; signatures are incompatible"
                 )
-            self.n_partitions = meta["n_partitions"]
         else:
-            self.n_partitions = 0
             self._write_meta()
+        # stale *.tmp dirs are partial appends from a crash — remove;
+        # committed band dirs are the ONLY source of truth for the next
+        # ordinal (a kill between rename and any bookkeeping therefore
+        # cannot desynchronize the index — review r2 atomicity finding)
+        for stale in glob.glob(os.path.join(index_dir, "bands-*.tmp")):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    @property
+    def n_partitions(self) -> int:
+        """Committed partition count, derived from DISK, not a counter."""
+        dirs = self._band_dirs()
+        return (
+            max(int(os.path.basename(d).split("-")[1]) for d in dirs) + 1
+            if dirs
+            else 0
+        )
 
     def _write_meta(self) -> None:
         meta_path = os.path.join(self.index_dir, _META)
         with open(meta_path + ".tmp", "w") as f:
-            json.dump({"params": self.params, "n_partitions": self.n_partitions}, f)
+            json.dump({"params": self.params}, f)
         os.rename(meta_path + ".tmp", meta_path)
 
     def _band_dirs(self) -> list[str]:
         return sorted(
             d for d in glob.glob(os.path.join(self.index_dir, "bands-*"))
-            if os.path.isdir(d)
+            if os.path.isdir(d) and not d.endswith(".tmp")
         )
+
+    def _band_files(self) -> list[str]:
+        return [
+            f
+            for d in self._band_dirs()
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
 
     def add_partition(self, ds, *, key: str, text: str):
         """Near-dup CANDIDATE pairs (a < b, pandas) linking the new
@@ -96,20 +117,28 @@ class BandIndex:
             concurrency=2,
         ).materialize()  # used three times: pairs, join, append
 
-        # 1. new-vs-new
-        new_new = (
+        from .dedup import CANDIDATE_PAIR_LIMIT
+
+        # 1. new-vs-new (guarded like the one-shot path: count before
+        # the driver pandas pull — review r2)
+        new_new_ds = (
             band_rows.groupby(["band_id", "band_hash"])
             .map_groups(make_bucket_pairs_fn(key, p["max_bucket"]), batch_format="pyarrow")
-            .to_pandas()
+            .materialize()
         )
+        if new_new_ds.count() > CANDIDATE_PAIR_LIMIT:
+            raise RuntimeError(
+                f"BandIndex.add_partition: new-vs-new candidate count "
+                f"{new_new_ds.count()} exceeds CANDIDATE_PAIR_LIMIT"
+            )
+        new_new = new_new_ds.to_pandas()
 
-        # 2. new-vs-index: hash join on the band bucket (keys only)
+        # 2. new-vs-index: hash join on the band bucket (keys only).
+        # Guard on FILES, not dirs: an empty committed partition leaves
+        # a dir with no parquet (review r2 empty-partition finding)
         frames = [new_new] if len(new_new) else []
-        band_dirs = self._band_dirs()
-        if band_dirs:
-            files = [
-                f for d in band_dirs for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
-            ]
+        files = self._band_files()
+        if files:
             old = rd.read_parquet(files).map_batches(
                 lambda t: t.rename_columns(
                     ["old_key" if c == key else c for c in t.column_names]
@@ -119,7 +148,7 @@ class BandIndex:
             joined = band_rows.join(
                 old,
                 join_type="inner",
-                num_partitions=max(8, len(band_dirs)),
+                num_partitions=max(8, len(files) // 4),
                 on=("band_id", "band_hash"),
             )
 
@@ -135,18 +164,29 @@ class BandIndex:
                      "b": pa.array(hi[keep], pa.int64())}
                 )
 
-            new_old = joined.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
+            new_old_ds = joined.map_batches(
+                to_pairs, batch_format="pyarrow"
+            ).materialize()
+            if new_old_ds.count() > CANDIDATE_PAIR_LIMIT:
+                raise RuntimeError(
+                    f"BandIndex.add_partition: new-vs-index candidate count "
+                    f"{new_old_ds.count()} exceeds CANDIDATE_PAIR_LIMIT"
+                )
+            new_old = new_old_ds.to_pandas()
             if len(new_old):
                 frames.append(new_old)
 
-        # 3. append this partition's bands (atomic subdir)
+        # 3. append this partition's bands (atomic subdir; the rename
+        # IS the commit — n_partitions derives from committed dirs, so
+        # no second write has to succeed for the index to stay sound)
         sub = os.path.join(self.index_dir, f"bands-{self.n_partitions:05d}")
         tmp = sub + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        # pre-create: an all-empty partition writes no files at all,
+        # but must still commit a dir so ordinals stay contiguous
+        os.makedirs(tmp, exist_ok=True)
         band_rows.write_parquet(tmp)
         os.rename(tmp, sub)
-        self.n_partitions += 1
-        self._write_meta()
 
         if not frames:
             return pd.DataFrame(

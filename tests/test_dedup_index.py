@@ -79,3 +79,37 @@ def test_empty_and_first_partition(tmp_path):
     p = idx.add_partition(rd.from_items(distinct), key="doc_id", text="text")
     assert len(p) == 0 and list(p.columns) == ["a", "b"]
     assert idx.n_partitions == 1
+
+
+def test_crash_between_rename_and_meta_recovers(tmp_path):
+    """Review r3: n_partitions derives from committed dirs, so a crash
+    after the rename (before any bookkeeping) cannot brick the index;
+    stale bands-*.tmp dirs are swept on open."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "idx")
+    idx = BandIndex(d, max_bucket=10_000)
+    idx.add_partition(rd.from_items(_docs(0, 6)), key="doc_id", text="text")
+    # simulate: a second append committed its dir but died immediately
+    shutil.copytree(os.path.join(d, "bands-00000"), os.path.join(d, "bands-00001"))
+    os.makedirs(os.path.join(d, "bands-00002.tmp"))  # and a stale tmp
+
+    reopened = BandIndex(d, max_bucket=10_000)
+    assert reopened.n_partitions == 2  # orphan dir counted as committed
+    assert not os.path.exists(os.path.join(d, "bands-00002.tmp"))
+    p = reopened.add_partition(rd.from_items(_docs(6, 12)), key="doc_id", text="text")
+    assert reopened.n_partitions == 3
+    assert ((p["a"] < 6) & (p["b"] >= 6)).any()  # joins against ALL committed
+
+
+def test_empty_partition_does_not_brick_index(tmp_path):
+    """Review r3: an empty partition commits an empty dir; later
+    appends must not crash on a file-less read."""
+    idx = BandIndex(str(tmp_path / "idx"), max_bucket=10_000)
+    empty = rd.from_items(_docs(0, 1)).filter(lambda r: False)
+    p0 = idx.add_partition(empty, key="doc_id", text="text")
+    assert len(p0) == 0 and idx.n_partitions == 1
+    p1 = idx.add_partition(rd.from_items(_docs(0, 8)), key="doc_id", text="text")
+    assert idx.n_partitions == 2
+    assert len(p1) > 0  # new-vs-new pairs still found
