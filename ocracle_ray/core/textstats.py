@@ -94,7 +94,9 @@ def quality_score(text: str) -> float:
 # it exactly; NBSP/U+3000-joined words count as one token on BOTH
 # sides (review finding r2: Python str.split() splits on Unicode
 # whitespace and diverged from the SQL on &nbsp;-bearing text).
-_WS_ASCII_RE = re.compile(r"[ \t\n\r\f\v]+")
+# No \v: RE2's '\s' is [\t\n\f\r ] and vertical tab is not in it
+# (review finding r3).
+_WS_ASCII_RE = re.compile(r"[ \t\n\r\f]+")
 
 
 def detect_lang(text: str) -> str:

@@ -657,8 +657,9 @@ def q_docs_hash_sample(sf_dir: str):
 def q_docs_stratified_sample(sf_dir: str):
     """Deterministic EXACT-QUOTA stratified sampling: each language
     stratum keeps exactly ceil(10% of its size) members — the ones
-    ranking smallest by a Knuth multiplicative hash of doc_id (pure
-    64-bit arithmetic, ties by doc_id), so the DuckDB oracle reproduces
+    ranking smallest by a Knuth multiplicative hash of doc_id (uint64
+    wraparound arithmetic, UBIGINT in SQL; ties by doc_id — assumes
+    non-negative doc_ids), so the DuckDB oracle reproduces
     the exact member set. Unlike a global hash sample, small strata are
     never under-represented. groupby(lang).map_groups is the Ray form
     of SQL's per-partition window rank; parallelism-independent."""
@@ -668,7 +669,10 @@ def q_docs_stratified_sample(sf_dir: str):
 
     def pick_stratum(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * 2654435761) % 2147483648
+        # uint64 wraparound multiply, mirrored by UBIGINT in the oracle:
+        # int64 would wrap differently (and BIGINT SQL would overflow)
+        # once doc_id exceeds ~3.5e9 (review r3)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2147483648)
         quota = int(np.ceil(0.1 * len(ids)))
         order = np.lexsort((ids, h))
         keep = np.zeros(len(ids), dtype=bool)
@@ -1744,7 +1748,11 @@ ORACLE_SQL = {
       SELECT lang, doc_id, n_chars,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+               -- ((id % 2^31) * (2654435761 % 2^31)) % 2^31 equals the
+               -- engine's uint64-wraparound (id*2654435761) % 2^31 for
+               -- any non-negative id (2^31 divides 2^64), and the
+               -- product stays < 2^63 so BIGINT never overflows
+               ORDER BY ((doc_id % 2147483648) * 506952113) % 2147483648, doc_id
              ) AS rn,
              count(*) OVER (PARTITION BY lang) AS n_s
       FROM documents

@@ -221,6 +221,13 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
         )
     else:
         texts = _gather_texts(ds, key, text, needed)
+        # a pair whose BOTH keys are absent from ds is dropped, matching
+        # the distributed path (the inner join never emits it). Scoring
+        # it would give jaccard("","") = 1.0 and the two paths would
+        # diverge (review r3). One-side-missing pairs score against ""
+        # in both paths.
+        present = cand["a"].isin(texts) | cand["b"].isin(texts)
+        cand = cand[present]
         jac = [
             jaccard(texts.get(a, ""), texts.get(b, ""), k=k_shingle)
             for a, b in zip(cand["a"], cand["b"])
@@ -295,8 +302,8 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
         .to_pandas()
     )
     # pairs whose BOTH keys are absent from the corpus never reach the
-    # join output; the driver path scores them jaccard(""/"")=0 — only
-    # relevant below threshold, so filtering first keeps parity
+    # join output; the driver path explicitly drops them too (scoring
+    # would give jaccard(""/"") = 1.0), so the two paths stay equivalent
     out = out[out["jaccard"] >= threshold]
     if out.empty:
         return _empty_pairs_df("jaccard")

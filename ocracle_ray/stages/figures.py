@@ -64,6 +64,8 @@ def _decode(payload: bytes) -> np.ndarray | None:
                 return np.ascontiguousarray(px[:, :, :3])
         return px
     if payload[:4] == b"IMG1":
+        if len(payload) < 8:  # truncated header -> skip row, not a crash
+            return None
         w, h = struct.unpack("<HH", payload[4:8])
         body = payload[8 : 8 + w * h]
         if len(body) < w * h:

@@ -140,15 +140,29 @@ class IvfIndex:
 
         tagged = ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
         if index_dir is not None:
+            import json
+            import os
             import shutil
 
             # the index build: one partition directory per cell; search
             # then reads ONLY the probed cells from storage. Clear any
             # previous build first — write_parquet APPENDS uniquely-named
             # files, so a stale index would double every row (review
-            # finding r2).
-            shutil.rmtree(index_dir, ignore_errors=True)
+            # finding r2). Only clear directories WE built (marker file):
+            # a caller pointing index_dir at an arbitrary data directory
+            # must not have it silently deleted (review finding r3).
+            marker = os.path.join(index_dir, "_IVF_INDEX.json")
+            if os.path.isdir(index_dir) and os.listdir(index_dir):
+                if not os.path.exists(marker):
+                    raise ValueError(
+                        f"index_dir {index_dir!r} is a non-empty directory "
+                        "without an _IVF_INDEX.json marker; refusing to "
+                        "delete it. Point index_dir at a fresh path."
+                    )
+                shutil.rmtree(index_dir)
             tagged.write_parquet(index_dir, partition_cols=["cell"])
+            with open(marker, "w") as f:
+                json.dump({"n_cells": n_cells, "key": key, "emb": emb}, f)
             self.tagged = None
         else:
             self.tagged = tagged.materialize()
@@ -184,32 +198,50 @@ class IvfIndex:
 
         return self.tagged.map_batches(in_cells, batch_format="pyarrow")
 
-    def search(self, query_vec: np.ndarray, *, k: int = 10, n_probe: int = 4):
-        """Probe the n_probe closest cells, exact cosine inside them."""
-        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
-        probe = np.argsort(-(self.centroids @ q))[:n_probe].astype(np.int32)
+    def _candidate_frame(self, q: np.ndarray, k: int, probe: np.ndarray):
+        """Per-batch top-k candidates from the probed cells, as pandas.
 
-        def score(t: pa.Table) -> pa.Table:
+        Each batch emits only its k best rows (the ``brute_force_topk``
+        pattern) so the driver resolve sees ≤ k × n_batches candidate
+        rows, never every probed row's score — a probed cell at scale
+        is millions of rows and must not land on the driver.
+        """
+        import pandas as pd
+
+        key_col, emb_col = self.key, self.emb
+
+        def score_topk(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return pa.table(
-                    {self.key: pa.array([], pa.int64()),
+                    {key_col: pa.array([], pa.int64()),
                      "cosine": pa.array([], pa.float64())}
                 )
-            unit = _unit(_as_matrix(t[self.emb]))
+            unit = _unit(_as_matrix(t[emb_col]))
             cos = unit @ q
+            n = min(k, len(cos))
+            top = np.argpartition(-cos, n - 1)[:n]
+            ids = np.asarray(t[key_col].to_pylist(), dtype=np.int64)[top]
             return pa.table(
-                {self.key: t[self.key], "cosine": pa.array(cos, pa.float64())}
+                {key_col: pa.array(ids, pa.int64()),
+                 "cosine": pa.array(cos[top], pa.float64())}
             )
 
         rows = self._probed_rows(probe)
         if rows is None:
-            import pandas as pd
-
             return pd.DataFrame(
                 {self.key: pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        out = rows.map_batches(score, batch_format="pyarrow").to_pandas()
+        return rows.map_batches(
+            score_topk, batch_format="pyarrow", batch_size=2048
+        ).to_pandas()
+
+    def search(self, query_vec: np.ndarray, *, k: int = 10, n_probe: int = 4):
+        """Probe the n_probe closest cells, exact cosine inside them;
+        per-batch top-k candidates, tiny driver resolve."""
+        q = _unit(np.atleast_2d(np.asarray(query_vec, dtype=np.float64)))[0]
+        probe = np.argsort(-(self.centroids @ q))[:n_probe].astype(np.int32)
+        out = self._candidate_frame(q, k, probe)
         out = out.sort_values(["cosine", self.key], ascending=[False, True]).head(k)
         out["cosine"] = out["cosine"].round(6)
         return out.reset_index(drop=True)

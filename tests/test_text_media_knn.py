@@ -167,7 +167,9 @@ def test_ivf_pruned_read_equals_filter_scan(tmp_path):
     mem = IvfIndex(_emb_ds(), n_cells=8)
     disk = IvfIndex(_emb_ds(), n_cells=8, index_dir=str(tmp_path / "ivf"))
 
-    cells = sorted(os.listdir(tmp_path / "ivf"))
+    entries = sorted(os.listdir(tmp_path / "ivf"))
+    assert "_IVF_INDEX.json" in entries  # build marker gating rmtree
+    cells = [c for c in entries if c != "_IVF_INDEX.json"]
     assert all(c.startswith("cell=") for c in cells) and len(cells) > 1
 
     for n_probe in (2, 8):
