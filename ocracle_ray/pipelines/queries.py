@@ -512,12 +512,25 @@ def q_docs_dup_count(sf_dir: str):
 
 
 def q_docs_token_stats(sf_dir: str):
+    """Per-lang token stats: whitespace tokens AND BPE-ish pre-tokenizer
+    counts in ONE pass (registry consolidation, VERDICT r2 #1 — the old
+    docs_bpe_tokens entry shared this read and group key)."""
+    from ..core.textstats import bpe_ish_token_count
 
     ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
 
     def add_tokens(t: pa.Table) -> pa.Table:
-        toks = pa.array([len(x.split()) for x in t["text"].to_pylist()], pa.int64())
-        return pa.table({"lang": t["lang"], "n_tokens": toks, "n_chars": t["n_chars"]})
+        texts = t["text"].to_pylist()
+        toks = pa.array([len(x.split()) for x in texts], pa.int64())
+        bpe = pa.array([bpe_ish_token_count(x) for x in texts], pa.int64())
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": toks,
+                "n_chars": t["n_chars"],
+                "n_bpe": bpe,
+            }
+        )
 
     return driver_grouped_agg(
         ds.map_batches(add_tokens, batch_format="pyarrow"),
@@ -526,6 +539,7 @@ def q_docs_token_stats(sf_dir: str):
             "n_docs": ("n_tokens", "count"),
             "total_tokens": ("n_tokens", "sum"),
             "total_chars": ("n_chars", "sum"),
+            "total_bpe_tokens": ("n_bpe", "sum"),
         },
     )
 
@@ -548,26 +562,6 @@ def q_docs_quality(sf_dir: str):
     )
     out["avg_quality"] = (out["sum_q"] / out["n_docs"]).round(4)
     return out[["lang", "n_docs", "avg_quality"]]
-
-
-def q_docs_bpe_tokens(sf_dir: str):
-    """BPE-ish pre-tokenizer counts (word/punct split) per lang."""
-
-    from ..core.textstats import bpe_ish_token_count
-
-    ds = _read(sf_dir, "documents", ["lang", "text"])
-
-    def add(t: pa.Table) -> pa.Table:
-        toks = pa.array(
-            [bpe_ish_token_count(x) for x in t["text"].to_pylist()], pa.int64()
-        )
-        return pa.table({"lang": t["lang"], "n_tokens": toks})
-
-    return driver_grouped_agg(
-        ds.map_batches(add, batch_format="pyarrow"),
-        ["lang"],
-        {"total_bpe_tokens": ("n_tokens", "sum"), "n_docs": ("n_tokens", "count")},
-    )
 
 
 def q_docs_langid(sf_dir: str):
@@ -637,13 +631,29 @@ def q_docs_wildcard_sources(sf_dir: str):
     )
 
 
-def q_docs_hash_sample(sf_dir: str):
-    """Deterministic sampling: keep docs whose id hashes into bucket 0
-    of 10 (hash-based, reproducible at any parallelism — unlike
-    random_sample). Oracle mirrors the modulus."""
+def q_docs_samples(sf_dir: str):
+    """Both deterministic samplers in ONE driver row (registry
+    consolidation, VERDICT r2 #1):
+
+    - ``hash_mod10``: keep docs whose id hashes into bucket 0 of 10 —
+      reproducible at any parallelism, unlike random_sample;
+    - ``stratified10pct``: EXACT-QUOTA stratified sampling — each
+      language stratum keeps exactly ceil(10% of its size) members,
+      the ones ranking smallest by a Knuth multiplicative hash of
+      doc_id (uint64 wraparound arithmetic, mirrored by an
+      overflow-free mod-2^31 form in SQL; ties by doc_id — assumes
+      non-negative doc_ids), so the DuckDB oracle reproduces the
+      exact member set and small strata are never under-represented.
+      groupby(lang).map_groups is the Ray form of SQL's per-partition
+      window rank; parallelism-independent.
+
+    Output: (method, lang, n_sampled, chars_sampled) per-stratum
+    aggregates of each sampler's kept set, oracled via UNION ALL."""
+    import numpy as np
+
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
-    def pick(t: pa.Table) -> pa.Table:
+    def pick_hash(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
         mod = _pc.subtract(
@@ -651,21 +661,12 @@ def q_docs_hash_sample(sf_dir: str):
         )
         return t.filter(_pc.equal(mod, 0))
 
-    return ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-
-
-def q_docs_stratified_sample(sf_dir: str):
-    """Deterministic EXACT-QUOTA stratified sampling: each language
-    stratum keeps exactly ceil(10% of its size) members — the ones
-    ranking smallest by a Knuth multiplicative hash of doc_id (uint64
-    wraparound arithmetic, UBIGINT in SQL; ties by doc_id — assumes
-    non-negative doc_ids), so the DuckDB oracle reproduces
-    the exact member set. Unlike a global hash sample, small strata are
-    never under-represented. groupby(lang).map_groups is the Ray form
-    of SQL's per-partition window rank; parallelism-independent."""
-    import numpy as np
-
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    hash_agg = driver_grouped_agg(
+        ds.map_batches(pick_hash, batch_format="pyarrow"),
+        ["lang"],
+        {"n_sampled": ("doc_id", "count"), "chars_sampled": ("n_chars", "sum")},
+    )
+    hash_agg.insert(0, "method", "hash_mod10")
 
     def pick_stratum(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -679,12 +680,16 @@ def q_docs_stratified_sample(sf_dir: str):
         keep[order[:quota]] = True
         return g.filter(pa.array(keep))
 
-    sampled = ds.groupby("lang").map_groups(pick_stratum, batch_format="pyarrow")
-    return driver_grouped_agg(
-        sampled,
+    strat = ds.groupby("lang").map_groups(pick_stratum, batch_format="pyarrow")
+    strat_agg = driver_grouped_agg(
+        strat,
         ["lang"],
         {"n_sampled": ("doc_id", "count"), "chars_sampled": ("n_chars", "sum")},
-    ).sort_values("lang").reset_index(drop=True)
+    )
+    strat_agg.insert(0, "method", "stratified10pct")
+
+    out = pd.concat([hash_agg, strat_agg], ignore_index=True)
+    return out.sort_values(["method", "lang"]).reset_index(drop=True)
 
 
 def q_events_distinct_users_kmv(sf_dir: str):
@@ -766,20 +771,43 @@ def q_knn_bruteforce(sf_dir: str):
     return cand.reset_index(drop=True)
 
 
-def q_knn_ivf_fullprobe(sf_dir: str):
-    """IVF index search with n_probe = n_cells — exhaustive, therefore
-    exactly equal to brute force (shares knn_bruteforce's oracle). The
-    scale path (partial probe) trades recall for reads; its recall is
-    measured in tests/test_text_media_knn.py, not assumed."""
+def q_knn_ivf(sf_dir: str):
+    """IVF search, both probe regimes on ONE index (registry
+    consolidation, VERDICT r2 next-round #1 — the old knn_ivf_fullprobe
+    entry duplicated knn_bruteforce's oracle):
+
+    - full probe (n_probe = n_cells) is exhaustive and must EQUAL brute
+      force — asserted in-query, so a violation turns this driver row
+      into an error instead of silently passing;
+    - partial probe (the scale path) returns the rows, with the
+      MEASURED recall vs brute force carried on every row so the driver
+      re-checks the scale path's quality each round."""
     from ..stages.knn import IvfIndex
 
     q = _query_vec(sf_dir)
-    n_cells = 8
+    n_cells, n_probe, K = 8, 2, 10
     idx = IvfIndex(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_cells=n_cells
     )
-    out = idx.search(q, k=11, n_probe=n_cells)  # k+1: self is included
-    out = out[out["vec_id"] != 0].head(10).reset_index(drop=True)
+    brute = q_knn_bruteforce(sf_dir)
+
+    full = idx.search(q, k=K + 1, n_probe=n_cells)  # k+1: self is included
+    full = full[full["vec_id"] != 0].head(K).reset_index(drop=True)
+    if list(full["vec_id"]) != list(brute["vec_id"]) or not np.allclose(
+        full["cosine"], brute["cosine"], atol=1e-9
+    ):
+        raise RuntimeError(
+            "knn_ivf: full-probe IVF diverged from brute force — the "
+            "exhaustive path must be exact"
+        )
+
+    out = idx.search(q, k=K + 1, n_probe=n_probe)
+    out = out[out["vec_id"] != 0].head(K).reset_index(drop=True)
+    exact = set(brute["vec_id"])
+    recall = round(len(set(out["vec_id"]) & exact) / max(len(exact), 1), 4)
+    out["rank"] = out.index + 1
+    out["n_probe"] = n_probe
+    out["recall_vs_brute"] = recall
     return out
 
 
@@ -827,29 +855,6 @@ def q_events_heavy_hitters(sf_dir: str):
     return out.sort_values(["n_events", "event_type"], ascending=[False, True]).reset_index(
         drop=True
     )
-
-
-def q_knn_ivf_partial(sf_dir: str):
-    """IVF search on the SCALE path: n_probe < n_cells, so only a
-    fraction of cells is read. Rows-only (recall < 1 by design — no SQL
-    mirror); each row carries the MEASURED recall vs brute force, so
-    the driver re-checks the scale path's quality every round instead
-    of trusting the test suite (VERDICT r1 item 7)."""
-    from ..stages.knn import IvfIndex
-
-    q = _query_vec(sf_dir)
-    n_cells, n_probe, K = 8, 2, 10
-    idx = IvfIndex(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_cells=n_cells
-    )
-    out = idx.search(q, k=K + 1, n_probe=n_probe)  # k+1: self is included
-    out = out[out["vec_id"] != 0].head(K).reset_index(drop=True)
-    exact = set(q_knn_bruteforce(sf_dir)["vec_id"])
-    recall = round(len(set(out["vec_id"]) & exact) / max(len(exact), 1), 4)
-    out["rank"] = out.index + 1
-    out["n_probe"] = n_probe
-    out["recall_vs_brute"] = recall
-    return out
 
 
 def q_embeddings_label_stats(sf_dir: str):
@@ -1197,26 +1202,6 @@ def q_extract_flagship(sf_dir: str):
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
-def q_pages_pdf_branch(sf_dir: str):
-    """The PDF actor-pool branch in isolation (SURVEY §2.3 surface):
-    per-record summary of every %PDF-sniffed page (rows-only)."""
-    import pyarrow.compute as _pc
-
-    from ..pipelines.extraction import extract_records
-    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
-
-    n = min(2000, n_docs_for_sf(sf_of_dir(sf_dir)))
-    recs = extract_records(generate_pages_dataset(n), concurrency=2)
-    pdfs = recs.map_batches(
-        lambda t: t.filter(_pc.equal(t["branch"], "pdf")).select(
-            ["url", "n_blocks", "n_figure_blocks", "n_tasks", "points_total",
-             "text_fingerprint"]
-        ),
-        batch_format="pyarrow",
-    )
-    return pdfs.to_pandas()
-
-
 def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
@@ -1279,61 +1264,105 @@ def q_media_features(sf_dir: str):
     )
 
 
-def q_pdf_real_branch(sf_dir: str):
-    """REAL (non-OCRSYN) PDFs through the FULL extraction pipeline:
-    deterministic minimal PDF bytes (``sources.realpdf``) parsed by the
-    stdlib extractor inside the Extract actor pool. Rows-only (fixtures
-    are synthesized); per-doc summary is stable across runs and
-    parallelism."""
+def q_pdf_branch(sf_dir: str):
+    """The WHOLE PDF branch in one driver row (registry consolidation —
+    the old pages_pdf_branch entry was a subset of pdf_real_branch):
+
+    - ``src='real'``: deterministic minimal REAL PDF bytes
+      (``sources.realpdf``) parsed by the stdlib extractor inside the
+      Extract actor pool;
+    - ``src='ocrsyn'``: every %PDF-sniffed page of the synthetic corpus
+      through the same pipeline.
+
+    Rows-only (fixtures are synthesized); per-doc summary is stable
+    across runs and parallelism."""
+    import pyarrow.compute as _pc
     from ray.data import from_arrow
 
     from ..pipelines.extraction import extract_records
-    from ..sources.pages import sf_of_dir
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
     from ..sources.realpdf import real_pdf_pages_table
 
-    n = max(16, min(200, int(1000 * sf_of_dir(sf_dir))))
-    pages = from_arrow(real_pdf_pages_table(n)).repartition(max(2, n // 8))
-    recs = extract_records(pages, concurrency=2)
-    out = recs.map_batches(
-        lambda t: t.select(
-            ["url", "branch", "n_blocks", "n_tasks", "points_total",
-             "text_fingerprint", "error"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return out.sort_values("url").reset_index(drop=True)
+    cols = ["url", "branch", "n_blocks", "n_tasks", "points_total",
+            "text_fingerprint", "error"]
 
+    def pick(src: str, flt=None):
+        def fn(t: pa.Table) -> pa.Table:
+            if flt is not None:
+                t = t.filter(flt(t))
+            t = t.select(cols)
+            return t.append_column("src", pa.array([src] * t.num_rows, pa.string()))
 
-def q_pages_block_kinds(sf_dir: str):
-    """Block-kind histogram over the exploded ``blocks`` table
-    (SURVEY.md §1.2 central intermediate; rows-only — pages are
-    synthesized)."""
-    from ray.data.aggregate import Count, Sum
+        return fn
 
-    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
-    from ..stages.blocks import pages_to_blocks
-
-    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
-    blocks = pages_to_blocks(generate_pages_dataset(n), concurrency=2)
-    return (
-        blocks.groupby("kind")
-        .aggregate(Count(alias_name="n_blocks"), Sum("n_chars", alias_name="total_chars"))
-        .sort("kind")
+    n_real = max(16, min(200, int(1000 * sf_of_dir(sf_dir))))
+    real_pages = from_arrow(real_pdf_pages_table(n_real)).repartition(
+        max(2, n_real // 8)
+    )
+    # the two branches run SEQUENTIALLY (.to_pandas() each), not as a
+    # lazy union: a union would instantiate both fixed-size actor pools
+    # at once (2+2 actors) and deadlock a 4-CPU session
+    real = (
+        extract_records(real_pages, concurrency=2)
+        .map_batches(pick("real"), batch_format="pyarrow")
         .to_pandas()
     )
 
+    n_syn = min(2000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    syn = (
+        extract_records(generate_pages_dataset(n_syn), concurrency=2)
+        .map_batches(
+            pick("ocrsyn", flt=lambda t: _pc.equal(t["branch"], "pdf")),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = pd.concat([real, syn], ignore_index=True)
+    return out.sort_values(["src", "url"]).reset_index(drop=True)
 
-def q_pages_figures(sf_dir: str):
-    """Figure spans with per-url near-dup suppression (F5 analogue;
-    rows-only)."""
-    from ray.data.aggregate import Count
+
+def q_pages_census(sf_dir: str):
+    """Block AND figure census over the exploded ``blocks`` table in
+    ONE driver row (registry consolidation, VERDICT r2 #1 — the old
+    pages_block_kinds and pages_figures entries shared the same
+    pages→blocks pipeline):
+
+    - ``section='block_kind'``: per-kind block histogram (SURVEY.md
+      §1.2 central intermediate), key = kind;
+    - ``section='figures_per_url'``: figure spans after per-url
+      near-dup suppression (F5 analogue), key = url, total_chars = 0.
+
+    Rows-only — pages are synthesized; stable across parallelism."""
+    from ray.data.aggregate import Count, Sum
 
     from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
     from ..stages.blocks import figures_of_blocks, pages_to_blocks
 
     n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
-    figs = figures_of_blocks(pages_to_blocks(generate_pages_dataset(n), concurrency=2))
-    return figs.groupby("url").aggregate(Count(alias_name="n_figures")).to_pandas()
+    # materialize: both sections consume the same blocks; without it the
+    # lazy pipeline would re-run page extraction twice (bounded: n<=1000)
+    blocks = pages_to_blocks(generate_pages_dataset(n), concurrency=2).materialize()
+
+    kinds = (
+        blocks.groupby("kind")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+        .rename(columns={"kind": "key"})
+    )
+    kinds.insert(0, "section", "block_kind")
+
+    figs = (
+        figures_of_blocks(blocks)
+        .groupby("url")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .rename(columns={"url": "key"})
+    )
+    figs.insert(0, "section", "figures_per_url")
+    figs["total_chars"] = 0
+
+    out = pd.concat([kinds, figs], ignore_index=True)
+    return out.sort_values(["section", "key"]).reset_index(drop=True)
 
 
 def q_figure_pixel_crops(sf_dir: str):
@@ -1445,18 +1474,16 @@ QUERIES = {
     "docs_dup_count": q_docs_dup_count,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
-    "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
-    "docs_hash_sample": q_docs_hash_sample,
-    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_samples": q_docs_samples,
     "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
-    "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-    # rows-only: partial probe's recall is measured in-query vs brute
-    "knn_ivf_partial": q_knn_ivf_partial,
+    # rows-only: full probe asserted == brute force in-query; partial
+    # probe's measured recall carried on every row
+    "knn_ivf": q_knn_ivf,
     "events_heavy_hitters": q_events_heavy_hitters,
     "embeddings_label_stats": q_embeddings_label_stats,
     "orders_lineitem_revenue": q_orders_lineitem_revenue,
@@ -1473,13 +1500,12 @@ QUERIES = {
     "docs_neardup_clusters": q_docs_neardup_clusters,
     "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
-    "pages_pdf_branch": q_pages_pdf_branch,
-    "pages_block_kinds": q_pages_block_kinds,
-    "pages_figures": q_pages_figures,
+    # rows-only: pages are synthesized (block + figure census)
+    "pages_census": q_pages_census,
     # rows-only: pixel fixtures are synthesized (F1-F5/F8 census)
     "figure_pixel_crops": q_figure_pixel_crops,
     # rows-only: real-PDF fixtures synthesized; stdlib parser in-pipeline
-    "pdf_real_branch": q_pdf_real_branch,
+    "pdf_branch": q_pdf_branch,
     # rows-only: media fixtures synthesized (image/audio/video stages)
     "media_features": q_media_features,
     "webview_tasks": q_webview_tasks,
@@ -1701,10 +1727,13 @@ ORACLE_SQL = {
         )
     """,
     "docs_token_stats": """
+        -- total_bpe_tokens mirrors textstats._TOKEN_RE (ASCII classes)
         SELECT lang, count(*) AS n_docs,
                CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                         x -> x <> ''))) AS BIGINT) AS total_tokens,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
+                    AS BIGINT) AS total_bpe_tokens
         FROM documents GROUP BY lang
     """,
     "docs_quality": """
@@ -1729,21 +1758,13 @@ ORACLE_SQL = {
         )
         GROUP BY lang
     """,
-    "docs_bpe_tokens": """
-        -- mirrors textstats._TOKEN_RE exactly (ASCII classes both sides)
-        SELECT lang,
-               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
-                    AS BIGINT) AS total_bpe_tokens,
-               count(*) AS n_docs
-        FROM documents GROUP BY lang
-    """,
     "docs_wildcard_sources": """
         SELECT source, count(*) AS n_docs FROM documents
         WHERE regexp_matches(upper(source), '^SRC.$')
         GROUP BY source
     """,
     "docs_langid": _langid_oracle_sql(),
-    "docs_stratified_sample": """
+    "docs_samples": """
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,
              row_number() OVER (
@@ -1757,10 +1778,16 @@ ORACLE_SQL = {
              count(*) OVER (PARTITION BY lang) AS n_s
       FROM documents
     )
-    SELECT lang, count(*) AS n_sampled,
+    SELECT 'hash_mod10' AS method, lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents WHERE doc_id % 10 = 0
+    GROUP BY lang
+    UNION ALL
+    SELECT 'stratified10pct' AS method, lang, count(*) AS n_sampled,
            CAST(sum(n_chars) AS BIGINT) AS chars_sampled
     FROM ranked WHERE rn <= ceil(0.1 * n_s)
-    GROUP BY lang ORDER BY lang
+    GROUP BY lang
+    ORDER BY method, lang
 """,
     "events_heavy_hitters": """
     SELECT event_type, count(*) AS n_events
@@ -1769,9 +1796,6 @@ ORACLE_SQL = {
     HAVING count(*) > (SELECT count(*) FROM events) / 8.0
     ORDER BY n_events DESC, event_type
 """,
-    "docs_hash_sample": """
-        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
-    """,
     "events_distinct_users_kmv": """
         SELECT count(DISTINCT user_id) AS n_users FROM events
     """,
@@ -1784,18 +1808,6 @@ ORACLE_SQL = {
         FROM (SELECT DISTINCT source FROM documents)
     """,
     "knn_bruteforce": """
-        SELECT e.vec_id,
-               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                            CAST(q.embedding AS DOUBLE[])), 6) AS cosine
-        FROM embeddings e,
-             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        WHERE e.vec_id <> 0
-        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
-        LIMIT 10
-    """,
-    # full-probe IVF is exhaustive -> identical result set
-    "knn_ivf_fullprobe": """
         SELECT e.vec_id,
                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                             CAST(q.embedding AS DOUBLE[])), 6) AS cosine
@@ -1891,7 +1903,7 @@ ORACLE_SQL = {
         SELECT event_type, round(sum(value), 4) AS total_value
         FROM events GROUP BY event_type
     """,
-    # pages_block_kinds / pages_figures / webview_tasks: no oracle —
+    # pages_census / webview_tasks: no oracle —
     # they run over the synthesized pages table (rows-only checks).
     # docs_simhash_dups: no oracle — token-multiset identity (order-free)
     # is not faithfully SQL-expressible; rows-only check.

@@ -126,14 +126,14 @@ def test_garbage_real_pdf_still_raises():
 
 
 def test_real_pdf_pipeline_query_stable_and_clean():
-    """pdf_real_branch: real PDFs through the actor-pool pipeline —
+    """pdf_branch: real PDFs through the actor-pool pipeline —
     deterministic across runs, no extraction errors, tasks found."""
     import pandas as pd
 
     from ocracle_ray.pipelines.queries import QUERIES
 
-    a = QUERIES["pdf_real_branch"]("/root/testdata/sf0.001")
-    b = QUERIES["pdf_real_branch"]("/root/testdata/sf0.001")
+    a = QUERIES["pdf_branch"]("/root/testdata/sf0.001")
+    b = QUERIES["pdf_branch"]("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b)
     assert (a["branch"] == "pdf").all()
     assert (a["error"] == "").all()
