@@ -342,21 +342,22 @@ def q_events_user_totals(sf_dir: str):
 
 
 def q_events_value_quantiles(sf_dir: str):
-    """Exact per-type value quantiles (p50/p95) via ts-sorted
-    map_groups; numpy 'linear' interpolation == DuckDB quantile_cont."""
+    """EXACT per-type p50/p95 via two-pass histogram-refinement
+    selection (stages/quantile.py): histogram partials locate the
+    buckets holding each order statistic, a pruned second pass pulls
+    only those buckets' values (guarded). Replaces the per-group
+    map_groups percentile whose 'one group fits a worker' assumption
+    dies on a hot event_type (VERDICT r2 #3). Interpolation is numpy
+    'linear' == DuckDB quantile_cont, so the oracle stays exact."""
+    from ..stages.quantile import grouped_exact_quantiles
+
     ds = _read(sf_dir, "events", ["event_type", "value"])
-
-    def quants(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [round(float(np.percentile(v, 50)), 4)],
-                "p95": [round(float(np.percentile(v, 95)), 4)],
-            }
-        )
-
-    return ds.groupby("event_type").map_groups(quants, batch_format="pandas").to_pandas()
+    out = grouped_exact_quantiles(
+        ds, "event_type", "value", probs=(0.5, 0.95), bin_width=1.0
+    )
+    out["p50"] = out["p50"].round(4)
+    out["p95"] = out["p95"].round(4)
+    return out.reset_index(drop=True)
 
 
 def q_events_value_histogram(sf_dir: str):
@@ -418,16 +419,25 @@ def q_events_sliding_1h(sf_dir: str):
 
 def q_events_running_sum(sf_dir: str):
     """Per-user running (cumulative) value sum in ts order — the window
-    function surface (groupby(user).map_groups cumsum; ordering
-    assumption: one user's events fit a group)."""
+    function surface, reworked scale-safe (VERDICT r2 #9 + #4):
+    boundary-carry segments over a (user, ts, id)-sorted dataset, the
+    per-event result written to PARTITIONED PARQUET (never through the
+    driver), and the driver row is a per-user summary aggregated from
+    the written files. Integer-cent arithmetic keeps engine == oracle
+    exact; sum-of-prefix-sums is order-sensitive, so the summary still
+    verifies the sort order."""
+    import shutil
+    import tempfile
+
+    from ..stages.running import running_sum_to_parquet
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        g["running_value"] = g["value"].cumsum().round(4)
-        return g[["event_id", "user_id", "running_value"]]
-
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas").to_pandas()
+    out_dir = tempfile.mkdtemp(prefix="running_sum_", dir="/tmp")
+    try:
+        out = running_sum_to_parquet(ds, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def q_events_argmax(sf_dir: str):
@@ -455,18 +465,16 @@ def q_events_argmax(sf_dir: str):
 
 
 def q_events_sessions(sf_dir: str):
-    """Sessionization (30-min inactivity gap) — the streaming-shaped
-    operator: groupby(user).map_groups over ts-sorted groups (ray_guide
-    'Streaming-shaped workloads' pattern; ordering assumption: per-user
-    events fit one group and are sorted inside the UDF)."""
+    """Sessionization (30-min inactivity gap) via BOUNDARY-CARRY
+    repartition-sort (stages/sessions.py): sort by (user, ts), emit one
+    segment row per (block, user), stitch segments in a groupby whose
+    group size is bounded by the BLOCK count — no 'one user's events
+    fit a group' assumption, so a bot user with 10^8 events cannot OOM
+    a worker (VERDICT r2 #4)."""
+    from ..stages.sessions import count_sessions
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = (ts.diff() > pd.Timedelta(minutes=30)).sum()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps) + 1]})
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return count_sessions(ds, "user_id", "ts").to_pandas()
 
 
 # --------------------------------------------------------------------------
@@ -964,7 +972,10 @@ def q_events_asof_prev_click(sf_dir: str):
     purchase, the most recent STRICTLY-prior click by the same user.
     Implemented as groupby(user).map_groups + pd.merge_asof over
     ts-sorted groups; partitioning assumption: one user's events fit a
-    group."""
+    group — GUARDED (guarded_map_groups raises past ASOF_MAX_GROUP_ROWS
+    instead of silently OOMing a worker on a bot user; VERDICT r2 #4)."""
+    from ..stages.sessions import guarded_map_groups
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -986,7 +997,15 @@ def q_events_asof_prev_click(sf_dir: str):
              "prev_click_id": m["prev_click_id"].astype("int64")}
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    return guarded_map_groups(
+        ds, "user_id", asof, max_group_rows=ASOF_MAX_GROUP_ROWS
+    ).to_pandas()
+
+
+# one user's events must fit a worker for the merge_asof path; the
+# guard makes the assumption loud (a boundary-carry rework like
+# stages/sessions.py would lift it — documented trade-off)
+ASOF_MAX_GROUP_ROWS = 5_000_000
 
 
 def q_events_props_k(sf_dir: str):
@@ -1686,12 +1705,21 @@ ORACLE_SQL = {
         FROM assigned GROUP BY 1, 2
     """,
     "events_running_sum": """
-        SELECT event_id, user_id,
-               round(sum(value) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 4) AS running_value
-        FROM events
+        -- per-user summary of the parquet-streamed running sums:
+        -- sum of prefix sums is order-sensitive, so this still
+        -- verifies the (ts, event_id) ordering; integer cents keep
+        -- both sides exact
+        WITH rc AS (
+            SELECT user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_cents
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(running_cents) AS BIGINT) AS total_running_cents
+        FROM rc GROUP BY user_id ORDER BY user_id
     """,
     "events_argmax": """
         SELECT event_type, event_id, value FROM (
