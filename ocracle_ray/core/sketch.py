@@ -138,19 +138,35 @@ class MisraGries:
 
 def kmv_distinct_estimate(ds, column: str, *, k: int = 1024) -> float:
     """Distributed distinct-count estimate: one serialized sketch per
-    batch (map), merged on the driver (sketches are tiny: ≤ 8k bytes)."""
+    batch (map), merged on the driver (sketches are tiny: ≤ 8k bytes).
+
+    Fully VECTORIZED (round 3): per-batch hashing is
+    ``pd.util.hash_array`` (C-speed SipHash, deterministic) and a
+    sketch is just the sorted k smallest distinct hashes as a uint64
+    array — ``np.unique`` is ascending, so ``[:k]`` IS the sketch.
+    The old per-row ``KMV.add`` loop (blake2b per value + an O(k)
+    max() per insert once full) made the key pre-pass the bottleneck
+    on high-cardinality columns — exactly where this estimator is
+    supposed to be cheap. Estimator semantics unchanged: exact while
+    true distinct < k, (k-1)/(h_(k)/2^64) beyond."""
+    import pandas as pd
     import pyarrow as pa
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        s = KMV(k)
-        for v in t[column].to_pylist():
-            s.add(v)
-        return pa.table({"sketch": pa.array([s.serialize()], pa.large_binary())})
+        vals = t[column].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(vals)  # uint64, vectorized, deterministic
+        h = np.unique(h)[:k]  # unique sorts ascending -> k smallest
+        return pa.table(
+            {"sketch": pa.array([h.astype(np.uint64).tobytes()], pa.large_binary())}
+        )
 
-    merged = KMV(k)
+    merged = np.array([], dtype=np.uint64)
     for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         for blob in b["sketch"].to_pylist():
-            merged = merged.merge(KMV.deserialize(blob, k))
-    return merged.estimate()
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            merged = np.unique(np.concatenate([merged, arr]))[:k]
+    if len(merged) < k:
+        return float(len(merged))
+    return (k - 1) / (float(merged[-1]) / _MAX64)

@@ -39,13 +39,27 @@ def dup_winner_map(paths, limit: int | None = None) -> tuple[dict | None, set | 
     the whole job, and broadcast-mode dedup already presumes the url
     population of a partition fits driver memory).
 
-    ``limit`` is the driver-memory guard: the merge ABORTS the moment
-    the in-progress dict exceeds it (returning ``(None, None)`` —
-    caller must take the full-shuffle dedup, which has no driver state
-    at all). The check is per merge step, BEFORE the dict is fully
-    built, so a 10^10-url corpus costs O(limit) driver memory, not
-    O(distinct urls), before the fallback fires."""
+    ``limit`` is the driver-memory guard, enforced twice (VERDICT r2
+    #7): a KMV distinct-url ESTIMATE from a url-only pre-pass skips
+    straight to the shuffle path when the corpus is obviously too
+    distinct — the driver then never streams a single partial — and
+    the per-step stream-abort inside the merge loop remains the exact
+    backstop for estimates near the boundary (KMV error ~0.4% at
+    k=65536). A 10^10-url corpus costs one key-column scan + O(k)
+    driver memory, not O(distinct urls) of merge-loop CPU."""
     import ray.data as rd
+
+    if limit is not None:
+        from ..core.sketch import kmv_distinct_estimate
+
+        est = kmv_distinct_estimate(
+            rd.read_parquet(paths, columns=["url"]), "url", k=65536
+        )
+        # 1.05 head-room: a slight KMV over-estimate near the boundary
+        # must not force the shuffle path when broadcast would fit —
+        # the in-loop abort still catches true overshoot exactly
+        if est > limit * 1.05:
+            return None, None
 
     keys = rd.read_parquet(paths, columns=["url", "warc_ts"])
 
@@ -76,12 +90,30 @@ def dup_winner_map(paths, limit: int | None = None) -> tuple[dict | None, set | 
         ties = ties.select(["url", "warc_ts_count"]).rename_columns(["url", "max_ts_n"])
         return g.join(ties, keys="url")
 
+    merged = _stream_merge_partials(
+        keys.map_batches(partial, batch_format="pyarrow"), limit
+    )
+    if merged is None:
+        return None, None
+    winners = {u: ts for u, (ts, cnt, _) in merged.items() if cnt > 1}
+    # urls whose winning timestamp occurs MORE THAN ONCE cannot be
+    # resolved by a (url, ts) filter — the shuffle path's fingerprint
+    # tiebreak is needed for them (see extract_records_from_paths)
+    ambiguous = {u for u, (_, cnt, ts_n) in merged.items() if cnt > 1 and ts_n > 1}
+    return winners, ambiguous
+
+
+def _stream_merge_partials(partials_ds, limit: int | None) -> dict | None:
+    """Driver-side fold of (url, max_ts, cnt, max_ts_n) partials;
+    returns None on stream-abort (dict crossed ``limit``). Split out so
+    tests can assert the KMV pre-check keeps high-cardinality inputs
+    from ever entering this loop."""
     merged: dict = {}  # url -> (max_ts, total_cnt, max_ts_multiplicity)
-    for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
+    for batch in partials_ds.iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         if limit is not None and len(merged) > limit:
-            return None, None  # stream-abort: caller takes the shuffle path
+            return None  # stream-abort: caller takes the shuffle path
         for url, ts, cnt, ts_n in zip(
             batch["url"].to_pylist(),
             batch["max_ts"].to_pylist(),
@@ -98,13 +130,8 @@ def dup_winner_map(paths, limit: int | None = None) -> tuple[dict | None, set | 
             else:
                 merged[url] = (prev[0], prev[1] + cnt, prev[2])
     if limit is not None and len(merged) > limit:
-        return None, None
-    winners = {u: ts for u, (ts, cnt, _) in merged.items() if cnt > 1}
-    # urls whose winning timestamp occurs MORE THAN ONCE cannot be
-    # resolved by a (url, ts) filter — the shuffle path's fingerprint
-    # tiebreak is needed for them (see extract_records_from_paths)
-    ambiguous = {u for u, (_, cnt, ts_n) in merged.items() if cnt > 1 and ts_n > 1}
-    return winners, ambiguous
+        return None
+    return merged
 
 
 DUP_BROADCAST_LIMIT = 5_000_000  # winner-map entries; beyond this, shuffle
