@@ -10,8 +10,11 @@ Five operators over any Dataset with a text column + int64 key column:
                            projections — never document text; verification
                            joins text back via a bucketed exchange.
 - ``simhash_dups``         64-bit SimHash, duplicates = identical hash
-                           (hamming-0 buckets; hamming<=k via rotations
-                           is a documented extension).
+                           (hamming-0 buckets).
+- ``simhash_neardup_pairs`` hamming<=k SimHash pairs via the pigeonhole
+                           band trick: k+1 bit-bands, exact-match each
+                           band, verify hamming in-bucket (EXACT up to
+                           mega-bucket star degradation).
 - ``ngram_jaccard_pairs``  exact all-pairs Jaccard within small hash
                            buckets (brute force verifier / tiny-corpus
                            path).
@@ -418,6 +421,129 @@ def simhash_dups(ds, key: str, text: str):
     return agg.map_batches(
         lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow"
     )
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_neardup_pairs(
+    ds,
+    key: str,
+    text: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 2048,
+):
+    """Hamming<=k SimHash near-dup pairs via the PIGEONHOLE band trick
+    (VERDICT r2 next-round #6): split the 64-bit hash into ``k+1``
+    bit-bands — two hashes within hamming distance k must agree EXACTLY
+    on at least one band (k flipped bits cannot touch all k+1 bands) —
+    so candidate generation is k+1 exact-match groupbys and the method
+    is EXACT, not probabilistic (unlike MinHash-LSH), up to the
+    mega-bucket star degradation.
+
+    Shuffle moves only (key, band_id, band_val, simhash) projections
+    (~28 bytes/row x k+1); verification is a vectorized in-bucket
+    popcount — document text NEVER moves. Returns a pandas DataFrame
+    (a, b, hamming) with a < b, deduped across bands; candidate volume
+    is guarded by ``CANDIDATE_PAIR_LIMIT`` before the driver pull."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n_bands = max_hamming + 1
+    # band bit-offsets: split 64 bits as evenly as possible
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = np.cumsum([0] + widths[:-1])
+    masks = [(1 << w) - 1 for w in widths]
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = np.array(
+            [simhash(x) for x in _text_col(t, text)], dtype=np.uint64
+        )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(n_bands):
+            bv = (sh >> np.uint64(offsets[b])) & np.uint64(masks[b])
+            parts.append(
+                pa.table(
+                    {
+                        key: pa.array(keys, pa.int64()),
+                        "band_id": pa.array(np.full(len(sh), b, np.int32)),
+                        "band_val": pa.array(bv.astype(np.int64)),
+                        "simhash": pa.array(sh.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        df = (
+            group.select([key, "simhash"])
+            .to_pandas()
+            .drop_duplicates(subset=[key])
+            .sort_values(key)
+        )
+        ks = df[key].to_numpy(dtype=np.int64)
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(ks) < 2:
+            return empty
+        out_a, out_b, out_h = [], [], []
+        if len(ks) > max_bucket:
+            # mega-bucket: star vs the min key (connectivity preserved,
+            # O(n) — the shared discipline with make_bucket_pairs_fn)
+            h = popcount64(sh[1:] ^ sh[0])
+            keep = h <= max_hamming
+            out_a.append(np.full(int(keep.sum()), ks[0]))
+            out_b.append(ks[1:][keep])
+            out_h.append(h[keep])
+        else:
+            for i in range(len(ks) - 1):
+                h = popcount64(sh[i + 1 :] ^ sh[i])
+                keep = h <= max_hamming
+                if keep.any():
+                    out_a.append(np.full(int(keep.sum()), ks[i]))
+                    out_b.append(ks[i + 1 :][keep])
+                    out_h.append(h[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    cand_ds = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    n_cand = cand_ds.count()
+    if n_cand > CANDIDATE_PAIR_LIMIT:
+        raise RuntimeError(
+            f"simhash_neardup_pairs: candidate pair count {n_cand} exceeds "
+            f"CANDIDATE_PAIR_LIMIT ({CANDIDATE_PAIR_LIMIT}); shrink "
+            f"max_bucket or dedup pairs via a distributed groupby"
+        )
+    cand = cand_ds.to_pandas().drop_duplicates(subset=["a", "b"])
+    return cand.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ------------------------------------------- n-gram jaccard brute force
