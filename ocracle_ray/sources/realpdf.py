@@ -34,23 +34,7 @@ def build_exam_pdf(i: int, seed: int = 42) -> bytes:
     """One minimal real PDF: an exam-style document with ``Oppgave N``
     headings and ``Maks poeng`` lines, 1-2 pages, Flate-compressed on
     odd ids (both decode paths exercised)."""
-    rng = random.Random(fnv1a64(f"realpdf-{seed}:{i}".encode()))
-    n_tasks = rng.randint(2, 5)
-    pages: list[bytes] = []
-    lines: list[str] = [f"Eksamen i {SUBJECTS[i % len(SUBJECTS)]}"]
-    for t in range(1, n_tasks + 1):
-        lines.append(f"Oppgave {t}")
-        lines.append(rng.choice(_TOPIC_LINES))
-        lines.append(f"Maks poeng: {rng.randint(2, 12)}")
-    per_page = max(4, (len(lines) + 1) // 2)
-    for start in range(0, len(lines), per_page):
-        y = 720
-        ops = []
-        for ln in lines[start : start + per_page]:
-            ops.append(f"BT /F1 12 Tf 72 {y} Td ({_esc(ln)}) Tj ET")
-            y -= 40  # > MERGE_GAP: one block per line
-        pages.append(("\n".join(ops) + "\n").encode("latin-1"))
-
+    pages = _content_pages(i, seed)
     compress = i % 2 == 1
     n = len(pages)
     kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n))
@@ -75,8 +59,121 @@ def build_exam_pdf(i: int, seed: int = 42) -> bytes:
     return b"%PDF-1.4\n" + body + b"trailer\n<< /Root 1 0 R /Size 99 >>\n%%EOF\n"
 
 
+def _content_pages(i: int, seed: int) -> list[bytes]:
+    """The shared exam content for both builders (same (seed, i) ->
+    same text, so the 1.4 and 1.5 builders are comparable)."""
+    rng = random.Random(fnv1a64(f"realpdf-{seed}:{i}".encode()))
+    n_tasks = rng.randint(2, 5)
+    lines: list[str] = [f"Eksamen i {SUBJECTS[i % len(SUBJECTS)]}"]
+    for t in range(1, n_tasks + 1):
+        lines.append(f"Oppgave {t}")
+        lines.append(rng.choice(_TOPIC_LINES))
+        lines.append(f"Maks poeng: {rng.randint(2, 12)}")
+    per_page = max(4, (len(lines) + 1) // 2)
+    pages: list[bytes] = []
+    for start in range(0, len(lines), per_page):
+        y = 720
+        ops = []
+        for ln in lines[start : start + per_page]:
+            ops.append(f"BT /F1 12 Tf 72 {y} Td ({_esc(ln)}) Tj ET")
+            y -= 40
+        pages.append(("\n".join(ops) + "\n").encode("latin-1"))
+    return pages
+
+
+def build_exam_pdf_xrefstm(i: int, seed: int = 42) -> bytes:
+    """PDF 1.5 variant of ``build_exam_pdf``: the catalog, page tree
+    and page dicts live INSIDE a Flate-compressed object stream
+    (``/Type /ObjStm``) and the file carries a REAL cross-reference
+    STREAM (``/Type /XRef``, ``/W [1 2 2]``, type-2 entries for the
+    compressed objects) instead of a classic xref table + trailer —
+    the post-2005 layout most crawled PDFs use. Same (seed, i) ->
+    same text as the 1.4 builder, so extraction parity is testable."""
+    pages = _content_pages(i, seed)
+    n = len(pages)
+    # compressed (in-ObjStm) ids: 1=Catalog, 2=Pages, 3..2+n = Page dicts
+    kids = " ".join(f"{2 + p + 1} 0 R" for p in range(n))
+    compressed: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    }
+    content_ids = list(range(3 + n, 3 + 2 * n))
+    for p in range(n):
+        compressed[3 + p] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {content_ids[p]} 0 R "
+            f"/MediaBox [0 0 612 792] >>".encode()
+        )
+    objstm_id = 3 + 2 * n
+    xref_id = 4 + 2 * n
+
+    # ObjStm payload: "id off id off ..." header, then bodies
+    comp_ids = sorted(compressed)
+    bodies, offs, pos = [], [], 0
+    for cid in comp_ids:
+        offs.append(pos)
+        body = compressed[cid] + b"\n"
+        bodies.append(body)
+        pos += len(body)
+    header = (" ".join(f"{cid} {off}" for cid, off in zip(comp_ids, offs)) + "\n").encode()
+    objstm_plain = header + b"".join(bodies)
+    objstm_data = zlib.compress(objstm_plain)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(oid: int, body: bytes) -> None:
+        offsets[oid] = len(out)
+        out.extend(f"{oid} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    for p, stream in enumerate(pages):
+        data = zlib.compress(stream)
+        emit(
+            content_ids[p],
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data
+            + b"\nendstream",
+        )
+    emit(
+        objstm_id,
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (len(comp_ids), len(header), len(objstm_data))
+        + objstm_data
+        + b"\nendstream",
+    )
+
+    # xref STREAM: W [1 2 2]; entries 0..size-1
+    size = xref_id + 1
+    xref_pos = len(out)
+    rows = []
+    for oid in range(size):
+        if oid == 0:
+            rows.append((0, 0, 65535))
+        elif oid in compressed:
+            rows.append((2, objstm_id, comp_ids.index(oid)))
+        elif oid == xref_id:
+            rows.append((1, xref_pos, 0))
+        else:
+            rows.append((1, offsets[oid], 0))
+    xref_plain = b"".join(
+        bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    xref_data = zlib.compress(xref_plain)
+    emit(
+        xref_id,
+        b"<< /Type /XRef /Size %d /W [1 2 2] /Root 1 0 R /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (size, len(xref_data))
+        + xref_data
+        + b"\nendstream",
+    )
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out)
+
+
 def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
-    """pages-schema table whose html payloads are real PDFs."""
+    """pages-schema table whose html payloads are real PDFs; every
+    third doc uses the PDF 1.5 xref-stream/ObjStm layout so the
+    compressed-object branch is driver-checked in-pipeline."""
     import datetime
 
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -88,7 +185,8 @@ def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
             datetime.datetime.utcfromtimestamp(EPOCH_2024_US / 1e6)
             + datetime.timedelta(hours=i)
         )
-        rows["html"].append(build_exam_pdf(i, seed=seed))
+        builder = build_exam_pdf_xrefstm if i % 3 == 2 else build_exam_pdf
+        rows["html"].append(builder(i, seed=seed))
         rows["text"].append("")
         rows["lang"].append("nb")
     return pa.Table.from_pydict(
