@@ -59,12 +59,46 @@ def run_bench() -> dict:
     from ocracle_ray.sources.pages import ensure_pages_parquet, sf_of_dir
 
     sf = sf_of_dir(SF_DIR)
+    bench_only = os.environ.get("GRAFT_BENCH_ONLY")
+
+    results: dict[str, float] = {}
+
+    if bench_only == "dedup":
+        # shuffle-bearing dedup pipeline in isolation (VERDICT r2 #8:
+        # measure the LSH family's scaling, don't argue it). Warm run
+        # first: the session's first shuffle pays ~5 s of one-time
+        # setup that would otherwise swamp the high-CPU level.
+        from ocracle_ray.pipelines.queries import QUERIES as _Q
+
+        _Q["docs_minhash_neardup"](SF_DIR)
+        t0 = time.perf_counter()
+        pairs = _Q["docs_minhash_neardup"](SF_DIR)
+        results["docs_minhash_neardup"] = round(time.perf_counter() - t0, 3)
+        # deterministic order-free checksum (builtin hash() is
+        # PYTHONHASHSEED-randomized across the fresh processes)
+        chk = 0
+        for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"]):
+            chk ^= (int(a) * 1000003 + int(b) * 8191 + int(round(float(j) * 1e6))) & (
+                (1 << 63) - 1
+            )
+        out = {
+            "metric": "minhash near-dup wall seconds (second run, warm session)",
+            "value": results["docs_minhash_neardup"],
+            "unit": "sec",
+            "queries": results,
+            "sf": sf,
+            "num_cpus": NUM_CPUS,
+            "dedup_pairs": int(len(pairs)),
+            "dedup_checksum": chk,
+            "loadavg_1m": round(os.getloadavg()[0], 1),
+        }
+        ray.shutdown()
+        return out
+
     pages_dir = ensure_pages_parquet(sf)
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     read_pages(pages_dir).count()
-
-    results: dict[str, float] = {}
 
     # fixed-size actor pool (autoscaling ramp costs ~2x wall at this
     # scale), sized to leave headroom for read + filter tasks
@@ -169,6 +203,24 @@ def run_scaling() -> dict:
                 best = res
         return best
 
+    def one_dedup(ncpu: int, trials: int) -> dict:
+        best = None
+        for _ in range(trials):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_ONLY="dedup")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            res = json.loads(out.strip().splitlines()[-1])
+            if best is None or res["value"] < best["value"]:
+                best = res
+        return best
+
     # the low level is long and stable (1 trial); the high level is
     # short and noisy under co-tenancy (min of SCALE_TRIALS)
     lo, hi = one(SCALE_LO, 1), one(SCALE_HI, SCALE_TRIALS)
@@ -178,6 +230,16 @@ def run_scaling() -> dict:
     identical = (
         lo["flagship_docs"] == hi["flagship_docs"]
         and lo["flagship_checksum"] == hi["flagship_checksum"]
+    )
+    # second measured pipeline (VERDICT r2 #8): the shuffle-bearing
+    # MinHash-LSH dedup — its all-to-all is the part of the engine the
+    # flagship's map-heavy pipeline does not stress
+    dlo, dhi = one_dedup(SCALE_LO, 1), one_dedup(SCALE_HI, SCALE_TRIALS)
+    d_lo, d_hi = dlo["value"], dhi["value"]
+    d_eff = (d_lo / d_hi) / (SCALE_HI / SCALE_LO)
+    d_identical = (
+        dlo["dedup_pairs"] == dhi["dedup_pairs"]
+        and dlo["dedup_checksum"] == dhi["dedup_checksum"]
     )
     return {
         # byte-identity across parallelism levels (north_rule invariant):
@@ -189,6 +251,11 @@ def run_scaling() -> dict:
         f"docs_per_sec_{SCALE_LO}": lo["flagship_docs_per_sec"],
         f"docs_per_sec_{SCALE_HI}": hi["flagship_docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "dedup_metric": f"scaling efficiency, minhash near-dup (shuffle path), num_cpus {SCALE_LO} vs {SCALE_HI}",
+        f"dedup_sec_{SCALE_LO}": d_lo,
+        f"dedup_sec_{SCALE_HI}": d_hi,
+        "dedup_scaling_efficiency": round(d_eff, 3),
+        "dedup_identical_outputs_across_levels": d_identical,
         "sf": lo["sf"],
         "trials_per_level": SCALE_TRIALS,
     }

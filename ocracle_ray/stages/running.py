@@ -88,9 +88,17 @@ def running_sum_to_parquet(
         c = _cents(df[value_col].to_numpy(dtype=np.float64), scale)
         starts, run_of_row = _runs(u)
         if not len(starts):
+            # dtypes must mirror the non-empty path exactly — an
+            # object-typed empty key column poisons the hash join's
+            # schema when the sort emits an empty block
             return pd.DataFrame(
-                {user_col: [], "seg_ts": [], "seg_id": [], "seg_total": []}
-            ).astype({"seg_ts": "int64", "seg_id": "int64", "seg_total": "int64"})
+                {
+                    user_col: pd.Series(dtype=df[user_col].dtype),
+                    "seg_ts": pd.Series(dtype="int64"),
+                    "seg_id": pd.Series(dtype=df[id_col].dtype),
+                    "seg_total": pd.Series(dtype="int64"),
+                }
+            )
         totals = np.bincount(run_of_row, weights=c).astype(np.int64)
         return pd.DataFrame(
             {
@@ -108,7 +116,18 @@ def running_sum_to_parquet(
         g["offset"] = g["seg_total"].cumsum().shift(fill_value=0).astype("int64")
         return g[[user_col, "seg_ts", "seg_id", "offset"]]
 
-    offs = segs.groupby(user_col).map_groups(offsets, batch_format="pandas")
+    # repartition before the join: map_groups emits ZERO-COLUMN empty
+    # blocks for group-less partitions, map_batches never visits empty
+    # blocks (so they cannot be coerced), and a zero-column block on a
+    # hash join's build side raises ArrowInvalid ('no match or multiple
+    # matches for key field') in the aggregator — the distributed
+    # coalesce folds them into schema-bearing blocks (found via a
+    # flaky 13-block test run, then reduced to a 5-row repro)
+    offs = (
+        segs.groupby(user_col)
+        .map_groups(offsets, batch_format="pandas")
+        .repartition(max(2, num_join_partitions // 2))
+    )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         u = df[user_col].to_numpy()
