@@ -1249,13 +1249,14 @@ def q_extract_flagship(sf_dir: str):
 def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
-    bytes (stdlib-encoded PNG images and PCM WAV clips appended below)
-    — so the in-pipeline stdlib decode branches are driver-checked
-    every round, not only unit-tested. Rows-only; one summary row per
-    kind, stable across runs/parallelism."""
+    bytes (stdlib-encoded PNG + baseline JPEG images and PCM WAV clips
+    appended below) — so the in-pipeline stdlib decode branches are
+    driver-checked every round, not only unit-tested. Rows-only; one
+    summary row per kind, stable across runs/parallelism."""
     import numpy as np
     from ray.data import from_arrow
 
+    from ..core.jpeg import encode_jpeg
     from ..core.png import encode_png
     from ..core.wav import encode_wav
     from ..sources.pages import sf_of_dir
@@ -1268,15 +1269,23 @@ def q_media_features(sf_dir: str):
 
     n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
     base = synth_media_table(n)
-    # append real-codec rows: 4 PNGs + 4 WAVs, deterministic content
+    # append real-codec rows: 4 PNGs + 4 JPEGs + 4 WAVs, deterministic
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
         ids.append(n + j)
         kinds.append("image")
         payloads.append(encode_png(rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)))
-        tone = 0.25 * np.sin(2 * np.pi * (220 + 110 * j) * np.arange(2000) / 8000.0)
+        # baseline JPEG (round 3): gray for even j, RGB for odd j — both
+        # stdlib jpeg-decoder shapes exercised in-pipeline
+        shape = (20, 28) if j % 2 == 0 else (20, 28, 3)
         ids.append(n + 4 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_jpeg(rng.randint(0, 256, shape, dtype=np.uint8), quality=85)
+        )
+        tone = 0.25 * np.sin(2 * np.pi * (220 + 110 * j) * np.arange(2000) / 8000.0)
+        ids.append(n + 8 + j)
         kinds.append("audio")
         payloads.append(encode_wav(tone, 8000))
     extra = pa.Table.from_pydict(

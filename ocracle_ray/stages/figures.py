@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core import imageops as ops
+from ..core.jpeg import decode_jpeg, is_jpeg
 from ..core.png import decode_png, is_png
 
 CROPS_SCHEMA = pa.schema(
@@ -63,6 +64,12 @@ def _decode(payload: bytes) -> np.ndarray | None:
             if px.shape[2] == 4:  # RGBA: drop alpha
                 return np.ascontiguousarray(px[:, :, :3])
         return px
+    if is_jpeg(payload):
+        try:
+            _w, _h, ch, px = decode_jpeg(payload)
+        except Exception:  # progressive/damaged -> skip row, not a crash
+            return None
+        return px  # (h, w) gray or (h, w, 3) RGB, u8 — caller-ready
     if payload[:4] == b"IMG1":
         if len(payload) < 8:  # truncated header -> skip row, not a crash
             return None

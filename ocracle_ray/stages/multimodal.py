@@ -83,16 +83,22 @@ class ImageFeatures:
     - IMG1 synthetic header (byte statistics),
     - real PNG via the stdlib decoder (``core.png`` — zlib inflate +
       scanline unfilter, no PIL needed),
-    - anything else (JPEG, 16-bit/interlaced PNG) needs PIL; absent in
-      this container, so a clearly-marked ``NotImplementedError``.
+    - real baseline JPEG via the stdlib decoder (``core.jpeg``, round
+      3 — huffman + IDCT + YCbCr, no PIL needed),
+    - anything else (progressive JPEG, 16-bit/interlaced PNG, webp)
+      needs PIL; absent in this container, so a clearly-marked
+      ``NotImplementedError``.
     """
 
     def __init__(self):
         self.real = Image is not None
-        from ..core.png import decode_png, is_png  # bind once per actor
+        from ..core.jpeg import decode_jpeg, is_jpeg  # bind once per actor
+        from ..core.png import decode_png, is_png
 
         self._decode_png = decode_png  # instance attrs: no self-binding
         self._is_png = is_png
+        self._decode_jpeg = decode_jpeg
+        self._is_jpeg = is_jpeg
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, w_out, h_out, means = [], [], [], []
@@ -112,6 +118,12 @@ class ImageFeatures:
                         body = px.reshape(-1)
                     except (NotImplementedError, ValueError):
                         body = None  # 16-bit/interlaced/truncated: fall through
+                elif self._is_jpeg(payload):
+                    try:
+                        w, h, _ch, px = self._decode_jpeg(payload)
+                        body = px.reshape(-1)
+                    except (NotImplementedError, ValueError):
+                        body = None  # progressive/damaged: fall through
                 if body is None:
                     if not self.real:
                         # STUB: non-stdlib codecs (jpeg/webp, exotic PNG
