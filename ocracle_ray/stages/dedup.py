@@ -41,6 +41,7 @@ from ..core.dedup import (
     simhash,
 )
 from ..core.textstats import fingerprint
+from ..pool import default_pool_size
 
 
 def _text_col(t: pa.Table, col: str) -> list[str]:
@@ -163,6 +164,7 @@ def minhash_lsh_pairs(
     k_shingle: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 64,
+    verify_mode: str = "auto",
 ):
     """MinHash+LSH near-dup candidate pairs, verified by exact Jaccard.
 
@@ -182,7 +184,14 @@ def minhash_lsh_pairs(
             key=key, text=text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
         ),
         batch_format="pyarrow",
-        concurrency=2,
+        # CPU-adaptive fixed pool: a constant 2 silently capped the
+        # banding stage (the dedup family's compute) at 2 CPUs —
+        # measured as a 0.29 scaling efficiency before round 3.
+        # batch_size splits single-block inputs (one parquet row group
+        # -> one block) across the pool instead of one giant batch to
+        # one actor.
+        concurrency=default_pool_size(),
+        batch_size=512,
     )
 
     cand_ds = (
@@ -190,26 +199,50 @@ def minhash_lsh_pairs(
         .map_groups(make_bucket_pairs_fn(key, max_bucket), batch_format="pyarrow")
         .materialize()  # blocks stay in the object store; count() is then free
     )
-    if cand_ds.count() > CANDIDATE_PAIR_LIMIT:
+    n_cand = cand_ds.count()
+    if n_cand > CANDIDATE_PAIR_LIMIT:
         raise RuntimeError(
-            f"minhash_lsh_pairs: candidate pair count {cand_ds.count()} exceeds "
+            f"minhash_lsh_pairs: candidate pair count {n_cand} exceeds "
             f"CANDIDATE_PAIR_LIMIT ({CANDIDATE_PAIR_LIMIT}); raise n_bands "
             f"granularity / threshold or verify via a bucketed exchange "
             f"instead of the driver gather"
         )
-    cand = cand_ds.to_pandas().drop_duplicates()
+    cand = _dedup_candidates(cand_ds, n_cand)
     return verify_candidate_pairs(
-        ds, key, text, cand, k_shingle=k_shingle, threshold=threshold
+        ds, key, text, cand, k_shingle=k_shingle, threshold=threshold,
+        verify_mode=verify_mode,
+    )
+
+
+def _dedup_candidates(cand_ds, n_cand: int):
+    """Unique (a, b) pairs from a (possibly multi-band) candidate
+    Dataset. Small sets dedup on the driver; large ones first collapse
+    in a distributed groupby so the driver only ever pulls the UNIQUE
+    pairs (a 2.45M-row drop_duplicates cost 5 s of serial driver time
+    in the round-3 dedup bench)."""
+    if n_cand <= 500_000:
+        return cand_ds.to_pandas().drop_duplicates()
+    from ray.data.aggregate import Count
+
+    return (
+        cand_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .to_pandas()
     )
 
 
 def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
-                           threshold: float = 0.8):
+                           threshold: float = 0.8, verify_mode: str = "auto"):
     """Exact-Jaccard verification of candidate pairs with the volume
     dispatch shared by every candidate producer (one-shot LSH AND the
     incremental ``BandIndex``): a broadcast driver gather under
     ``GATHER_TEXT_LIMIT``, the fully distributed pair-side join above
-    it. Returns (a, b, jaccard) with jaccard >= threshold, a < b."""
+    it. ``verify_mode`` pins a path ("driver" / "distributed") — the
+    driver gather's per-pair Python loop is a SERIAL tail that caps
+    scaling once pair counts grow (Amdahl-measured in the round-3
+    dedup bench), so scaling-sensitive callers force "distributed".
+    Returns (a, b, jaccard) with jaccard >= threshold, a < b."""
     import pandas as pd
 
     if cand.empty:
@@ -217,7 +250,9 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
             {"a": "int64", "b": "int64", "jaccard": "float64"}
         )
     needed = sorted(set(cand["a"]) | set(cand["b"]))
-    if len(needed) > GATHER_TEXT_LIMIT:
+    if verify_mode == "distributed" or (
+        verify_mode == "auto" and len(needed) > GATHER_TEXT_LIMIT
+    ):
         # scale path: distributed pair-side join, no driver text state
         out = _verify_pairs_distributed(
             ds, key, text, cand, k_shingle=k_shingle, threshold=threshold
@@ -260,53 +295,56 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
     sized at any candidate count (review r2: a hardcoded 8 squeezed
     the whole candidate text set into 8 blocks).
 
-    Semantics identical to the driver path (missing keys ≡ empty text);
-    equivalence is asserted in tests by running both paths."""
+    Semantics identical to the driver path for any threshold > 0
+    (missing keys: a one-side-missing pair scores 0 against "" on the
+    driver path and is dropped by the inner join here — both below any
+    positive threshold; both-sides-missing pairs are dropped by both
+    paths); equivalence is asserted in tests by running both paths."""
     import pandas as pd
     import ray.data as rd
 
     cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
-    pair_ids = np.arange(len(cand), dtype=np.int64)
-    a_vals = cand["a"].to_numpy(dtype=np.int64)
-    b_vals = cand["b"].to_numpy(dtype=np.int64)
-    # each side row carries (a, b) so the group can name its pair
-    # without any driver-side lookup shipped into the UDF
-    sides = pa.table(
+    pairs_tbl = pa.table(
         {
-            "pair_id": pa.array(np.repeat(pair_ids, 2), pa.int64()),
-            key: pa.array(np.column_stack([a_vals, b_vals]).reshape(-1), pa.int64()),
-            "a": pa.array(np.repeat(a_vals, 2), pa.int64()),
-            "b": pa.array(np.repeat(b_vals, 2), pa.int64()),
+            "a": pa.array(cand["a"].to_numpy(dtype=np.int64), pa.int64()),
+            "b": pa.array(cand["b"].to_numpy(dtype=np.int64), pa.int64()),
         }
     )
-    docs = ds.map_batches(
-        lambda t: pa.table({key: t[key], text: t[text]}), batch_format="pyarrow"
-    )
     n_parts = max(8, len(cand) // 50_000)
-    joined = rd.from_arrow(sides).join(
-        docs, join_type="inner", num_partitions=n_parts, on=(key,)
+
+    def side(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({col: t[key], f"text_{col}": t[text]})
+
+        return fn
+
+    docs_a = ds.map_batches(side("a"), batch_format="pyarrow")
+    docs_b = ds.map_batches(side("b"), batch_format="pyarrow")
+    # two hash joins move each side's text to its pair's partition —
+    # two bounded all-to-alls, each O(candidate texts), never
+    # O(corpus). The jaccard itself is then a PER-BATCH row sweep: the
+    # old per-pair groupby paid Ray group overhead per candidate
+    # (measured 17 s for 156k pairs at 16 CPUs; this form is the same
+    # exchanges without the 156k tiny pandas groups).
+    joined = (
+        rd.from_arrow(pairs_tbl)
+        .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
+        .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
     )
 
-    def pair_jaccard(g: pa.Table) -> pa.Table:
-        texts_by_key = dict(zip(g[key].to_pylist(), g[text].to_pylist()))
-        a, b = g["a"][0].as_py(), g["b"][0].as_py()
-        j = jaccard(texts_by_key.get(a) or "", texts_by_key.get(b) or "", k=k_shingle)
+    def batch_jaccard(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        j = [round(jaccard(x or "", y or "", k=k_shingle), 6) for x, y in zip(ta, tb)]
         return pa.table(
             {
-                "a": pa.array([a], pa.int64()),
-                "b": pa.array([b], pa.int64()),
-                "jaccard": pa.array([round(j, 6)], pa.float64()),
+                "a": t["a"],
+                "b": t["b"],
+                "jaccard": pa.array(j, pa.float64()),
             }
         )
 
-    out = (
-        joined.groupby("pair_id")
-        .map_groups(pair_jaccard, batch_format="pyarrow")
-        .to_pandas()
-    )
-    # pairs whose BOTH keys are absent from the corpus never reach the
-    # join output; the driver path explicitly drops them too (scoring
-    # would give jaccard(""/"") = 1.0), so the two paths stay equivalent
+    out = joined.map_batches(batch_jaccard, batch_format="pyarrow").to_pandas()
     out = out[out["jaccard"] >= threshold]
     if out.empty:
         return _empty_pairs_df("jaccard")

@@ -40,6 +40,7 @@ import shutil
 import pyarrow as pa
 
 from .dedup import MinHasher, make_bucket_pairs_fn
+from ..pool import default_pool_size
 
 _META = "meta.json"
 
@@ -114,7 +115,8 @@ class BandIndex:
                 k_shingle=p["k_shingle"], n_bands=p["n_bands"],
             ),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=default_pool_size(),
+            batch_size=512,
         ).materialize()  # used three times: pairs, join, append
 
         from .dedup import CANDIDATE_PAIR_LIMIT
