@@ -1004,42 +1004,15 @@ def q_parts_in_lineitem(sf_dir: str):
 def q_events_asof_prev_click(sf_dir: str):
     """As-of join (SURVEY.md custom-operator rule (a)): for each
     purchase, the most recent STRICTLY-prior click by the same user.
-    Implemented as groupby(user).map_groups + pd.merge_asof over
-    ts-sorted groups; partitioning assumption: one user's events fit a
-    group — GUARDED (guarded_map_groups raises past ASOF_MAX_GROUP_ROWS
-    instead of silently OOMing a worker on a bot user; VERDICT r2 #4)."""
-    from ..stages.sessions import guarded_map_groups
+    BOUNDARY-CARRY form (stages/asof.py, round 3): per-block resolution
+    + segment (c1, c0) click carries + a hash join for
+    boundary-crossing purchases — no per-user group materialization
+    anywhere, so the old 'one user's events fit a worker' guard is
+    gone rather than merely loud."""
+    from ..stages.asof import asof_prev_event
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        buys = g[g["event_type"] == "purchase"].sort_values("ts")
-        clicks = g[g["event_type"] == "click"].sort_values("ts")
-        if buys.empty or clicks.empty:
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "prev_click_id": pd.Series(dtype="int64")})
-        m = pd.merge_asof(
-            buys[["ts", "event_id"]],
-            clicks[["ts", "event_id"]].rename(columns={"event_id": "prev_click_id"}),
-            on="ts",
-            direction="backward",
-            allow_exact_matches=False,
-        )
-        m = m.dropna(subset=["prev_click_id"])
-        return pd.DataFrame(
-            {"event_id": m["event_id"].astype("int64"),
-             "prev_click_id": m["prev_click_id"].astype("int64")}
-        )
-
-    return guarded_map_groups(
-        ds, "user_id", asof, max_group_rows=ASOF_MAX_GROUP_ROWS
-    ).to_pandas()
-
-
-# one user's events must fit a worker for the merge_asof path; the
-# guard makes the assumption loud (a boundary-carry rework like
-# stages/sessions.py would lift it — documented trade-off)
-ASOF_MAX_GROUP_ROWS = 5_000_000
+    return asof_prev_event(ds)
 
 
 def q_events_props_k(sf_dir: str):
