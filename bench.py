@@ -66,19 +66,22 @@ def run_bench() -> dict:
     if bench_only == "dedup":
         # shuffle-bearing dedup pipeline in isolation (VERDICT r2 #8:
         # measure the LSH family's scaling, don't argue it). The
-        # documents fixture is REPLICATED x8 with offset doc_ids so
-        # banding compute dominates the session's fixed shuffle floor
-        # (~5 s — at 1x the measurement is all floor: sf0.1 documents
-        # is 5,000 rows in one block). Warm run first: the session's
-        # first shuffle pays one-time setup that would otherwise swamp
-        # the high-CPU level.
+        # documents fixture is REPLICATED x16 with offset doc_ids so
+        # banding/verify compute dominates the session's fixed floor
+        # (shuffle warmup + per-run actor-pool and join-aggregator
+        # spinup, ~5-6 s — at 1x the measurement is all floor: sf0.1
+        # documents is 5,000 rows in one block; after the round-3
+        # candidate-dedup speedup x8 fell below the compute-dominates
+        # criterion too, with the floor at ~40% of the 16-CPU wall).
+        # Warm run first: the session's first shuffle pays one-time
+        # setup that would otherwise swamp the high-CPU level.
         import pyarrow as _pa
         import pyarrow.parquet as _pq
         import ray.data as _rd
 
         from ocracle_ray.stages.dedup import minhash_lsh_pairs
 
-        REPL = int(os.environ.get("GRAFT_DEDUP_REPL", "8"))
+        REPL = int(os.environ.get("GRAFT_DEDUP_REPL", "16"))
         base = _pq.read_table(
             os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
         )

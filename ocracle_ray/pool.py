@@ -17,12 +17,12 @@ CLAUDE.md invariant); outside a Ray session it falls back to
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 
-def default_pool_size(frac: float = 0.75, lo: int = 2, hi: int | None = None) -> int:
-    """Pool size = ``frac`` of the session's CPUs, clamped to
-    [``lo``, ``hi``]; ``hi=None`` means uncapped (scale with the
-    cluster)."""
+def session_cpus() -> int:
+    """The live session's CPU count (``os.cpu_count`` fallback outside
+    a Ray session)."""
     cpus = 0
     try:
         import ray
@@ -33,5 +33,59 @@ def default_pool_size(frac: float = 0.75, lo: int = 2, hi: int | None = None) ->
         cpus = 0
     if cpus <= 0:
         cpus = os.cpu_count() or 4
-    size = max(lo, int(cpus * frac))
+    return cpus
+
+
+def default_pool_size(frac: float = 0.75, lo: int = 2, hi: int | None = None) -> int:
+    """Pool size = ``frac`` of the session's CPUs, clamped to
+    [``lo``, ``hi``]; ``hi=None`` means uncapped (scale with the
+    cluster)."""
+    size = max(lo, int(session_cpus() * frac))
     return min(size, hi) if hi is not None else size
+
+
+def clamp_join_partitions(desired: int, *, n_joins: int = 1, floor: int = 8) -> int:
+    """Cap a hash-join partition count to the session's CPU budget.
+
+    Ray Data's ``Dataset.join`` spawns one aggregator actor pool that
+    reserves 0.125 CPU per partition; a DAG with ``n_joins`` joins of
+    ``n`` partitions each reserves ``0.125 * n * n_joins`` CPUs for
+    the whole run. If that reservation eats most of a small session,
+    the upstream map tasks feeding the joins can never schedule and
+    the pipeline LIVELOCKS (reproduced round 3: two chained 13-way
+    joins on a 4-CPU session — 3.25 CPUs reserved — hung forever,
+    while 8-way joins, 2.0 CPUs, ran fine). Keep the reservation at or
+    below half the session: ``0.125 * n * n_joins <= cpus / 2`` gives
+    ``n <= 4 * cpus / n_joins``. The floor preserves the documented
+    per-partition memory targets on sessions big enough to afford it.
+    """
+    cap = max(floor, (4 * session_cpus()) // max(1, n_joins))
+    return min(desired, cap)
+
+
+@contextmanager
+def join_cpu_reservation_guard(n_parts: int, n_joins: int = 1):
+    """Scope in which hash-join aggregator actors reserve at most half
+    the session's CPUs in total.
+
+    Partition COUNT must be sized by data (per-partition heap is what
+    breaks at scale), so it should not shrink on small sessions; the
+    thing that must adapt to the session is the aggregators' CPU
+    reservation. This guard lowers Ray's 0.125-CPU-per-partition
+    default via ``DataContext.join_operator_actor_num_cpus_per_
+    partition_override`` so ``n_joins`` joins of ``n_parts`` partitions
+    reserve <= cpus/2, leaving the other half for the map tasks that
+    FEED the joins (reservation >= session CPUs livelocks — reproduced
+    round 3 on a 4-CPU session). Execution of the joined dataset must
+    happen inside the ``with`` block (the override is read at
+    execution, not graph-build, time)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.join_operator_actor_num_cpus_per_partition_override
+    per_part = min(0.125, (session_cpus() / 2) / max(1, n_parts * n_joins))
+    ctx.join_operator_actor_num_cpus_per_partition_override = per_part
+    try:
+        yield
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = old

@@ -41,7 +41,7 @@ from ..core.dedup import (
     simhash,
 )
 from ..core.textstats import fingerprint
-from ..pool import default_pool_size
+from ..pool import default_pool_size, join_cpu_reservation_guard
 
 
 def _text_col(t: pa.Table, col: str) -> list[str]:
@@ -216,18 +216,41 @@ def minhash_lsh_pairs(
 
 def _dedup_candidates(cand_ds, n_cand: int):
     """Unique (a, b) pairs from a (possibly multi-band) candidate
-    Dataset. Small sets dedup on the driver; large ones first collapse
-    in a distributed groupby so the driver only ever pulls the UNIQUE
-    pairs (a 2.45M-row drop_duplicates cost 5 s of serial driver time
-    in the round-3 dedup bench)."""
+    Dataset. Small sets dedup on the driver (a 2.45M-row
+    drop_duplicates cost 5 s of serial driver time in the round-3
+    dedup bench); large ones collapse distributed so the driver only
+    ever pulls the UNIQUE pairs. The distributed form tags each pair
+    with a hash bucket and dedups vectorized per bucket: a
+    ``groupby(["a", "b"]).aggregate(Count)`` pair-key sort shuffle
+    measured 16.3 s on the same 2.45M candidates at 16 CPUs where this
+    shape takes 2.2 s — a low-cardinality single-int sort key plus
+    Arrow hash ``group_by`` inside the groups is an order of magnitude
+    cheaper than sorting on the pair key itself."""
     if n_cand <= 500_000:
         return cand_ds.to_pandas().drop_duplicates()
-    from ray.data.aggregate import Count
+
+    # bucket count: scale with candidate volume so one bucket's pairs
+    # stay well inside a worker's heap (the module's documented
+    # partitioning assumption), never below the session's parallelism
+    n_buckets = max(default_pool_size() * 4, n_cand // 1_000_000)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.uint64)
+        b = t["b"].to_numpy().astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            b * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return t.append_column(
+            "_h", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
 
     return (
-        cand_ds.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
+        cand_ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(_uniq, batch_format="pyarrow")
         .to_pandas()
     )
 
@@ -310,6 +333,11 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
             "b": pa.array(cand["b"].to_numpy(dtype=np.int64), pa.int64()),
         }
     )
+    # ~50k pairs per partition keeps text blocks worker-heap sized at
+    # any candidate count AND any session size — the CPU reservation,
+    # not the partition count, adapts to small sessions (see
+    # pool.join_cpu_reservation_guard; unguarded, two 13-way joins
+    # livelocked a 4-CPU session in the round-3 dedup bench)
     n_parts = max(8, len(cand) // 50_000)
 
     def side(col: str):
@@ -317,20 +345,6 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
             return pa.table({col: t[key], f"text_{col}": t[text]})
 
         return fn
-
-    docs_a = ds.map_batches(side("a"), batch_format="pyarrow")
-    docs_b = ds.map_batches(side("b"), batch_format="pyarrow")
-    # two hash joins move each side's text to its pair's partition —
-    # two bounded all-to-alls, each O(candidate texts), never
-    # O(corpus). The jaccard itself is then a PER-BATCH row sweep: the
-    # old per-pair groupby paid Ray group overhead per candidate
-    # (measured 17 s for 156k pairs at 16 CPUs; this form is the same
-    # exchanges without the 156k tiny pandas groups).
-    joined = (
-        rd.from_arrow(pairs_tbl)
-        .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
-        .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
-    )
 
     def batch_jaccard(t: pa.Table) -> pa.Table:
         ta = t["text_a"].to_pylist()
@@ -344,7 +358,24 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
             }
         )
 
-    out = joined.map_batches(batch_jaccard, batch_format="pyarrow").to_pandas()
+    # the guard must enclose dataset CONSTRUCTION, not just execution:
+    # each Dataset snapshots DataContext (and with it the join CPU
+    # override) at creation time
+    with join_cpu_reservation_guard(n_parts, n_joins=2):
+        docs_a = ds.map_batches(side("a"), batch_format="pyarrow")
+        docs_b = ds.map_batches(side("b"), batch_format="pyarrow")
+        # two hash joins move each side's text to its pair's partition —
+        # two bounded all-to-alls, each O(candidate texts), never
+        # O(corpus). The jaccard itself is then a PER-BATCH row sweep:
+        # the old per-pair groupby paid Ray group overhead per candidate
+        # (measured 17 s for 156k pairs at 16 CPUs; this form is the
+        # same exchanges without the 156k tiny pandas groups).
+        joined = (
+            rd.from_arrow(pairs_tbl)
+            .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
+            .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
+        )
+        out = joined.map_batches(batch_jaccard, batch_format="pyarrow").to_pandas()
     out = out[out["jaccard"] >= threshold]
     if out.empty:
         return _empty_pairs_df("jaccard")

@@ -40,7 +40,7 @@ import shutil
 import pyarrow as pa
 
 from .dedup import MinHasher, make_bucket_pairs_fn
-from ..pool import default_pool_size
+from ..pool import clamp_join_partitions, default_pool_size
 
 _META = "meta.json"
 
@@ -150,7 +150,9 @@ class BandIndex:
             joined = band_rows.join(
                 old,
                 join_type="inner",
-                num_partitions=max(8, len(files) // 4),
+                # clamped so the aggregator-actor CPU reservation can't
+                # starve the feeding map tasks (pool.clamp_join_partitions)
+                num_partitions=clamp_join_partitions(max(8, len(files) // 4)),
                 on=("band_id", "band_hash"),
             )
 

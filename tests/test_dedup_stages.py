@@ -199,3 +199,24 @@ def test_simhash_neardup_megabucket_star():
     pairs = simhash_neardup_pairs(ds, "doc_id", "text", max_hamming=3, max_bucket=10)
     got = set(zip(pairs["a"], pairs["b"]))
     assert got == {(0, i) for i in range(1, 30)}
+
+
+def test_dedup_candidates_paths_agree():
+    """The distributed hash-bucket dedup (> 500k threshold path) and
+    the driver drop_duplicates path return the same unique pair set —
+    including pairs whose ids exercise uint64 hash wraparound."""
+    import ray.data as rd
+
+    from ocracle_ray.stages.dedup import _dedup_candidates
+
+    rng = np.random.default_rng(7)
+    uniq = rng.integers(0, 2**62, size=(500, 2), dtype=np.int64)
+    idx = rng.integers(0, 500, size=6_000)
+    t = pa.table({"a": uniq[idx, 0], "b": uniq[idx, 1]})
+    cand_ds = rd.from_arrow(t).repartition(8)
+
+    drv = _dedup_candidates(cand_ds, n_cand=len(idx))  # <= 500k: driver path
+    dist = _dedup_candidates(cand_ds, n_cand=600_000)  # forced distributed path
+    key = lambda df: set(zip(df["a"].astype(np.int64), df["b"].astype(np.int64)))
+    assert key(drv) == key(dist)
+    assert len(dist) == len(pd.DataFrame({"a": uniq[:, 0], "b": uniq[:, 1]}).drop_duplicates())

@@ -166,3 +166,54 @@ def test_kmv_precheck_headroom_allows_near_limit(tmp_path):
     pq.write_table(pages_table(0, 50), p)
     winners, ambiguous = dup_winner_map([p], limit=50)
     assert winners is not None
+
+
+def test_clamp_join_partitions_budget():
+    """The clamp keeps desired counts below the session CPU budget
+    (4 * cpus / n_joins) but never shrinks the floor."""
+    from ocracle_ray.pool import clamp_join_partitions, session_cpus
+
+    cpus = session_cpus()
+    cap = max(8, (4 * cpus) // 2)
+    assert clamp_join_partitions(10_000, n_joins=2) == cap
+    assert clamp_join_partitions(4, n_joins=2) == 4  # below cap: untouched
+
+
+def test_join_cpu_reservation_guard_sets_and_restores():
+    """Inside the guard the join CPU override caps total aggregator
+    reservation at half the session; outside it is restored."""
+    from ray.data import DataContext
+
+    from ocracle_ray.pool import join_cpu_reservation_guard, session_cpus
+
+    ctx = DataContext.get_current()
+    before = ctx.join_operator_actor_num_cpus_per_partition_override
+    n_parts, n_joins = 13, 2
+    with join_cpu_reservation_guard(n_parts, n_joins=n_joins):
+        per_part = ctx.join_operator_actor_num_cpus_per_partition_override
+        assert per_part is not None
+        assert per_part <= 0.125
+        assert per_part * n_parts * n_joins <= session_cpus() / 2 + 1e-9
+    assert ctx.join_operator_actor_num_cpus_per_partition_override == before
+
+
+def test_distributed_verify_large_pairset_small_session():
+    """Regression for the round-3 livelock: a pair volume that pushes
+    n_parts past 8 must complete on the small test session (two 13-way
+    joins unguarded reserved 3.25 of 4 CPUs and hung forever)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocracle_ray.stages.dedup import verify_candidate_pairs
+
+    n = 1200
+    texts = ["samme tekst i alle dokumenter for verifisering her"] * n
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts}))
+    # ALL unique pairs: C(1200, 2) = 719,400 -> n_parts = 14, past the
+    # livelock point (13-way was the reproduced hang)
+    ia, ib = np.triu_indices(n, k=1)
+    cand = pd.DataFrame({"a": ia.astype(np.int64), "b": ib.astype(np.int64)})
+    out = verify_candidate_pairs(ds, "doc_id", "text", cand,
+                                 verify_mode="distributed", threshold=0.5)
+    assert len(out) == len(cand)
+    assert (out["jaccard"] == 1.0).all()
