@@ -95,7 +95,11 @@ def run_bench() -> dict:
         corpus = _pa.concat_tables(copies)
 
         def run_once():
-            ds = _rd.from_arrow(corpus).repartition(NUM_CPUS * 2)
+            # 4 blocks per CPU: a 2-per-CPU layout left 8 tasks for the
+            # low level's 3-actor pool (ragged 2.7-wave schedule with a
+            # full-block straggler tail); 4-per-CPU keeps ~5 waves per
+            # actor at BOTH scaling levels
+            ds = _rd.from_arrow(corpus).repartition(NUM_CPUS * 4)
             # distributed verification: the driver-gather path's
             # per-pair Python loop is a serial tail (~21 s at 156k
             # pairs, Amdahl-measured) that would cap any efficiency

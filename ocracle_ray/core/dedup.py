@@ -87,6 +87,23 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_hashed(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard over pre-hashed shingle arrays (``shingle_hashes``
+    output: sorted unique uint64). Equals ``jaccard`` up to 64-bit
+    shingle-hash collisions (probability ~n²/2⁶⁴ per pair — nil at any
+    real shingle count). Exists so verification can shingle each
+    DISTINCT document once and score its pairs from the cached array:
+    a candidate doc participates in many pairs, and re-shingling per
+    pair (normalize + split + join + blake2b per shingle, ~1 ms/doc)
+    was the dominant verification cost (round-3 dedup profile)."""
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
 def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 

@@ -39,7 +39,7 @@ import shutil
 
 import pyarrow as pa
 
-from .dedup import MinHasher, make_bucket_pairs_fn
+from .dedup import MinHasher, band_candidate_pairs
 from ..pool import clamp_join_partitions, default_pool_size
 
 _META = "meta.json"
@@ -123,11 +123,9 @@ class BandIndex:
 
         # 1. new-vs-new (guarded like the one-shot path: count before
         # the driver pandas pull — review r2)
-        new_new_ds = (
-            band_rows.groupby(["band_id", "band_hash"])
-            .map_groups(make_bucket_pairs_fn(key, p["max_bucket"]), batch_format="pyarrow")
-            .materialize()
-        )
+        new_new_ds = band_candidate_pairs(
+            band_rows, key, p["max_bucket"]
+        ).materialize()
         if new_new_ds.count() > CANDIDATE_PAIR_LIMIT:
             raise RuntimeError(
                 f"BandIndex.add_partition: new-vs-new candidate count "

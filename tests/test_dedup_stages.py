@@ -220,3 +220,70 @@ def test_dedup_candidates_paths_agree():
     key = lambda df: set(zip(df["a"].astype(np.int64), df["b"].astype(np.int64)))
     assert key(drv) == key(dist)
     assert len(dist) == len(pd.DataFrame({"a": uniq[:, 0], "b": uniq[:, 1]}).drop_duplicates())
+
+
+# ---- round-3 perf rework: vectorized emitter / hashed jaccard parity
+
+
+def test_band_candidate_pairs_equals_pergroup_reference():
+    """The hash-bucketed vectorized pair emitter must produce exactly
+    the per-(band_id, band_hash) reference emitter's pair set,
+    including the max_bucket star degradation."""
+    import ray.data as rd
+
+    from ocracle_ray.stages.dedup import (
+        MinHasher,
+        band_candidate_pairs,
+        make_bucket_pairs_fn,
+    )
+
+    rows = {
+        "doc_id": list(range(40)),
+        # 8 near-dup variants -> real multi-doc band buckets
+        "text": [BASE + f" variant {i % 8}" for i in range(40)],
+    }
+    for max_bucket in (64, 3):  # 3 forces the star path on 5-doc buckets
+        ds = rd.from_arrow(pa.Table.from_pydict(rows)).repartition(3)
+        band_rows = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                key="doc_id", text="text", n_perm=128, k_shingle=3, n_bands=16
+            ),
+            batch_format="pyarrow",
+            concurrency=2,
+        ).materialize()
+        got = (
+            band_candidate_pairs(band_rows, "doc_id", max_bucket, n_buckets=7)
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            band_rows.groupby(["band_id", "band_hash"])
+            .map_groups(make_bucket_pairs_fn("doc_id", max_bucket),
+                        batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_jaccard_hashed_matches_string_jaccard():
+    from ocracle_ray.core.dedup import jaccard_hashed, shingle_hashes
+
+    cases = [
+        (BASE, BASE),
+        (BASE, NEAR),
+        (BASE, FAR),
+        ("", ""),
+        (BASE, ""),
+        ("kort", "kort"),
+        ("to ord", "to ord her"),
+    ]
+    for a, b in cases:
+        assert jaccard_hashed(shingle_hashes(a), shingle_hashes(b)) == pytest.approx(
+            jaccard(a, b), abs=1e-12
+        )
