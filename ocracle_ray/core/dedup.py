@@ -56,7 +56,13 @@ _SEED_CACHE: dict[int, np.ndarray] = {}
 def minhash_signature(text: str, n_perm: int = 128, k: int = 3) -> np.ndarray:
     """MinHash signature (uint64[n_perm]) via seeded splitmix64 perms,
     fully vectorized: outer xor of shingle hashes with per-perm seeds."""
-    seeds = _SEED_CACHE.setdefault(n_perm, _perm_seeds(n_perm))
+    # NOT setdefault(n_perm, _perm_seeds(n_perm)): setdefault evaluates
+    # its default eagerly, so that form re-derives all 128 seeds (pure-
+    # Python FNV each) on EVERY signature — measured 62% of the banding
+    # stage's per-doc cost before round 3 caught it
+    seeds = _SEED_CACHE.get(n_perm)
+    if seeds is None:
+        seeds = _SEED_CACHE.setdefault(n_perm, _perm_seeds(n_perm))
     hs = shingle_hashes(text, k)
     if hs.size == 0:
         return np.full(n_perm, _MASK64, dtype=np.uint64)
