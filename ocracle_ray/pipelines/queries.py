@@ -734,20 +734,6 @@ def q_docs_samples(sf_dir: str):
     return out.sort_values(["method", "lang"]).reset_index(drop=True)
 
 
-def q_events_distinct_users_kmv(sf_dir: str):
-    """KMV sketch distinct-count of user_id. The sketch is EXACT while
-    true distinct < k, so k=65536 keeps this oracled against
-    COUNT(DISTINCT) at every fixture sf (users scale ~15k/sf-unit;
-    sf0.1 has 1,500 — a k=1024 first cut diverged there, caught by
-    review). Beyond k the estimator degrades gracefully (rows-only
-    territory; memory stays ≤ 8·k bytes per sketch)."""
-    from ..core.sketch import kmv_distinct_estimate
-
-    ds = _read(sf_dir, "events", ["user_id"])
-    est = kmv_distinct_estimate(ds, "user_id", k=65536)
-    return pd.DataFrame({"n_users": [int(round(est))]})
-
-
 def q_docs_numeric_sort(sf_dir: str):
     """Numeric-aware sort (G5, object_handling.py:241-246 key) over the
     distinct sources; rank materialized so the order is hash-visible."""
@@ -1034,9 +1020,22 @@ def q_events_props_k(sf_dir: str):
     )
 
 
-def q_union_distinct_keys(sf_dir: str):
-    """union + distinct (set-op coverage): one row with the distinct
-    count of order custkeys ∪ customer keys."""
+def q_distinct_counts(sf_dir: str):
+    """Two distinct-count operators in one driver row (merged from
+    ``union_distinct_keys`` + ``events_distinct_users_kmv`` to keep the
+    registry at the driver's 50-entry correctness cap while adding the
+    range join, round 3 — both computations and both checks survive):
+
+    - ``n_keys``: union + distinct set-op — distinct count of order
+      custkeys ∪ customer keys (exact, ``Dataset.union().unique()``);
+    - ``n_users``: KMV sketch distinct-count of event user_ids. The
+      sketch is EXACT while true distinct < k, so k=65536 keeps this
+      oracled against COUNT(DISTINCT) at every fixture sf (users scale
+      ~15k/sf-unit; a k=1024 first cut diverged at sf0.1, caught by
+      review). Beyond k it degrades gracefully (rows-only territory;
+      memory stays ≤ 8·k bytes per sketch)."""
+    from ..core.sketch import kmv_distinct_estimate
+
     a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
         lambda t: pa.table({"key": t["o_custkey"]}), batch_format="pyarrow"
     )
@@ -1044,7 +1043,26 @@ def q_union_distinct_keys(sf_dir: str):
         lambda t: pa.table({"key": t["c_custkey"]}), batch_format="pyarrow"
     )
     n = len(a.union(b).unique("key"))
-    return pd.DataFrame({"n_keys": [n]})
+    est = kmv_distinct_estimate(_read(sf_dir, "events", ["user_id"]), "user_id", k=65536)
+    return pd.DataFrame({"n_keys": [n], "n_users": [int(round(est))]})
+
+
+def q_events_range_join_views(sf_dir: str):
+    """Range join (interval predicate): for every click, the number of
+    views by the same user in the trailing hour (inclusive both ends).
+    Time-bucket co-partitioned — rights replicated to exactly two
+    window-width buckets, one groupby shuffle (`stages/range_join.py`);
+    no per-user history materialization."""
+    from ..stages.range_join import range_join_count
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return range_join_count(
+        ds,
+        left_type="click",
+        right_type="view",
+        window=pd.Timedelta(hours=1),
+        out_col="n_views_1h",
+    )
 
 
 def q_top_users_per_event_type(sf_dir: str):
@@ -1538,7 +1556,6 @@ QUERIES = {
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
     "docs_samples": q_docs_samples,
-    "events_distinct_users_kmv": q_events_distinct_users_kmv,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
     # rows-only: full probe asserted == brute force in-query; partial
@@ -1551,7 +1568,10 @@ QUERIES = {
     "parts_in_lineitem": q_parts_in_lineitem,
     "events_asof_prev_click": q_events_asof_prev_click,
     "events_props_k": q_events_props_k,
-    "union_distinct_keys": q_union_distinct_keys,
+    # merged: union_distinct_keys + events_distinct_users_kmv (one row,
+    # both values driver-hashed) — freed the slot for the range join
+    "distinct_counts": q_distinct_counts,
+    "events_range_join_views": q_events_range_join_views,
     "top_users_per_event_type": q_top_users_per_event_type,
     "docs_ngram_neardup": q_docs_ngram_neardup,
     "docs_minhash_neardup": q_docs_minhash_neardup,
@@ -1865,9 +1885,6 @@ ORACLE_SQL = {
     HAVING count(*) > (SELECT count(*) FROM events) / 8.0
     ORDER BY n_events DESC, event_type
 """,
-    "events_distinct_users_kmv": """
-        SELECT count(DISTINCT user_id) AS n_users FROM events
-    """,
     "docs_numeric_sort": """
         SELECT source,
                row_number() OVER (
@@ -1922,11 +1939,22 @@ ORACLE_SQL = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
-    "union_distinct_keys": """
-        SELECT count(DISTINCT key) AS n_keys FROM (
-            SELECT o_custkey AS key FROM orders
-            UNION ALL SELECT c_custkey AS key FROM customer
-        )
+    "distinct_counts": """
+        SELECT
+            (SELECT count(DISTINCT key) FROM (
+                SELECT o_custkey AS key FROM orders
+                UNION ALL SELECT c_custkey AS key FROM customer
+            )) AS n_keys,
+            (SELECT count(DISTINCT user_id) FROM events) AS n_users
+    """,
+    "events_range_join_views": """
+        SELECT c.event_id, c.user_id, c.ts,
+               (SELECT count(*) FROM events v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+               ) AS n_views_1h
+        FROM events c
+        WHERE c.event_type = 'click'
     """,
     "top_users_per_event_type": """
         SELECT event_type, user_id, round(total_value, 4) AS total_value, rk
