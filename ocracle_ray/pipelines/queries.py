@@ -1521,13 +1521,48 @@ def q_webview_tasks(sf_dir: str):
 
 
 def q_salted_events_value(sf_dir: str):
-    """Hot-key-safe salted grouped sum (north_rule shuffle protection);
-    results identical to a plain groupby — oracled in SQL."""
-    from ..stages.skew import salted_groupby_sum
+    """Both hot-key shuffle protections (north_rule) under one driver
+    row, each exactly equal to its plain counterpart:
+
+    - ``salted_groupby_sum``: two-stage salted aggregate ==
+      plain groupby sum (total_value);
+    - ``skew_safe_join``: temperature-split join — Misra-Gries hot
+      keys ride a broadcast map-side join, the cold remainder a hash
+      join — == plain inner join (joined_rows / acctbal_sum via
+      events JOIN customer ON user_id = c_custkey).
+
+    The final merge is 5 rows (one per event_type) on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.skew import salted_groupby_sum, skew_safe_join
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = salted_groupby_sum(ds, "event_type", "value", alias="total_value").to_pandas()
+    salted = salted_groupby_sum(
+        ds, "event_type", "value", alias="total_value"
+    ).to_pandas()
+
+    fact = _read(sf_dir, "events", ["user_id", "event_type"])
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["c_custkey"], "c_acctbal": t["c_acctbal"]}
+        ),
+        batch_format="pyarrow",
+    )
+    # mg_k=32 over 150 uniform users: some keys land in the candidate
+    # set (broadcast path), the rest hash-join — both paths exercised
+    jr = (
+        skew_safe_join(fact, dim, on="user_id", mg_k=32, num_partitions=8)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="joined_rows"),
+            Sum("c_acctbal", alias_name="acctbal_sum"),
+        )
+        .to_pandas()
+    )
+    out = salted.merge(jr, on="event_type", how="left")
     out["total_value"] = out["total_value"].round(4)
+    out["joined_rows"] = out["joined_rows"].fillna(0).astype("int64")
+    out["acctbal_sum"] = out["acctbal_sum"].fillna(0.0).round(2)
     return out
 
 
@@ -1997,8 +2032,20 @@ ORACLE_SQL = {
                                      CAST(e2.embedding AS DOUBLE[])) >= 0.4
     """,
     "salted_events_value": """
-        SELECT event_type, round(sum(value), 4) AS total_value
-        FROM events GROUP BY event_type
+        WITH s AS (
+            SELECT event_type, round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        ), j AS (
+            SELECT e.event_type,
+                   count(*) AS joined_rows,
+                   round(sum(c.c_acctbal), 2) AS acctbal_sum
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY e.event_type
+        )
+        SELECT s.event_type, s.total_value,
+               coalesce(j.joined_rows, 0) AS joined_rows,
+               coalesce(j.acctbal_sum, 0.0) AS acctbal_sum
+        FROM s LEFT JOIN j USING (event_type)
     """,
     # pages_census / webview_tasks: no oracle —
     # they run over the synthesized pages table (rows-only checks).

@@ -63,6 +63,15 @@ def clamp_join_partitions(desired: int, *, n_joins: int = 1, floor: int = 8) -> 
     return min(desired, cap)
 
 
+def _join_cpus_per_partition(n_parts: int, n_joins: int = 1) -> float:
+    """Per-partition CPU reservation so ``n_joins`` joins of
+    ``n_parts`` partitions reserve <= session_cpus/2 in total,
+    leaving the other half for the map tasks that FEED the joins
+    (reservation >= session CPUs livelocks — reproduced round 3 on a
+    4-CPU session with two chained 13-way joins)."""
+    return min(0.125, (session_cpus() / 2) / max(1, n_parts * n_joins))
+
+
 @contextmanager
 def join_cpu_reservation_guard(n_parts: int, n_joins: int = 1):
     """Scope in which hash-join aggregator actors reserve at most half
@@ -73,19 +82,50 @@ def join_cpu_reservation_guard(n_parts: int, n_joins: int = 1):
     thing that must adapt to the session is the aggregators' CPU
     reservation. This guard lowers Ray's 0.125-CPU-per-partition
     default via ``DataContext.join_operator_actor_num_cpus_per_
-    partition_override`` so ``n_joins`` joins of ``n_parts`` partitions
-    reserve <= cpus/2, leaving the other half for the map tasks that
-    FEED the joins (reservation >= session CPUs livelocks — reproduced
-    round 3 on a 4-CPU session). Execution of the joined dataset must
-    happen inside the ``with`` block (the override is read at
-    execution, not graph-build, time)."""
+    partition_override``.
+
+    SCOPE SEMANTICS (measured on ray 2.49.2): the planner reads the
+    EXECUTING dataset's snapshotted DataContext for the whole DAG.
+    That snapshot is copied from the global context when a ROOT
+    dataset (``read_*`` / ``from_*``) is created; derived datasets
+    (map_batches, join, select_columns) SHARE their left parent's
+    context object, while ``union`` takes a fresh copy. So the guard
+    works when the executing dataset's root is created inside the
+    ``with`` block (the dedup verify path: ``from_arrow`` in-scope);
+    for a lazily-returned dataset whose roots the caller built, use
+    :func:`pin_join_cpu_reservation` on the final dataset instead."""
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     old = ctx.join_operator_actor_num_cpus_per_partition_override
-    per_part = min(0.125, (session_cpus() / 2) / max(1, n_parts * n_joins))
-    ctx.join_operator_actor_num_cpus_per_partition_override = per_part
+    ctx.join_operator_actor_num_cpus_per_partition_override = (
+        _join_cpus_per_partition(n_parts, n_joins)
+    )
     try:
         yield
     finally:
         ctx.join_operator_actor_num_cpus_per_partition_override = old
+
+
+def pin_join_cpu_reservation(ds, n_parts: int, n_joins: int = 1):
+    """Pin the join-aggregator CPU cap onto ``ds`` itself, so the cap
+    holds whenever the caller executes it — no ``with`` scope needed.
+
+    Gives ``ds`` a PRIVATE DataContext copy (deepcopy of its current
+    snapshot) with ``join_operator_actor_num_cpus_per_partition_
+    override`` set per :func:`_join_cpus_per_partition`, and swaps it
+    into both plans. The copy is what makes this safe: a derived
+    dataset's context object is shared with its ancestors (ray
+    2.49.2), so mutating in place would leak the override into every
+    other pipeline built from the same root. Uses the private
+    ``_plan._context`` / ``_logical_plan._context`` fields — pinned to
+    the vendored ray version and covered by a no-leak test."""
+    import copy
+
+    ctx = copy.deepcopy(ds._plan._context)
+    ctx.join_operator_actor_num_cpus_per_partition_override = (
+        _join_cpus_per_partition(n_parts, n_joins)
+    )
+    ds._plan._context = ctx
+    ds._logical_plan._context = ctx
+    return ds

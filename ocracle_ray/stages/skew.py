@@ -1,4 +1,4 @@
-"""Explicit skew handling: size-bucketed repartition + salted groupby.
+"""Explicit skew handling: size buckets, salted groupby, skew-safe join.
 
 north_rule requirements made concrete:
 
@@ -11,6 +11,10 @@ north_rule requirements made concrete:
   key across ``n_salt`` reducers — and stage 2 folds the salted
   partials. Results are EXACTLY equal to a plain groupby sum (tested);
   only the shuffle layout changes.
+- ``skew_safe_join`` applies the same idea to hash joins: sketch-found
+  hot keys ride a broadcast (map-side) join while the cold remainder
+  takes the normal distributed hash join — exactly equal to a plain
+  join (tested), only the shuffle layout changes.
 """
 
 from __future__ import annotations
@@ -93,3 +97,156 @@ def salted_groupby_sum(ds, key: str, value: str, *, n_salt: int = 8,
         partial.groupby(key)
         .aggregate(Sum("_partial", alias_name=alias))
     )
+
+
+def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
+    """Merged Misra-Gries summary of ``ds[on]`` (per-batch sketch,
+    driver merge of <= mg_k-entry summaries). One column-pruned
+    streaming pass. ``.candidates()`` holds every key with true
+    frequency > n/(mg_k+1) GUARANTEED, up to mg_k keys total.
+
+    Bonus property used by :func:`skew_safe_join`: iff no counter was
+    ever decremented (``sum(counts.values()) == n``), the summary is
+    EXACT and the candidate set is the complete distinct-key set."""
+    from ..core.sketch import MisraGries
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        s = MisraGries(mg_k)
+        s.add_many(t[on].to_pylist())
+        return pa.table({"mg": pa.array([s.serialize()], pa.large_binary())})
+
+    merged = MisraGries(mg_k)
+    keyed = ds.map_batches(
+        lambda t: pa.table({on: t[on]}), batch_format="pyarrow"
+    )
+    for b in keyed.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["mg"].to_pylist():
+            merged = merged.merge(MisraGries.deserialize(blob))
+    return merged
+
+
+def hot_key_candidates(ds, on: str, *, mg_k: int = 64) -> list:
+    """Candidate hot keys of ``ds[on]`` — see :func:`hot_key_sketch`."""
+    return hot_key_sketch(ds, on, mg_k=mg_k).candidates()
+
+
+def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
+                   num_partitions: int = 16, hot_right_limit: int = 2_000_000):
+    """Inner equi-join that survives hot keys on the LEFT (fact) side.
+
+    A plain hash join routes every row of a key to ONE partition: a key
+    holding 30% of a 100 TB fact table convoys one reducer for hours.
+    Split the work by key temperature instead:
+
+    1. ``hot_key_candidates`` finds ≤ ``mg_k`` candidate hot keys in one
+       streaming pass (false positives only change layout, never the
+       result — they just ride the broadcast path);
+    2. the RIGHT rows for candidate keys are gathered once behind a
+       ``limit(hot_right_limit + 1)`` cap (guard-don't-hope: the cap
+       bounds what can ever reach the driver, and hitting it raises)
+       and ``ray.put`` once;
+    3. hot-left rows join per batch against the broadcast table — a
+       map-side join with no shuffle, parallel to any width;
+    4. cold-left rows take the normal distributed hash join; with the
+       hot keys removed its partitions stay balanced;
+    5. union (row order is not preserved — join semantics only).
+
+    Degenerate shapes short-circuit: an exact (never-decremented)
+    sketch proves the candidate set covers EVERY left key, so the
+    whole join rides the broadcast with no shuffle; an empty candidate
+    set with decrements means near-uniform keys, so the plain hash
+    join is already balanced.
+
+    Costs 3 streaming scans of ``left`` (sketch, hot filter, cold
+    filter) — cheap column-pruned map passes — to remove hot keys from
+    the one genuinely expensive step, the all-to-all exchange.
+
+    Non-key column names must be disjoint across sides (asserted).
+    Output equals ``left.join(right, ...)`` exactly — tested."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..broadcast import cached_get
+    from ..pool import pin_join_cpu_reservation
+
+    lschema = left.schema()
+    lcols = [n for n in lschema.names if n != on]
+    rcols = [n for n in right.schema().names if n != on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(f"non-key columns must be disjoint, both sides have {sorted(clash)}")
+    out_cols = [on, *lcols, *rcols]
+
+    sk = hot_key_sketch(left, on, mg_k=mg_k)
+    hot = sk.candidates()
+    # Misra-Gries bonus: iff no counter was ever decremented the
+    # summary is exact and `hot` is the COMPLETE distinct-key set —
+    # the cold side is provably empty, so the whole join rides the
+    # broadcast with no shuffle at all. (Also required for
+    # correctness: Ray 2.49's hash join raises ArrowInvalid when one
+    # side is entirely empty — zero blocks means no schema reaches
+    # the aggregators.)
+    exhaustive = sum(sk.counts.values()) == sk.n
+
+    if not hot and not exhaustive:
+        # decrements wiped every counter: keys are near-uniform, no
+        # hot key exists — a plain hash join is already balanced
+        plain = left.join(
+            right, join_type="inner", num_partitions=num_partitions, on=(on,)
+        ).select_columns(out_cols)
+        return pin_join_cpu_reservation(plain, num_partitions)
+    hot_arr = pa.array(hot)
+
+    def _is_hot(t: pa.Table):
+        # cast the tiny (<= mg_k) candidate array to the batch's actual
+        # key type — Ray's Schema types aren't reliable across
+        # pandas/arrow block backends
+        return pc.is_in(t[on], value_set=hot_arr.cast(t[on].type))
+
+    # bounded single-execution pull: limit() caps what can ever reach
+    # the driver, then the raise fires if the cap was hit
+    # (guard-don't-hope — same discipline as dedup's GATHER_TEXT_LIMIT)
+    right_hot = (
+        right.map_batches(
+            lambda t: t.filter(_is_hot(t)), batch_format="pyarrow"
+        )
+        .limit(hot_right_limit + 1)
+        .to_pandas()
+    )
+    if len(right_hot) > hot_right_limit:
+        raise RuntimeError(
+            f"skew_safe_join: hot-key right rows exceed hot_right_limit "
+            f"({hot_right_limit}); the build side of the broadcast is "
+            f"itself too hot — salt the key or pre-aggregate the right "
+            f"side instead"
+        )
+    right_hot_ref = ray.put(right_hot)
+
+    def broadcast_merge(df):
+        out = df.merge(cached_get(right_hot_ref), on=on, how="inner")
+        # emit ARROW blocks: the union downstream mixes this stage with
+        # the hash join's arrow output, and mixed block types break
+        # sort-based ops after the union (BlockType assertion, ray 2.49)
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    if exhaustive:
+        # every left key is a candidate (empty left included): no cold
+        # rows exist — the whole join is the map-side broadcast
+        return left.map_batches(broadcast_merge, batch_format="pandas")
+
+    hot_left = left.map_batches(
+        lambda t: t.filter(_is_hot(t)), batch_format="pyarrow"
+    )
+    cold_left = left.map_batches(
+        lambda t: t.filter(pc.invert(_is_hot(t))), batch_format="pyarrow"
+    )
+    hot_out = hot_left.map_batches(broadcast_merge, batch_format="pandas")
+    cold_out = cold_left.join(
+        right, join_type="inner", num_partitions=num_partitions, on=(on,)
+    ).select_columns(out_cols)
+    # pin the aggregator CPU cap on the RETURNED dataset: the caller
+    # executes this lazily, and the planner reads the executing
+    # dataset's context for the whole DAG (pool.pin_join_cpu_reservation)
+    return pin_join_cpu_reservation(cold_out.union(hot_out), num_partitions)

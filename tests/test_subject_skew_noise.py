@@ -15,8 +15,10 @@ from ocracle_ray.core.subject import (
 from ocracle_ray.sources.noise import add_ocr_noise
 from ocracle_ray.stages.skew import (
     add_size_bucket,
+    hot_key_candidates,
     salted_groupby_sum,
     size_bucket_of,
+    skew_safe_join,
     spread_giants,
 )
 
@@ -107,6 +109,142 @@ def test_salted_groupby_exact():
     merged = salted.sort_values("k").reset_index(drop=True)
     expect = plain.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(merged, expect, check_dtype=False)
+
+
+def _skewed_join_fixture():
+    """Fact table with one hot key (60% of rows), plus keys missing on
+    each side so inner-join drops are exercised."""
+    import numpy as np
+
+    n = 1200
+    keys = ["hot"] * 720 + [f"k{i % 40}" for i in range(470)] + ["only_left"] * 10
+    left = pd.DataFrame(
+        {"k": keys, "lv": np.arange(n, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["hot"] + [f"k{i}" for i in range(40)] + ["only_right"],
+            "rv": np.arange(42, dtype="int64") * 100,
+        }
+    )
+    return left, right
+
+
+def test_hot_key_candidates_guarantee():
+    import ray.data as rd
+
+    left, _ = _skewed_join_fixture()
+    # "hot" holds 60% of rows — far above n/(mg_k+1), so Misra-Gries
+    # GUARANTEES it appears among the candidates
+    cands = hot_key_candidates(rd.from_pandas(left), "k", mg_k=8)
+    assert "hot" in cands
+    assert len(cands) <= 8
+
+
+def test_skew_safe_join_exact():
+    import ray.data as rd
+
+    left, right = _skewed_join_fixture()
+    got = (
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", mg_k=8, num_partitions=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k", how="inner")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def _assert_join_matches_pandas(left, right, **kw):
+    import ray.data as rd
+
+    got = (
+        skew_safe_join(rd.from_pandas(left), rd.from_pandas(right), on="k", **kw)
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k", how="inner")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_skew_safe_join_exhaustive_candidates():
+    """Distinct keys <= mg_k: the sketch is exact, the candidate set
+    covers every key, and the whole join rides the broadcast (the cold
+    side is provably empty — an all-empty hash-join side would raise
+    ArrowInvalid in ray 2.49)."""
+    left = pd.DataFrame({"k": ["a", "b", "c"] * 50, "lv": range(150)})
+    right = pd.DataFrame({"k": ["a", "b", "d"], "rv": [1, 2, 3]})
+    _assert_join_matches_pandas(left, right, mg_k=8, num_partitions=4)
+
+
+def test_skew_safe_join_uniform_keys_plain_path():
+    """Every key distinct with a tiny mg_k: pruning wipes all counters
+    (no hot key exists) — the plain hash-join path must be taken and
+    still match."""
+    left = pd.DataFrame({"k": [f"k{i}" for i in range(200)], "lv": range(200)})
+    right = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(0, 200, 2)], "rv": range(100)}
+    )
+    _assert_join_matches_pandas(left, right, mg_k=4, num_partitions=4)
+
+
+def test_skew_safe_join_right_limit_raises():
+    import ray.data as rd
+
+    left, right = _skewed_join_fixture()
+    with pytest.raises(RuntimeError, match="hot_right_limit"):
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", mg_k=8, num_partitions=8, hot_right_limit=0,
+        )
+
+
+def test_skew_safe_join_column_clash_raises():
+    import ray.data as rd
+
+    left, right = _skewed_join_fixture()
+    with pytest.raises(ValueError, match="disjoint"):
+        skew_safe_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right.rename(columns={"rv": "lv"})),
+            on="k",
+        )
+
+
+def test_pin_join_cpu_reservation_private_context():
+    """The pinned override lives on the RETURNED dataset's private
+    context copy — the caller's input datasets are untouched (a shared
+    mutation would leak the cap into every pipeline built from the
+    same root)."""
+    import ray.data as rd
+
+    left, right = _skewed_join_fixture()
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    out = skew_safe_join(lds, rds, on="k", mg_k=8, num_partitions=8)
+    assert (
+        out._plan._context.join_operator_actor_num_cpus_per_partition_override
+        is not None
+    )
+    # planner reads the executing dataset's logical-plan context —
+    # both plan handles must carry the same pinned copy
+    assert out._logical_plan._context is out._plan._context
+    for src in (lds, rds):
+        assert (
+            src._plan._context.join_operator_actor_num_cpus_per_partition_override
+            is None
+        )
 
 
 # --------------------------------------------------------------- noise
