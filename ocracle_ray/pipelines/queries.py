@@ -1033,8 +1033,17 @@ def q_distinct_counts(sf_dir: str):
       oracled against COUNT(DISTINCT) at every fixture sf (users scale
       ~15k/sf-unit; a k=1024 first cut diverged at sf0.1, caught by
       review). Beyond k it degrades gracefully (rows-only territory;
-      memory stays ≤ 8·k bytes per sketch)."""
-    from ..core.sketch import kmv_distinct_estimate
+      memory stays ≤ 8·k bytes per sketch);
+    - ``n_users_type``: GROUPED distinct (``kmv_distinct_by``) —
+      per-batch per-group KMV partials are the only thing shuffled
+      (<= 8·k bytes per (group, block), never the values), folded by a
+      tiny groupby whose group size is bounded by the block count.
+      Same exact-below-k contract, so oracled against
+      COUNT(DISTINCT) GROUP BY.
+
+    One row per event_type; the two global counts ride every row as
+    constant columns (the driver hashes all values either way)."""
+    from ..core.sketch import kmv_distinct_by, kmv_distinct_estimate
 
     a = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
         lambda t: pa.table({"key": t["o_custkey"]}), batch_format="pyarrow"
@@ -1044,7 +1053,26 @@ def q_distinct_counts(sf_dir: str):
     )
     n = len(a.union(b).unique("key"))
     est = kmv_distinct_estimate(_read(sf_dir, "events", ["user_id"]), "user_id", k=65536)
-    return pd.DataFrame({"n_keys": [n], "n_users": [int(round(est))]})
+    per_type = (
+        kmv_distinct_by(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+            k=65536,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": per_type["event_type"],
+            "n_users_type": per_type["n_distinct"].round().astype("int64"),
+        }
+    )
+    out["n_keys"] = n
+    out["n_users"] = int(round(est))
+    return out
 
 
 def q_events_range_join_views(sf_dir: str):
@@ -1976,11 +2004,14 @@ ORACLE_SQL = {
     """,
     "distinct_counts": """
         SELECT
+            event_type,
+            count(DISTINCT user_id) AS n_users_type,
             (SELECT count(DISTINCT key) FROM (
                 SELECT o_custkey AS key FROM orders
                 UNION ALL SELECT c_custkey AS key FROM customer
             )) AS n_keys,
             (SELECT count(DISTINCT user_id) FROM events) AS n_users
+        FROM events GROUP BY event_type
     """,
     "events_range_join_views": """
         SELECT c.event_id, c.user_id, c.ts,

@@ -40,11 +40,12 @@ def add_size_bucket(pages_ds, payload_col: str = "html"):
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        sizes = pc.binary_length(t[payload_col])
-        buckets = pa.array(
-            [size_bucket_of(s) for s in sizes.to_pylist()], pa.int32()
-        )
-        return t.append_column("size_bucket", buckets)
+        sizes = pc.binary_length(t[payload_col]).to_numpy(zero_copy_only=False)
+        # vectorized size_bucket_of: thresholds 16KiB/64KiB/256KiB
+        buckets = np.searchsorted(
+            np.array([16 * 1024, 64 * 1024, 256 * 1024]), sizes, side="left"
+        ).astype(np.int32)
+        return t.append_column("size_bucket", pa.array(buckets, pa.int32()))
 
     return pages_ds.map_batches(tag, batch_format="pyarrow")
 
@@ -115,13 +116,28 @@ def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
         s.add_many(t[on].to_pylist())
         return pa.table({"mg": pa.array([s.serialize()], pa.large_binary())})
 
-    merged = MisraGries(mg_k)
+    def merge_batch(t: pa.Table) -> pa.Table:
+        m = MisraGries(mg_k)
+        for blob in t["mg"].to_pylist():
+            m = m.merge(MisraGries.deserialize(blob))
+        return pa.table({"mg": pa.array([m.serialize()], pa.large_binary())})
+
     keyed = ds.map_batches(
         lambda t: pa.table({on: t[on]}), batch_format="pyarrow"
     )
-    for b in keyed.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    # tree reduce: one summary per input block would pull O(blocks)
+    # rows to the driver (a 100 TB read is ~10^6 blocks); coalesce to
+    # ~16 partitions and merge within each first, so the driver folds
+    # O(16) summaries. MG merge is associative/commutative, and the
+    # exhaustive test (sum(counts) == n) is order-independent: any
+    # prune strictly drops the stored sum below n.
+    sketches = (
+        keyed.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+    )
+    merged = MisraGries(mg_k)
+    for b in sketches.iter_batches(batch_format="pyarrow"):
         for blob in b["mg"].to_pylist():
             merged = merged.merge(MisraGries.deserialize(blob))
     return merged

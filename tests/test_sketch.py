@@ -54,6 +54,49 @@ def test_kmv_distributed(ray_session):
     assert abs(est - 5000) / 5000 < 0.2
 
 
+def test_kmv_distinct_by_exact_below_k(ray_session):
+    """Grouped distinct: exact per group while true distinct < k, with
+    groups spread across many blocks (the fold merges cross-block
+    partials)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocracle_ray.core.sketch import kmv_distinct_by
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=3000),
+            "v": rng.randint(0, 400, size=3000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        kmv_distinct_by(ds, "g", "v", k=1024)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    expect = (
+        df.groupby("g")["v"].nunique().rename("n_distinct").reset_index()
+    )
+    assert list(got["g"]) == list(expect["g"])
+    assert [int(x) for x in got["n_distinct"]] == list(expect["n_distinct"])
+
+
+def test_kmv_distinct_by_estimate_above_k(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocracle_ray.core.sketch import kmv_distinct_by
+
+    df = pd.DataFrame({"g": ["x"] * 8000, "v": np.arange(8000)})
+    ds = rd.from_pandas(df).repartition(4)
+    got = kmv_distinct_by(ds, "g", "v", k=256).to_pandas()
+    est = float(got["n_distinct"].iloc[0])
+    assert abs(est - 8000) / 8000 < 0.2
+
+
 def test_container_string_builder():
     blocks = tokenize(b"<p>first block</p><img src='x' alt='fig'><p>second block</p>")
     plain = build_container_string(blocks)
