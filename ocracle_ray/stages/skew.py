@@ -122,8 +122,14 @@ def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
             m = m.merge(MisraGries.deserialize(blob))
         return pa.table({"mg": pa.array([m.serialize()], pa.large_binary())})
 
+    # nulls are dropped BEFORE sketching: a null must never become a
+    # hot candidate, because the broadcast path's pandas merge matches
+    # NaN==NaN while the hash join drops null keys (SQL semantics,
+    # verified on ray 2.49) — with nulls excluded from the candidate
+    # set and from right_hot, null-key rows match nothing on every
+    # path, exactly like the plain join
     keyed = ds.map_batches(
-        lambda t: pa.table({on: t[on]}), batch_format="pyarrow"
+        lambda t: pa.table({on: t[on].drop_null()}), batch_format="pyarrow"
     )
     # tree reduce: one summary per input block would pull O(blocks)
     # rows to the driver (a 100 TB read is ~10^6 blocks); coalesce to

@@ -200,6 +200,36 @@ def test_skew_safe_join_uniform_keys_plain_path():
     _assert_join_matches_pandas(left, right, mg_k=4, num_partitions=4)
 
 
+def test_skew_safe_join_null_keys_match_plain_join():
+    """Null join keys must match NOTHING (SQL semantics, what ray's
+    hash join does) on every path — including when nulls are frequent
+    enough that an unfiltered sketch would make null a hot candidate
+    and route it down the pandas broadcast merge (which WOULD match
+    NaN==NaN)."""
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {"k": ([None] * 600 + ["a", "b"] * 300), "lv": range(1200)}
+    )
+    right = pd.DataFrame({"k": ["a", "b", None], "rv": [1, 2, 3]})
+    got = (
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", mg_k=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.dropna(subset=["k"])
+        .merge(right.dropna(subset=["k"]), on="k", how="inner")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_skew_safe_join_right_limit_raises():
     import ray.data as rd
 
