@@ -93,9 +93,20 @@ class MisraGries:
         from collections import Counter
 
         batch = Counter(values)
-        self.n += sum(batch.values())
-        for v, c in batch.items():
+        self.add_counts(batch.keys(), batch.values())
+
+    def add_counts(self, values, counts) -> None:
+        """Bulk add pre-aggregated (value, count) pairs — e.g. a
+        batch's ``pyarrow.compute.value_counts`` — one dict op per
+        DISTINCT value instead of one per row. Semantics identical to
+        ``add_many`` over the expanded multiset (one prune at the
+        end)."""
+        total = 0
+        for v, c in zip(values, counts):
+            c = int(c)
+            total += c
             self.counts[v] = self.counts.get(v, 0) + c
+        self.n += total
         self._prune()
 
     def merge(self, other: "MisraGries") -> "MisraGries":

@@ -859,7 +859,10 @@ def q_events_heavy_hitters(sf_dir: str):
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         s = MisraGries(K)
-        s.add_many(t["event_type"].to_pylist())
+        # vectorized counting: distinct values only cross into Python
+        # (nulls kept as their own entry — SQL groups NULL too)
+        vc = pc.value_counts(t["event_type"])
+        s.add_counts(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
         return pa.table({"mg": pa.array([s.serialize()], pa.large_binary())})
 
     merged = MisraGries(K)
