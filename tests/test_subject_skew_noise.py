@@ -200,6 +200,36 @@ def test_skew_safe_join_uniform_keys_plain_path():
     _assert_join_matches_pandas(left, right, mg_k=4, num_partitions=4)
 
 
+def test_skew_safe_join_duplicate_right_keys_multiplicity():
+    """Join multiplicity: duplicate right rows per key must fan out
+    left rows on BOTH the broadcast and hash-join paths (inner-join
+    cartesian per key)."""
+    import ray.data as rd
+
+    left, _ = _skewed_join_fixture()
+    right = pd.DataFrame(
+        {
+            "k": ["hot", "hot", "hot", "k0", "k0", "k1"],
+            "rv": [1, 2, 3, 10, 20, 30],
+        }
+    )
+    got = (
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", mg_k=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k", how="inner")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_skew_safe_join_null_keys_match_plain_join():
     """Null join keys must match NOTHING (SQL semantics, what ray's
     hash join does) on every path — including when nulls are frequent
