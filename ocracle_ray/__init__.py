@@ -29,6 +29,11 @@ session it created.
 # Bump on ANY change that alters persisted record bytes (fingerprint
 # scheme, extraction semantics, schema): manifest resume validates
 # against this so mixed-version outputs are re-run, never merged.
-ENGINE_VERSION = "0.3.0"  # 0.3.0: null warc_ts ≡ epoch-0 loser in EVERY
+ENGINE_VERSION = "0.4.0"  # 0.4.0: PDF extraction semantics changed in
+# round 3 (ObjStm/xref-stream expansion, /Length-exact stream slicing,
+# structural-stream exclusion from the page fallback): PDF-1.5 inputs
+# and Flate streams whose bytes end in CR/LF now extract different —
+# correct — text, so pre-round-3 manifests must re-run, never merge;
+# 0.3.0: null warc_ts ≡ epoch-0 loser in EVERY
 # dedup mode (shuffle keep-latest previously let a null-ts copy win via
 # pyarrow null_placement='at_end'); 0.2.0: FNV-1a -> blake2b-64 hashing

@@ -1198,11 +1198,14 @@ def q_docs_simhash_dups(sf_dir: str):
     pairs = simhash_neardup_pairs(ds, "doc_id", "text", max_hamming=3)
 
     # brute-force ground truth, affordable only on a small corpus:
-    # row-wise vectorized popcount over all pairs
+    # row-wise vectorized popcount over all pairs. COUNT before any
+    # text reaches the driver (guard-don't-hope) — past the limit the
+    # gather never happens and recall stays NaN
     BRUTE_LIMIT = 20_000
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    docs_ds = _read(sf_dir, "documents", ["doc_id", "text"])
     recall = float("nan")
-    if len(docs) <= BRUTE_LIMIT:
+    if docs_ds.count() <= BRUTE_LIMIT:
+        docs = docs_ds.to_pandas()
         sh = np.array([simhash(x or "") for x in docs["text"]], dtype=np.uint64)
         ids = docs["doc_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids)

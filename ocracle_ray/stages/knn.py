@@ -219,8 +219,13 @@ class IvfIndex:
             unit = _unit(_as_matrix(t[emb_col]))
             cos = unit @ q
             n = min(k, len(cos))
-            top = np.argpartition(-cos, n - 1)[:n]
-            ids = np.asarray(t[key_col].to_pylist(), dtype=np.int64)[top]
+            ids_all = np.asarray(t[key_col].to_pylist(), dtype=np.int64)
+            # deterministic truncation: ties at the k-boundary must
+            # keep the SMALLER key (the driver resolve and the oracle
+            # both order by cosine DESC, key ASC) — plain argpartition
+            # keeps an arbitrary tied row
+            top = np.lexsort((ids_all, -cos))[:n]
+            ids = ids_all[top]
             return pa.table(
                 {key_col: pa.array(ids, pa.int64()),
                  "cosine": pa.array(cos[top], pa.float64())}

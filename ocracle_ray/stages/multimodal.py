@@ -122,8 +122,12 @@ class ImageFeatures:
                     try:
                         w, h, _ch, px = self._decode_jpeg(payload)
                         body = px.reshape(-1)
-                    except (NotImplementedError, ValueError):
-                        body = None  # progressive/damaged: fall through
+                    except Exception:
+                        # progressive/damaged: fall through. Broad on
+                        # purpose — truncated headers raise struct.error
+                        # / IndexError, not just ValueError (same
+                        # contract as figures._decode)
+                        body = None
                 if body is None:
                     if not self.real:
                         # STUB: non-stdlib codecs (jpeg/webp, exotic PNG

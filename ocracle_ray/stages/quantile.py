@@ -24,8 +24,11 @@ blow a worker: worst case it fails loudly at the driver guard.
 Replaces ``groupby(g).map_groups(percentile)`` whose "one group's
 values fit a worker" assumption dies at 100 TB.
 
-Nulls/NaNs are dropped in both passes, matching SQL aggregate
-semantics.
+Null semantics match SQL aggregates: null VALUES are skipped in both
+passes; a null GROUP key is its own group (``GROUP BY`` groups NULLs).
+Missing group labels are canonicalized to ``None`` at every dict
+boundary — pandas represents them as NaN, and NaN fails dict lookups
+and ``==`` selection.
 """
 
 from __future__ import annotations
@@ -35,6 +38,12 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+def _gk(v):
+    """Canonical dict key for a group label: missing -> None (pandas
+    NaN labels break dict lookups and ``==`` selection)."""
+    return None if pd.isna(v) else v
 
 
 def _order_stat_indices(n: int, probs: tuple[float, ...]) -> set[int]:
@@ -69,10 +78,12 @@ def grouped_exact_quantiles(
     # ---- pass A: histogram partials -------------------------------------
     def hist_partial(t: pa.Table) -> pa.Table:
         df = t.select([group_col, value_col]).to_pandas()
-        df = df.dropna()
+        # SQL aggregate semantics: null VALUES are skipped, but a null
+        # GROUP key is its own group — dropna(subset=value) only
+        df = df.dropna(subset=[value_col])
         b = np.floor(df[value_col].to_numpy(dtype=np.float64) / bin_width)
         df = pd.DataFrame({group_col: df[group_col].to_numpy(), "bucket": b.astype(np.int64)})
-        g = df.groupby([group_col, "bucket"], as_index=False).size()
+        g = df.groupby([group_col, "bucket"], as_index=False, dropna=False).size()
         return pa.Table.from_pandas(
             g.rename(columns={"size": "c"}), preserve_index=False
         )
@@ -80,7 +91,7 @@ def grouped_exact_quantiles(
     hist = (
         ds.map_batches(hist_partial, batch_format="pyarrow")
         .to_pandas()
-        .groupby([group_col, "bucket"], as_index=False)["c"]
+        .groupby([group_col, "bucket"], as_index=False, dropna=False)["c"]
         .sum()
     )
 
@@ -89,6 +100,7 @@ def grouped_exact_quantiles(
     group_meta: dict[object, tuple[int, pd.DataFrame]] = {}
     pull_estimate = 0
     for grp, gh in hist.groupby(group_col, dropna=False):
+        grp = _gk(grp)
         gh = gh.sort_values("bucket").reset_index(drop=True)
         cum = gh["c"].cumsum()
         n = int(cum.iloc[-1])
@@ -112,12 +124,15 @@ def grouped_exact_quantiles(
     # `needed` is tiny (groups x <= 2*len(probs) buckets): closure capture,
     # serialized once per task, is the right broadcast for this size.
     def refine(t: pa.Table) -> pa.Table:
-        df = t.select([group_col, value_col]).to_pandas().dropna()
+        # null VALUES skipped, null GROUP kept (same rule as pass A)
+        df = t.select([group_col, value_col]).to_pandas().dropna(
+            subset=[value_col]
+        )
         b = np.floor(df[value_col].to_numpy(dtype=np.float64) / bin_width).astype(
             np.int64
         )
         keep = np.fromiter(
-            (bb in needed.get(g, ()) for g, bb in zip(df[group_col], b)),
+            (bb in needed.get(_gk(g), ()) for g, bb in zip(df[group_col], b)),
             dtype=bool,
             count=len(df),
         )
@@ -131,7 +146,8 @@ def grouped_exact_quantiles(
     rows = []
     colnames = [f"p{100 * q:g}" for q in probs]
     for grp, (n, gh) in sorted(group_meta.items(), key=lambda kv: str(kv[0])):
-        sub = pulled[pulled[group_col] == grp]
+        mask = pulled[group_col].isna() if grp is None else pulled[group_col] == grp
+        sub = pulled[mask]
         stats: dict[int, float] = {}
         for bk, bsub in sub.groupby("bucket"):
             vals = np.sort(bsub[value_col].to_numpy(dtype=np.float64))

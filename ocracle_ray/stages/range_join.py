@@ -94,10 +94,13 @@ def range_join_count(
         lmask = g["is_left"].to_numpy() == np.int8(1)
         lt = g["ts_us"].to_numpy()[lmask]
         if lt.size == 0:  # right-only (user, bucket) — nothing to emit
+            # dtypes mirror the non-empty branch's columns (taken from
+            # g) so mixed-schema blocks can't reach the union for
+            # non-int64 id/user keys
             return pd.DataFrame(
                 {
-                    id_col: pd.Series([], dtype="int64"),
-                    user_col: pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype=g[id_col].dtype),
+                    user_col: pd.Series([], dtype=g[user_col].dtype),
                     ts_col: pd.Series([], dtype="datetime64[us]"),
                     out_col: pd.Series([], dtype="int64"),
                 }

@@ -54,10 +54,13 @@ def _runs(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _cents(v: np.ndarray, scale: int) -> np.ndarray:
     scaled = v * scale
     c = np.rint(scaled)
-    if len(c) and np.abs(scaled - c).max() > 1e-6 * scale:
+    # negated <= form so NaN (null values) FAILS the check and raises
+    # instead of slipping through a `> tol` comparison (NaN > x is
+    # False) into INT64_MIN garbage cents
+    if len(c) and not np.all(np.abs(scaled - c) <= 1e-6 * scale):
         raise ValueError(
-            f"running_sum: values are not exact at scale={scale}; "
-            "integer-cent arithmetic would silently round"
+            f"running_sum: values are not exact (or not finite) at "
+            f"scale={scale}; integer-cent arithmetic would silently round"
         )
     return c.astype(np.int64)
 
@@ -138,10 +141,13 @@ def running_sum_to_parquet(
         if not len(starts):
             return pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype=df[id_col].dtype),
                     user_col: pd.Series(dtype=df[user_col].dtype),
                     "seg_ts": pd.Series(dtype="int64"),
-                    "seg_id": pd.Series(dtype="int64"),
+                    # seg_id carries id values — mirror the id dtype,
+                    # like segments' fallback, or an empty block makes
+                    # the join key's schema diverge for non-int64 ids
+                    "seg_id": pd.Series(dtype=df[id_col].dtype),
                     "local_prefix": pd.Series(dtype="int64"),
                 }
             )

@@ -82,3 +82,22 @@ def test_nulls_dropped_like_sql():
     df = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 3.0, None]})
     got = grouped_exact_quantiles(_ds(df, blocks=1), "g", "v", probs=(0.5,))
     assert got["p50"].iloc[0] == 2.0
+
+
+def test_null_group_key_is_its_own_group():
+    """SQL GROUP BY keeps NULL as a group (null VALUES are skipped,
+    null KEYS are not rows to drop)."""
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", None, None, None, "b"],
+            "v": [1.0, 3.0, 10.0, 20.0, 30.0, 5.0],
+        }
+    )
+    got = grouped_exact_quantiles(_ds(df, blocks=2), "g", "v", probs=(0.5,))
+    by_key = {
+        (None if pd.isna(k) else k): v
+        for k, v in zip(got["g"], got["p50"])
+    }
+    assert by_key["a"] == 2.0
+    assert by_key["b"] == 5.0
+    assert by_key[None] == 20.0

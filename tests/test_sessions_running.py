@@ -144,6 +144,21 @@ def test_running_sum_parallelism_invariant(tmp_path):
     )
 
 
+def test_running_sum_rejects_null_values(tmp_path):
+    """NaN values must fail the exactness guard loudly (NaN > tol is
+    False, so a '> tol' guard would let NaN slip into INT64_MIN cents)."""
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "user_id": [1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "value": [1.0, None],
+        }
+    )
+    with pytest.raises(Exception, match="scale"):
+        running_sum_to_parquet(_ds(df, 1), str(tmp_path / "n"))
+
+
 def test_running_sum_rejects_inexact_scale(tmp_path):
     df = pd.DataFrame(
         {

@@ -112,6 +112,30 @@ def test_real_codec_is_stubbed():
         ).to_pandas()
 
 
+def test_truncated_jpeg_hits_stub_not_struct_error():
+    """A JPEG whose SOF segment is cut short raises struct.error from
+    the decoder — ImageFeatures must translate that into the honest
+    PIL-stub contract, not crash the actor batch."""
+    import ray.data as rd
+
+    bad = pa.Table.from_pydict(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": ["image"],
+            # SOI + truncated SOF0 (5-byte segment, body too short)
+            "payload": pa.array(
+                [b"\xff\xd8\xff\xc0\x00\x05\x08\x00"], pa.large_binary()
+            ),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        rd.from_arrow(bad).map_batches(
+            ImageFeatures, batch_format="pyarrow", concurrency=1
+        ).to_pandas()
+
+
 # ------------------------------------------------------------------ knn
 
 def _emb_ds():
@@ -153,6 +177,32 @@ def test_ivf_recall_vs_bruteforce():
     assert recall >= 0.5  # measured, not assumed; full probe -> exact
     full = idx.search(q, k=10, n_probe=8)
     assert set(full["vec_id"]) == exact
+
+
+def test_ivf_search_deterministic_under_cosine_ties():
+    """Duplicate embeddings tie exactly at the k-boundary: the
+    per-batch truncation must keep the SMALLEST vec_ids (cosine DESC,
+    key ASC — the driver resolve and oracle order), not whatever
+    argpartition leaves."""
+    import ray.data as rd
+
+    n = 20
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    # descending ids so raw batch order disagrees with the tie-break
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(2 * n - 1, -1, -1)), pa.int64()),
+            "embedding": pa.array(
+                [a] * n + [b] * n, pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    idx = IvfIndex(ds, n_cells=2)
+    got = idx.search(np.array(a), k=5, n_probe=2)
+    # ids 2n-1..n hold vector `a`: all cosine 1.0, smallest ids win
+    assert list(got["vec_id"]) == list(range(n, n + 5))
 
 
 def test_ivf_pruned_read_equals_filter_scan(tmp_path):
