@@ -531,16 +531,239 @@ def _gather_texts(ds, key: str, text: str, needed: list[int]) -> dict[int, str]:
 
 # ---------------------------------------------------- clustering (CC)
 
-def neardup_clusters_from_pairs(pairs) -> "pd.DataFrame":  # noqa: F821
+# above this many verified pairs the driver union-find hands off to
+# the distributed groupby-rounds clusterer
+CLUSTER_DRIVER_LIMIT = 2_000_000
+
+
+def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
+                                 num_partitions: int = 16) -> "pd.DataFrame":  # noqa: F821
+    """Distributed connected components over (a, b) pairs:
+    min-label contraction with pointer doubling. Every step is a
+    scalar groupby-min or a hash join — no per-component set or pandas
+    group ever materializes, so a duplicate cluster of ANY size (one
+    boilerplate page copied 10^7 times) is safe.
+
+    Per outer round:
+
+    1. ``L(u) = min(u, min neighbor of u)`` over the live edge set
+       (symmetrize map + groupby-min);
+    2. ``L*`` = pointer-doubled fixpoint of ``L`` — each doubling is
+       one left-outer hash join, so a chain of pointer depth d
+       resolves in ceil(log2 d) joins (full path compression; a pure
+       relabel loop would need O(d) rounds on chains);
+    3. the key->rep mapping composes with ``L*`` (left-outer join),
+       edges relabel to ``(L*(u), L*(v))``, self-loops drop,
+       duplicates collapse (groupby).
+
+    The per-round label/edge state is ``materialize()``d — it is the
+    algorithm's working set (O(nodes), spillable), and without it each
+    round's ``count()`` would re-execute the whole lineage chain.
+    Raises past ``max_rounds`` (guard-don't-hope). Output equals the
+    driver union-find exactly: one (key, cluster_id=min key in
+    component) row per node appearing in ``pairs``."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    if pairs.empty:
+        return _empty_clusters_df()
+
+    edges_tbl = pa.table(
+        {
+            "u": pa.array(pairs["a"].to_numpy(dtype=np.int64), pa.int64()),
+            "v": pa.array(pairs["b"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            }
+        )
+
+    with join_cpu_reservation_guard(num_partitions, n_joins=2):
+        edges = rd.from_arrow(edges_tbl).materialize()
+        # mapping key -> rep for every ORIGINAL node; identity to start
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    pairs["a"].to_numpy(dtype=np.int64),
+                    pairs["b"].to_numpy(dtype=np.int64),
+                ]
+            )
+        )
+        m = rd.from_arrow(
+            pa.table(
+                {"key": pa.array(nodes, pa.int64()),
+                 "rep": pa.array(nodes, pa.int64())}
+            )
+        ).materialize()
+
+        for _ in range(max_rounds):
+            if edges.count() == 0:
+                out = m.to_pandas().rename(columns={"rep": "cluster_id"})
+                return (
+                    out.sort_values("key")
+                    .reset_index(drop=True)
+                    .astype("int64")
+                )
+
+            # 1. L(u) = min(u, min neighbor)
+            lab = (
+                edges.map_batches(symmetrize, batch_format="pyarrow")
+                .groupby("u")
+                .aggregate(Min("v", alias_name="lab"))
+                .map_batches(
+                    lambda t: pa.table(
+                        {
+                            "key": t["u"],
+                            "lab": pc.min_element_wise(
+                                t["lab"], t["u"].combine_chunks()
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+
+            # 2. pointer doubling to the fixpoint L*
+            for _i in range(40):
+                step = lab.map_batches(
+                    lambda t: pa.table({"k2": t["key"], "lab2": t["lab"]}),
+                    batch_format="pyarrow",
+                )
+                doubled = (
+                    lab.join(
+                        step,
+                        join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=("lab",),
+                        right_on=("k2",),
+                    )
+                    .map_batches(
+                        lambda t: pa.table(
+                            {
+                                "key": t["key"],
+                                "lab": pc.coalesce(t["lab2"], t["lab"]),
+                                "_chg": pc.cast(
+                                    pc.and_(
+                                        pc.is_valid(t["lab2"]),
+                                        pc.not_equal(t["lab2"], t["lab"]),
+                                    ),
+                                    pa.int64(),
+                                ),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    .materialize()
+                )
+                changed = doubled.sum("_chg") or 0
+                lab = doubled.select_columns(["key", "lab"]).materialize()
+                if changed == 0:
+                    break
+            else:  # pragma: no cover — 2^40 pointer depth is unreachable
+                raise RuntimeError("cluster_pairs_groupby_rounds: pointer "
+                                   "doubling did not converge")
+
+            # 3a. compose mapping: rep' = L*(rep) where defined
+            lstar_m = lab.map_batches(
+                lambda t: pa.table({"k2": t["key"], "lab2": t["lab"]}),
+                batch_format="pyarrow",
+            )
+            m = (
+                m.join(
+                    lstar_m,
+                    join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("rep",),
+                    right_on=("k2",),
+                )
+                .map_batches(
+                    lambda t: pa.table(
+                        {"key": t["key"], "rep": pc.coalesce(t["lab2"], t["rep"])}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+
+            # 3b. relabel edges, drop self-loops, collapse duplicates
+            lu = lab.map_batches(
+                lambda t: pa.table({"u": t["key"], "lu": t["lab"]}),
+                batch_format="pyarrow",
+            )
+            lv = lab.map_batches(
+                lambda t: pa.table({"v": t["key"], "lv": t["lab"]}),
+                batch_format="pyarrow",
+            )
+            def relabel(t: pa.Table) -> pa.Table:
+                lo = pc.min_element_wise(
+                    t["lu"].combine_chunks(), t["lv"].combine_chunks()
+                )
+                hi = pc.max_element_wise(
+                    t["lu"].combine_chunks(), t["lv"].combine_chunks()
+                )
+                return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
+
+            edges = (
+                edges.join(lu, join_type="inner",
+                           num_partitions=num_partitions, on=("u",))
+                .join(lv, join_type="inner",
+                      num_partitions=num_partitions, on=("v",))
+                .map_batches(relabel, batch_format="pyarrow")
+                .groupby(["u", "v"])
+                .aggregate(Count(alias_name="_c"))
+                .select_columns(["u", "v"])
+                .materialize()
+            )
+
+    raise RuntimeError(
+        f"cluster_pairs_groupby_rounds: not converged after {max_rounds} "
+        f"rounds — raise max_rounds (components contract toward their min "
+        f"key every round, so this indicates an adversarial graph)"
+    )
+
+
+def _empty_clusters_df() -> "pd.DataFrame":  # noqa: F821
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"key": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")}
+    )
+
+
+def neardup_clusters_from_pairs(pairs, *, mode: str = "auto") -> "pd.DataFrame":  # noqa: F821
     """Connected components over verified near-dup pairs -> (key,
     cluster_id=min key in component).
 
-    Driver-side union-find: the verified pair set is orders of magnitude
-    smaller than the corpus (ray_guide dedup note: union-find on the
-    driver only when the candidate set is provably small — here it is
-    the POST-verification set). For pathological pair volumes run
-    min-label propagation in rounds of groupby instead."""
+    ``mode='driver'``: union-find on the driver — the verified pair
+    set is orders of magnitude smaller than the corpus (ray_guide
+    dedup note: union-find on the driver only when the candidate set
+    is provably small — here it is the POST-verification set).
+    ``mode='groupby_rounds'``: the distributed contraction
+    (:func:`cluster_pairs_groupby_rounds`). ``mode='auto'`` dispatches
+    on ``CLUSTER_DRIVER_LIMIT`` (equivalence of the two paths is
+    tested)."""
     import pandas as pd
+
+    if mode == "auto":
+        mode = "driver" if len(pairs) <= CLUSTER_DRIVER_LIMIT else "groupby_rounds"
+    if mode == "groupby_rounds":
+        return cluster_pairs_groupby_rounds(pairs)
+    if mode != "driver":
+        raise ValueError(f"unknown mode {mode!r}")
 
     parent: dict[int, int] = {}
 

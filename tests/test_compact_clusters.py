@@ -24,6 +24,64 @@ def test_clusters_empty():
     assert len(out) == 0
 
 
+def _random_pairs(seed: int, n_nodes: int, n_edges: int) -> pd.DataFrame:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, n_nodes, size=n_edges).astype("int64")
+    b = rng.randint(0, n_nodes, size=n_edges).astype("int64")
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # long chain: the pointer-doubling path (pure relabel rounds
+        # would need O(n) iterations here)
+        pd.DataFrame({"a": list(range(200)), "b": list(range(1, 201))}),
+        # star with a late hub: every leaf must reach min key 0
+        pd.DataFrame({"a": [0] * 50, "b": list(range(100, 150))}),
+        # random sparse graph: many components of varied shapes
+        _random_pairs(3, 400, 300),
+        # random dense-ish graph: few big components
+        _random_pairs(4, 120, 300),
+    ],
+    ids=["chain", "star", "sparse", "dense"],
+)
+def test_clusters_groupby_rounds_equals_union_find(ray_session, pairs):
+    from ocracle_ray.stages.dedup import cluster_pairs_groupby_rounds
+
+    driver = neardup_clusters_from_pairs(pairs, mode="driver")
+    dist = cluster_pairs_groupby_rounds(pairs, num_partitions=4)
+    pd.testing.assert_frame_equal(
+        driver.sort_values("key").reset_index(drop=True),
+        dist.sort_values("key").reset_index(drop=True),
+    )
+
+
+def test_clusters_auto_dispatch(monkeypatch, ray_session):
+    """auto mode hands off to the distributed contraction past
+    CLUSTER_DRIVER_LIMIT — equality already proven above, here just
+    that the dispatch happens."""
+    import ocracle_ray.stages.dedup as dd
+
+    pairs = pd.DataFrame({"a": [1, 2], "b": [2, 3]})
+    monkeypatch.setattr(dd, "CLUSTER_DRIVER_LIMIT", 1)
+    called = {}
+    real = dd.cluster_pairs_groupby_rounds
+
+    def spy(p, **kw):
+        called["yes"] = True
+        return real(p, **kw)
+
+    monkeypatch.setattr(dd, "cluster_pairs_groupby_rounds", spy)
+    out = dd.neardup_clusters_from_pairs(pairs)
+    assert called.get("yes")
+    assert dict(zip(out["key"], out["cluster_id"])) == {1: 1, 2: 1, 3: 1}
+
+
 def test_compact_cross_partition_dups(tmp_path):
     """Shards that OVERLAP in urls: per-partition dedup leaves one
     winner per url per shard; compact() must leave one global winner."""
