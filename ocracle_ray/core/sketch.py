@@ -195,20 +195,37 @@ def kmv_distinct_by(ds, key: str, column: str, *, k: int = 1024):
     the partials per key. The fold's group size is bounded by the
     BLOCK count, not by group cardinality (the boundary-carry
     discipline). Exact while a group's true distinct < k; classic KMV
-    estimate beyond. Returns a Dataset of (key, n_distinct: double)."""
+    estimate beyond. Returns a Dataset of (key, n_distinct: double).
+
+    SQL parity on nulls (the quantile-stage rule): null VALUES are
+    excluded from the distinct count (``COUNT(DISTINCT x)`` skips
+    NULLs), while a null GROUP key is its own group."""
     import pandas as pd
     import pyarrow as pa
 
     def sketch_batch(t: pa.Table) -> pa.Table:
         df = t.select([key, column]).to_pandas()
         h = pd.util.hash_array(df[column].to_numpy())
-        keys, blobs = [], []
-        for g, idx in df.groupby(key, sort=False).indices.items():
-            u = np.unique(h[idx])[:k]
-            keys.append(g)
+        val_ok = df[column].notna().to_numpy()
+        # the null group can't ride the shuffle as an actual null —
+        # Ray's sort-based groupby can't order None against real keys
+        # (TypeError) — so encode it as (type-zero fill, _knull flag)
+        # and restore None in the fold
+        fill = "" if df[key].dtype == object else df[key].dtype.type(0)
+        keys, knulls, blobs = [], [], []
+        for g, idx in df.groupby(key, sort=False, dropna=False).indices.items():
+            sel = idx[val_ok[idx]]
+            u = np.unique(h[sel])[:k]
+            isna = pd.isna(g)
+            keys.append(fill if isna else g)
+            knulls.append(bool(isna))
             blobs.append(u.astype(np.uint64).tobytes())
         return pa.table(
-            {key: pa.array(keys), "sketch": pa.array(blobs, pa.large_binary())}
+            {
+                key: pa.array(keys),
+                "_knull": pa.array(knulls, pa.bool_()),
+                "sketch": pa.array(blobs, pa.large_binary()),
+            }
         )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
@@ -222,10 +239,11 @@ def kmv_distinct_by(ds, key: str, column: str, *, k: int = 1024):
             if len(merged) < k
             else (k - 1) / (float(merged[-1]) / _MAX64)
         )
-        return pd.DataFrame({key: [df[key].iloc[0]], "n_distinct": [est]})
+        key_out = None if bool(df["_knull"].iloc[0]) else df[key].iloc[0]
+        return pd.DataFrame({key: [key_out], "n_distinct": [est]})
 
     return (
         ds.map_batches(sketch_batch, batch_format="pyarrow")
-        .groupby(key)
+        .groupby([key, "_knull"])
         .map_groups(fold, batch_format="pandas")
     )

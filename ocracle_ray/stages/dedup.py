@@ -670,7 +670,10 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                     .materialize()
                 )
                 changed = doubled.sum("_chg") or 0
-                lab = doubled.select_columns(["key", "lab"]).materialize()
+                # lazy projection over the already-materialized blocks —
+                # a second materialize would copy the O(nodes) label
+                # table again just to drop one int64 column
+                lab = doubled.select_columns(["key", "lab"])
                 if changed == 0:
                     break
             else:  # pragma: no cover — 2^40 pointer depth is unreachable

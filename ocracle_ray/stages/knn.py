@@ -222,9 +222,17 @@ class IvfIndex:
             ids_all = np.asarray(t[key_col].to_pylist(), dtype=np.int64)
             # deterministic truncation: ties at the k-boundary must
             # keep the SMALLER key (the driver resolve and the oracle
-            # both order by cosine DESC, key ASC) — plain argpartition
-            # keeps an arbitrary tied row
-            top = np.lexsort((ids_all, -cos))[:n]
+            # both order by cosine DESC, key ASC). O(N) argpartition
+            # finds the boundary score, then only the >= boundary
+            # candidates (n plus boundary ties) pay the lexsort — a
+            # full per-batch sort would make every probe O(N log N)
+            if n < len(cos):
+                boundary = cos[np.argpartition(-cos, n - 1)[:n]].min()
+                cand = np.flatnonzero(cos >= boundary)
+            else:
+                cand = np.arange(len(cos))
+            order = np.lexsort((ids_all[cand], -cos[cand]))
+            top = cand[order[:n]]
             ids = ids_all[top]
             return pa.table(
                 {key_col: pa.array(ids, pa.int64()),

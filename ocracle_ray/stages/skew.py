@@ -40,6 +40,12 @@ def add_size_bucket(pages_ds, payload_col: str = "html"):
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if t[payload_col].null_count:
+            # loud failure: a null payload is a data problem, not a
+            # "giant" page (NaN would searchsorted into bucket 3)
+            raise ValueError(
+                f"add_size_bucket: null payload in column {payload_col!r}"
+            )
         sizes = pc.binary_length(t[payload_col]).to_numpy(zero_copy_only=False)
         # vectorized size_bucket_of: thresholds 16KiB/64KiB/256KiB
         buckets = np.searchsorted(
@@ -98,6 +104,19 @@ def salted_groupby_sum(ds, key: str, value: str, *, n_salt: int = 8,
         partial.groupby(key)
         .aggregate(Sum("_partial", alias_name=alias))
     )
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Ray Schema type — pa.DataType for arrow-backed
+    blocks, a numpy dtype for pandas-backed ones — to arrow. Pandas
+    ``object`` columns are assumed to hold strings (the documented
+    limitation of the broadcast leg's pinned schema)."""
+    if isinstance(t, pa.DataType):
+        return t
+    dt = np.dtype(t)
+    if dt == np.dtype(object):
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
 
 
 def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
@@ -198,13 +217,22 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
     from ..broadcast import cached_get
     from ..pool import pin_join_cpu_reservation
 
-    lschema = left.schema()
+    lschema, rschema = left.schema(), right.schema()
     lcols = [n for n in lschema.names if n != on]
-    rcols = [n for n in right.schema().names if n != on]
+    rcols = [n for n in rschema.names if n != on]
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"non-key columns must be disjoint, both sides have {sorted(clash)}")
     out_cols = [on, *lcols, *rcols]
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    # one pinned output schema for every broadcast batch: an empty
+    # pandas merge result would otherwise infer null-typed arrow
+    # columns and diverge the union's block schemas (the bug class
+    # fixed in range_join/running empty branches)
+    out_schema = pa.schema(
+        [(c, _pa_type(ltypes.get(c, rtypes.get(c)))) for c in out_cols]
+    )
 
     sk = hot_key_sketch(left, on, mg_k=mg_k)
     hot = sk.candidates()
@@ -249,14 +277,29 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
             f"itself too hot — salt the key or pre-aggregate the right "
             f"side instead"
         )
+    expected = [on, *rcols]
+    if right_hot.empty and list(right_hot.columns) != expected:
+        # zero blocks reached the driver (no candidate key exists on
+        # the right — e.g. a hot orphan FK): to_pandas loses the
+        # schema entirely, and merge(on=...) would KeyError. Rebuild
+        # the empty frame from the right dataset's schema.
+        import pandas as pd
+
+        right_hot = pd.DataFrame(
+            {c: pd.Series(dtype=_pa_type(rtypes[c]).to_pandas_dtype())
+             for c in expected}
+        )
     right_hot_ref = ray.put(right_hot)
 
     def broadcast_merge(df):
         out = df.merge(cached_get(right_hot_ref), on=on, how="inner")
-        # emit ARROW blocks: the union downstream mixes this stage with
-        # the hash join's arrow output, and mixed block types break
-        # sort-based ops after the union (BlockType assertion, ray 2.49)
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        # emit ARROW blocks pinned to out_schema: the union downstream
+        # mixes this stage with the hash join's arrow output, and both
+        # mixed block TYPES and drifting empty-batch SCHEMAS break
+        # sort-based ops after the union (ray 2.49)
+        return pa.Table.from_pandas(
+            out[out_cols], preserve_index=False
+        ).cast(out_schema)
 
     if exhaustive:
         # every left key is a candidate (empty left included): no cold

@@ -84,6 +84,28 @@ def test_kmv_distinct_by_exact_below_k(ray_session):
     assert [int(x) for x in got["n_distinct"]] == list(expect["n_distinct"])
 
 
+def test_kmv_distinct_by_null_semantics(ray_session):
+    """SQL parity: null VALUES are excluded from the distinct count,
+    a null GROUP key is its own group (GROUP BY groups NULLs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocracle_ray.core.sketch import kmv_distinct_by
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", None, None, None],
+            "v": [1.0, 2.0, None, 7.0, 7.0, None],
+        }
+    )
+    got = kmv_distinct_by(rd.from_pandas(df).repartition(3), "g", "v", k=64).to_pandas()
+    by_key = {
+        (None if pd.isna(k) else k): int(v)
+        for k, v in zip(got["g"], got["n_distinct"])
+    }
+    assert by_key == {"a": 2, None: 1}
+
+
 def test_kmv_distinct_by_estimate_above_k(ray_session):
     import pandas as pd
     import ray.data as rd

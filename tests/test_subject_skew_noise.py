@@ -200,6 +200,39 @@ def test_skew_safe_join_uniform_keys_plain_path():
     _assert_join_matches_pandas(left, right, mg_k=4, num_partitions=4)
 
 
+def test_skew_safe_join_hot_orphan_key_absent_from_right():
+    """The canonical skew shape: a sentinel/unknown FK holding most of
+    the fact table with NO dim row. The hot-filtered right side comes
+    back as zero blocks (a column-less DataFrame), which must not
+    KeyError the broadcast merge — and the empty merge results must
+    stay schema-stable through the union."""
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {
+            "k": ["orphan"] * 2000 + [f"k{i % 30}" for i in range(600)],
+            "lv": range(2600),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": [f"k{i}" for i in range(30)], "rv": range(30)}
+    )
+    _assert_join_matches_pandas(left, right, mg_k=8, num_partitions=4)
+
+
+def test_add_size_bucket_null_payload_raises():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "url": ["a", "b"],
+            "html": pa.array([b"x", None], pa.large_binary()),
+        }
+    )
+    with pytest.raises(Exception, match="null payload"):
+        add_size_bucket(rd.from_arrow(t)).to_pandas()
+
+
 def test_skew_safe_join_duplicate_right_keys_multiplicity():
     """Join multiplicity: duplicate right rows per key must fan out
     left rows on BOTH the broadcast and hash-join paths (inner-join
