@@ -1576,16 +1576,12 @@ def q_salted_events_value(sf_dir: str):
     ).to_pandas()
 
     fact = _read(sf_dir, "events", ["user_id", "event_type"])
-    dim = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
-        lambda t: pa.table(
-            {"user_id": t["c_custkey"], "c_acctbal": t["c_acctbal"]}
-        ),
-        batch_format="pyarrow",
-    )
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     # mg_k=32 over 150 uniform users: some keys land in the candidate
     # set (broadcast path), the rest hash-join — both paths exercised
     jr = (
-        skew_safe_join(fact, dim, on="user_id", mg_k=32, num_partitions=8)
+        skew_safe_join(fact, dim, on="user_id", right_on="c_custkey",
+                       mg_k=32, num_partitions=8)
         .groupby("event_type")
         .aggregate(
             Count(alias_name="joined_rows"),

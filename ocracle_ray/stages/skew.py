@@ -178,9 +178,11 @@ def hot_key_candidates(ds, on: str, *, mg_k: int = 64) -> list:
     return hot_key_sketch(ds, on, mg_k=mg_k).candidates()
 
 
-def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
+def skew_safe_join(left, right, *, on: str, right_on: str | None = None,
+                   join_type: str = "inner", mg_k: int = 64,
                    num_partitions: int = 16, hot_right_limit: int = 2_000_000):
-    """Inner equi-join that survives hot keys on the LEFT (fact) side.
+    """Equi-join (``inner`` or ``left_outer``) that survives hot keys
+    on the LEFT (fact) side.
 
     A plain hash join routes every row of a key to ONE partition: a key
     holding 30% of a 100 TB fact table convoys one reducer for hours.
@@ -209,6 +211,12 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
     filter) — cheap column-pruned map passes — to remove hot keys from
     the one genuinely expensive step, the all-to-all exchange.
 
+    ``right_on`` renames the right side's key to ``on`` before the
+    split (a cheap projection); ``join_type='left_outer'`` emits
+    unmatched left rows — including null-key rows — with null right
+    columns (the pinned output schema turns the pandas-merge NaNs
+    into typed arrow nulls).
+
     Non-key column names must be disjoint across sides (asserted).
     Output equals ``left.join(right, ...)`` exactly — tested."""
     import pyarrow.compute as pc
@@ -216,6 +224,17 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
 
     from ..broadcast import cached_get
     from ..pool import pin_join_cpu_reservation
+
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
+    if right_on is not None and right_on != on:
+        rk = right_on
+        right = right.map_batches(
+            lambda t: t.rename_columns(
+                [on if c == rk else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
 
     lschema, rschema = left.schema(), right.schema()
     lcols = [n for n in lschema.names if n != on]
@@ -249,7 +268,7 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
         # decrements wiped every counter: keys are near-uniform, no
         # hot key exists — a plain hash join is already balanced
         plain = left.join(
-            right, join_type="inner", num_partitions=num_partitions, on=(on,)
+            right, join_type=join_type, num_partitions=num_partitions, on=(on,)
         ).select_columns(out_cols)
         return pin_join_cpu_reservation(plain, num_partitions)
     hot_arr = pa.array(hot)
@@ -291,12 +310,15 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
         )
     right_hot_ref = ray.put(right_hot)
 
+    merge_how = "inner" if join_type == "inner" else "left"
+
     def broadcast_merge(df):
-        out = df.merge(cached_get(right_hot_ref), on=on, how="inner")
+        out = df.merge(cached_get(right_hot_ref), on=on, how=merge_how)
         # emit ARROW blocks pinned to out_schema: the union downstream
         # mixes this stage with the hash join's arrow output, and both
         # mixed block TYPES and drifting empty-batch SCHEMAS break
-        # sort-based ops after the union (ray 2.49)
+        # sort-based ops after the union (ray 2.49). The cast also
+        # turns left_outer's pandas NaNs into typed nulls.
         return pa.Table.from_pandas(
             out[out_cols], preserve_index=False
         ).cast(out_schema)
@@ -309,12 +331,20 @@ def skew_safe_join(left, right, *, on: str, mg_k: int = 64,
     hot_left = left.map_batches(
         lambda t: t.filter(_is_hot(t)), batch_format="pyarrow"
     )
-    cold_left = left.map_batches(
-        lambda t: t.filter(pc.invert(_is_hot(t))), batch_format="pyarrow"
-    )
+    if join_type == "left_outer":
+        # null-key left rows must be EMITTED unmatched: a bare
+        # invert(is_in) evaluates to null on null keys and the filter
+        # would drop them from both halves — route them cold
+        def _cold(t: pa.Table):
+            return t.filter(pc.fill_null(pc.invert(_is_hot(t)), True))
+    else:
+        def _cold(t: pa.Table):
+            return t.filter(pc.invert(_is_hot(t)))
+
+    cold_left = left.map_batches(_cold, batch_format="pyarrow")
     hot_out = hot_left.map_batches(broadcast_merge, batch_format="pandas")
     cold_out = cold_left.join(
-        right, join_type="inner", num_partitions=num_partitions, on=(on,)
+        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
     ).select_columns(out_cols)
     # pin the aggregator CPU cap on the RETURNED dataset: the caller
     # executes this lazily, and the planner reads the executing

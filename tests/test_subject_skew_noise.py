@@ -293,6 +293,66 @@ def test_skew_safe_join_null_keys_match_plain_join():
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_skew_safe_join_left_outer_matches_pandas():
+    """left_outer: unmatched left rows — hot orphans, cold misses, and
+    null keys — are emitted with typed null right columns on every
+    path."""
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {
+            # hot orphan (no dim row), cold hits, cold misses, nulls
+            "k": ["orphan"] * 700
+            + [f"k{i % 20}" for i in range(400)]
+            + ["only_left"] * 30
+            + [None] * 70,
+            "lv": range(1200),
+        }
+    )
+    right = pd.DataFrame({"k": [f"k{i}" for i in range(10)], "rv": range(10)})
+    got = (
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", join_type="left_outer", mg_k=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, on="k", how="left")[["k", "lv", "rv"]]
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # the emitted null right columns are typed, not null-typed
+    assert got["rv"].isna().sum() == (700 + 30 + 70 + 400 - 200)
+
+
+def test_skew_safe_join_right_on_renames():
+    import ray.data as rd
+
+    left, right = _skewed_join_fixture()
+    right = right.rename(columns={"k": "dim_key"})
+    got = (
+        skew_safe_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="k", right_on="dim_key", mg_k=8, num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, left_on="k", right_on="dim_key", how="inner")[
+            ["k", "lv", "rv"]
+        ]
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_skew_safe_join_right_limit_raises():
     import ray.data as rd
 
