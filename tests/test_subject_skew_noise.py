@@ -400,6 +400,55 @@ def test_pin_join_cpu_reservation_private_context():
         )
 
 
+def test_skew_safe_join_property_random_distributions(ray_session):
+    """Property sweep: random key distributions (varying skew, right
+    coverage, mg_k) must all equal the pandas inner merge. Seeded
+    numpy instead of hypothesis: each example pays several Ray
+    executions, so a fixed 8-case sweep keeps the suite bounded."""
+    import numpy as np
+    import ray.data as rd
+
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(50, 600))
+        n_keys = int(rng.randint(1, 40))
+        # zipf-ish skew: a few keys dominate
+        weights = 1.0 / np.arange(1, n_keys + 1) ** float(rng.uniform(0.0, 2.0))
+        weights /= weights.sum()
+        left = pd.DataFrame(
+            {
+                "k": rng.choice(
+                    [f"key{i}" for i in range(n_keys)], size=n, p=weights
+                ),
+                "lv": np.arange(n, dtype="int64"),
+            }
+        )
+        cover = rng.choice([f"key{i}" for i in range(n_keys)],
+                           size=max(1, n_keys // 2), replace=False)
+        right = pd.DataFrame(
+            {"k": cover, "rv": np.arange(len(cover), dtype="int64")}
+        )
+        mg_k = int(rng.randint(2, 12))
+        got = (
+            skew_safe_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", mg_k=mg_k, num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        expect = (
+            left.merge(right, on="k", how="inner")[["k", "lv", "rv"]]
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, expect, check_dtype=False,
+            obj=f"seed={seed} n={n} n_keys={n_keys} mg_k={mg_k}",
+        )
+
+
 # --------------------------------------------------------------- noise
 
 def test_noise_deterministic():
