@@ -32,7 +32,8 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
-                       batch_format: str = "pyarrow"):
+                       batch_format: str = "pyarrow",
+                       max_partial_rows: int = 2_000_000):
     """LOW-CARDINALITY grouped aggregate: per-batch pandas partials,
     folded on the driver — no distributed shuffle at all.
 
@@ -54,6 +55,11 @@ def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
 
     Null group keys are KEPT (``dropna=False``) to match SQL GROUP BY
     and the distributed groupby this replaces.
+
+    Guard-don't-hope: the stream ABORTS past ``max_partial_rows``
+    (default 2M) — a silently-mistaken high-cardinality key must fail
+    loudly with the fix named (use the distributed groupby), never
+    flood the driver.
     """
     _PARTIAL_HOW = {"count": "size", "count_nonnull": "count"}
 
@@ -66,9 +72,18 @@ def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = []
+    n_partial = 0
     for b in ds.map_batches(partial, batch_format=batch_format).iter_batches(
         batch_format="pandas", batch_size=65536
     ):
+        n_partial += len(b)
+        if n_partial > max_partial_rows:
+            raise RuntimeError(
+                f"driver_grouped_agg: partial rows exceeded "
+                f"{max_partial_rows} — the group key's cardinality is "
+                f"too high for the driver-fold path; use the "
+                f"distributed groupby().aggregate() instead"
+            )
         parts.append(b)
     if not parts:
         return pd.DataFrame(columns=group_cols + list(named_aggs))

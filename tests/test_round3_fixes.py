@@ -217,3 +217,26 @@ def test_distributed_verify_large_pairset_small_session():
                                  verify_mode="distributed", threshold=0.5)
     assert len(out) == len(cand)
     assert (out["jaccard"] == 1.0).all()
+
+
+def test_driver_grouped_agg_aborts_on_high_cardinality(ray_session):
+    """The driver-fold aggregate must fail loudly when the group key's
+    cardinality floods the partial stream (guard-don't-hope), naming
+    the distributed groupby as the fix."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ocracle_ray.pipelines.queries import driver_grouped_agg
+
+    df = pd.DataFrame({"k": range(3000), "v": [1.0] * 3000})
+    ds = rd.from_pandas(df).repartition(4)
+    with pytest.raises(RuntimeError, match="distributed groupby"):
+        driver_grouped_agg(
+            ds, ["k"], {"s": ("v", "sum")}, max_partial_rows=500
+        )
+    # under the cap the same call folds normally
+    small = driver_grouped_agg(
+        ds, ["k"], {"s": ("v", "sum")}, max_partial_rows=10_000
+    )
+    assert len(small) == 3000 and float(small["s"].sum()) == 3000.0
