@@ -171,10 +171,29 @@ def kmv_distinct_estimate(ds, column: str, *, k: int = 1024) -> float:
             {"sketch": pa.array([h.astype(np.uint64).tobytes()], pa.large_binary())}
         )
 
+    def merge_batch(t: pa.Table) -> pa.Table:
+        m = np.array([], dtype=np.uint64)
+        for blob in t["sketch"].to_pylist():
+            m = np.unique(
+                np.concatenate([m, np.frombuffer(blob, dtype=np.uint64)])
+            )[:k]
+        return pa.table(
+            {"sketch": pa.array([m.tobytes()], pa.large_binary())}
+        )
+
+    # tree reduce: one 8·k-byte sketch per input block would pull
+    # O(blocks) sketches to the driver (at k=65536 that is ~512 KB per
+    # block — hundreds of GB on a 10^6-block read); coalesce to ~16
+    # partitions and merge within each first so the driver folds O(16)
+    # sketches. KMV merge (union + truncate) is associative and
+    # commutative, so the tree shape cannot change the result.
+    sketches = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+    )
     merged = np.array([], dtype=np.uint64)
-    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in sketches.iter_batches(batch_format="pyarrow"):
         for blob in b["sketch"].to_pylist():
             arr = np.frombuffer(blob, dtype=np.uint64)
             merged = np.unique(np.concatenate([merged, arr]))[:k]
