@@ -867,25 +867,18 @@ def q_events_heavy_hitters(sf_dir: str):
     import ray
 
     from ..broadcast import cached_get
-    from ..core.sketch import MisraGries
+    from ..stages.skew import hot_key_sketch
 
     K = 7  # threshold n/8: every ≥12.5% event_type is a heavy hitter
     ds = _read(sf_dir, "events", ["event_type"])
 
-    def sketch_batch(t: pa.Table) -> pa.Table:
-        s = MisraGries(K)
-        # vectorized counting: distinct values only cross into Python
-        # (nulls kept as their own entry — SQL groups NULL too)
-        vc = pc.value_counts(t["event_type"])
-        s.add_counts(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
-        return pa.table({"mg": pa.array([s.serialize()], pa.large_binary())})
-
-    merged = MisraGries(K)
-    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob in b["mg"].to_pylist():
-            merged = merged.merge(MisraGries.deserialize(blob))
+    # shared sketch pass (stages.skew.hot_key_sketch): vectorized
+    # value_counts per batch, tree-merged so the driver folds O(16)
+    # summaries, not one per block; drop_nulls=False keeps a null
+    # event_type as its own value (SQL groups NULL too). Merge order
+    # can vary counter VALUES but never the superset guarantee, and
+    # the exact recount below makes the final output order-invariant.
+    merged = hot_key_sketch(ds, "event_type", mg_k=K, drop_nulls=False)
     n_total = merged.n
     cand_ref = ray.put(pa.array(merged.candidates(), pa.string()))
 

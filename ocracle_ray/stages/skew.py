@@ -119,11 +119,16 @@ def _pa_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(dt)
 
 
-def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
+def hot_key_sketch(ds, on: str, *, mg_k: int = 64, drop_nulls: bool = True):
     """Merged Misra-Gries summary of ``ds[on]`` (per-batch sketch,
     driver merge of <= mg_k-entry summaries). One column-pruned
     streaming pass. ``.candidates()`` holds every key with true
     frequency > n/(mg_k+1) GUARANTEED, up to mg_k keys total.
+
+    ``drop_nulls=True`` (the :func:`skew_safe_join` default) excludes
+    null keys — a null must never become a broadcast candidate;
+    ``drop_nulls=False`` counts nulls as their own value (SQL GROUP BY
+    semantics — the heavy-hitters surface).
 
     Bonus property used by :func:`skew_safe_join`: iff no counter was
     ever decremented (``sum(counts.values()) == n``), the summary is
@@ -146,15 +151,20 @@ def hot_key_sketch(ds, on: str, *, mg_k: int = 64):
             m = m.merge(MisraGries.deserialize(blob))
         return pa.table({"mg": pa.array([m.serialize()], pa.large_binary())})
 
-    # nulls are dropped BEFORE sketching: a null must never become a
-    # hot candidate, because the broadcast path's pandas merge matches
-    # NaN==NaN while the hash join drops null keys (SQL semantics,
-    # verified on ray 2.49) — with nulls excluded from the candidate
-    # set and from right_hot, null-key rows match nothing on every
-    # path, exactly like the plain join
-    keyed = ds.map_batches(
-        lambda t: pa.table({on: t[on].drop_null()}), batch_format="pyarrow"
-    )
+    # default: nulls are dropped BEFORE sketching — a null must never
+    # become a hot candidate, because the broadcast path's pandas
+    # merge matches NaN==NaN while the hash join drops null keys (SQL
+    # semantics, verified on ray 2.49); with nulls excluded from the
+    # candidate set and from right_hot, null-key rows match nothing on
+    # every path, exactly like the plain join
+    if drop_nulls:
+        keyed = ds.map_batches(
+            lambda t: pa.table({on: t[on].drop_null()}), batch_format="pyarrow"
+        )
+    else:
+        keyed = ds.map_batches(
+            lambda t: pa.table({on: t[on]}), batch_format="pyarrow"
+        )
     # tree reduce: one summary per input block would pull O(blocks)
     # rows to the driver (a 100 TB read is ~10^6 blocks); coalesce to
     # ~16 partitions and merge within each first, so the driver folds
