@@ -88,8 +88,22 @@ def grouped_exact_quantiles(
             g.rename(columns={"size": "c"}), preserve_index=False
         )
 
+    def fold_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby([group_col, "bucket"], as_index=False, dropna=False)["c"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # tree reduce: one partial set per input block would pull
+    # O(blocks x groups x buckets) rows to the driver; coalesce to ~16
+    # partitions and fold within each first. Counts are integers, so
+    # unlike float folds the tree shape cannot change the result.
     hist = (
         ds.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(fold_partials, batch_format="pyarrow", batch_size=None)
         .to_pandas()
         .groupby([group_col, "bucket"], as_index=False, dropna=False)["c"]
         .sum()
