@@ -60,6 +60,14 @@ def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
     (default 2M) — a silently-mistaken high-cardinality key must fail
     loudly with the fix named (use the distributed groupby), never
     flood the driver.
+
+    Deliberately NOT tree-merged (unlike the sketch passes and the
+    quantile histogram): float partials are summed in ONE globally
+    sorted order, which keeps outputs byte-identical across block
+    layouts and parallelism levels; a tree fold would make float
+    addition order depend on which blocks coalesce together. Integer
+    and sketch folds are exact under any tree shape, so they do
+    tree-merge.
     """
     _PARTIAL_HOW = {"count": "size", "count_nonnull": "count"}
 
