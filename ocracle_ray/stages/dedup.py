@@ -486,9 +486,19 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
         # the old per-pair groupby paid Ray group overhead per candidate
         # (measured 17 s for 156k pairs at 16 CPUs; this form is the
         # same exchanges without the 156k tiny pandas groups).
+        # the repartition between the two joins is load-bearing: a
+        # join-1 partition holding ZERO pairs finalizes to a
+        # zero-column empty block, and when such a block is all that
+        # reaches one of join-2's aggregators the join raises
+        # ArrowInvalid ('no match for key field b') — FLAKY, since it
+        # depends on which bundles land where (caught once in ~12 full
+        # suite runs). The distributed coalesce folds the empties into
+        # schema-bearing blocks (same fix as running/asof map_groups
+        # outputs).
         joined = (
             rd.from_arrow(pairs_tbl)
             .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
+            .repartition(max(2, n_parts // 2))
             .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
         )
         out = joined.map_batches(batch_jaccard, batch_format="pyarrow").to_pandas()
