@@ -228,7 +228,13 @@ def skew_safe_join(left, right, *, on: str, right_on: str | None = None,
     into typed arrow nulls).
 
     Non-key column names must be disjoint across sides (asserted).
-    Output equals ``left.join(right, ...)`` exactly — tested."""
+    Output equals ``left.join(right, ...)`` exactly — tested.
+
+    Composing note: like any Ray join output, partitions that received
+    zero rows surface as zero-column empty blocks; feed the result
+    through ``repartition`` (distributed coalesce) before using it as
+    a side of ANOTHER hash join (see stages/dedup.py's chained-join
+    fix) — aggregates and map stages are unaffected."""
     import pyarrow.compute as pc
     import ray
 
