@@ -164,7 +164,9 @@ def kmv_distinct_estimate(ds, column: str, *, k: int = 1024) -> float:
     import pyarrow as pa
 
     def sketch_batch(t: pa.Table) -> pa.Table:
-        vals = t[column].to_numpy(zero_copy_only=False)
+        # SQL-parity rule (same as kmv_distinct_by): COUNT(DISTINCT x)
+        # skips NULLs, so a null must not hash to a distinct value
+        vals = t[column].drop_null().to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(vals)  # uint64, vectorized, deterministic
         h = np.unique(h)[:k]  # unique sorts ascending -> k smallest
         return pa.table(

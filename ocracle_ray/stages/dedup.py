@@ -362,6 +362,13 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
     Returns (a, b, jaccard) with jaccard >= threshold, a < b."""
     import pandas as pd
 
+    if verify_mode not in ("auto", "driver", "distributed"):
+        # a typo ("dist") must not silently fall into the driver-gather
+        # branch and bypass the GATHER_TEXT_LIMIT guard (advice r3)
+        raise ValueError(
+            f"verify_mode must be 'auto', 'driver' or 'distributed', "
+            f"got {verify_mode!r}"
+        )
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}

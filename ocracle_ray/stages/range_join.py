@@ -60,6 +60,17 @@ def range_join_count(
         # bucket, right rows twice (own bucket + next). Everything else
         # in the batch is dropped here, before the shuffle.
         ty = t[type_col].to_numpy(zero_copy_only=False)
+        if t[ts_col].null_count:
+            # a null ts becomes NaN in the zero-copy_only=False numpy
+            # view, so bucket = NaN would silently drop/garble the row
+            # in the groupby — raise loud like add_size_bucket does
+            # (SQL-parity note: the oracle's BETWEEN drops null ts rows
+            # too, but silently; we refuse instead of guessing)
+            raise ValueError(
+                f"range_join_count: {ts_col} contains "
+                f"{t[ts_col].null_count} null timestamp(s); drop or "
+                f"impute them before the join"
+            )
         # pin the unit before the int cast: parquet arrives as
         # timestamp[us] but from_pandas gives [ns] — an inherited-unit
         # int64 would silently shift every bucket boundary

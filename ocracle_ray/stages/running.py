@@ -65,6 +65,14 @@ def _cents(v: np.ndarray, scale: int) -> np.ndarray:
     return c.astype(np.int64)
 
 
+def _run_totals(c: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-run int64 cent totals of a sorted block. reduceat keeps the
+    accumulation in int64 end to end — bincount(weights=) accumulates
+    in float64 and silently rounds past 2^53 cents (advice r3),
+    contradicting the module's exact-and-associative guarantee."""
+    return np.add.reduceat(c, starts)
+
+
 def running_sum_to_parquet(
     ds,
     out_dir: str,
@@ -102,7 +110,7 @@ def running_sum_to_parquet(
                     "seg_total": pd.Series(dtype="int64"),
                 }
             )
-        totals = np.bincount(run_of_row, weights=c).astype(np.int64)
+        totals = _run_totals(c, starts)
         return pd.DataFrame(
             {
                 user_col: u[starts],
