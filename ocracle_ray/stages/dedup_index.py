@@ -100,12 +100,16 @@ class BandIndex:
             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
         ]
 
-    def add_partition(self, ds, *, key: str, text: str):
-        """Near-dup CANDIDATE pairs (a < b, pandas) linking the new
-        partition's docs to each other and to every indexed doc, then
-        append the new docs' bands to the index."""
-        import pandas as pd
+    def add_partition_ds(self, ds, *, key: str, text: str):
+        """Near-dup CANDIDATE pairs as a materialized DATASET (a < b,
+        unique) linking the new partition's docs to each other and to
+        every indexed doc, then append the new docs' bands to the
+        index. The pair set never lands on the driver at any volume
+        (round-4 de-drivering, VERDICT r3 #1) — both legs union and
+        collapse via the distributed pair-unique."""
         import ray.data as rd
+
+        from .dedup import _dedup_candidates_ds
 
         p = self.params
         band_rows = ds.map_batches(
@@ -119,24 +123,12 @@ class BandIndex:
             batch_size=512,
         ).materialize()  # used three times: pairs, join, append
 
-        from .dedup import CANDIDATE_PAIR_LIMIT
-
-        # 1. new-vs-new (guarded like the one-shot path: count before
-        # the driver pandas pull — review r2)
-        new_new_ds = band_candidate_pairs(
-            band_rows, key, p["max_bucket"]
-        ).materialize()
-        if new_new_ds.count() > CANDIDATE_PAIR_LIMIT:
-            raise RuntimeError(
-                f"BandIndex.add_partition: new-vs-new candidate count "
-                f"{new_new_ds.count()} exceeds CANDIDATE_PAIR_LIMIT"
-            )
-        new_new = new_new_ds.to_pandas()
+        # 1. new-vs-new
+        cand = band_candidate_pairs(band_rows, key, p["max_bucket"]).materialize()
 
         # 2. new-vs-index: hash join on the band bucket (keys only).
         # Guard on FILES, not dirs: an empty committed partition leaves
         # a dir with no parquet (review r2 empty-partition finding)
-        frames = [new_new] if len(new_new) else []
         files = self._band_files()
         if files:
             old = rd.read_parquet(files).map_batches(
@@ -169,14 +161,7 @@ class BandIndex:
             new_old_ds = joined.map_batches(
                 to_pairs, batch_format="pyarrow"
             ).materialize()
-            if new_old_ds.count() > CANDIDATE_PAIR_LIMIT:
-                raise RuntimeError(
-                    f"BandIndex.add_partition: new-vs-index candidate count "
-                    f"{new_old_ds.count()} exceeds CANDIDATE_PAIR_LIMIT"
-                )
-            new_old = new_old_ds.to_pandas()
-            if len(new_old):
-                frames.append(new_old)
+            cand = cand.union(new_old_ds).materialize()
 
         # 3. append this partition's bands (atomic subdir; the rename
         # IS the commit — n_partitions derives from committed dirs, so
@@ -190,9 +175,32 @@ class BandIndex:
         band_rows.write_parquet(tmp)
         os.rename(tmp, sub)
 
-        if not frames:
+        n_cand = cand.count()
+        if n_cand == 0:
+            return cand  # empty, (a, b)-schema blocks from the emitter
+        return _dedup_candidates_ds(cand, n_cand).materialize()
+
+    def add_partition(self, ds, *, key: str, text: str):
+        """Driver-frame form of :meth:`add_partition_ds` (a < b,
+        unique, sorted pandas). Guarded: past ``CANDIDATE_PAIR_LIMIT``
+        the pull refuses — callers at that volume must stay on the
+        Dataset form."""
+        import pandas as pd
+
+        from .dedup import CANDIDATE_PAIR_LIMIT
+
+        uniq = self.add_partition_ds(ds, key=key, text=text)
+        n = uniq.count()
+        if n > CANDIDATE_PAIR_LIMIT:
+            raise RuntimeError(
+                f"BandIndex.add_partition: unique candidate count {n} "
+                f"exceeds CANDIDATE_PAIR_LIMIT ({CANDIDATE_PAIR_LIMIT}); "
+                f"use add_partition_ds to keep the pairs distributed"
+            )
+        out = uniq.to_pandas()
+        if out.empty or "a" not in out.columns:
             return pd.DataFrame(
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
             )
-        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        out = out[["a", "b"]].astype("int64").drop_duplicates()
         return out.sort_values(["a", "b"]).reset_index(drop=True)
