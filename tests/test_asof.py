@@ -94,3 +94,59 @@ def test_clickless_and_buyless_users():
     )
     got = asof_prev_event(_ds(df, 3))
     assert len(got) == 0  # nothing resolvable anywhere
+
+
+def test_asof_to_parquet_artifact_and_summary(tmp_path):
+    """Round 4: the per-purchase result streams to parquet; the
+    returned summary is aggregated FROM the files and matches naive."""
+    import glob
+
+    from ocracle_ray.stages.asof import asof_to_parquet
+
+    df = _events(n_users=8, per_user=40, seed=13)
+    expect = _naive(df)
+    out_dir = str(tmp_path / "asof")
+    summary = asof_to_parquet(_ds(df, 7), out_dir)
+
+    files = glob.glob(out_dir + "/*.parquet")
+    assert files
+    written = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    got = (
+        written[["event_id", "prev_click_id"]]
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+    # summary == the naive result aggregated the same way
+    naive_users = df.set_index("event_id")["user_id"]
+    exp_sum = (
+        expect.assign(user_id=expect["event_id"].map(naive_users))
+        .groupby("user_id")
+        .agg(
+            n_resolved=("event_id", "count"),
+            sum_event_id=("event_id", "sum"),
+            sum_prev_click_id=("prev_click_id", "sum"),
+        )
+        .reset_index()
+        .astype("int64")
+    )
+    got_sum = (
+        summary.sort_values("user_id")
+        .reset_index(drop=True)[
+            ["user_id", "n_resolved", "sum_event_id", "sum_prev_click_id"]
+        ]
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got_sum, exp_sum)
+
+
+def test_asof_string_user_keys():
+    """advice r3: the scan must not coerce the user key through int();
+    string user ids ride in their native dtype end to end."""
+    df = _events(n_users=6, per_user=30, seed=17)
+    expect = _naive(df)
+    df2 = df.assign(user_id="u" + df["user_id"].astype(str))
+    got = asof_prev_event(_ds(df2, 9))
+    pd.testing.assert_frame_equal(got, expect)
