@@ -67,12 +67,15 @@ def test_entry_smoke():
     assert "extracted_text" in df.columns
 
 
-def test_flagship_rows_only():
+def test_flagship_deterministic():
+    """Round 4: extract_flagship is oracled against its written
+    artifact (per-group invariants incl. fingerprint XOR); the
+    determinism contract moves to the group summary."""
     df = _to_pandas(entrymod.queries()["extract_flagship"](SF_DIR))
     assert len(df) > 0
-    # deterministic: rerun yields identical fingerprint multiset
     df2 = _to_pandas(entrymod.queries()["extract_flagship"](SF_DIR))
-    assert sorted(df["text_fingerprint"]) == sorted(df2["text_fingerprint"])
+    pd.testing.assert_frame_equal(df, df2)
+    assert sorted(df["fp_xor"]) == sorted(df2["fp_xor"])
 
 
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()) - {"extract_flagship"})
