@@ -14,7 +14,10 @@ container has no PDF rasterizer (no PyMuPDF/OpenCV), so:
   and Flate streams, classic xref tables AND PDF 1.5+ compressed
   object streams (ObjStm — ``_expand_object_streams``; xref streams
   need no parsing since the object scan never trusted the xref table).
-  Encrypted and images-ONLY PDFs still raise the clearly-marked
+  RC4-encrypted files with an EMPTY user password (the common
+  owner-locked crawl case) decrypt transparently via
+  ``core/pdfcrypt.py`` (round 4); password-locked / AES files and
+  images-ONLY PDFs still raise the clearly-marked
   ``NotImplementedError`` (and PyMuPDF is used instead whenever it IS
   importable);
 - the fixture generator (``sources/pages.py``) emits a synthetic
@@ -232,17 +235,17 @@ def _expand_object_streams(objects: dict[int, bytes]) -> dict[int, bytes]:
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 
 
-def _stream_of(body: bytes) -> bytes | None:
-    """Decoded stream bytes of one object body (Flate or plain), or
-    None if the object has no stream / an unsupported filter.
+def _raw_stream_span(body: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of one object's RAW stream data, or None
+    if the body has no stream.
 
     When the dict carries a direct ``/Length``, exactly that many bytes
     are taken after the ``stream`` EOL — the regex's optional
     ``\\r?\\n?endstream`` tail otherwise EATS a compressed stream's own
     trailing 0x0d/0x0a byte (this is precisely why the spec requires
-    /Length; found via a truncated Flate page, round 3)."""
-    import zlib
-
+    /Length; found via a truncated Flate page, round 3). Shared with
+    the RC4 decryptor (core/pdfcrypt.py), which must splice decrypted
+    bytes back into the identical span."""
     m = _STREAM_RE.search(body)
     if not m:
         return None
@@ -254,15 +257,23 @@ def _stream_of(body: bytes) -> bytes | None:
             p += 2
         elif body[p : p + 1] in (b"\n", b"\r"):
             p += 1
-        exact = body[p : p + int(lm.group(1))]
         # trust /Length only if it is consistent with the object body
         # (damaged files lie); otherwise keep the regex slice
-        if len(exact) == int(lm.group(1)):
-            raw = exact
-        else:
-            raw = m.group(1)
-    else:
-        raw = m.group(1)
+        if p + int(lm.group(1)) <= len(body):
+            return (p, p + int(lm.group(1)))
+    return (m.start(1), m.end(1))
+
+
+def _stream_of(body: bytes) -> bytes | None:
+    """Decoded stream bytes of one object body (Flate or plain), or
+    None if the object has no stream / an unsupported filter."""
+    import zlib
+
+    span = _raw_stream_span(body)
+    if span is None:
+        return None
+    head = body[: _STREAM_RE.search(body).start()]
+    raw = body[span[0] : span[1]]
     if b"/FlateDecode" in head:
         try:
             return zlib.decompress(raw)
@@ -518,13 +529,17 @@ def _text_runs_of_stream(data: bytes, page: int) -> list[tuple[int, float, float
 def _parse_minimal_pdf(payload: bytes) -> list[Block]:
     """Best-effort stdlib text extraction for real PDF bytes (module
     docstring: scope and fallbacks). Raises NotImplementedError for
-    encrypted / object-stream / images-only files — exactly the cases
-    where only a rasterizing backend could do better."""
-    if b"/Encrypt" in payload[:2048] or b"/Encrypt" in payload[-2048:]:
-        raise NotImplementedError(
-            "encrypted PDF: stdlib extractor handles only unencrypted files"
-        )
-    objects = _expand_object_streams(_objects_of(payload))
+    password-locked / AES-encrypted / images-only files — exactly the
+    cases where only a rasterizing backend could do better."""
+    objects = _objects_of(payload)
+    if b"/Encrypt" in payload:
+        # round 4 (VERDICT r3 #7): empty-user-password RC4 files (the
+        # common owner-locked crawl case) decrypt transparently;
+        # genuinely locked / AES files still raise inside
+        from .pdfcrypt import decrypt_objects
+
+        objects = decrypt_objects(objects, payload)
+    objects = _expand_object_streams(objects)
     if not objects:
         raise NotImplementedError(
             "no parseable PDF objects (damaged file?); "

@@ -59,6 +59,62 @@ def build_exam_pdf(i: int, seed: int = 42) -> bytes:
     return b"%PDF-1.4\n" + body + b"trailer\n<< /Root 1 0 R /Size 99 >>\n%%EOF\n"
 
 
+def build_exam_pdf_encrypted(i: int, seed: int = 42, *, r: int | None = None,
+                             user_pw: bytes = b"") -> bytes:
+    """RC4-encrypted twin of ``build_exam_pdf`` (same (seed, i) ->
+    byte-identical TEXT after decryption): Standard security handler,
+    EMPTY user password, alternating RC4-40 (R2) / RC4-128 (R3) by id
+    so both key schedules are exercised. ``user_pw`` non-empty builds a
+    genuinely LOCKED file (for the loud-raise test)."""
+    import hashlib
+
+    from ..core.pdfcrypt import compute_o, compute_u, _derive_key, object_key, rc4
+
+    if r is None:
+        r = 2 if i % 2 == 0 else 3
+    n_key = 5 if r == 2 else 16
+    p_flags = -44  # print allowed, modify denied — a typical owner lock
+    id0 = hashlib.md5(f"ocr-encpdf-{seed}:{i}".encode()).digest()
+    o_val = compute_o(b"", user_pw, r, n_key)
+    key = _derive_key(o_val, p_flags, id0, n_key, r, user_pw=user_pw)
+    u_val = compute_u(key, id0, r)
+
+    pages = _content_pages(i, seed)
+    compress = i % 2 == 1
+    n = len(pages)
+    kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n))
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    }
+    for p, stream in enumerate(pages):
+        data = zlib.compress(stream) if compress else stream
+        data = rc4(object_key(key, 4 + 2 * p), data)  # compress THEN encrypt
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs[3 + 2 * p] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * p} 0 R "
+            f"/MediaBox [0 0 612 792] >>".encode()
+        )
+        objs[4 + 2 * p] = (
+            b"<< " + filt + f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    enc_id = max(objs) + 1
+    objs[enc_id] = (
+        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+        f"/Length {n_key * 8} /P {p_flags} "
+        f"/O <{o_val.hex()}> /U <{u_val[:32].hex()}> >>".encode()
+    )
+    body = b"".join(
+        f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n" for oid in sorted(objs)
+    )
+    trailer = (
+        f"trailer\n<< /Root 1 0 R /Size 99 /Encrypt {enc_id} 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n%%EOF\n"
+    ).encode()
+    return b"%PDF-1.4\n" + body + trailer
+
+
 def _content_pages(i: int, seed: int) -> list[bytes]:
     """The shared exam content for both builders (same (seed, i) ->
     same text, so the 1.4 and 1.5 builders are comparable)."""
@@ -173,7 +229,9 @@ def build_exam_pdf_xrefstm(i: int, seed: int = 42) -> bytes:
 def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
     """pages-schema table whose html payloads are real PDFs; every
     third doc uses the PDF 1.5 xref-stream/ObjStm layout so the
-    compressed-object branch is driver-checked in-pipeline."""
+    compressed-object branch is driver-checked in-pipeline, and every
+    remaining doc with ``i % 5 == 4`` is RC4-encrypted (empty user
+    password, round 4) so the decrypt branch is too."""
     import datetime
 
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -185,7 +243,12 @@ def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
             datetime.datetime.utcfromtimestamp(EPOCH_2024_US / 1e6)
             + datetime.timedelta(hours=i)
         )
-        builder = build_exam_pdf_xrefstm if i % 3 == 2 else build_exam_pdf
+        if i % 3 == 2:
+            builder = build_exam_pdf_xrefstm
+        elif i % 5 == 4:
+            builder = build_exam_pdf_encrypted
+        else:
+            builder = build_exam_pdf
         rows["html"].append(builder(i, seed=seed))
         rows["text"].append("")
         rows["lang"].append("nb")

@@ -72,3 +72,67 @@ def test_escapes():
 def test_real_pdf_raises_not_implemented():
     with pytest.raises(NotImplementedError):
         parse_pdf_blocks(b"%PDF-1.7\nbinary pdf without OCRSYN marker")
+
+
+# ---------------------------------------------------------- encryption (r4)
+
+def test_encrypted_empty_password_parity():
+    """RC4 empty-user-password files (R2 and R3, plain and Flate) must
+    extract byte-identical text to their unencrypted twins."""
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+    from ocracle_ray.sources.realpdf import build_exam_pdf, build_exam_pdf_encrypted
+
+    for i in range(8):
+        plain = [b.text for b in parse_pdf_blocks(build_exam_pdf(i))]
+        enc = [b.text for b in parse_pdf_blocks(build_exam_pdf_encrypted(i))]
+        assert plain == enc and plain
+
+
+def test_encrypted_locked_file_raises():
+    """A NON-empty user password must stay a loud error row, not
+    silently-garbled text."""
+    import pytest
+
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+    from ocracle_ray.sources.realpdf import build_exam_pdf_encrypted
+
+    locked = build_exam_pdf_encrypted(1, user_pw=b"hunter2")
+    with pytest.raises(NotImplementedError, match="password-locked"):
+        parse_pdf_blocks(locked)
+
+
+def test_encrypted_aes_raises():
+    """/V 4 (AES) must raise the unsupported-handler error, not decrypt
+    garbage."""
+    import pytest
+
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+    from ocracle_ray.sources.realpdf import build_exam_pdf_encrypted
+
+    doc = build_exam_pdf_encrypted(2, r=3)
+    doc = doc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        parse_pdf_blocks(doc)
+
+
+def test_encrypted_in_pipeline(ray_session):
+    """Encrypted fixtures flow through the Extract actor pool as
+    non-error records with text parity to their unencrypted twins."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.pipelines.extraction import extract_records
+    from ocracle_ray.sources.realpdf import real_pdf_pages_table
+
+    t = real_pdf_pages_table(20)
+    recs = (
+        extract_records(rd.from_arrow(t).repartition(2), concurrency=2)
+        .to_pandas()
+        .set_index("url")
+    )
+    # i%5==4 and i%3!=2 -> encrypted: 4, 9, 19 (14 is i%3==2)
+    enc_urls = [u for j, u in enumerate(t["url"].to_pylist()) if j % 5 == 4 and j % 3 != 2]
+    assert enc_urls
+    for u in enc_urls:
+        assert recs.loc[u, "error"] is None or recs.loc[u, "error"] == ""
+        assert recs.loc[u, "n_blocks"] > 0
