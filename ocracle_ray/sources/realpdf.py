@@ -115,9 +115,9 @@ def build_exam_pdf_encrypted(i: int, seed: int = 42, *, r: int | None = None,
     return b"%PDF-1.4\n" + body + trailer
 
 
-def _content_pages(i: int, seed: int) -> list[bytes]:
-    """The shared exam content for both builders (same (seed, i) ->
-    same text, so the 1.4 and 1.5 builders are comparable)."""
+def _content_lines(i: int, seed: int) -> list[str]:
+    """The shared exam text for ALL builders (same (seed, i) -> same
+    lines, so 1.4 / 1.5 / encrypted / scanned outputs are comparable)."""
     rng = random.Random(fnv1a64(f"realpdf-{seed}:{i}".encode()))
     n_tasks = rng.randint(2, 5)
     lines: list[str] = [f"Eksamen i {SUBJECTS[i % len(SUBJECTS)]}"]
@@ -125,16 +125,72 @@ def _content_pages(i: int, seed: int) -> list[bytes]:
         lines.append(f"Oppgave {t}")
         lines.append(rng.choice(_TOPIC_LINES))
         lines.append(f"Maks poeng: {rng.randint(2, 12)}")
+    return lines
+
+
+def _paginate(lines: list[str]) -> list[list[str]]:
     per_page = max(4, (len(lines) + 1) // 2)
+    return [lines[s : s + per_page] for s in range(0, len(lines), per_page)]
+
+
+def _content_pages(i: int, seed: int) -> list[bytes]:
+    """Per-page BT/ET content streams for the text builders."""
     pages: list[bytes] = []
-    for start in range(0, len(lines), per_page):
+    for chunk in _paginate(_content_lines(i, seed)):
         y = 720
         ops = []
-        for ln in lines[start : start + per_page]:
+        for ln in chunk:
             ops.append(f"BT /F1 12 Tf 72 {y} Td ({_esc(ln)}) Tj ET")
             y -= 40
         pages.append(("\n".join(ops) + "\n").encode("latin-1"))
     return pages
+
+
+def build_exam_pdf_scanned(i: int, seed: int = 42) -> bytes:
+    """IMAGES-ONLY twin of ``build_exam_pdf`` (VERDICT r3 #2): every
+    page is a single /DeviceGray /BitsPerComponent 8 image XObject of
+    the rendered glyph-font bitmap (``core.glyphfont``) with bounded
+    deterministic speckle noise — NO text operators anywhere, so only
+    the OCR branch can extract it. Same (seed, i) -> the same text
+    lines as the text builders; the OCR branch must recover them
+    byte-identically (the noise stays within the matcher's proven
+    correction budget)."""
+    from ..core.glyphfont import render_lines
+
+    chunks = _paginate(_content_lines(i, seed))
+    n = len(chunks)
+    kids = " ".join(f"{3 + 3 * p} 0 R" for p in range(n))
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    }
+    for p, chunk in enumerate(chunks):
+        page_id, cs_id, img_id = 3 + 3 * p, 4 + 3 * p, 5 + 3 * p
+        img = render_lines(
+            chunk, noise_seed=int(fnv1a64(f"scan-{seed}:{i}:{p}".encode()) % 2**31)
+        )
+        h, w = img.shape
+        data = zlib.compress(img.tobytes())
+        draw = f"q {w} 0 0 {h} 72 {720 - h} cm /Im1 Do Q\n".encode()
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {cs_id} 0 R "
+            f"/MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << /Im1 {img_id} 0 R >> >> >>".encode()
+        )
+        objs[cs_id] = (
+            f"<< /Length {len(draw)} >>".encode()
+            + b"\nstream\n" + draw + b"\nendstream"
+        )
+        objs[img_id] = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    body = b"".join(
+        f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n" for oid in sorted(objs)
+    )
+    return b"%PDF-1.4\n" + body + b"trailer\n<< /Root 1 0 R /Size 99 >>\n%%EOF\n"
 
 
 def build_exam_pdf_xrefstm(i: int, seed: int = 42) -> bytes:
@@ -229,9 +285,10 @@ def build_exam_pdf_xrefstm(i: int, seed: int = 42) -> bytes:
 def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
     """pages-schema table whose html payloads are real PDFs; every
     third doc uses the PDF 1.5 xref-stream/ObjStm layout so the
-    compressed-object branch is driver-checked in-pipeline, and every
-    remaining doc with ``i % 5 == 4`` is RC4-encrypted (empty user
-    password, round 4) so the decrypt branch is too."""
+    compressed-object branch is driver-checked in-pipeline; of the
+    rest, ``i % 5 == 4`` is RC4-encrypted (empty user password) and
+    ``i % 5 == 2`` is an images-only SCAN (glyph-font OCR branch) —
+    all round-4 branches exercised inside the Extract pool."""
     import datetime
 
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -247,6 +304,8 @@ def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
             builder = build_exam_pdf_xrefstm
         elif i % 5 == 4:
             builder = build_exam_pdf_encrypted
+        elif i % 5 == 2:
+            builder = build_exam_pdf_scanned
         else:
             builder = build_exam_pdf
         rows["html"].append(builder(i, seed=seed))

@@ -136,3 +136,71 @@ def test_encrypted_in_pipeline(ray_session):
     for u in enc_urls:
         assert recs.loc[u, "error"] is None or recs.loc[u, "error"] == ""
         assert recs.loc[u, "n_blocks"] > 0
+
+
+# ------------------------------------------------------- scanned OCR (r4)
+
+def test_scanned_pdf_ocr_byte_identity():
+    """Images-only scans extract BYTE-IDENTICAL blocks to their text
+    twins — the product invariant, via glyph-template OCR under
+    bounded deterministic speckle noise."""
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+    from ocracle_ray.sources.realpdf import build_exam_pdf, build_exam_pdf_scanned
+
+    for i in range(8):
+        plain = [b.text for b in parse_pdf_blocks(build_exam_pdf(i))]
+        scanned = [b.text for b in parse_pdf_blocks(build_exam_pdf_scanned(i))]
+        assert plain == scanned and plain
+
+
+def test_scanned_pdf_has_no_text_operators():
+    """The scanned fixture must genuinely be images-only (no BT) — or
+    the OCR test above would be vacuous."""
+    from ocracle_ray.sources.realpdf import build_exam_pdf_scanned
+
+    raw = build_exam_pdf_scanned(3)
+    assert b"BT" not in raw.replace(b"ObjStm", b"")  # no text operators
+    assert b"/Subtype /Image" in raw
+
+
+def test_scanned_in_pipeline(ray_session):
+    """Scanned fixtures flow through the Extract actor pool as
+    non-error records whose fingerprints EQUAL the text twins'."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.pipelines.extraction import extract_records
+    from ocracle_ray.sources.realpdf import build_exam_pdf, build_exam_pdf_scanned
+    from ocracle_ray.sources.pages import EPOCH_2024_US
+
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+    for i in range(6):
+        for kind, builder in (("text", build_exam_pdf), ("scan", build_exam_pdf_scanned)):
+            rows["url"].append(f"https://exam.example/{kind}/{i}")
+            rows["warc_ts"].append(
+                datetime.datetime.utcfromtimestamp(EPOCH_2024_US / 1e6)
+            )
+            rows["html"].append(builder(i))
+            rows["text"].append("")
+            rows["lang"].append("nb")
+    t = pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+             ("html", pa.large_binary()), ("text", pa.large_string()),
+             ("lang", pa.string())]
+        ),
+    )
+    recs = (
+        extract_records(rd.from_arrow(t).repartition(2), concurrency=2)
+        .to_pandas()
+        .set_index("url")
+    )
+    for i in range(6):
+        a = recs.loc[f"https://exam.example/text/{i}"]
+        b = recs.loc[f"https://exam.example/scan/{i}"]
+        assert not b["error"]
+        assert a["text_fingerprint"] == b["text_fingerprint"]
+        assert a["extracted_text"] == b["extracted_text"]

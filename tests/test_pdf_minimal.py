@@ -107,9 +107,12 @@ def test_contents_without_space_is_parsed():
     assert [b.text for b in parse_pdf_blocks(squeezed)] == ["side en", "side to"]
 
 
-def test_images_only_pdf_raises():
+def test_images_only_pdf_without_ocrable_images_raises():
+    """No text operators AND no DeviceGray image to OCR (round 4: the
+    images-only raise now only covers files the glyph-OCR branch can't
+    read either — e.g. a draw op referencing a missing/JPEG image)."""
     p = _pdf([(b"q 100 0 0 80 72 600 cm /Im1 Do Q\n", False)])
-    with pytest.raises(NotImplementedError, match="images-only"):
+    with pytest.raises(NotImplementedError, match="no OCR-able"):
         parse_pdf_blocks(p)
 
 
