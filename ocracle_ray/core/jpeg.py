@@ -4,12 +4,14 @@ Round 3 closes the "biggest format gap in the multimodal branch"
 (VERDICT r2 'What's missing' #4): web-crawl figure payloads are mostly
 JPEG, and this container has no PIL/OpenCV. Scope, honestly stated:
 
-- **decode**: baseline sequential (SOF0), 8-bit precision, grayscale
+- **decode**: baseline sequential (SOF0/1), 8-bit precision, grayscale
   or YCbCr with 4:4:4 / 4:2:0 / 4:2:2-style sampling factors, restart
-  markers, multiple DQT/DHT segments. Progressive (SOF2), arithmetic
-  coding, 12-bit precision and CMYK raise ``NotImplementedError`` —
-  the same error contract as ``core.png`` (PIL is preferred whenever
-  importable, see ``stages.multimodal``).
+  markers, multiple DQT/DHT segments — AND progressive (SOF2, round 4
+  / VERDICT r3 #3): spectral selection, successive approximation
+  (DC + AC first/refinement scans), EOB runs, interleaved DC scans.
+  Arithmetic coding, 12-bit precision and CMYK raise
+  ``NotImplementedError`` — the same error contract as ``core.png``
+  (PIL is preferred whenever importable, see ``stages.multimodal``).
 - **encode**: baseline JFIF with the T.81 Annex K quantization and
   Huffman tables, 4:4:4 (no subsampling), grayscale or RGB. Exists so
   fixtures and round-trip tests need no external library; quality
@@ -227,6 +229,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(cid, hs, vs, tq)])
+    progressive = False
+    coefs: dict[int, "np.ndarray"] = {}
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -278,10 +282,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
                 cid, hv, tq_ = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker == 0xC2:  # SOF2 progressive (round 4)
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK?)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_))
+            frame = (w, h, comps)
+            progressive = True
+            coefs = _alloc_coefs(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG (baseline only)"
+                "arithmetic/hierarchical/lossless JPEG "
+                "(baseline + progressive huffman only)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -289,15 +309,27 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            scan_comps = []
             scan_tables = {}
             for s in range(ns):
                 cs, tdta = body[1 + 2 * s : 3 + 2 * s]
+                scan_comps.append(cs)
                 scan_tables[cs] = (tdta >> 4, tdta & 0xF)
-            return _decode_scan(
-                data, pos + 2 + seglen, frame, scan_tables, qt,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seglen, frame, scan_tables, qt,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + 2 + seglen, frame, scan_comps, scan_tables,
+                ss, se, ahal >> 4, ahal & 0xF, coefs,
                 huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("no JPEG scan data found")
 
 
@@ -331,6 +363,14 @@ def _decode_scan(data, pos, frame, scan_tables, qt, huff_dc, huff_ac,
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
 
+    return _finish_planes(frame, planes)
+
+
+def _finish_planes(frame, planes):
+    """Upsample subsampled planes, crop to (h, w), color-convert."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -373,6 +413,203 @@ def _decode_block(reader, dc_table, ac_table, q, pred, cid) -> np.ndarray:
     blk[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
     blk = blk.reshape(8, 8)
     return _C.T @ blk @ _C + 128.0
+
+
+# ------------------------------------------------- progressive decoder
+
+def _grid(frame):
+    """Shared geometry: (hmax, vmax, mcux, mcuy, per-comp dims) where
+    per-comp dims = {cid: (nbx_padded, nby_padded, bw_actual,
+    bh_actual)} — interleaved scans walk the padded MCU grid,
+    non-interleaved scans walk the component's actual block raster
+    (T.81 A.2.2/A.2.3)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dims = {}
+    for cid, hs, vs, _tq in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        dims[cid] = (mcux * hs, mcuy * vs, -(-cw // 8), -(-ch // 8))
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _alloc_coefs(frame):
+    """Zigzag-order coefficient accumulators, one padded block grid per
+    component — progressive scans refine these in place."""
+    _, _, _, _, dims = _grid(frame)
+    return {
+        cid: np.zeros((nby, nbx, 64), dtype=np.int32)
+        for cid, (nbx, nby, _bw, _bh) in dims.items()
+    }
+
+
+def _scan_end(data: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy data at ``pos``
+    (skipping 0xFF00 stuffing and RSTn)."""
+    i = pos
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] not in (0x00,) and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
+def _decode_progressive_scan(data, pos, frame, scan_comps, scan_tables,
+                             ss, se, ah, al, coefs, huff_dc, huff_ac,
+                             restart_interval):
+    """One SOF2 scan (T.81 G.2): DC (interleaved or not) or AC band,
+    first pass (Ah=0) or successive-approximation refinement (Ah>0).
+    Updates ``coefs`` in place; returns the file position of the next
+    marker."""
+    w, h, comps = frame
+    _hmax, _vmax, mcux, mcuy, dims = _grid(frame)
+    comp_of = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+    reader = _BitReader(data, pos)
+
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "invalid progressive scan: Ss=0 requires Se=0 (a baseline "
+            "scan header inside a SOF2 frame?)"
+        )
+    if ss == 0:  # ---------------------------------------------- DC scan
+        pred = {cid: 0 for cid in scan_comps}
+        if len(scan_comps) > 1:  # interleaved: MCU walk
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blks = []
+                    for cid in scan_comps:
+                        hs, vs = comp_of[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blks.append((cid, my * vs + by, mx * hs + bx))
+                    units.append(blks)
+        else:
+            cid = scan_comps[0]
+            _nbx, _nby, bw_c, bh_c = dims[cid]
+            units = [[(cid, by, bx)] for by in range(bh_c) for bx in range(bw_c)]
+        for ui, blks in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                reader.restart()
+                pred = {cid: 0 for cid in scan_comps}
+            for cid, by, bx in blks:
+                blk = coefs[cid][by, bx]
+                if ah == 0:
+                    td = scan_tables[cid][0]
+                    t = reader.decode_symbol(huff_dc[td])
+                    pred[cid] += _extend(reader.get_bits(t), t)
+                    blk[0] = pred[cid] << al
+                else:  # refinement: one bit per block
+                    if reader.get_bits(1):
+                        blk[0] |= 1 << al
+        return _scan_end(data, pos)
+
+    # ------------------------------------------------------------ AC scan
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cid = scan_comps[0]
+    ta = scan_tables[cid][1]
+    table = huff_ac[ta]
+    _nbx, _nby, bw_c, bh_c = dims[cid]
+    grid = coefs[cid]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            unit += 1
+            blk = grid[by, bx]
+            if ah == 0:  # ------------------------- first pass (G.1.2.2)
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(table)
+                    r, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.get_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(reader.get_bits(sz), sz) << al
+                    k += 1
+            else:  # ------------------------------ refinement (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(table)
+                        r, sz = rs >> 4, rs & 0xF
+                        val = 0
+                        if sz == 0:
+                            if r < 15:
+                                # TOTAL blocks in the run, INCLUDING the
+                                # current one — the current block still
+                                # consumes its remaining correction bits
+                                # below (unlike the first-pass decoder,
+                                # which has nothing more to read)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.get_bits(r)
+                                break
+                            # r == 15: pass over 16 zero-history coeffs
+                        else:
+                            val = p1 if reader.get_bits(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.get_bits(1) and not (c & p1):
+                                    blk[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # correction bits for the remaining nonzero coeffs
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0 and reader.get_bits(1) and not (c & p1):
+                            blk[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return _scan_end(data, pos)
+
+
+def _reconstruct_progressive(frame, coefs, qt):
+    """Dequantize + IDCT the accumulated coefficient grids, then the
+    shared upsample/crop/color tail."""
+    w, h, comps = frame
+    planes = {}
+    for cid, _hs, _vs, tq_ in comps:
+        zz = coefs[cid]  # (nby, nbx, 64) zigzag
+        dq = qt[tq_].reshape(-1)
+        de = zz.astype(np.float64) * dq[ZIGZAG][None, None, :]
+        nat = np.zeros_like(de)
+        nat[..., ZIGZAG] = de
+        nby, nbx = zz.shape[:2]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        idct = np.einsum("ij,yxjk,kl->yxil", _C.T, blocks, _C) + 128.0
+        planes[cid] = idct.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return _finish_planes(frame, planes)
 
 
 # --------------------------------------------------------------- encoder
@@ -503,4 +740,266 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------- progressive encoder (r4)
+
+def _uniform_table(nsyms: int):
+    """Fixed-length canonical Huffman table holding ``nsyms`` symbols
+    0..nsyms-1: the smallest L with 2**L > nsyms (strict, so the
+    all-ones code stays unused per T.81 C.2). Deliberately simple —
+    the fixture encoder optimizes for correctness, not size; crucially
+    it CONTAINS the EOBn symbols (0x10..0xE0) that Annex K's baseline
+    AC tables lack, so the decoder's EOB-run path gets exercised."""
+    bits = [0] * 16
+    if nsyms <= 255:
+        L = 1
+        while (1 << L) <= nsyms:
+            L += 1
+        bits[L - 1] = nsyms
+    else:
+        # DHT BITS entries are single bytes (max 255 codes per length):
+        # split evenly across two adjacent lengths; Kraft sum stays < 1
+        half = nsyms // 2
+        bits[8] = half        # length 9
+        bits[9] = nsyms - half  # length 10
+    vals = list(range(nsyms))
+    return bits, vals
+
+
+def _quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag-order quantized coefficients of one
+    edge-padded component plane."""
+    h, w = plane.shape
+    nby, nbx = -(-h // 8), -(-w // 8)
+    pad = np.pad(plane, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    blocks = pad.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+    f = np.einsum("ij,yxjk,kl->yxil", _C, blocks, _C.T)
+    flat = f.reshape(nby, nbx, 64)
+    return np.rint(flat[..., ZIGZAG] / q.reshape(-1)[ZIGZAG]).astype(np.int32)
+
+
+def _put_mag(bw: "_BitWriter", v: int, s_: int) -> None:
+    bw.put_bits(v if v >= 0 else v + (1 << s_) - 1, s_)
+
+
+def _encode_ac_first(bw, zz, ss, se, al, enc) -> None:
+    """G.1.2.2: AC first scan of one band with EOB-run accumulation."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = enc[r << 4]
+        bw.put_bits(code, ln)
+        if r:
+            bw.put_bits(eobrun - (1 << r), r)
+        eobrun = 0
+
+    nby, nbx, _ = zz.shape
+    for by in range(nby):
+        for bx in range(nbx):
+            vals = [int(v) for v in zz[by, bx, ss : se + 1]]
+            tv = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in vals]
+            nz = [i for i, x in enumerate(tv) if x]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = tv[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc[0xF0]
+                    bw.put_bits(code, ln)
+                    run -= 16
+                s_ = abs(v).bit_length()
+                code, ln = enc[(run << 4) | s_]
+                bw.put_bits(code, ln)
+                _put_mag(bw, v, s_)
+                run = 0
+            if nz[-1] < len(tv) - 1:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _encode_ac_refine(bw, zz, ss, se, al, enc) -> None:
+    """G.1.2.3: AC successive-approximation refinement of one band —
+    newly-significant coefficients code as (zero-history-run, 1) +
+    sign, already-significant ones ride as correction bits buffered
+    behind the next symbol / EOBn (the libjpeg BR/BE structure)."""
+    eobrun = 0
+    be: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, be
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = enc[r << 4]
+        bw.put_bits(code, ln)
+        if r:
+            bw.put_bits(eobrun - (1 << r), r)
+        for b in be:
+            bw.put_bits(b, 1)
+        eobrun = 0
+        be = []
+
+    nby, nbx, _ = zz.shape
+    for by in range(nby):
+        for bx in range(nbx):
+            vals = [int(v) for v in zz[by, bx, ss : se + 1]]
+            ta = [abs(v) >> al for v in vals]
+            newly = [i for i, x in enumerate(ta) if x == 1]
+            if not newly:
+                eobrun += 1
+                be.extend((x & 1) for x in ta if x > 1)
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            br: list[int] = []
+            for i in range(newly[-1] + 1):
+                x = ta[i]
+                if x > 1:  # already significant: correction bit
+                    br.append(x & 1)
+                    continue
+                if x == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc[0xF0]
+                    bw.put_bits(code, ln)
+                    for b in br:
+                        bw.put_bits(b, 1)
+                    br = []
+                    run -= 16
+                code, ln = enc[(run << 4) | 1]
+                bw.put_bits(code, ln)
+                bw.put_bits(1 if vals[i] > 0 else 0, 1)
+                for b in br:
+                    bw.put_bits(b, 1)
+                br = []
+                run = 0
+            tail = [(x & 1) for x in ta[newly[-1] + 1 :] if x > 1]
+            if newly[-1] < len(ta) - 1:
+                eobrun = 1  # this block's band tail closes via EOB
+                be = tail
+                if eobrun == 0x7FFF:  # pragma: no cover
+                    flush()
+    flush()
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 85, *,
+                            successive: bool = True,
+                            bands: tuple = ((1, 5), (6, 63))) -> bytes:
+    """Encode (h, w) gray / (h, w, 3) RGB uint8 as PROGRESSIVE JFIF
+    (SOF2, 4:4:4). ``successive=True`` emits the libjpeg-style script
+    (DC first Al=1 → DC refine → per-component AC first Al=1 per band
+    → AC refine Al=0), exercising every decoder path; ``False`` emits
+    spectral-selection-only scans. Coefficients equal encode_jpeg's at
+    the same quality, so decode(progressive) == decode(baseline)
+    bit-for-bit — the round-trip test's cross-check."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        comps_px = [px.astype(np.float64)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        comps_px = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3) uint8 array")
+    h, w = comps_px[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    nc = len(comps_px)
+    ql = _scaled_q(_Q_LUMA.reshape(8, 8), quality)
+    qc = _scaled_q(_Q_CHROMA.reshape(8, 8), quality)
+    qts = [ql] + ([qc, qc] if nc == 3 else [])
+    zzs = [_quantized_zz(p, q) for p, q in zip(comps_px, qts)]
+    nby, nbx = zzs[0].shape[:2]
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate([ql] if nc == 1 else [ql, qc]):
+        zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    dc_bits, dc_vals = _uniform_table(12)
+    ac_bits, ac_vals = _uniform_table(256)
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals)) + bytes([0x00])
+            + bytes(dc_bits) + bytes(dc_vals))
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals)) + bytes([0x10])
+            + bytes(ac_bits) + bytes(ac_vals))
+    enc_dc = _canonical_codes(dc_bits, dc_vals)[0]
+    enc_ac = _canonical_codes(ac_bits, ac_vals)[0]
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        seg = bytes([len(comp_ids)])
+        for c in comp_ids:
+            seg += bytes([c + 1, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    al_dc = 1 if successive else 0
+    out += sos(list(range(nc)), 0, 0, 0, al_dc)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for by in range(nby):
+        for bx in range(nbx):
+            for c in range(nc):
+                v = int(zzs[c][by, bx, 0]) >> al_dc  # arithmetic shift
+                diff = v - preds[c]
+                preds[c] = v
+                s_ = abs(diff).bit_length()
+                code, ln = enc_dc[s_]
+                bw.put_bits(code, ln)
+                if s_:
+                    _put_mag(bw, diff, s_)
+    bw.flush()
+    out += bw.out
+    if successive:
+        out += sos(list(range(nc)), 0, 0, 1, 0)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for c in range(nc):
+                    bw.put_bits(int(zzs[c][by, bx, 0]) & 1, 1)
+        bw.flush()
+        out += bw.out
+    for al in ((1, 0) if successive else (0,)):
+        first = al == (1 if successive else 0)
+        for c in range(nc):
+            for ss, se in bands:
+                if successive and al == 0:
+                    out += sos([c], ss, se, 1, 0)
+                    bw = _BitWriter()
+                    _encode_ac_refine(bw, zzs[c], ss, se, 0, enc_ac)
+                else:
+                    out += sos([c], ss, se, 0, al)
+                    bw = _BitWriter()
+                    _encode_ac_first(bw, zzs[c], ss, se, al, enc_ac)
+                bw.flush()
+                out += bw.out
+        del first
+    out += b"\xff\xd9"
     return bytes(out)

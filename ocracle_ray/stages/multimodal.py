@@ -83,9 +83,10 @@ class ImageFeatures:
     - IMG1 synthetic header (byte statistics),
     - real PNG via the stdlib decoder (``core.png`` — zlib inflate +
       scanline unfilter, no PIL needed),
-    - real baseline JPEG via the stdlib decoder (``core.jpeg``, round
-      3 — huffman + IDCT + YCbCr, no PIL needed),
-    - anything else (progressive JPEG, 16-bit/interlaced PNG, webp)
+    - real baseline AND progressive JPEG via the stdlib decoder
+      (``core.jpeg``; progressive added round 4 — spectral selection,
+      successive approximation, EOB runs),
+    - anything else (arithmetic JPEG, 16-bit/interlaced PNG, webp)
       needs PIL; absent in this container, so a clearly-marked
       ``NotImplementedError``.
     """

@@ -71,12 +71,55 @@ def test_quality_scales_size():
     assert len(lo) < len(hi)
 
 
-def test_progressive_raises_not_implemented():
+def test_progressive_equals_baseline_bit_for_bit():
+    """SOF2 decode (round 4): same quantized coefficients, different
+    entropy layout -> pixel output must EQUAL the baseline decode.
+    Both scan scripts: successive approximation (DC+AC first/refine,
+    the libjpeg default shape) and spectral-selection-only."""
+    from ocracle_ray.core.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    images = [
+        _gradient(16, 16),
+        rng.randint(0, 256, (17, 23), dtype=np.uint8),
+        rng.randint(0, 256, (16, 24, 3), dtype=np.uint8),
+        np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (48, 1)),  # EOB runs
+    ]
+    for img in images:
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        for successive in (True, False):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=85, successive=successive)
+            )
+            assert base[:3] == prog[:3]
+            assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_is_sof2_and_multiscan():
+    """The fixture encoder must emit a GENUINE progressive layout (or
+    the equality test above is vacuous): SOF2 marker, >= 4 scans."""
+    from ocracle_ray.core.jpeg import encode_jpeg_progressive
+
+    raw = encode_jpeg_progressive(_gradient(16, 16))
+    assert b"\xff\xc2" in raw and b"\xff\xc0" not in raw
+    assert raw.count(b"\xff\xda") >= 4
+
+
+def test_baseline_header_inside_sof2_raises():
     g = _gradient(16, 16)
     raw = bytearray(encode_jpeg(g))
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    raw[i + 1] = 0xC2  # flip SOF0 -> SOF2 but keep the baseline scan
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
+        decode_jpeg(bytes(raw))
+
+
+def test_arithmetic_still_raises():
+    g = _gradient(16, 16)
+    raw = bytearray(encode_jpeg(g))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(raw))
 
 
