@@ -43,6 +43,7 @@ from ..core.dedup import (
 )
 from ..core.textstats import fingerprint
 from ..pool import (
+    clamp_join_partitions,
     default_pool_size,
     join_cpu_reservation_guard,
     pin_join_cpu_reservation,
@@ -318,7 +319,17 @@ def minhash_lsh_pairs_ds(
     distributed pair-side verify, with the candidate pair set NEVER
     leaving the object store (round-4 de-drivering). Returns a lazy
     Dataset of verified (a, b, jaccard) rows; a < b holds per row but
-    global order is unspecified — sort on consumption if needed."""
+    global order is unspecified — sort on consumption if needed.
+
+    Execution shape: STAGED, deliberately. A round-4 experiment fused
+    pair emission + pair-unique + the two verify joins into one lazy
+    DAG to overlap their fixed costs — measured 86 s where the staged
+    form takes ~17 s on the same x64 corpus (two chained sort-groupbys
+    feeding two hash joins in one streaming plan thrash the scheduler:
+    138 workers spawned, tiny-block churn at every boundary). The
+    candidate materialize also gives the EXACT pair count, which sizes
+    the verify partitions correctly where the fused lane's band-row
+    upper bound oversized them 26x."""
     band_rows = _lsh_band_rows(
         ds, key, text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
     )
@@ -539,12 +550,16 @@ def _verify_pairs_distributed_ds(ds, key: str, text: str, cand_ds, n_cand: int,
     paths); equivalence is asserted in tests by running both paths."""
     import pyarrow.compute as pc
 
-    # ~50k pairs per partition keeps text blocks worker-heap sized at
-    # any candidate count AND any session size — the CPU reservation,
-    # not the partition count, adapts to small sessions (see
-    # pool.join_cpu_reservation_guard; unguarded, two 13-way joins
-    # livelocked a 4-CPU session in the round-3 dedup bench)
-    n_parts = max(8, n_cand // 50_000)
+    # ~50k pairs per partition keeps text blocks worker-heap sized,
+    # CLAMPED to the session's CPU budget (round 4): n_cand may be an
+    # upper-bound ESTIMATE (the fused lane sizes from band rows), and
+    # an unclamped 5.1M-row estimate spawned two 102-partition joins —
+    # 204 aggregator actors whose spinup alone blew past the previous
+    # total. On a real cluster CPUs scale with data, so the per-
+    # partition heap target still holds at 4*cpus/n_joins partitions;
+    # the pinned reservation keeps the fleets <= half the session
+    # either way.
+    n_parts = clamp_join_partitions(max(8, n_cand // 50_000), n_joins=2)
 
     def side(col: str):
         def fn(t: pa.Table) -> pa.Table:
