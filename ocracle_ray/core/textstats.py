@@ -160,19 +160,20 @@ _ROLL_BASE = 1_000_003
 _ROLL_MASK = (1 << 61) - 1
 
 
-def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
-    """Rolling-hash document fingerprints via winnowing (the classic
-    MOSS scheme): Rabin-Karp rolling hashes of every k-char gram of the
-    normalized text, then the minimum hash of each w-gram window, deduped
-    in order. Deterministic; two documents sharing substrings of length
-    >= k + w - 1 are guaranteed to share a fingerprint — the local
-    (partial-overlap) complement to the whole-document ``fingerprint``.
+def winnowing_gram_hashes(text: str, k: int = 8) -> tuple[str, list[int]]:
+    """``(kind, hashes)`` — the raw Rabin-Karp gram-hash sequence the
+    winnowing selection runs over, exposed so the oracle artifact and
+    ``winnowing_fingerprints`` provably share one sequence:
+
+    - ``('gram', [h0, h1, ...])`` — one rolling hash per k-char gram of
+      the normalized text (all values < 2**61, int64-safe);
+    - ``('fallback', [fingerprint(text)])`` — normalized text shorter
+      than ``k`` (whole-doc fingerprint, non-negative int64);
+    - ``('empty', [])`` — normalizes to the empty string.
     """
     s = normalize_for_fingerprint(text)
-    n = len(s)
-    if n < k:
-        return [fingerprint(text)] if s else []
-    # rolling Rabin-Karp over code points
+    if len(s) < k:
+        return ("fallback", [fingerprint(text)]) if s else ("empty", [])
     pow_k = pow(_ROLL_BASE, k - 1, _ROLL_MASK + 1)
     h = 0
     hashes = []
@@ -181,6 +182,20 @@ def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
         if i >= k - 1:
             hashes.append(h)
             h = (h - ord(s[i - k + 1]) * pow_k) & _ROLL_MASK
+    return ("gram", hashes)
+
+
+def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> list[int]:
+    """Rolling-hash document fingerprints via winnowing (the classic
+    MOSS scheme): Rabin-Karp rolling hashes of every k-char gram of the
+    normalized text, then the minimum hash of each w-gram window, deduped
+    in order. Deterministic; two documents sharing substrings of length
+    >= k + w - 1 are guaranteed to share a fingerprint — the local
+    (partial-overlap) complement to the whole-document ``fingerprint``.
+    """
+    kind, hashes = winnowing_gram_hashes(text, k)
+    if kind != "gram":
+        return hashes
     # winnow: min per window, rightmost-min rule, dedup consecutive —
     # fully vectorized (sliding_window_view + one argmin pass; the
     # per-window python loop was O(n*w) with 3 numpy calls per char)

@@ -647,12 +647,58 @@ def q_docs_langid(sf_dir: str):
     )
 
 
-def q_docs_winnowing(sf_dir: str):
-    """Rolling-hash (winnowing/MOSS) fingerprint stats per lang
-    (rows-only: the Rabin-Karp + window-min scheme has no SQL mirror)."""
-    from ..core.textstats import winnowing_fingerprints
+WINNOW_ORACLE_DIR = "/tmp/ocracle_winnow_oracle"
 
-    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+def q_docs_winnowing(sf_dir: str):
+    """Rolling-hash (winnowing/MOSS) fingerprint stats per lang.
+
+    Oracled since round 4 (hybrid artifact oracle): the query writes
+    the per-doc Rabin-Karp GRAM-HASH SEQUENCE — the input the winnowing
+    selection runs over, via the same ``winnowing_gram_hashes`` call —
+    to a deterministic parquet path, and the oracle SQL INDEPENDENTLY
+    re-implements the selection itself (rightmost-min per w-window via
+    a combined ``h*2^22 + (2^22-1-pos)`` MIN over a window frame,
+    consecutive-position dedup via lag) plus both small-doc branches.
+    Only the rolling-hash arithmetic (no SQL mirror) is trusted from
+    the artifact; the window-min algorithm is verified every round."""
+    import shutil
+
+    from ..core.textstats import winnowing_fingerprints, winnowing_gram_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        doc_ids, langs, poss, hs, kinds = [], [], [], [], []
+        for did, lang, text in zip(
+            t["doc_id"].to_pylist(), t["lang"].to_pylist(), t["text"].to_pylist()
+        ):
+            kind, hashes = winnowing_gram_hashes(text or "")
+            if kind == "empty":
+                doc_ids.append(did); langs.append(lang)
+                poss.append(-2); hs.append(None); kinds.append("empty")
+            elif kind == "fallback":
+                doc_ids.append(did); langs.append(lang)
+                poss.append(-1); hs.append(hashes[0]); kinds.append("fallback")
+            else:
+                doc_ids.extend([did] * len(hashes))
+                langs.extend([lang] * len(hashes))
+                poss.extend(range(len(hashes)))
+                hs.extend(hashes)
+                kinds.extend(["gram"] * len(hashes))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+            }
+        )
+
+    out_dir = f"{WINNOW_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(gram_rows, batch_format="pyarrow").write_parquet(out_dir)
 
     def add(t: pa.Table) -> pa.Table:
         fps = [winnowing_fingerprints(x) for x in t["text"].to_pylist()]
@@ -822,6 +868,9 @@ def q_knn_bruteforce(sf_dir: str):
     return cand.reset_index(drop=True)
 
 
+IVF_ORACLE_DIR = "/tmp/ocracle_ivf_oracle"
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF search, both probe regimes on ONE index (registry
     consolidation, VERDICT r2 next-round #1 — the old knn_ivf_fullprobe
@@ -830,10 +879,20 @@ def q_knn_ivf(sf_dir: str):
     - full probe (n_probe = n_cells) is exhaustive and must EQUAL brute
       force — asserted in-query, so a violation turns this driver row
       into an error instead of silently passing;
-    - partial probe (the scale path) returns the rows, with the
-      MEASURED recall vs brute force carried on every row so the driver
-      re-checks the scale path's quality each round."""
-    from ..stages.knn import IvfIndex
+    - partial probe (the scale path) returns the rows with the recall
+      vs brute force carried on every row.
+
+    Artifact-oracled since round 4: the query writes the per-vector
+    (cell, probed) assignment to parquet, and the oracle SQL
+    re-executes the PARTIAL-PROBE SEARCH itself — cosine scoring over
+    the real ``embeddings`` view restricted to probed cells, top-k
+    with the (cosine DESC, vec_id ASC) tie-break, rank, and the recall
+    against an in-SQL brute force — independently of the Ray search
+    path. Only the k-means cell assignment (no SQL mirror) is trusted
+    from the artifact."""
+    import shutil
+
+    from ..stages.knn import IvfIndex, _unit
 
     q = _query_vec(sf_dir)
     n_cells, n_probe, K = 8, 2, 10
@@ -852,12 +911,31 @@ def q_knn_ivf(sf_dir: str):
             "exhaustive path must be exact"
         )
 
+    # cell-assignment artifact: probe derived with the same expression
+    # search() uses, so the oracle probes the same cells
+    qn = _unit(np.atleast_2d(q))[0]
+    probe = np.argsort(-(idx.centroids @ qn))[:n_probe].astype(np.int32)
+
+    def cellmap(t: pa.Table) -> pa.Table:
+        cells = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "probed": pa.array(np.isin(cells, probe)),
+            }
+        )
+
+    out_dir = f"{IVF_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    idx.tagged.map_batches(cellmap, batch_format="pyarrow").write_parquet(out_dir)
+
     out = idx.search(q, k=K + 1, n_probe=n_probe)
     out = out[out["vec_id"] != 0].head(K).reset_index(drop=True)
     exact = set(brute["vec_id"])
     recall = round(len(set(out["vec_id"]) & exact) / max(len(exact), 1), 4)
-    out["rank"] = out.index + 1
-    out["n_probe"] = n_probe
+    out["rank"] = (out.index + 1).astype("int64")
+    out["n_probe"] = np.int64(n_probe)
     out["recall_vs_brute"] = recall
     return out
 
@@ -1215,41 +1293,55 @@ def q_docs_incremental_neardup(sf_dir: str):
     return verify_candidate_pairs(ds, "doc_id", "text", cand, k_shingle=3, threshold=0.8)
 
 
+SIMHASH_ORACLE_DIR = "/tmp/ocracle_simhash_oracle"
+
+
 def q_docs_simhash_dups(sf_dir: str):
     """SimHash near-dup pairs at hamming<=3 via the pigeonhole band
-    trick (VERDICT r2 #6; rows-only: token-multiset hashing has no SQL
-    mirror). The band trick is EXACT — every hamming<=k pair shares a
-    band — so the per-row ``recall_vs_brute`` (measured against an
-    all-pairs popcount when the corpus is small enough to afford one)
-    must be 1.0; the driver re-checks that claim every round."""
+    trick (VERDICT r2 #6). Oracled since round 4: the query writes each
+    doc's simhash64 (as int64) to a deterministic parquet path, and the
+    oracle SQL INDEPENDENTLY re-derives the full pair set as an exact
+    all-pairs ``bit_count(xor(...)) <= 3`` self-join over the written
+    hashes — DuckDB's brute force verifies the band trick's exactness
+    claim every round (this replaces the old self-measured
+    ``recall_vs_brute`` column, which trusted the same process that
+    made the claim). Only the token-multiset hashing itself (no SQL
+    mirror) is trusted from the artifact.
+
+    ``max_bucket`` is raised past any driver-scale bucket so the exact
+    all-pairs path always runs here; the production default keeps the
+    star degradation for mega-buckets at 100-TB scale, which is a
+    documented completeness tradeoff this oracle intentionally does
+    not model."""
+    import shutil
+
     from ..core.dedup import simhash
-    from ..stages.dedup import popcount64, simhash_neardup_pairs
+    from ..stages.dedup import simhash_neardup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_neardup_pairs(ds, "doc_id", "text", max_hamming=3)
+    pairs = simhash_neardup_pairs(
+        ds, "doc_id", "text", max_hamming=3, max_bucket=1_000_000_000
+    )
 
-    # brute-force ground truth, affordable only on a small corpus:
-    # row-wise vectorized popcount over all pairs. COUNT before any
-    # text reaches the driver (guard-don't-hope) — past the limit the
-    # gather never happens and recall stays NaN
-    BRUTE_LIMIT = 20_000
-    docs_ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    recall = float("nan")
-    if docs_ds.count() <= BRUTE_LIMIT:
-        docs = docs_ds.to_pandas()
-        sh = np.array([simhash(x or "") for x in docs["text"]], dtype=np.uint64)
-        ids = docs["doc_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        exact = set()
-        for i in range(len(ids) - 1):
-            h = popcount64(sh[i + 1 :] ^ sh[i])
-            for j in np.flatnonzero(h <= 3):
-                exact.add((int(ids[i]), int(ids[i + 1 + j])))
-        found = set(zip(pairs["a"], pairs["b"]))
-        recall = round(len(found & exact) / max(len(exact), 1), 4)
-    pairs["recall_vs_brute"] = recall
-    return pairs
+    # per-doc hash artifact for the oracle: text never leaves the
+    # workers; only (doc_id, simhash) is written
+    def hash_rows(t: pa.Table) -> pa.Table:
+        hs = np.array(
+            [simhash(x or "") for x in t["text"].to_pylist()], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "simhash": pa.array(hs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_dir = f"{SIMHASH_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(hash_rows, batch_format="pyarrow").write_parquet(out_dir)
+
+    out = pairs[["a", "b", "hamming"]].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_docs_neardup_clusters(sf_dir: str):
@@ -1395,6 +1487,9 @@ def q_extract_flagship(sf_dir: str):
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
+MEDIA_ORACLE_DIR = "/tmp/ocracle_media_oracle"
+
+
 def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
@@ -1402,8 +1497,15 @@ def q_media_features(sf_dir: str):
     and PCM WAV clips appended below) — so the in-pipeline stdlib
     decode branches are driver-checked every round, not only
     unit-tested. ALL decodable rows decode (no skip-rows for any
-    appended codec — the image row count pins that). Rows-only; one
-    summary row per kind, stable across runs/parallelism."""
+    appended codec — the image row count pins that).
+
+    Artifact-oracled since round 4 (flagship pattern): each stage's
+    per-row metric is written to parquet and DuckDB re-aggregates the
+    files independently — the decode row counts and metric sums are
+    verified; the codecs themselves are unit-tested (no SQL mirror).
+    One summary row per kind, stable across runs/parallelism."""
+    import shutil
+
     import numpy as np
     from ray.data import from_arrow
 
@@ -1463,21 +1565,69 @@ def q_media_features(sf_dir: str):
     )
     ds = from_arrow(pa.concat_tables([base, extra])).repartition(4)
 
-    img = ds.map_batches(ImageFeatures, batch_format="pyarrow", concurrency=2).to_pandas()
-    aud = ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=2).to_pandas()
-    vid = ds.map_batches(FrameSample, batch_format="pyarrow", concurrency=2).to_pandas()
+    # artifact oracle (round 4): each stage's per-row metric is written
+    # to its own parquet subdir (sequential consumption — a lazy union
+    # would instantiate all three actor pools at once on a 4-CPU
+    # session); Ray and DuckDB then aggregate the SAME files
+    # independently. metric_sum is double for all three sinks (the
+    # video frame-index sum was int before round 4).
+    out_root = f"{MEDIA_ORACLE_DIR}/current"
+    shutil.rmtree(out_root, ignore_errors=True)
 
-    return pd.DataFrame(
-        {
-            "kind": ["audio", "image", "video_frames"],
-            "n_rows": [len(aud), len(img), len(vid)],
-            "metric_sum": [
-                round(float(aud["rms"].sum()), 4),
-                round(float(img["mean_intensity"].sum()), 4),
-                int(vid["frame_index"].sum()),
-            ],
-        }
+    def metric_rows(sink: str, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "sink": pa.array([sink] * t.num_rows, pa.string()),
+                    "metric": pc.cast(t[col], pa.float64()),
+                }
+            )
+
+        return fn
+
+    for sink, cls, col in (
+        ("audio", AudioFeatures, "rms"),
+        ("image", ImageFeatures, "mean_intensity"),
+        ("video_frames", FrameSample, "frame_index"),
+    ):
+        ds.map_batches(cls, batch_format="pyarrow", concurrency=2).map_batches(
+            metric_rows(sink, col), batch_format="pyarrow"
+        ).write_parquet(f"{out_root}/{sink}")
+
+    import ray.data as rd
+
+    written = pd.concat(
+        [
+            rd.read_parquet(f"{out_root}/{s}").to_pandas()
+            for s in ("audio", "image", "video_frames")
+        ],
+        ignore_index=True,
     )
+    out = (
+        written.groupby("sink", as_index=False)
+        .agg(n_rows=("metric", "size"), metric_sum=("metric", "sum"))
+        .rename(columns={"sink": "kind"})
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["metric_sum"] = out["metric_sum"].round(4)
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+PDF_ORACLE_DIR = "/tmp/ocracle_pdf_oracle"
+
+
+def _real_pdf_variant(i: int) -> str:
+    """Mirrors ``sources.realpdf.real_pdf_pages_table``'s builder
+    dispatch; the oracle SQL re-derives the same mapping from the url's
+    trailing digits, so a doc routed to the wrong codec branch shows up
+    as a group-count mismatch."""
+    if i % 3 == 2:
+        return "xrefstm"
+    if i % 5 == 4:
+        return "encrypted"
+    if i % 5 == 2:
+        return "scanned"
+    return "plain"
 
 
 def q_pdf_branch(sf_dir: str):
@@ -1486,13 +1636,25 @@ def q_pdf_branch(sf_dir: str):
 
     - ``src='real'``: deterministic minimal REAL PDF bytes
       (``sources.realpdf``) parsed by the stdlib extractor inside the
-      Extract actor pool;
+      Extract actor pool — PDF 1.4, 1.5 xref-stream/ObjStm,
+      RC4-encrypted and images-only SCANNED (OCR branch) variants;
     - ``src='ocrsyn'``: every %PDF-sniffed page of the synthetic corpus
       through the same pipeline.
 
-    Rows-only (fixtures are synthesized); per-doc summary is stable
-    across runs and parallelism."""
+    Artifact-oracled since round 4 (flagship pattern): the per-doc
+    rows are written to parquet, the driver row is per-(src, variant)
+    aggregates — doc/error counts, block/task/points sums, and the
+    fingerprint XOR that pins extracted-text byte identity per codec
+    branch — and DuckDB re-aggregates the files independently,
+    re-deriving the variant from the url's trailing digits with the
+    same modular dispatch the fixture builder uses. The extraction
+    itself is fixture-synthesized (no SQL mirror); parity of the
+    scanned/encrypted twins with their plain counterparts is asserted
+    in tests/test_pdf_minimal.py."""
+    import shutil
+
     import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
     from ray.data import from_arrow
 
     from ..pipelines.extraction import extract_records
@@ -1533,8 +1695,49 @@ def q_pdf_branch(sf_dir: str):
         )
         .to_pandas()
     )
-    out = pd.concat([real, syn], ignore_index=True)
-    return out.sort_values(["src", "url"]).reset_index(drop=True)
+    perdoc = pd.concat([real, syn], ignore_index=True).sort_values(
+        ["src", "url"]
+    ).reset_index(drop=True)
+
+    # per-doc artifact (driver-resident already — both branches are
+    # sf-bounded fixture corpora); variant is NOT written: Ray and the
+    # oracle each derive it from the url independently
+    out_dir = f"{PDF_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    _pq.write_table(
+        pa.Table.from_pandas(perdoc, preserve_index=False),
+        f"{out_dir}/part-0.parquet",
+    )
+
+    df = perdoc.copy()
+    df["variant"] = [
+        "synthetic" if s == "ocrsyn" else _real_pdf_variant(int(u.rsplit("realpdf", 1)[1]))
+        for s, u in zip(df["src"], df["url"])
+    ]
+    grp = df.groupby(["src", "variant"], as_index=False)
+    out = grp.agg(
+        n_docs=("url", "size"),
+        # error is '' (empty string) for ok rows, never null
+        n_err=("error", lambda s: int((s.fillna("") != "").sum())),
+        n_blocks_sum=("n_blocks", "sum"),
+        n_tasks_sum=("n_tasks", "sum"),
+        points_sum=("points_total", "sum"),
+    )
+    fp = grp["text_fingerprint"].agg(
+        lambda s: int(
+            np.bitwise_xor.reduce(
+                s.fillna(0).to_numpy(dtype=np.int64), initial=np.int64(0)
+            )
+        )
+    ).rename(columns={"text_fingerprint": "fp_xor"})
+    out = out.merge(fp, on=["src", "variant"])
+    for c in ("n_docs", "n_err", "n_blocks_sum", "n_tasks_sum", "points_sum", "fp_xor"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["src", "variant"]).reset_index(drop=True)
+
+
+CENSUS_ORACLE_DIR = "/tmp/ocracle_census_oracle"
 
 
 def q_pages_census(sf_dir: str):
@@ -1548,7 +1751,15 @@ def q_pages_census(sf_dir: str):
     - ``section='figures_per_url'``: figure spans after per-url
       near-dup suppression (F5 analogue), key = url, total_chars = 0.
 
-    Rows-only — pages are synthesized; stable across parallelism."""
+    Artifact-oracled since round 4 (flagship pattern): the exploded
+    block rows and suppressed figure rows are written to parquet, Ray
+    aggregates the driver row FROM the written files (distributed
+    groupbys), and DuckDB independently re-aggregates the same files —
+    the census arithmetic and the sink are verified, while the
+    extraction itself stays fixture-synthesized (no SQL mirror)."""
+    import shutil
+
+    import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
     from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
@@ -1559,8 +1770,19 @@ def q_pages_census(sf_dir: str):
     # lazy pipeline would re-run page extraction twice (bounded: n<=1000)
     blocks = pages_to_blocks(generate_pages_dataset(n), concurrency=2).materialize()
 
+    blocks_dir = f"{CENSUS_ORACLE_DIR}/blocks"
+    figs_dir = f"{CENSUS_ORACLE_DIR}/figures"
+    shutil.rmtree(CENSUS_ORACLE_DIR, ignore_errors=True)
+    blocks.map_batches(
+        lambda t: t.select(["url", "kind", "n_chars"]), batch_format="pyarrow"
+    ).write_parquet(blocks_dir)
+    figures_of_blocks(blocks).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    ).write_parquet(figs_dir)
+
     kinds = (
-        blocks.groupby("kind")
+        rd.read_parquet(blocks_dir)
+        .groupby("kind")
         .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
         .to_pandas()
         .rename(columns={"kind": "key"})
@@ -1568,7 +1790,7 @@ def q_pages_census(sf_dir: str):
     kinds.insert(0, "section", "block_kind")
 
     figs = (
-        figures_of_blocks(blocks)
+        rd.read_parquet(figs_dir)
         .groupby("url")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
@@ -1578,15 +1800,29 @@ def q_pages_census(sf_dir: str):
     figs["total_chars"] = 0
 
     out = pd.concat([kinds, figs], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
     return out.sort_values(["section", "key"]).reset_index(drop=True)
+
+
+FIGURES_ORACLE_DIR = "/tmp/ocracle_figures_oracle"
 
 
 def q_figure_pixel_crops(sf_dir: str):
     """Pixel-domain figure pipeline F1-F5/F8 (stages/figures.py):
     synthetic PNG page renders -> contour crops -> keep/skip heuristics
-    -> near-dup suppression -> PNG render. Rows-only (fixtures are
-    synthesized); returns the per-(action, reason) crop census plus
-    saved-bytes totals — stable across runs and parallelism."""
+    -> near-dup suppression -> PNG render.
+
+    Artifact-oracled since round 4 (flagship pattern): the per-crop
+    (action, reason, saved_bytes) rows are written to parquet; Ray
+    aggregates the census FROM the written files and DuckDB
+    re-aggregates them independently — the census arithmetic and the
+    sink are verified; the pixel pipeline itself is unit-tested
+    against synthetic truth boxes (no SQL mirror). Stable across runs
+    and parallelism."""
+    import shutil
+
+    import ray.data as rd
     from ray.data import from_arrow
 
     from ..sources.figures import synth_figures_table
@@ -1610,19 +1846,40 @@ def q_figure_pixel_crops(sf_dir: str):
             }
         )
 
+    out_dir = f"{FIGURES_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    crops.map_batches(census, batch_format="pyarrow").write_parquet(out_dir)
+
     out = driver_grouped_agg(
-        crops.map_batches(census, batch_format="pyarrow"),
+        rd.read_parquet(out_dir),
         ["action", "reason"],
         {"n_crops": ("n", "sum"), "saved_bytes": ("saved_bytes", "sum")},
     )
+    for c in ("n_crops", "saved_bytes"):
+        out[c] = out[c].astype("int64")
     return out.sort_values(["action", "reason"]).reset_index(drop=True)
+
+
+WEBVIEW_ORACLE_DIR = "/tmp/ocracle_webview_oracle"
 
 
 def q_webview_tasks(sf_dir: str):
     """The web-viewer consumer surface (E3/G12,
     ``/root/reference/web/OCRacle.html:227-237``): filter records by
     exam version, explode tasks, numeric-aware sort within
-    (subject, version). Rows-only (pages are synthesized)."""
+    (subject, version).
+
+    Artifact-oracled since round 4: the UNFILTERED exploded task rows
+    (with a per-url ``seq`` position as the sort tiebreak) are written
+    to parquet; the query applies the viewer's version filter, the
+    numeric-aware sort and the rank on the driver, and DuckDB
+    independently reproduces filter + numeric sort + row_number from
+    the written files — the consumer-surface semantics are verified,
+    only the extraction itself (synthesized pages) is trusted."""
+    import shutil
+
+    import ray.data as rd
+
     from ..core.assemble import task_sort_key
     from ..pipelines.extraction import extract_records
     from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
@@ -1633,27 +1890,39 @@ def q_webview_tasks(sf_dir: str):
     def explode(t: pa.Table) -> pa.Table:
         rows: dict[str, list] = {
             "subject": [], "exam_version": [], "url": [],
-            "task_number": [], "points": [], "topic": [],
+            "task_number": [], "points": [], "topic": [], "seq": [],
         }
         for url, tasks in zip(t["url"].to_pylist(), t["tasks"].to_pylist()):
             parts = url.split("/")
             subject, version = parts[-3], parts[-2]
-            if version not in ("V23", "H24"):  # the viewer's exam filter
-                continue
-            for task in tasks:
+            for j, task in enumerate(tasks):
                 rows["subject"].append(subject)
                 rows["exam_version"].append(version)
                 rows["url"].append(url)
                 rows["task_number"].append(task["task_number"])
                 rows["points"].append(task["points"])
                 rows["topic"].append(task["topic"])
-        return pa.Table.from_pydict(rows)
+                rows["seq"].append(j)
+        out = pa.Table.from_pydict(rows)
+        return out.set_column(
+            out.schema.get_field_index("seq"), "seq",
+            pc.cast(out["seq"], pa.int64()),
+        )
 
-    df = recs.map_batches(explode, batch_format="pyarrow").to_pandas()
+    out_dir = f"{WEBVIEW_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    recs.map_batches(explode, batch_format="pyarrow").write_parquet(out_dir)
+
+    df = rd.read_parquet(out_dir).to_pandas()
+    df = df[df["exam_version"].isin(("V23", "H24"))]  # the viewer's filter
     if df.empty:
-        return df
+        return df.drop(columns="seq")
+    # numeric-aware sort; seq breaks ties the way the viewer's stable
+    # sort over extraction order did (and row order is now file order)
     df["_key"] = df["task_number"].map(task_sort_key)
-    df = df.sort_values(["subject", "exam_version", "url", "_key"]).drop(columns="_key")
+    df = df.sort_values(
+        ["subject", "exam_version", "url", "_key", "seq"]
+    ).drop(columns=["_key", "seq"])
     df["rk"] = range(1, len(df) + 1)
     return df.reset_index(drop=True)
 
@@ -1727,8 +1996,8 @@ QUERIES = {
     "docs_samples": q_docs_samples,
     "docs_numeric_sort": q_docs_numeric_sort,
     "knn_bruteforce": q_knn_bruteforce,
-    # rows-only: full probe asserted == brute force in-query; partial
-    # probe's measured recall carried on every row
+    # artifact-oracled r4: full probe asserted == brute force in-query;
+    # partial probe re-executed in SQL over the written cell map
     "knn_ivf": q_knn_ivf,
     "events_heavy_hitters": q_events_heavy_hitters,
     "embeddings_label_stats": q_embeddings_label_stats,
@@ -1749,13 +2018,12 @@ QUERIES = {
     "docs_neardup_clusters": q_docs_neardup_clusters,
     "emb_label_neardup": q_emb_label_neardup,
     "extract_flagship": q_extract_flagship,
-    # rows-only: pages are synthesized (block + figure census)
+    # artifact-oracled r4 (flagship pattern): fixtures are synthesized,
+    # so each query writes its per-row artifact and DuckDB re-derives
+    # the aggregate/consumer semantics from the files independently
     "pages_census": q_pages_census,
-    # rows-only: pixel fixtures are synthesized (F1-F5/F8 census)
     "figure_pixel_crops": q_figure_pixel_crops,
-    # rows-only: real-PDF fixtures synthesized; stdlib parser in-pipeline
     "pdf_branch": q_pdf_branch,
-    # rows-only: media fixtures synthesized (image/audio/video stages)
     "media_features": q_media_features,
     "webview_tasks": q_webview_tasks,
     "salted_events_value": q_salted_events_value,
@@ -2073,6 +2341,40 @@ ORACLE_SQL = {
                                         CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
         LIMIT 10
     """,
+    "knn_ivf": """
+        -- artifact oracle (round 4): the query writes the per-vector
+        -- (cell, probed) assignment before returning; DuckDB
+        -- re-executes the PARTIAL-PROBE SEARCH itself — cosine over
+        -- the real embeddings view restricted to probed cells,
+        -- (cosine DESC, vec_id ASC) top-k, rank — and re-measures the
+        -- recall against an in-SQL brute force. Only the k-means cell
+        -- assignment (no SQL mirror) is trusted from the artifact.
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+            SELECT e.vec_id,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        ), part AS (
+            SELECT s.vec_id, s.cos,
+                   row_number() OVER (ORDER BY s.cos DESC, s.vec_id) AS rk
+            FROM scored s
+            JOIN read_parquet('/tmp/ocracle_ivf_oracle/current/*.parquet') a
+              ON s.vec_id = a.vec_id
+            WHERE a.probed
+        ), brute AS (
+            SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        ), rec AS (
+            SELECT round(count(*) * 1.0 /
+                         greatest((SELECT count(*) FROM brute), 1), 4) AS recall
+            FROM part JOIN brute USING (vec_id) WHERE part.rk <= 10
+        )
+        SELECT p.vec_id, round(p.cos, 6) AS cosine,
+               p.rk AS "rank", CAST(2 AS BIGINT) AS n_probe,
+               rec.recall AS recall_vs_brute
+        FROM part p, rec WHERE p.rk <= 10 ORDER BY "rank"
+    """,
     "embeddings_label_stats": """
         SELECT label, count(*) AS n_vecs,
                round(sum(embedding[1]), 4) AS sum_dim0
@@ -2193,11 +2495,147 @@ ORACLE_SQL = {
                coalesce(j.acctbal_sum, 0.0) AS acctbal_sum
         FROM s LEFT JOIN j USING (event_type)
     """,
-    # pages_census / webview_tasks: no oracle —
-    # they run over the synthesized pages table (rows-only checks).
-    # docs_simhash_dups: no oracle — token-multiset hashing (order-free);
-    # the band trick is exact, so measured recall_vs_brute rides each row
-    # is not faithfully SQL-expressible; rows-only check.
+    "docs_simhash_dups": """
+        -- artifact-verified brute force (round 4): the query writes
+        -- each doc's simhash64 before returning; DuckDB independently
+        -- re-derives the FULL hamming<=3 pair set by exact all-pairs
+        -- popcount over the written hashes, verifying the pigeonhole
+        -- band trick's exactness claim. Only the token-multiset
+        -- hashing itself (no SQL mirror) is trusted from the artifact.
+        WITH h AS (
+            SELECT doc_id, simhash
+            FROM read_parquet('/tmp/ocracle_simhash_oracle/current/*.parquet')
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM h x JOIN h y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY a, b
+    """,
+    "pdf_branch": """
+        -- artifact oracle (round 4): the query writes its per-doc rows
+        -- before returning; DuckDB re-aggregates independently AND
+        -- re-derives each real doc's codec variant from the url's
+        -- trailing digits with the same modular dispatch the fixture
+        -- builder uses (i%3==2 xrefstm, else i%5==4 encrypted, else
+        -- i%5==2 scanned, else plain). fp_xor pins extracted-text byte
+        -- identity per codec branch.
+        WITH p AS (
+            SELECT *,
+                   CASE WHEN src = 'ocrsyn' THEN 'synthetic'
+                        WHEN CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 3 = 2 THEN 'xrefstm'
+                        WHEN CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 5 = 4 THEN 'encrypted'
+                        WHEN CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) % 5 = 2 THEN 'scanned'
+                        ELSE 'plain' END AS variant
+            FROM read_parquet('/tmp/ocracle_pdf_oracle/current/*.parquet')
+        )
+        SELECT src, variant, count(*) AS n_docs,
+               CAST(count(*) FILTER (error <> '') AS BIGINT) AS n_err,
+               CAST(sum(n_blocks) AS BIGINT) AS n_blocks_sum,
+               CAST(sum(n_tasks) AS BIGINT) AS n_tasks_sum,
+               CAST(sum(points_total) AS BIGINT) AS points_sum,
+               CAST(bit_xor(coalesce(text_fingerprint, 0)) AS BIGINT) AS fp_xor
+        FROM p GROUP BY src, variant ORDER BY src, variant
+    """,
+    "media_features": """
+        -- artifact oracle (round 4): each multimodal stage writes its
+        -- per-row metric before the query returns; DuckDB re-counts
+        -- and re-sums the files independently (decode row counts pin
+        -- the no-skip-rows claim for every appended real-codec fixture).
+        SELECT sink AS kind, count(*) AS n_rows,
+               round(sum(metric), 4) AS metric_sum
+        FROM read_parquet('/tmp/ocracle_media_oracle/current/*/*.parquet')
+        GROUP BY sink ORDER BY kind
+    """,
+    "figure_pixel_crops": """
+        -- artifact oracle (round 4): per-crop census rows are written
+        -- before the query returns; DuckDB re-aggregates independently.
+        SELECT action, reason,
+               CAST(sum(n) AS BIGINT) AS n_crops,
+               CAST(sum(saved_bytes) AS BIGINT) AS saved_bytes
+        FROM read_parquet('/tmp/ocracle_figures_oracle/current/*.parquet')
+        GROUP BY action, reason ORDER BY action, reason
+    """,
+    "webview_tasks": """
+        -- artifact oracle (round 4): the query writes the UNFILTERED
+        -- exploded task rows (with per-url seq) before returning;
+        -- DuckDB independently reproduces the viewer's version filter,
+        -- the numeric-aware sort (first integer, then the raw string —
+        -- same expression as docs_numeric_sort) and the rank.
+        SELECT subject, exam_version, url, task_number, points, topic,
+               row_number() OVER (ORDER BY
+                   subject, exam_version, url,
+                   CAST(coalesce(nullif(regexp_extract(task_number, '[0-9]+'), ''), '9223372036854775807') AS BIGINT),
+                   task_number, seq) AS rk
+        FROM read_parquet('/tmp/ocracle_webview_oracle/current/*.parquet')
+        WHERE exam_version IN ('V23', 'H24')
+    """,
+    "pages_census": """
+        -- artifact oracle (round 4, flagship pattern): the query
+        -- writes the exploded block rows and the suppressed figure
+        -- rows before returning; DuckDB re-aggregates both censuses
+        -- independently of Ray's distributed groupbys.
+        SELECT 'block_kind' AS section, kind AS key,
+               count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM read_parquet('/tmp/ocracle_census_oracle/blocks/*.parquet')
+        GROUP BY kind
+        UNION ALL
+        SELECT 'figures_per_url', url, count(*), 0
+        FROM read_parquet('/tmp/ocracle_census_oracle/figures/*.parquet')
+        GROUP BY url
+        ORDER BY section, key
+    """,
+    "docs_winnowing": """
+        -- hybrid artifact oracle (round 4): the query writes each
+        -- doc's raw gram-hash sequence; the winnowing SELECTION itself
+        -- (rightmost-min per 16-window, consecutive-position dedup) is
+        -- re-implemented here independently of the numpy form. The
+        -- combined key h*2^22 + (2^22-1-pos) makes MIN pick the min
+        -- hash with the RIGHTMOST position on ties; h < 2^61 so the
+        -- product needs HUGEINT. Winnowing's selected positions are
+        -- non-decreasing, so the lag()-dedup equals the numpy
+        -- consecutive-index dedup exactly.
+        WITH g AS (
+            SELECT doc_id, lang, pos, h, kind
+            FROM read_parquet('/tmp/ocracle_winnow_oracle/current/*.parquet')
+        ), counted AS (
+            SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM g WHERE kind = 'gram'
+        ), sel AS (
+            SELECT doc_id, lang, pos AS win_end,
+                   min(CAST(h AS HUGEINT) * 4194304 + (4194303 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS skey
+            FROM counted WHERE n_grams > 16
+            QUALIFY pos >= 15
+        ), kept AS (
+            SELECT doc_id, lang, win_end,
+                   CAST(skey // 4194304 AS BIGINT) AS sel_h,
+                   CAST(4194303 - (skey % 4194304) AS BIGINT) AS sel_pos
+            FROM sel
+        ), dedup AS (
+            SELECT doc_id, lang, sel_h FROM (
+                SELECT *, lag(sel_pos) OVER (
+                    PARTITION BY doc_id ORDER BY win_end) AS prev_pos
+                FROM kept)
+            WHERE prev_pos IS NULL OR sel_pos <> prev_pos
+        ), perdoc AS (
+            SELECT doc_id, lang, count(*) AS n_fp,
+                   count(DISTINCT sel_h) AS n_fp_distinct
+            FROM dedup GROUP BY doc_id, lang
+            UNION ALL  -- 1 <= n_grams <= w: single min fingerprint
+            SELECT doc_id, lang, 1, 1
+            FROM counted WHERE n_grams <= 16 GROUP BY doc_id, lang
+            UNION ALL  -- normalized text shorter than k: whole-doc fp
+            SELECT doc_id, lang, 1, 1 FROM g WHERE kind = 'fallback'
+            UNION ALL  -- empty normalized text: doc counts, zero fps
+            SELECT doc_id, lang, 0, 0 FROM g WHERE kind = 'empty'
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_fp) AS BIGINT) AS total_fp,
+               CAST(sum(n_fp_distinct) AS BIGINT) AS total_fp_distinct
+        FROM perdoc GROUP BY lang ORDER BY lang
+    """,
     "extract_flagship": """
         -- artifact oracle (round 4): the query WRITES its per-record
         -- summary to this deterministic path before returning; DuckDB

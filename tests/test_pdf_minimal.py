@@ -130,17 +130,29 @@ def test_garbage_real_pdf_still_raises():
 
 def test_real_pdf_pipeline_query_stable_and_clean():
     """pdf_branch: real PDFs through the actor-pool pipeline —
-    deterministic across runs, no extraction errors, tasks found."""
+    deterministic across runs, no extraction errors, tasks found.
+    Round 4: the driver row is per-(src, variant) aggregates; the
+    per-doc invariants move to the written oracle artifact."""
     import pandas as pd
+    import pyarrow.parquet as pq
 
-    from ocracle_ray.pipelines.queries import QUERIES
+    from ocracle_ray.pipelines.queries import PDF_ORACLE_DIR, QUERIES
 
     a = QUERIES["pdf_branch"]("/root/testdata/sf0.001")
     b = QUERIES["pdf_branch"]("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b)
-    assert (a["branch"] == "pdf").all()
-    assert (a["error"] == "").all()
-    assert (a["n_tasks"] >= 2).all()
+    # every codec variant present, clean, and with tasks found
+    assert set(a["variant"]) == {
+        "synthetic", "plain", "xrefstm", "encrypted", "scanned"
+    }
+    assert (a["n_err"] == 0).all()
+    assert (a["n_tasks_sum"] >= 2 * a["n_docs"]).all()
+    # per-doc invariants live in the artifact the oracle reads
+    perdoc = pq.read_table(f"{PDF_ORACLE_DIR}/current").to_pandas()
+    assert (perdoc["branch"] == "pdf").all()
+    assert (perdoc["error"] == "").all()
+    assert (perdoc["n_tasks"] >= 2).all()
+    assert len(perdoc) == int(a["n_docs"].sum())
 
 
 # ------------------------------------------- PDF 1.5 xref-stream/ObjStm
