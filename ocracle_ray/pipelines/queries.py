@@ -1493,11 +1493,13 @@ MEDIA_ORACLE_DIR = "/tmp/ocracle_media_oracle"
 def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
-    bytes (stdlib-encoded PNG + baseline AND progressive JPEG images
-    and PCM WAV clips appended below) — so the in-pipeline stdlib
-    decode branches are driver-checked every round, not only
-    unit-tested. ALL decodable rows decode (no skip-rows for any
-    appended codec — the image row count pins that).
+    bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
+    interlaced/transparent GIF and 24-bit BMP images; PCM and G.711
+    mu-law/A-law WAV clips; animated GIFs through the video frame
+    sampler) — so the in-pipeline stdlib decode branches are
+    driver-checked every round, not only unit-tested. ALL decodable
+    rows decode (no skip-rows for any appended codec — the per-kind
+    row counts pin that).
 
     Artifact-oracled since round 4 (flagship pattern): each stage's
     per-row metric is written to parquet and DuckDB re-aggregates the
@@ -1509,9 +1511,11 @@ def q_media_features(sf_dir: str):
     import numpy as np
     from ray.data import from_arrow
 
+    from ..core.bmp import encode_bmp
+    from ..core.gif import encode_gif
     from ..core.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..core.png import encode_png
-    from ..core.wav import encode_wav
+    from ..core.wav import encode_wav, encode_wav_g711
     from ..sources.pages import sf_of_dir
     from ..stages.multimodal import (
         AudioFeatures,
@@ -1522,7 +1526,9 @@ def q_media_features(sf_dir: str):
 
     n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
     base = synth_media_table(n)
-    # append real-codec rows: 4 PNGs + 4 JPEGs + 4 WAVs, deterministic
+    # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
+    # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 PCM WAVs + 4 G.711
+    # WAVs + 4 animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1551,6 +1557,38 @@ def q_media_features(sf_dir: str):
                 rng.randint(0, 256, shape, dtype=np.uint8),
                 quality=85,
                 successive=j % 2 == 0,
+            )
+        )
+        # GIF (round 4, late): interlaced for even j, transparent for
+        # odd j — both stdlib decoder branches in-pipeline
+        pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+        ids.append(n + 16 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_gif(
+                rng.randint(0, 16, (18, 22), dtype=np.uint8).astype(np.uint8),
+                pal,
+                interlace=j % 2 == 0,
+                transparent=None if j % 2 == 0 else 3,
+            )
+        )
+        # BMP (round 4, late): 24-bit RGB
+        ids.append(n + 20 + j)
+        kinds.append("image")
+        payloads.append(encode_bmp(rng.randint(0, 256, (14, 26, 3), dtype=np.uint8)))
+        # G.711 WAVs (round 4, late): mu-law even j, A-law odd j
+        tone2 = 0.3 * np.sin(2 * np.pi * (330 + 55 * j) * np.arange(1600) / 8000.0)
+        ids.append(n + 24 + j)
+        kinds.append("audio")
+        payloads.append(encode_wav_g711(tone2, 8000, law="mu" if j % 2 == 0 else "a"))
+        # animated GIF as VIDEO (round 4, late): FrameSample's real-
+        # codec branch — 6 frames, sampled every 2nd -> 3 rows each
+        ids.append(n + 28 + j)
+        kinds.append("video")
+        payloads.append(
+            encode_gif(
+                [rng.randint(0, 16, (10, 12), dtype=np.uint8) for _ in range(6)],
+                pal,
             )
         )
     extra = pa.Table.from_pydict(

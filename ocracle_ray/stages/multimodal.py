@@ -86,6 +86,9 @@ class ImageFeatures:
     - real baseline AND progressive JPEG via the stdlib decoder
       (``core.jpeg``; progressive added round 4 — spectral selection,
       successive approximation, EOB runs),
+    - real GIF via the stdlib decoder (``core.gif`` — LZW, interlace,
+      transparency; first frame),
+    - real BMP via the stdlib decoder (``core.bmp`` — 8/24-bit BI_RGB),
     - anything else (arithmetic JPEG, 16-bit/interlaced PNG, webp)
       needs PIL; absent in this container, so a clearly-marked
       ``NotImplementedError``.
@@ -93,13 +96,19 @@ class ImageFeatures:
 
     def __init__(self):
         self.real = Image is not None
-        from ..core.jpeg import decode_jpeg, is_jpeg  # bind once per actor
+        from ..core.bmp import decode_bmp, is_bmp  # bind once per actor
+        from ..core.gif import decode_gif, is_gif
+        from ..core.jpeg import decode_jpeg, is_jpeg
         from ..core.png import decode_png, is_png
 
         self._decode_png = decode_png  # instance attrs: no self-binding
         self._is_png = is_png
         self._decode_jpeg = decode_jpeg
         self._is_jpeg = is_jpeg
+        self._decode_gif = decode_gif
+        self._is_gif = is_gif
+        self._decode_bmp = decode_bmp
+        self._is_bmp = is_bmp
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, w_out, h_out, means = [], [], [], []
@@ -119,6 +128,18 @@ class ImageFeatures:
                         body = px.reshape(-1)
                     except (NotImplementedError, ValueError):
                         body = None  # 16-bit/interlaced/truncated: fall through
+                elif self._is_gif(payload):
+                    try:
+                        w, h, _ch, px = self._decode_gif(payload)
+                        body = px.reshape(-1)
+                    except (NotImplementedError, ValueError):
+                        body = None  # malformed/truncated: fall through
+                elif self._is_bmp(payload):
+                    try:
+                        w, h, _ch, px = self._decode_bmp(payload)
+                        body = px.reshape(-1)
+                    except (NotImplementedError, ValueError):
+                        body = None  # RLE/16-bit/truncated: fall through
                 elif self._is_jpeg(payload):
                     try:
                         w, h, _ch, px = self._decode_jpeg(payload)
@@ -136,7 +157,8 @@ class ImageFeatures:
                         raise NotImplementedError(
                             "image decode requires PIL, which is not "
                             "installed in this container; IMG1 synthetic "
-                            "and stdlib-PNG payloads are supported"
+                            "and stdlib PNG/JPEG/GIF/BMP payloads are "
+                            "supported"
                         )
                     continue  # pragma: no cover — PIL path not exercised here
             ids.append(mid)
@@ -156,7 +178,8 @@ class ImageFeatures:
 class AudioFeatures:
     """Actor-pool audio decode + feature extraction: duration, RMS and
     peak amplitude per clip. Decode paths: AUD1 synthetic header (raw
-    u8 samples), real WAV via the stdlib codec (``core.wav``);
+    u8 samples), real WAV via the stdlib codec (``core.wav`` — PCM
+    8/16/24/32-bit, G.711 mu-law/A-law, WAVE_FORMAT_EXTENSIBLE);
     compressed codecs (mp3/ogg) honestly raise — they need a real
     decoder this container lacks."""
 
@@ -236,17 +259,35 @@ class Resize:
 
 
 class FrameSample:
-    """Video frame sampling: every k-th frame -> one row per frame."""
+    """Video frame sampling: every k-th frame -> one row per frame.
+
+    Two payload formats: the VID1 synthetic container (opaque frame
+    bytes) and REAL animated GIF via ``core.gif`` (each sampled frame
+    is the composited RGB canvas at that point of the animation, as
+    raw ``h*w*3`` bytes)."""
 
     def __init__(self, every: int = 2):
+        from ..core.gif import decode_gif_frames, is_gif  # once per actor
+
         self.every = every
+        self._decode_gif_frames = decode_gif_frames
+        self._is_gif = is_gif
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, fidx, frames = [], [], []
         for mid, kind, payload in zip(
             t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
         ):
-            if kind != "video" or payload[:4] != b"VID1":
+            if kind != "video":
+                continue
+            if self._is_gif(payload):
+                _w, _h, canvases = self._decode_gif_frames(payload)
+                for f in range(0, len(canvases), self.every):
+                    ids.append(mid)
+                    fidx.append(f)
+                    frames.append(canvases[f].tobytes())
+                continue
+            if payload[:4] != b"VID1":
                 continue
             nf, fl = struct.unpack("<HH", payload[4:8])
             body = payload[8:]

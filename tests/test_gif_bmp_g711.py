@@ -1,0 +1,288 @@
+"""GIF / BMP / G.711-WAV stdlib codecs (round 4, late) + their
+multimodal-stage integration. Reference analogue: OpenCV's
+unconditional decode in `scripts/extract_images.py` and the audio the
+reference never restricted to PCM."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocracle_ray.core.bmp import decode_bmp, encode_bmp, is_bmp
+from ocracle_ray.core.gif import (
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    is_gif,
+)
+from ocracle_ray.core.wav import decode_wav, encode_wav_g711, is_wav
+
+# --------------------------------------------------------------- GIF
+
+
+def _pal(n, seed=7):
+    return np.random.RandomState(seed).randint(0, 256, (n, 3), dtype=np.uint8)
+
+
+def test_gif_roundtrip_plain():
+    rng = np.random.RandomState(1)
+    pal = _pal(16)
+    fr = rng.randint(0, 16, (23, 17), dtype=np.uint8)
+    g = encode_gif(fr, pal)
+    assert is_gif(g)
+    w, h, ch, px = decode_gif(g)
+    assert (w, h, ch) == (17, 23, 3)
+    assert np.array_equal(px, pal[fr])
+
+
+def test_gif_roundtrip_interlaced():
+    rng = np.random.RandomState(2)
+    pal = _pal(16)
+    fr = rng.randint(0, 16, (40, 9), dtype=np.uint8)  # >4 rows/pass
+    assert np.array_equal(decode_gif(encode_gif(fr, pal, interlace=True))[3], pal[fr])
+
+
+def test_gif_transparency_shows_background():
+    rng = np.random.RandomState(3)
+    pal = _pal(16)
+    fr = rng.randint(0, 16, (8, 8), dtype=np.uint8)
+    fr[0:3, 0:3] = 5
+    px = decode_gif(encode_gif(fr, pal, transparent=5))[3]
+    exp = pal[fr].copy()
+    exp[fr == 5] = pal[0]  # background index 0
+    assert np.array_equal(px, exp)
+
+
+def test_gif_animation_frames():
+    rng = np.random.RandomState(4)
+    pal = _pal(16)
+    frames = [rng.randint(0, 16, (11, 13), dtype=np.uint8) for _ in range(5)]
+    w, h, decoded = decode_gif_frames(encode_gif(frames, pal))
+    assert (w, h) == (13, 11) and len(decoded) == 5
+    for d, f in zip(decoded, frames):
+        assert np.array_equal(d, pal[f])
+
+
+def test_gif_lzw_12bit_growth_and_reset():
+    """Random 256-color noise at 60k px forces code width up to 12 bits
+    and past a 4096-entry table reset — the encoder/decoder width sync
+    is the classic off-by-one trap."""
+    rng = np.random.RandomState(5)
+    pal = _pal(256)
+    big = rng.randint(0, 256, (200, 300), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal))[3], pal[big])
+
+
+def test_gif_kwkwk_and_long_matches():
+    pal = _pal(16)
+    rep = np.zeros((50, 80), np.uint8)
+    rep[:, ::2] = 5  # periodic -> KwKwK codes
+    assert np.array_equal(decode_gif(encode_gif(rep, pal))[3], pal[rep])
+    grad = ((np.arange(64)[:, None] + np.arange(64)[None, :]) % 16).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(grad, pal))[3], pal[grad])
+
+
+def test_gif_two_color_min_code_clamp():
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    bw = np.random.RandomState(6).randint(0, 2, (9, 31), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(bw, pal2))[3], pal2[bw])
+
+
+def test_gif_error_contract():
+    pal = _pal(16)
+    ok = encode_gif(np.zeros((4, 4), np.uint8), pal)
+    for bad in (b"", b"GIF89a", b"NOTGIF" + bytes(20), ok[:30], ok[:-10]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((4, 4), np.uint8), _pal(3))  # not a power of two
+
+
+# --------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_24bit():
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 256, (19, 13, 3), dtype=np.uint8)
+    b = encode_bmp(px)
+    assert is_bmp(b)
+    w, h, ch, out = decode_bmp(b)
+    assert (w, h, ch) == (13, 19, 3)
+    assert np.array_equal(out, px)
+
+
+def test_bmp_gray_input_and_padding():
+    # w=21 -> 63-byte rows padded to 64: exercises the stride logic
+    g = np.random.RandomState(9).randint(0, 256, (8, 21), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(g))[3]
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_bmp_8bit_palette_topdown():
+    rng = np.random.RandomState(10)
+    pal = rng.randint(0, 256, (256, 4), dtype=np.uint8)
+    pal[:, 3] = 0
+    idx = rng.randint(0, 256, (6, 5), dtype=np.uint8)
+    stride = (5 + 3) & ~3
+    body = np.zeros((6, stride), np.uint8)
+    body[:, :5] = idx
+    data = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 1024 + body.size, 0, 0, 54 + 1024)
+        + struct.pack("<IiiHHIIiiII", 40, 5, -6, 1, 8, 0, body.size, 0, 0, 256, 0)
+        + pal.tobytes()
+        + body.tobytes()
+    )
+    w, h, ch, out = decode_bmp(data)
+    assert (w, h) == (5, 6)
+    assert np.array_equal(out, pal[:, 2::-1][idx])
+
+
+def test_bmp_error_contract():
+    ok = encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    for bad in (b"", b"BM", b"XX" + bytes(60), ok[:40]):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_bmp(bad)
+    # RLE8 compression is honestly gated
+    rle = bytearray(ok)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+# ------------------------------------------------------------- G.711
+
+
+def _tone(n=4000, f=440.0, amp=0.25, rate=8000):
+    return amp * np.sin(2 * np.pi * f * np.arange(n) / rate)
+
+
+@pytest.mark.parametrize("law", ["mu", "a"])
+def test_g711_roundtrip(law):
+    tone = _tone()
+    w = encode_wav_g711(tone, 8000, law=law)
+    assert is_wav(w)
+    rate, ch, s = decode_wav(w)
+    assert (rate, ch) == (8000, 1)
+    # companded 8-bit: ~1% worst-case error at 0.25 amplitude
+    assert np.abs(s[:, 0] - tone).max() < 0.01
+
+
+def test_g711_stereo():
+    st = np.stack([_tone(), -_tone()], axis=1)
+    rate, ch, s = decode_wav(encode_wav_g711(st, 16000, law="a"))
+    assert (rate, ch) == (16000, 2) and s.shape == (4000, 2)
+
+
+def test_g711_encode_is_nearest_level():
+    """decode(encode(x)) must be the nearest representable level —
+    re-encoding the decoded signal is then a fixed point."""
+    tone = _tone(500)
+    w1 = encode_wav_g711(tone, 8000, law="mu")
+    _, _, s1 = decode_wav(w1)
+    w2 = encode_wav_g711(s1[:, 0], 8000, law="mu")
+    assert w1[-500:] == w2[-500:]  # same data chunk bytes
+
+
+def test_wav_24bit_and_extensible():
+    tone = _tone()
+    v = np.round(tone * 8388607).astype(np.int64) & 0xFFFFFF
+    b = np.zeros((len(v), 3), np.uint8)
+    b[:, 0], b[:, 1], b[:, 2] = v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", b.size) + b.tobytes()
+    )
+    _, _, s = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert np.allclose(s[:, 0], tone, atol=2 / 8388607)
+
+    guid = struct.pack("<H", 1) + bytes(14)  # KSDATAFORMAT_SUBTYPE_PCM
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<H", 22) + struct.pack("<HI", 16, 1) + guid
+    )
+    pcm = np.clip(np.round(tone * 32767), -32768, 32767).astype("<i2").tobytes()
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    rate, ch, s = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (rate, ch) == (8000, 1)
+    assert np.allclose(s[:, 0], tone, atol=1 / 32767)
+
+
+def test_wav_unknown_tag_honestly_gated():
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # 85 = mp3
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# -------------------------------------------------- stage integration
+
+
+def _media_table(rows):
+    ids, kinds, payloads = zip(*rows)
+    return pa.Table.from_pydict(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array([0] * len(ids), pa.int32()),
+            "height": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+
+
+def test_image_features_decodes_gif_and_bmp():
+    from ocracle_ray.stages.multimodal import ImageFeatures
+
+    rng = np.random.RandomState(11)
+    pal = _pal(16)
+    fr = rng.randint(0, 16, (18, 22), dtype=np.uint8)
+    bmp_px = rng.randint(0, 256, (14, 26, 3), dtype=np.uint8)
+    t = _media_table(
+        [
+            (0, "image", encode_gif(fr, pal, interlace=True)),
+            (1, "image", encode_bmp(bmp_px)),
+        ]
+    )
+    out = ImageFeatures()(t).to_pandas().set_index("media_id")
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (22, 18)
+    assert out.loc[0, "mean_intensity"] == round(float(pal[fr].mean()), 4)
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (26, 14)
+    assert out.loc[1, "mean_intensity"] == round(float(bmp_px.mean()), 4)
+
+
+def test_audio_features_decodes_g711():
+    from ocracle_ray.stages.multimodal import AudioFeatures
+
+    tone = _tone(1600, f=330)
+    t = _media_table(
+        [
+            (0, "audio", encode_wav_g711(tone, 8000, law="mu")),
+            (1, "audio", encode_wav_g711(tone, 8000, law="a")),
+        ]
+    )
+    out = AudioFeatures()(t).to_pandas()
+    assert list(out["n_samples"]) == [1600, 1600]
+    ref_rms = float(np.sqrt(np.mean(tone**2)))
+    assert np.allclose(out["rms"], ref_rms, atol=0.005)
+
+
+def test_frame_sample_animated_gif():
+    from ocracle_ray.stages.multimodal import FrameSample
+
+    rng = np.random.RandomState(12)
+    pal = _pal(16)
+    frames = [rng.randint(0, 16, (10, 12), dtype=np.uint8) for _ in range(6)]
+    t = _media_table([(0, "video", encode_gif(frames, pal))])
+    out = FrameSample(every=2)(t).to_pandas()
+    assert list(out["frame_index"]) == [0, 2, 4]
+    for _, row in out.iterrows():
+        assert row["frame"] == pal[frames[row["frame_index"]]].tobytes()
