@@ -7,14 +7,16 @@ remain behind the honest NotImplementedError in
 
 Scope (round 4 widened from 8/16-bit PCM): PCM 8/16/24/32-bit, G.711
 mu-law and A-law (ITU telephony — format tags 7 and 6, the expansion
-arithmetic is the classic g711 reference formulas), and
+arithmetic is the classic g711 reference formulas), IMA ADPCM (tag
+0x11, 4-bit — decode is vectorized ACROSS blocks, so the Python loop
+is bounded by samples-per-block, not clip length), and
 WAVE_FORMAT_EXTENSIBLE wrapping any of those. The RIFF walk is manual
 (Python's ``wave`` module refuses non-PCM format tags). Error contract
 is ValueError for malformed bytes.
 
-``encode_wav`` (16-bit PCM) and ``encode_wav_g711`` (mu-law / A-law via
-nearest-representable-level search over the 256-entry decode table) are
-the fixture producers.
+``encode_wav`` (16-bit PCM), ``encode_wav_g711`` (mu-law / A-law via
+nearest-representable-level search over the 256-entry decode table)
+and ``encode_wav_ima_adpcm`` are the fixture producers.
 """
 
 from __future__ import annotations
@@ -56,6 +58,92 @@ _ULAW = _ulaw_table()
 _ALAW = _alaw_table()
 
 _TAG_PCM, _TAG_ALAW, _TAG_ULAW, _TAG_EXTENSIBLE = 1, 6, 7, 0xFFFE
+_TAG_IMA_ADPCM = 0x11
+
+# ----------------------------------------------------------- IMA ADPCM
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_nibbles(
+    nib: np.ndarray, pred0: np.ndarray, idx0: np.ndarray
+) -> np.ndarray:
+    """Vectorized-across-blocks IMA ADPCM core: ``nib`` is
+    (n_blocks, samples_per_block-1) uint8 nibbles, ``pred0``/``idx0``
+    the per-block header predictor/step-index. Returns the decoded
+    int16 samples INCLUDING the header predictor as sample 0."""
+    n_blocks, n_nib = nib.shape
+    out = np.empty((n_blocks, n_nib + 1), np.int64)
+    pred = pred0.astype(np.int64)
+    idx = np.clip(idx0.astype(np.int64), 0, 88)
+    out[:, 0] = pred
+    for i in range(n_nib):  # bounded by samples/block, not clip length
+        step = _IMA_STEPS[idx]
+        d = nib[:, i].astype(np.int64)
+        diff = (
+            (step >> 3)
+            + np.where(d & 1, step >> 2, 0)
+            + np.where(d & 2, step >> 1, 0)
+            + np.where(d & 4, step, 0)
+        )
+        pred = np.clip(pred + np.where(d & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[d & 7], 0, 88)
+        out[:, i + 1] = pred
+    return out
+
+
+def _decode_ima_adpcm(
+    pcm: bytes, ch: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """IMA ADPCM ``data`` bytes -> float64 samples in [-1, 1], shape
+    (frames * ch,) interleaved (the caller reshapes)."""
+    if block_align < 4 * ch or block_align % (4 * ch):
+        raise ValueError(f"IMA ADPCM: bad block_align {block_align} for {ch}ch")
+    expect = (block_align - 4 * ch) * 2 // ch + 1
+    if samples_per_block != expect:
+        raise ValueError(
+            f"IMA ADPCM: samples_per_block {samples_per_block} != {expect} "
+            f"derived from block_align"
+        )
+    n_blocks = len(pcm) // block_align
+    if n_blocks == 0:
+        raise ValueError("IMA ADPCM: no complete blocks")
+    raw = np.frombuffer(pcm[: n_blocks * block_align], np.uint8).reshape(
+        n_blocks, block_align
+    )
+    # per-channel 4-byte headers, then 4-byte (8-nibble) groups
+    # round-robin across channels
+    heads = raw[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred0 = (
+        heads[:, :, 0].astype(np.int64) | (heads[:, :, 1].astype(np.int64) << 8)
+    )
+    pred0 -= (pred0 & 0x8000) << 1  # sign-extend int16
+    idx0 = heads[:, :, 2].astype(np.int64)
+    if int(idx0.max(initial=0)) > 88:
+        raise ValueError("IMA ADPCM: step index > 88")
+    body = raw[:, 4 * ch :].reshape(n_blocks, -1, ch, 4)  # (blk, grp, ch, 4)
+    lo = body & 0x0F
+    hi = body >> 4
+    nib = np.stack([lo, hi], axis=-1).reshape(n_blocks, -1, ch, 8)
+    # (blk, ch, grp*8) nibble streams per channel, low nibble first
+    nib = nib.transpose(0, 2, 1, 3).reshape(n_blocks * ch, -1)
+    dec = _ima_decode_nibbles(
+        nib, pred0.reshape(-1), idx0.reshape(-1)
+    )  # (blk*ch, spb)
+    dec = dec.reshape(n_blocks, ch, samples_per_block).transpose(0, 2, 1)
+    return dec.reshape(-1).astype(np.float64) / 32768.0
 
 
 def _walk_chunks(data: bytes):
@@ -74,11 +162,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     as float64 in [-1, 1])."""
     if not is_wav(data):
         raise ValueError("not a WAV (bad RIFF header)")
-    fmt = pcm = None
+    fmt = pcm = fmt_body = None
+    n_fact = None
     for cid, body in _walk_chunks(data):
         if cid == b"fmt " and fmt is None:
             if len(body) < 16:
                 raise ValueError("malformed WAV: short fmt chunk")
+            fmt_body = body
             fmt = struct.unpack("<HHIIHH", body[:16])
             if fmt[0] == _TAG_EXTENSIBLE:
                 # the real tag is the first two GUID bytes of the
@@ -87,11 +177,13 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                     raise ValueError("malformed WAV: short extensible fmt")
                 (sub,) = struct.unpack("<H", body[24:26])
                 fmt = (sub,) + fmt[1:]
+        elif cid == b"fact" and len(body) >= 4:
+            (n_fact,) = struct.unpack("<I", body[:4])
         elif cid == b"data" and pcm is None:
             pcm = body
     if fmt is None or pcm is None:
         raise ValueError("malformed WAV: missing fmt or data chunk")
-    tag, ch, rate, _bps, _align, bits = fmt
+    tag, ch, rate, _bps, align, bits = fmt
     if ch < 1 or rate < 1:
         raise ValueError(f"malformed WAV: channels={ch} rate={rate}")
     if tag == _TAG_PCM:
@@ -117,6 +209,15 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         samples = _ULAW[np.frombuffer(pcm, np.uint8)].astype(np.float64) / 32768.0
     elif tag == _TAG_ALAW:
         samples = _ALAW[np.frombuffer(pcm, np.uint8)].astype(np.float64) / 32768.0
+    elif tag == _TAG_IMA_ADPCM:
+        if bits != 4:
+            raise NotImplementedError(f"IMA ADPCM: {bits}-bit (only 4-bit)")
+        if len(fmt_body) < 20:
+            raise ValueError("malformed WAV: IMA ADPCM fmt missing extension")
+        (spb,) = struct.unpack("<H", fmt_body[18:20])
+        samples = _decode_ima_adpcm(pcm, ch, align, spb)
+        if n_fact is not None:  # trim end-of-clip block padding
+            samples = samples[: n_fact * ch]
     else:
         raise NotImplementedError(
             f"WAV format tag {tag}: PCM (1), A-law (6) and mu-law (7) supported"
@@ -138,6 +239,85 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         w.setframerate(rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, rate: int, *, block_align: int = 256
+) -> bytes:
+    """float samples in [-1, 1] (frames or frames×ch) -> IMA ADPCM WAV
+    (format tag 0x11). The standard greedy encoder, vectorized across
+    blocks like the decoder; final partial block is zero-padded and the
+    true frame count recorded in the ``fact`` chunk (decode trims)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, ch = samples.shape
+    if n_frames == 0:
+        raise ValueError("IMA ADPCM: empty input")
+    if block_align < 4 * ch or block_align % (4 * ch):
+        raise ValueError(f"block_align {block_align} must be a multiple of {4 * ch}")
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    lin = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(np.int64)
+    n_blocks = -(-n_frames // spb)
+    pad = np.zeros((n_blocks * spb, ch), np.int64)
+    pad[:n_frames] = lin
+    blk = pad.reshape(n_blocks, spb, ch).transpose(0, 2, 1).reshape(-1, spb)
+    pred = blk[:, 0].copy()
+    # per-block initial step index from the block's median step size —
+    # the format stores idx in every block header precisely so the
+    # encoder may pick it freely; idx=0 would cost a long adaptation
+    # transient at each block start (measured 0.11 peak error on a
+    # 0.2-amplitude ramp vs 0.004 with this estimate)
+    valid = np.zeros((n_blocks * spb, ch), bool)
+    valid[:n_frames] = True
+    vblk = valid.reshape(n_blocks, spb, ch).transpose(0, 2, 1).reshape(-1, spb)
+    d_abs = np.abs(np.diff(blk, axis=1)).astype(np.float64)
+    d_abs[~vblk[:, 1:]] = np.nan  # zero-pad diffs must not bias the estimate
+    with np.errstate(all="ignore"):
+        med = np.nanmedian(d_abs, axis=1)
+    med = np.nan_to_num(med)
+    idx = np.clip(np.searchsorted(_IMA_STEPS, med), 0, 88).astype(np.int64)
+    idx0 = idx.copy()  # the header value; the loop mutates idx
+    nibbles = np.empty((len(blk), spb - 1), np.uint8)
+    for i in range(spb - 1):
+        step = _IMA_STEPS[idx]
+        delta = blk[:, i + 1] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        d = np.minimum(mag * 4 // step, 7)
+        code = np.where(sign, d | 8, d).astype(np.uint8)
+        diff = (
+            (step >> 3)
+            + np.where(d & 1, step >> 2, 0)
+            + np.where(d & 2, step >> 1, 0)
+            + np.where(d & 4, step, 0)
+        )
+        pred = np.clip(pred + np.where(sign, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[d & 7], 0, 88)
+        nibbles[:, i] = code
+    # pack: per-block per-channel header, then 8-nibble groups
+    # round-robin across channels (the decoder's inverse reshape)
+    nib = nibbles.reshape(n_blocks, ch, -1, 8)
+    pairs = nib.reshape(n_blocks, ch, -1, 4, 2)
+    packed = (pairs[..., 0] | (pairs[..., 1] << 4)).astype(np.uint8)
+    body_groups = packed.transpose(0, 2, 1, 3)  # (blk, grp, ch, 4)
+    heads = np.zeros((n_blocks, ch, 4), np.uint8)
+    p0 = blk[:, 0].reshape(n_blocks, ch) & 0xFFFF
+    heads[:, :, 0] = p0 & 0xFF
+    heads[:, :, 1] = p0 >> 8
+    heads[:, :, 2] = idx0.reshape(n_blocks, ch).astype(np.uint8)
+    data_bytes = np.concatenate(
+        [heads.reshape(n_blocks, -1), body_groups.reshape(n_blocks, -1)], axis=1
+    ).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _TAG_IMA_ADPCM, ch, rate,
+        rate * block_align // spb,  # nominal avg byte rate
+        block_align, 4, 2, spb,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n_frames)[:8]
+    body += b"data" + struct.pack("<I", len(data_bytes)) + data_bytes
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_g711(samples: np.ndarray, rate: int, *, law: str = "mu") -> bytes:

@@ -1515,9 +1515,9 @@ def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
-    interlaced/transparent GIF and 24-bit BMP images; PCM and G.711
-    mu-law/A-law WAV clips; animated GIFs through the video frame
-    sampler) — so the in-pipeline stdlib decode branches are
+    interlaced/transparent GIF and 24-bit BMP images; PCM, G.711
+    mu-law/A-law and IMA-ADPCM WAV clips; animated GIFs through the
+    video frame sampler) — so the in-pipeline stdlib decode branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
     row counts pin that).
@@ -1536,7 +1536,7 @@ def q_media_features(sf_dir: str):
     from ..core.gif import encode_gif
     from ..core.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..core.png import encode_png
-    from ..core.wav import encode_wav, encode_wav_g711
+    from ..core.wav import encode_wav, encode_wav_g711, encode_wav_ima_adpcm
     from ..sources.pages import sf_of_dir
     from ..stages.multimodal import (
         AudioFeatures,
@@ -1549,7 +1549,7 @@ def q_media_features(sf_dir: str):
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 PCM WAVs + 4 G.711
-    # WAVs + 4 animated GIFs (video)
+    # WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1602,6 +1602,15 @@ def q_media_features(sf_dir: str):
         ids.append(n + 24 + j)
         kinds.append("audio")
         payloads.append(encode_wav_g711(tone2, 8000, law="mu" if j % 2 == 0 else "a"))
+        # IMA ADPCM WAV (round 4, late): mono even j, stereo odd j
+        clip = 0.35 * np.sin(2 * np.pi * (262 + 66 * j) * np.arange(1500) / 8000.0)
+        ids.append(n + 32 + j)
+        kinds.append("audio")
+        payloads.append(
+            encode_wav_ima_adpcm(
+                clip if j % 2 == 0 else np.stack([clip, 0.5 * clip], axis=1), 8000
+            )
+        )
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each
         ids.append(n + 28 + j)

@@ -179,7 +179,8 @@ class AudioFeatures:
     """Actor-pool audio decode + feature extraction: duration, RMS and
     peak amplitude per clip. Decode paths: AUD1 synthetic header (raw
     u8 samples), real WAV via the stdlib codec (``core.wav`` — PCM
-    8/16/24/32-bit, G.711 mu-law/A-law, WAVE_FORMAT_EXTENSIBLE);
+    8/16/24/32-bit, G.711 mu-law/A-law, IMA ADPCM,
+    WAVE_FORMAT_EXTENSIBLE);
     compressed codecs (mp3/ogg) honestly raise — they need a real
     decoder this container lacks."""
 

@@ -213,6 +213,45 @@ def test_wav_24bit_and_extensible():
     assert np.allclose(s[:, 0], tone, atol=1 / 32767)
 
 
+def test_ima_adpcm_roundtrip_mono_stereo_partial():
+    from ocracle_ray.core.wav import encode_wav_ima_adpcm
+
+    tone = _tone(5000, amp=0.4)
+    rate, ch, s = decode_wav(encode_wav_ima_adpcm(tone, 8000))
+    assert (rate, ch) == (8000, 1) and s.shape == (5000, 1)
+    assert np.abs(s[:, 0] - tone).max() < 0.03  # 4-bit companding
+
+    st = np.stack([tone, 0.3 * np.cos(2 * np.pi * 220 * np.arange(5000) / 8000)], axis=1)
+    rate, ch, s2 = decode_wav(encode_wav_ima_adpcm(st, 16000, block_align=512))
+    assert (rate, ch) == (16000, 2) and s2.shape == (5000, 2)
+    assert np.abs(s2 - st).max() < 0.03
+
+    # partial final block: the fact chunk trims the zero padding
+    rate, ch, s3 = decode_wav(encode_wav_ima_adpcm(tone[:37], 8000, block_align=36))
+    assert s3.shape == (37, 1) and np.abs(s3[:, 0] - tone[:37]).max() < 0.03
+
+
+def test_ima_adpcm_compression_ratio():
+    from ocracle_ray.core.wav import encode_wav_ima_adpcm
+
+    tone = _tone(8000)
+    w = encode_wav_ima_adpcm(tone, 8000)
+    assert len(w) < 8000 * 2 * 0.3  # ~4:1 vs 16-bit PCM
+
+
+def test_ima_adpcm_error_contract():
+    from ocracle_ray.core.wav import encode_wav_ima_adpcm
+
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_ima_adpcm(_tone(100), 8000, block_align=30)  # not 4-aligned
+    ok = encode_wav_ima_adpcm(_tone(600), 8000)
+    bad = bytearray(ok)
+    i = ok.find(b"data")
+    bad[i + 8 + 2] = 120  # step index > 88 in the first block header
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+
+
 def test_wav_unknown_tag_honestly_gated():
     fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # 85 = mp3
     body = (
