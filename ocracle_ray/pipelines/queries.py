@@ -1515,9 +1515,10 @@ def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
-    interlaced/transparent GIF and 24-bit BMP images; PCM, G.711
-    mu-law/A-law and IMA-ADPCM WAV clips; animated GIFs through the
-    video frame sampler) — so the in-pipeline stdlib decode branches are
+    interlaced/transparent GIF, 24-bit BMP and LZW/uncompressed TIFF
+    images; PCM, G.711 mu-law/A-law and IMA-ADPCM WAV clips; animated
+    GIFs through the video frame sampler) — so the stdlib decode
+    branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
     row counts pin that).
@@ -1536,6 +1537,7 @@ def q_media_features(sf_dir: str):
     from ..core.gif import encode_gif
     from ..core.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..core.png import encode_png
+    from ..core.tiff import encode_tiff
     from ..core.wav import encode_wav, encode_wav_g711, encode_wav_ima_adpcm
     from ..sources.pages import sf_of_dir
     from ..stages.multimodal import (
@@ -1548,8 +1550,8 @@ def q_media_features(sf_dir: str):
     n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
-    # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 PCM WAVs + 4 G.711
-    # WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
+    # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 PCM WAVs
+    # + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1597,6 +1599,18 @@ def q_media_features(sf_dir: str):
         ids.append(n + 20 + j)
         kinds.append("image")
         payloads.append(encode_bmp(rng.randint(0, 256, (14, 26, 3), dtype=np.uint8)))
+        # TIFF (round 4, late): LZW+predictor / uncompressed, gray/RGB
+        tshape = (16, 19) if j % 2 == 0 else (16, 19, 3)
+        ids.append(n + 36 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_tiff(
+                rng.randint(0, 256, tshape, dtype=np.uint8),
+                compression="lzw" if j < 2 else "none",
+                predictor=j == 0,
+                rows_per_strip=5,
+            )
+        )
         # G.711 WAVs (round 4, late): mu-law even j, A-law odd j
         tone2 = 0.3 * np.sin(2 * np.pi * (330 + 55 * j) * np.arange(1600) / 8000.0)
         ids.append(n + 24 + j)

@@ -89,6 +89,8 @@ class ImageFeatures:
     - real GIF via the stdlib decoder (``core.gif`` — LZW, interlace,
       transparency; first frame),
     - real BMP via the stdlib decoder (``core.bmp`` — 8/24-bit BI_RGB),
+    - real TIFF via the stdlib decoder (``core.tiff`` — strips,
+      none/LZW/PackBits, predictor, palette/gray/RGB),
     - anything else (arithmetic JPEG, 16-bit/interlaced PNG, webp)
       needs PIL; absent in this container, so a clearly-marked
       ``NotImplementedError``.
@@ -100,6 +102,7 @@ class ImageFeatures:
         from ..core.gif import decode_gif, is_gif
         from ..core.jpeg import decode_jpeg, is_jpeg
         from ..core.png import decode_png, is_png
+        from ..core.tiff import decode_tiff, is_tiff
 
         self._decode_png = decode_png  # instance attrs: no self-binding
         self._is_png = is_png
@@ -109,6 +112,8 @@ class ImageFeatures:
         self._is_gif = is_gif
         self._decode_bmp = decode_bmp
         self._is_bmp = is_bmp
+        self._decode_tiff = decode_tiff
+        self._is_tiff = is_tiff
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, w_out, h_out, means = [], [], [], []
@@ -140,6 +145,12 @@ class ImageFeatures:
                         body = px.reshape(-1)
                     except (NotImplementedError, ValueError):
                         body = None  # RLE/16-bit/truncated: fall through
+                elif self._is_tiff(payload):
+                    try:
+                        w, h, _ch, px = self._decode_tiff(payload)
+                        body = px.reshape(-1)
+                    except (NotImplementedError, ValueError):
+                        body = None  # tiled/fax/16-bit: fall through
                 elif self._is_jpeg(payload):
                     try:
                         w, h, _ch, px = self._decode_jpeg(payload)

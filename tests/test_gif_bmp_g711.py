@@ -151,6 +151,84 @@ def test_bmp_error_contract():
         decode_bmp(bytes(rle))
 
 
+# --------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_gray_and_rgb_strips():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff, is_tiff
+
+    rng = np.random.RandomState(13)
+    g = rng.randint(0, 256, (21, 17), dtype=np.uint8)
+    t = encode_tiff(g)
+    assert is_tiff(t)
+    w, h, ch, px = decode_tiff(t)
+    assert (w, h, ch) == (17, 21, 1) and np.array_equal(px, g)
+    c = rng.randint(0, 256, (30, 11, 3), dtype=np.uint8)
+    w, h, ch, px = decode_tiff(encode_tiff(c, rows_per_strip=7))
+    assert (w, h, ch) == (11, 30, 3) and np.array_equal(px, c)
+
+
+@pytest.mark.parametrize("pred", [False, True])
+def test_tiff_lzw_roundtrip(pred):
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(14)
+    for src in (
+        rng.randint(0, 256, (40, 33, 3), dtype=np.uint8),  # noise
+        np.tile(np.arange(33, dtype=np.uint8) * 3, (40, 1))[:, :, None]
+        .repeat(3, axis=2),  # structured: long LZW matches
+        rng.randint(0, 256, (150, 300), dtype=np.uint8),  # width growth+reset
+    ):
+        out = decode_tiff(
+            encode_tiff(src, compression="lzw", predictor=pred, rows_per_strip=13)
+        )[3]
+        assert np.array_equal(out, src)
+
+
+def test_tiff_big_endian_and_white_is_zero():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    gg = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    ifd = struct.pack(">H", 8)
+
+    def ent(tag, typ, cnt, val4):
+        return struct.pack(">HHI", tag, typ, cnt) + val4
+
+    ifd += ent(256, 3, 1, struct.pack(">HH", 4, 0))
+    ifd += ent(257, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += ent(258, 3, 1, struct.pack(">HH", 8, 0))
+    ifd += ent(259, 3, 1, struct.pack(">HH", 1, 0))
+    ifd += ent(262, 3, 1, struct.pack(">HH", 1, 0))
+    ifd += ent(273, 4, 1, struct.pack(">I", 8 + 2 + 8 * 12 + 4))
+    ifd += ent(278, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += ent(279, 4, 1, struct.pack(">I", 8))
+    ifd += struct.pack(">I", 0)
+    be = b"MM\x00*" + struct.pack(">I", 8) + ifd + gg.tobytes()
+    w, h, ch, px = decode_tiff(be)
+    assert (w, h, ch) == (4, 2, 1) and np.array_equal(px, gg)
+
+    g = np.random.RandomState(15).randint(0, 256, (5, 5), dtype=np.uint8)
+    wz = bytearray(encode_tiff(g))
+    i = wz.find(struct.pack("<HHI", 262, 3, 1))
+    wz[i + 8 : i + 10] = struct.pack("<H", 0)  # WhiteIsZero
+    assert np.array_equal(decode_tiff(bytes(wz))[3], 255 - g)
+
+
+def test_tiff_error_contract():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    ok = encode_tiff(np.zeros((4, 4), np.uint8))
+    for bad in (b"", b"II*\x00", b"XX*\x00" + bytes(20), ok[:40]):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_tiff(bad)
+    # tiled organization is honestly gated: inject a TileWidth tag
+    fax = bytearray(ok)
+    i = fax.find(struct.pack("<HHI", 259, 3, 1))
+    fax[i + 8 : i + 10] = struct.pack("<H", 4)  # CCITT fax compression
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        decode_tiff(bytes(fax))
+
+
 # ------------------------------------------------------------- G.711
 
 
@@ -296,6 +374,25 @@ def test_image_features_decodes_gif_and_bmp():
     assert out.loc[0, "mean_intensity"] == round(float(pal[fr].mean()), 4)
     assert (out.loc[1, "width"], out.loc[1, "height"]) == (26, 14)
     assert out.loc[1, "mean_intensity"] == round(float(bmp_px.mean()), 4)
+
+
+def test_image_features_decodes_tiff():
+    from ocracle_ray.core.tiff import encode_tiff
+    from ocracle_ray.stages.multimodal import ImageFeatures
+
+    rng = np.random.RandomState(16)
+    gray = rng.randint(0, 256, (16, 19), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (16, 19, 3), dtype=np.uint8)
+    t = _media_table(
+        [
+            (0, "image", encode_tiff(gray, compression="lzw", predictor=True)),
+            (1, "image", encode_tiff(rgb, rows_per_strip=5)),
+        ]
+    )
+    out = ImageFeatures()(t).to_pandas().set_index("media_id")
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (19, 16)
+    assert out.loc[0, "mean_intensity"] == round(float(gray.mean()), 4)
+    assert out.loc[1, "mean_intensity"] == round(float(rgb.mean()), 4)
 
 
 def test_audio_features_decodes_g711():
