@@ -2,11 +2,13 @@
 unfiltering, for the multimodal image stages (VERDICT r1 item 8 — the
 most common real image case no longer needs the PIL gate).
 
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), interlace 0. Anything else raises
-``NotImplementedError`` (16-bit / Adam7 are rare in web-crawl thumbs
-and DO need a real codec); JPEG stays behind the PIL gate in
-``stages/multimodal.py``.
+Scope (round 4 widened from 8-bit/interlace-0): bit depths 1/2/4/8/16
+(16-bit downscales to the high byte; sub-8-bit gray scales to full
+range), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), and BOTH interlace methods (0 and Adam7 — each of the 7
+passes is an independently filtered sub-image scattered back onto the
+output grid). Output is always 8-bit. JPEG/webp stay behind the PIL
+gate in ``stages/multimodal.py``.
 """
 
 from __future__ import annotations
@@ -78,9 +80,34 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _stride(width: int, ch: int, depth: int) -> int:
+    return (width * ch * depth + 7) // 8
+
+
+def _expand_rows(rows: np.ndarray, width: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> (h, width, ch) u8
+    samples. 16-bit takes the high byte (big-endian); sub-8-bit gray
+    scales to full 8-bit range (palette indices are left as-is by the
+    caller's LUT)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * ch].reshape(h, width, ch)
+    if depth == 16:
+        return rows[:, : width * ch * 2].reshape(h, width, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)
+    samples = bits.reshape(h, -1, depth) @ (1 << np.arange(depth - 1, -1, -1))
+    return samples[:, : width * ch].reshape(h, width, ch).astype(np.uint8)
+
+
+_ADAM7 = (  # x0, y0, dx, dy per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """PNG bytes -> (width, height, channels, pixels[h, w, channels] u8).
-    Palette images are expanded to RGB."""
+    Palette images are expanded to RGB; 16-bit downscales to 8."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
@@ -102,20 +129,51 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError(f"malformed PNG chunk stream: {e}") from e
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+    if ctype not in _CHANNELS or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG depth={depth} colortype={ctype} interlace={interlace}: "
-            "only 8-bit non-interlaced gray/RGB/palette/alpha supported"
+            f"PNG colortype={ctype} interlace={interlace} unsupported"
+        )
+    if depth not in (8, 16) and not (depth in (1, 2, 4) and ctype in (0, 3)):
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype}: sub-8-bit is only "
+            "defined for gray/palette"
         )
     ch = _CHANNELS[ctype]
+    bpp = max(1, ch * depth // 8)  # the filter unit, in bytes
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"malformed PNG IDAT stream: {e}") from e
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch (truncated?)")
-    px = _unfilter(raw, height, stride, ch).reshape(height, width, ch)
+
+    if interlace == 0:
+        stride = _stride(width, ch, depth)
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG data length mismatch (truncated?)")
+        px = _expand_rows(_unfilter(raw, height, stride, bpp), width, ch, depth)
+    else:  # Adam7: 7 independently-filtered sub-images
+        px = np.zeros((height, width, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = _stride(pw, ch, depth)
+            need = ph * (stride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG Adam7 data truncated")
+            sub = _expand_rows(
+                _unfilter(raw[pos : pos + need], ph, stride, bpp), pw, ch, depth
+            )
+            pos += need
+            px[y0::dy, x0::dx] = sub
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 data length mismatch")
+
+    # scale sub-8-bit GRAY to full range (255/(2^d - 1) is integral);
+    # palette indices must stay raw for the LUT
+    if depth in (1, 2, 4) and ctype == 0:
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")

@@ -91,8 +91,8 @@ class ImageFeatures:
     - real BMP via the stdlib decoder (``core.bmp`` — 8/24-bit BI_RGB),
     - real TIFF via the stdlib decoder (``core.tiff`` — strips,
       none/LZW/PackBits, predictor, palette/gray/RGB),
-    - anything else (arithmetic JPEG, 16-bit/interlaced PNG, webp)
-      needs PIL; absent in this container, so a clearly-marked
+    - anything else (arithmetic JPEG, webp, CCITT-fax TIFF) needs PIL;
+      absent in this container, so a clearly-marked
       ``NotImplementedError``.
     """
 
@@ -132,7 +132,7 @@ class ImageFeatures:
                         w, h, _ch, px = self._decode_png(payload)
                         body = px.reshape(-1)
                     except (NotImplementedError, ValueError):
-                        body = None  # 16-bit/interlaced/truncated: fall through
+                        body = None  # malformed/truncated: fall through
                 elif self._is_gif(payload):
                     try:
                         w, h, _ch, px = self._decode_gif(payload)

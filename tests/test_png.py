@@ -105,13 +105,19 @@ def test_palette_expands_to_rgb():
 
 
 def test_unsupported_depth_raises():
-    px = _rng_image(2, 2, 1)
+    # round 4: depth 16 / Adam7 / sub-8-bit gray DECODE now; the
+    # remaining honest gate is sub-8-bit truecolor (not in the spec's
+    # valid combinations anyway) — and a depth byte flipped to 16 on an
+    # 8-bit stream is a LENGTH error, not a capability gap
+    px = _rng_image(2, 2, 3)
     data = encode_png(px)
-    # flip the IHDR depth byte (8 -> 16); skip signature+len+type
     ihdr_off = 8 + 8
     bad = bytearray(data)
-    bad[ihdr_off + 8] = 16
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    bad[ihdr_off + 8] = 4  # 4-bit RGB: invalid per spec, gated honest
+    with pytest.raises(NotImplementedError, match="sub-8-bit"):
+        decode_png(bytes(bad))
+    bad[ihdr_off + 8] = 16  # 16-bit claimed over an 8-bit stream
+    with pytest.raises(ValueError, match="length mismatch|truncated"):
         decode_png(bytes(bad))
 
 
@@ -226,3 +232,131 @@ def test_audio_features_synthetic_and_unsupported():
     )
     with pytest.raises(NotImplementedError, match="codec"):
         AudioFeatures()(bad)
+
+
+# ---------------------------------------------- round-4 depth/interlace
+
+
+def _chunk4(name, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + name + body
+        + struct.pack(">I", zlib.crc32(name + body) & 0xFFFFFFFF)
+    )
+
+
+def test_16bit_gray_takes_high_byte():
+    import struct
+    import zlib
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    g8 = _rng_image(6, 5, 1)[:, :, 0]
+    g16 = (g8.astype(np.uint16) << 8) | 0x34  # low byte must be dropped
+    rows = b"".join(b"\x00" + g16[r].astype(">u2").tobytes() for r in range(6))
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE + _chunk4(b"IHDR", ihdr)
+        + _chunk4(b"IDAT", zlib.compress(rows)) + _chunk4(b"IEND", b"")
+    )
+    w, h, ch, out = decode_png(data)
+    assert (w, h, ch) == (5, 6, 1)
+    np.testing.assert_array_equal(out[:, :, 0], g8)
+
+
+def test_16bit_rgb_sub_filter_uses_6byte_bpp():
+    import struct
+    import zlib
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    c8 = _rng_image(4, 5, 3)
+    c16 = c8.astype(np.uint16) << 8
+    parts = []
+    for r in range(4):
+        arr = np.frombuffer(c16[r].astype(">u2").tobytes(), np.uint8).copy()
+        sub = arr.copy()
+        sub[6:] = (arr[6:].astype(int) - arr[:-6].astype(int)) & 0xFF
+        parts.append(b"\x01" + sub.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE + _chunk4(b"IHDR", ihdr)
+        + _chunk4(b"IDAT", zlib.compress(b"".join(parts))) + _chunk4(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data)[3], c8)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_sub8bit_gray_scales_to_full_range(d):
+    import struct
+    import zlib
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    rng = np.random.RandomState(20 + d)
+    vals = rng.randint(0, 1 << d, (7, 11), dtype=np.uint8)
+    stride = (11 * d + 7) // 8
+    parts = []
+    for r in range(7):
+        bits = np.zeros(stride * 8, np.uint8)
+        vb = np.unpackbits(vals[r][:, None], axis=1, bitorder="big")[:, 8 - d :]
+        bits[: 11 * d] = vb.ravel()
+        parts.append(b"\x00" + np.packbits(bits).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 11, 7, d, 0, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE + _chunk4(b"IHDR", ihdr)
+        + _chunk4(b"IDAT", zlib.compress(b"".join(parts))) + _chunk4(b"IEND", b"")
+    )
+    w, h, ch, out = decode_png(data)
+    exp = (vals.astype(np.uint16) * (255 // ((1 << d) - 1))).astype(np.uint8)
+    np.testing.assert_array_equal(out[:, :, 0], exp)
+
+
+def test_adam7_interlaced_rgb():
+    import struct
+    import zlib
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    px = _rng_image(10, 13, 3)
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    stream = b""
+    for x0, y0, dx, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in range(sub.shape[0]):
+            stream += b"\x00" + sub[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 13, 10, 8, 2, 0, 0, 1)
+    data = (
+        PNG_SIGNATURE + _chunk4(b"IHDR", ihdr)
+        + _chunk4(b"IDAT", zlib.compress(stream)) + _chunk4(b"IEND", b"")
+    )
+    w, h, ch, out = decode_png(data)
+    assert (w, h, ch) == (13, 10, 3)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_adam7_truncated_raises():
+    import struct
+    import zlib
+
+    from ocracle_ray.core.png import PNG_SIGNATURE
+
+    px = _rng_image(10, 13, 3)
+    # only pass 1 present (2x2 sub-image: 2 rows of 1+2*3 bytes),
+    # truncated exactly at the pass boundary
+    sub = px[0::8, 0::8]
+    stream = b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+    ihdr = struct.pack(">IIBBBBB", 13, 10, 8, 2, 0, 0, 1)
+    data = (
+        PNG_SIGNATURE + _chunk4(b"IHDR", ihdr)
+        + _chunk4(b"IDAT", zlib.compress(stream)) + _chunk4(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(data)
