@@ -75,6 +75,54 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+class _ImageDecoder:
+    """Shared payload sniff+decode for the image stages (bound once per
+    actor in each stage's ``__init__``). ``decode`` returns
+    ``(w, h, pixels)`` with pixels ``(h, w)`` u8 gray (IMG1) or
+    ``(h, w, ch)`` u8 (real codecs), ``None`` for a malformed payload
+    of a KNOWN container (skip-row contract), and raises the honest
+    PIL-gate ``NotImplementedError`` for unknown containers."""
+
+    def __init__(self):
+        from ..core.bmp import decode_bmp, is_bmp
+        from ..core.gif import decode_gif, is_gif
+        from ..core.jpeg import decode_jpeg, is_jpeg
+        from ..core.png import decode_png, is_png
+        from ..core.tiff import decode_tiff, is_tiff
+
+        # (sniff, decode, exceptions-that-mean-skip-row)
+        self._codecs = (
+            (is_png, decode_png, (NotImplementedError, ValueError)),
+            (is_gif, decode_gif, (NotImplementedError, ValueError)),
+            (is_bmp, decode_bmp, (NotImplementedError, ValueError)),
+            (is_tiff, decode_tiff, (NotImplementedError, ValueError)),
+            # broad on purpose: truncated JPEG headers raise
+            # struct.error / IndexError, not just ValueError (same
+            # contract as figures._decode)
+            (is_jpeg, decode_jpeg, (Exception,)),
+        )
+
+    def decode(self, payload: bytes):
+        if payload[:4] == b"IMG1":
+            w, h = struct.unpack("<HH", payload[4:8])
+            px = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+            if len(px) != w * h:
+                return None
+            return w, h, px.reshape(h, w)
+        for sniff, dec, skip_on in self._codecs:
+            if sniff(payload):
+                try:
+                    w, h, _ch, px = dec(payload)
+                    return w, h, px
+                except skip_on:
+                    return None
+        raise NotImplementedError(
+            "image decode requires PIL, which is not installed in this "
+            "container; IMG1 synthetic and stdlib PNG/JPEG/GIF/BMP/TIFF "
+            "payloads are supported"
+        )
+
+
 class ImageFeatures:
     """Actor-pool image decode + feature extraction.
 
@@ -98,22 +146,7 @@ class ImageFeatures:
 
     def __init__(self):
         self.real = Image is not None
-        from ..core.bmp import decode_bmp, is_bmp  # bind once per actor
-        from ..core.gif import decode_gif, is_gif
-        from ..core.jpeg import decode_jpeg, is_jpeg
-        from ..core.png import decode_png, is_png
-        from ..core.tiff import decode_tiff, is_tiff
-
-        self._decode_png = decode_png  # instance attrs: no self-binding
-        self._is_png = is_png
-        self._decode_jpeg = decode_jpeg
-        self._is_jpeg = is_jpeg
-        self._decode_gif = decode_gif
-        self._is_gif = is_gif
-        self._decode_bmp = decode_bmp
-        self._is_bmp = is_bmp
-        self._decode_tiff = decode_tiff
-        self._is_tiff = is_tiff
+        self._dec = _ImageDecoder()  # binds the codecs once per actor
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, w_out, h_out, means = [], [], [], []
@@ -122,60 +155,21 @@ class ImageFeatures:
         ):
             if kind != "image":
                 continue
-            if payload[:4] == b"IMG1":
-                w, h = struct.unpack("<HH", payload[4:8])
-                body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
-            else:
-                body = None
-                if self._is_png(payload):
-                    try:
-                        w, h, _ch, px = self._decode_png(payload)
-                        body = px.reshape(-1)
-                    except (NotImplementedError, ValueError):
-                        body = None  # malformed/truncated: fall through
-                elif self._is_gif(payload):
-                    try:
-                        w, h, _ch, px = self._decode_gif(payload)
-                        body = px.reshape(-1)
-                    except (NotImplementedError, ValueError):
-                        body = None  # malformed/truncated: fall through
-                elif self._is_bmp(payload):
-                    try:
-                        w, h, _ch, px = self._decode_bmp(payload)
-                        body = px.reshape(-1)
-                    except (NotImplementedError, ValueError):
-                        body = None  # RLE/16-bit/truncated: fall through
-                elif self._is_tiff(payload):
-                    try:
-                        w, h, _ch, px = self._decode_tiff(payload)
-                        body = px.reshape(-1)
-                    except (NotImplementedError, ValueError):
-                        body = None  # tiled/fax/16-bit: fall through
-                elif self._is_jpeg(payload):
-                    try:
-                        w, h, _ch, px = self._decode_jpeg(payload)
-                        body = px.reshape(-1)
-                    except Exception:
-                        # progressive/damaged: fall through. Broad on
-                        # purpose — truncated headers raise struct.error
-                        # / IndexError, not just ValueError (same
-                        # contract as figures._decode)
-                        body = None
-                if body is None:
-                    if not self.real:
-                        # STUB: non-stdlib codecs (jpeg/webp, exotic PNG
-                        # flavors) need PIL, absent here
-                        raise NotImplementedError(
-                            "image decode requires PIL, which is not "
-                            "installed in this container; IMG1 synthetic "
-                            "and stdlib PNG/JPEG/GIF/BMP payloads are "
-                            "supported"
-                        )
-                    continue  # pragma: no cover — PIL path not exercised here
+            res = self._dec.decode(payload)  # unknown container raises
+            if res is None:  # known container, damaged/gated content
+                if not self.real:
+                    raise NotImplementedError(
+                        "image decode requires PIL, which is not "
+                        "installed in this container; the payload's "
+                        "container is known but its content did not "
+                        "decode with the stdlib codecs"
+                    )
+                continue  # pragma: no cover — PIL path not exercised here
+            w, h, px = res
             ids.append(mid)
             w_out.append(w)
             h_out.append(h)
-            means.append(round(float(body.mean()) if body.size else 0.0, 4))
+            means.append(round(float(px.mean()) if px.size else 0.0, 4))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -240,28 +234,49 @@ class AudioFeatures:
 
 
 class Resize:
-    """Deterministic 'resize': nearest-neighbour over the fake pixel
-    buffer (REAL resampling lives behind the PIL gate)."""
+    """Deterministic nearest-neighbour resize over ANY supported image
+    payload (round 4: real codecs, not just the IMG1 fake). IMG1 input
+    stays IMG1 (the synthetic container round-trips); real-codec input
+    (PNG/JPEG/GIF/BMP/TIFF) decodes via the shared ``_ImageDecoder``
+    and re-encodes as PNG (the repo's real encoder). Nearest-neighbour
+    is chosen over area-average for bit-exact determinism across
+    numpy versions; damaged known-container payloads are skipped
+    (feature stages own the loud-gate contract)."""
 
     def __init__(self, target: int = 16):
+        from ..core.png import encode_png  # bind once per actor
+
         self.target = target
+        self._dec = _ImageDecoder()
+        self._encode_png = encode_png
+
+    def _nn(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        ty = np.linspace(0, h - 1, self.target).round().astype(int)
+        tx = np.linspace(0, w - 1, self.target).round().astype(int)
+        return px[np.ix_(ty, tx)]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_ids, out_payloads = [], []
         for mid, kind, payload in zip(
             t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
         ):
-            if kind != "image" or payload[:4] != b"IMG1":
+            if kind != "image":
                 continue
-            w, h = struct.unpack("<HH", payload[4:8])
-            body = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8).reshape(h, w)
-            ty = np.linspace(0, h - 1, self.target).round().astype(int)
-            tx = np.linspace(0, w - 1, self.target).round().astype(int)
-            small = body[np.ix_(ty, tx)]
+            res = self._dec.decode(payload)  # unknown container raises
+            if res is None:
+                continue  # damaged content: skip-row
+            _w, _h, px = res
+            small = self._nn(px)
+            if payload[:4] == b"IMG1":
+                out_payloads.append(
+                    b"IMG1"
+                    + struct.pack("<HH", self.target, self.target)
+                    + small.tobytes()
+                )
+            else:
+                out_payloads.append(self._encode_png(small))
             out_ids.append(mid)
-            out_payloads.append(
-                b"IMG1" + struct.pack("<HH", self.target, self.target) + small.tobytes()
-            )
         return pa.table(
             {
                 "media_id": pa.array(out_ids, pa.int64()),

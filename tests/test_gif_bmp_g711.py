@@ -411,6 +411,37 @@ def test_audio_features_decodes_g711():
     assert np.allclose(out["rms"], ref_rms, atol=0.005)
 
 
+def test_resize_handles_real_codecs():
+    from ocracle_ray.core.png import decode_png, encode_png
+    from ocracle_ray.core.tiff import encode_tiff
+    from ocracle_ray.stages.multimodal import Resize
+
+    rng = np.random.RandomState(17)
+    pal = _pal(16)
+    fr = rng.randint(0, 16, (18, 22), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (14, 26, 3), dtype=np.uint8)
+    t = _media_table(
+        [
+            (0, "image", encode_gif(fr, pal)),
+            (1, "image", encode_bmp(rgb)),
+            (2, "image", encode_tiff(rgb, compression="lzw")),
+            (3, "image", encode_png(rgb)),
+        ]
+    )
+    out = Resize(target=8)(t).to_pandas().set_index("media_id")
+    assert len(out) == 4
+
+    def nn(px, k=8):
+        ty = np.linspace(0, px.shape[0] - 1, k).round().astype(int)
+        tx = np.linspace(0, px.shape[1] - 1, k).round().astype(int)
+        return px[np.ix_(ty, tx)]
+
+    for mid, src in ((0, pal[fr]), (1, rgb), (2, rgb), (3, rgb)):
+        w, h, ch, px = decode_png(out.loc[mid, "payload"])
+        assert (w, h) == (8, 8)
+        assert np.array_equal(px, nn(src))
+
+
 def test_frame_sample_animated_gif():
     from ocracle_ray.stages.multimodal import FrameSample
 
