@@ -9,13 +9,17 @@ exactly this shape), so the common baseline profile decodes in-repo:
 - strip organization (any RowsPerStrip), PlanarConfiguration 1;
 - Compression 1 (none), 5 (TIFF-variant LZW: MSB-first bit order and
   the "early change" width bump, unlike GIF's LSB-first), and 32773
-  (PackBits RLE); Predictor 2 (horizontal differencing) for LZW.
+  (PackBits RLE); Predictor 2 (horizontal differencing) for LZW;
+- BILEVEL (1-bit) scanned pages: uncompressed packed bits, CCITT
+  Modified Huffman (compression 2) and Group 4 / T.6 MMR (compression
+  4) via ``core.ccitt``, honoring FillOrder 2 and both
+  PhotometricInterpretation senses — the classic fax-scan profile.
 
-Tiles, 1/4/16-bit samples, CCITT fax and JPEG-in-TIFF raise
+Tiles, 4/16-bit samples and JPEG-in-TIFF raise
 ``NotImplementedError``; malformed bytes raise ``ValueError`` (the
 png/gif/bmp contract). ``encode_tiff`` writes the fixture profile
-(uncompressed / LZW+predictor, gray / RGB, configurable RowsPerStrip).
-Reference analogue: OpenCV's unconditional decode
+(uncompressed / LZW+predictor / G4 / MH, gray / RGB, configurable
+RowsPerStrip). Reference analogue: OpenCV's unconditional decode
 (``scripts/extract_images.py``).
 """
 
@@ -186,6 +190,51 @@ def _read_ifd(data: bytes, e: str):
     return tags
 
 
+_BITREV = np.packbits(
+    np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)[:, ::-1], axis=1
+)[:, 0]
+
+
+def _decode_bilevel(data, tags, w, h, comp, photo, fill_order):
+    """1-bit strips: uncompressed packed bits, CCITT MH (compression 2)
+    or G4 (compression 4). Fax 'black' bits map to gray via
+    PhotometricInterpretation (0 = WhiteIsZero, the fax default)."""
+    from .ccitt import g4_decode, mh_decode
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
+    rows_per_strip = tags.get(278, [h])[0]
+    rows_left = h
+    parts = []
+    for soff, scnt in zip(offsets, counts):
+        raw = data[soff : soff + scnt]
+        if len(raw) != scnt:
+            raise ValueError("TIFF: strip out of range")
+        if fill_order == 2:  # LSB-first bit fill: reverse each byte
+            raw = _BITREV[np.frombuffer(raw, np.uint8)].tobytes()
+        n_rows = min(rows_per_strip, rows_left)
+        rows_left -= n_rows
+        if comp == 4:
+            bits = g4_decode(raw, w, n_rows)
+        elif comp == 2:
+            bits = mh_decode(raw, w, n_rows)
+        else:
+            stride = (w + 7) // 8
+            if len(raw) < stride * n_rows:
+                raise ValueError("TIFF: bilevel strip short")
+            rows = np.frombuffer(raw[: stride * n_rows], np.uint8).reshape(
+                n_rows, stride
+            )
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+        parts.append(bits)
+    bits = np.concatenate(parts, axis=0)
+    # photo 0 (WhiteIsZero): stored 1 = black -> gray 0; photo 1 inverts
+    px = (255 * (1 - bits if photo == 0 else bits)).astype(np.uint8)
+    return w, h, 1, px
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """TIFF bytes -> ``(w, h, ch, pixels)`` with pixels ``(h, w)`` u8
     gray or ``(h, w, 3)`` u8 RGB (the ``decode_png`` shape family)."""
@@ -211,15 +260,22 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     photo = one(262, 1)
     planar = one(284, 1)
     predictor = one(317, 1)
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"TIFF: {bps}-bit samples (8-bit only)")
+    fill_order = one(266, 1)
     if planar != 1:
         raise NotImplementedError("TIFF: PlanarConfiguration 2")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("TIFF: tiled organization")
+    if bps == [1] and spp == 1 and comp in (1, 2, 4):
+        return _decode_bilevel(data, tags, w, h, comp, photo, fill_order)
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"TIFF: {bps}-bit samples (8-bit, or 1-bit bilevel "
+            "none/MH/G4, supported)"
+        )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF: compression {comp} (none/LZW/PackBits supported)"
+            f"TIFF: compression {comp} (none/LZW/PackBits, or CCITT "
+            "MH/G4 for bilevel, supported)"
         )
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF: {spp} samples per pixel")
@@ -285,20 +341,32 @@ def encode_tiff(
     h, w, spp = px.shape
     if spp not in (1, 3):
         raise ValueError("encode_tiff expects gray or RGB")
-    if compression not in ("none", "lzw"):
+    if compression not in ("none", "lzw", "g4", "mh"):
         raise ValueError(f"compression {compression!r}")
     if predictor and compression != "lzw":
         raise ValueError("predictor requires lzw")
     rps = rows_per_strip or h
-    strips = []
-    for r0 in range(0, h, rps):
-        chunk = px[r0 : r0 + rps]
-        if predictor:
-            d = chunk.astype(np.int16)
-            d[:, 1:] -= chunk[:, :-1].astype(np.int16)
-            chunk = (d & 0xFF).astype(np.uint8)
-        raw = chunk.tobytes()
-        strips.append(_tiff_lzw_encode(raw) if compression == "lzw" else raw)
+    bilevel = compression in ("g4", "mh")
+    if bilevel:
+        if spp != 1:
+            raise ValueError("CCITT compression is bilevel: pass (h, w) gray")
+        from .ccitt import g4_encode, mh_encode
+
+        # fax sense: 1 = black; threshold gray at 128, WhiteIsZero
+        bits = (px[:, :, 0] < 128).astype(np.uint8)
+        enc = g4_encode if compression == "g4" else mh_encode
+        strips = [bits[r0 : r0 + rps] for r0 in range(0, h, rps)]
+        strips = [enc(s) for s in strips]
+    else:
+        strips = []
+        for r0 in range(0, h, rps):
+            chunk = px[r0 : r0 + rps]
+            if predictor:
+                d = chunk.astype(np.int16)
+                d[:, 1:] -= chunk[:, :-1].astype(np.int16)
+                chunk = (d & 0xFF).astype(np.uint8)
+            raw = chunk.tobytes()
+            strips.append(_tiff_lzw_encode(raw) if compression == "lzw" else raw)
 
     entries = []  # (tag, type, count, value_or_bytes)
     def short(tag, v):
@@ -309,12 +377,15 @@ def encode_tiff(
 
     short(256, w)
     short(257, h)
-    if spp == 1:
+    if bilevel:
+        short(258, 1)
+    elif spp == 1:
         short(258, 8)
     else:
         entries.append((258, 3, 3, struct.pack("<HHH", 8, 8, 8)))
-    short(259, 5 if compression == "lzw" else 1)
-    short(262, 1 if spp == 1 else 2)  # BlackIsZero / RGB
+    short(259, {"none": 1, "lzw": 5, "mh": 2, "g4": 4}[compression])
+    # WhiteIsZero for fax (the CCITT default), else BlackIsZero / RGB
+    short(262, 0 if bilevel else (1 if spp == 1 else 2))
     entries.append((273, 4, len(strips), None))  # patched below
     short(277, spp)
     short(278, rps)

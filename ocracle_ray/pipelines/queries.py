@@ -1515,10 +1515,10 @@ def q_media_features(sf_dir: str):
     """All three multimodal actor-pool stages over one media Dataset
     that mixes SYNTHETIC payloads (IMG1/AUD1/VID1) with REAL codec
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
-    interlaced/transparent GIF, 24-bit BMP and LZW/uncompressed TIFF
-    images; PCM, G.711 mu-law/A-law and IMA-ADPCM WAV clips; animated
-    GIFs through the video frame sampler) — so the stdlib decode
-    branches are
+    interlaced/transparent GIF, 24-bit BMP, LZW/uncompressed TIFF and
+    CCITT G4/MH fax TIFF images; PCM, G.711 mu-law/A-law and IMA-ADPCM
+    WAV clips; animated GIFs through the video frame sampler) — so the
+    stdlib decode branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
     row counts pin that).
@@ -1550,8 +1550,9 @@ def q_media_features(sf_dir: str):
     n = max(30, min(300, int(3000 * sf_of_dir(sf_dir))))
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
-    # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 PCM WAVs
-    # + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
+    # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
+    # TIFFs + 4 PCM WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4
+    # animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1609,6 +1610,17 @@ def q_media_features(sf_dir: str):
                 compression="lzw" if j < 2 else "none",
                 predictor=j == 0,
                 rows_per_strip=5,
+            )
+        )
+        # CCITT fax TIFF (round 4, late): G4 even j, MH odd j — the
+        # scanned-page shape (bilevel text-like strokes)
+        fax = np.full((20, 30), 255, np.uint8)
+        fax[3 + j : 6 + j, 2 : 28 : 2 + j] = 0
+        ids.append(n + 40 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_tiff(
+                fax, compression="g4" if j % 2 == 0 else "mh", rows_per_strip=7
             )
         )
         # G.711 WAVs (round 4, late): mu-law even j, A-law odd j

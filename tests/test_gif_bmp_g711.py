@@ -214,6 +214,86 @@ def test_tiff_big_endian_and_white_is_zero():
     assert np.array_equal(decode_tiff(bytes(wz))[3], 255 - g)
 
 
+def test_ccitt_g4_mh_roundtrips():
+    from ocracle_ray.core.ccitt import g4_decode, g4_encode, mh_decode, mh_encode
+
+    rng = np.random.RandomState(21)
+    cases = [
+        np.zeros((5, 40), np.uint8),            # all white
+        np.ones((5, 40), np.uint8),             # all black
+        (rng.rand(30, 57) < 0.3).astype(np.uint8),
+        (np.add.outer(np.arange(16), np.arange(16)) % 2).astype(np.uint8),
+    ]
+    wide = np.zeros((4, 6000), np.uint8)
+    wide[:, 2000:4100] = 1                       # >2560 runs: makeup chains
+    cases.append(wide)
+    sb = np.zeros((3, 33), np.uint8)
+    sb[:, 0:5] = 1                               # zero-length first white run
+    cases.append(sb)
+    for img in cases:
+        for enc, dec in ((g4_encode, g4_decode), (mh_encode, mh_decode)):
+            out = dec(enc(img), img.shape[1], img.shape[0])
+            assert np.array_equal(out, img)
+
+
+def test_ccitt_truncated_raises():
+    from ocracle_ray.core.ccitt import g4_decode, mh_decode
+
+    with pytest.raises(ValueError):
+        g4_decode(b"\x00\x00", 10, 10)
+    with pytest.raises(ValueError):
+        mh_decode(b"\x00\x00", 10, 10)
+
+
+def test_tiff_g4_fax_roundtrip():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    page = np.full((40, 100), 255, np.uint8)  # text-like scanned page
+    for r0 in range(4, 36, 7):
+        page[r0 : r0 + 3, 8:92:5] = 0
+    for comp in ("g4", "mh"):
+        for rps in (40, 13):  # single and multi strip
+            t = encode_tiff(page, compression=comp, rows_per_strip=rps)
+            w, h, ch, px = decode_tiff(t)
+            assert (w, h, ch) == (100, 40, 1)
+            assert np.array_equal(px, page)
+    # G4 earns its keep on scanned content
+    assert len(encode_tiff(page, compression="g4")) < page.size // 8
+
+
+def test_tiff_1bit_uncompressed_fillorder2_photo1():
+    from ocracle_ray.core.tiff import _BITREV, decode_tiff
+
+    rng = np.random.RandomState(22)
+    bits = (rng.rand(6, 10) < 0.5).astype(np.uint8)
+    stride = (10 + 7) // 8
+    rows = np.zeros((6, stride), np.uint8)
+    packed = np.packbits(bits, axis=1)
+    rows[:, : packed.shape[1]] = packed
+    raw = _BITREV[rows.reshape(-1)].tobytes()  # LSB-first fill
+
+    def ent(tag, typ, cnt, val4):
+        return struct.pack("<HHI", tag, typ, cnt) + val4
+
+    n = 10
+    off = 8 + 2 + n * 12 + 4
+    b = struct.pack("<H", n)
+    b += ent(256, 3, 1, struct.pack("<HH", 10, 0))
+    b += ent(257, 3, 1, struct.pack("<HH", 6, 0))
+    b += ent(258, 3, 1, struct.pack("<HH", 1, 0))
+    b += ent(259, 3, 1, struct.pack("<HH", 1, 0))
+    b += ent(262, 3, 1, struct.pack("<HH", 1, 0))  # BlackIsZero
+    b += ent(266, 3, 1, struct.pack("<HH", 2, 0))  # FillOrder 2
+    b += ent(273, 4, 1, struct.pack("<I", off))
+    b += ent(277, 3, 1, struct.pack("<HH", 1, 0))
+    b += ent(278, 3, 1, struct.pack("<HH", 6, 0))
+    b += ent(279, 4, 1, struct.pack("<I", len(raw)))
+    b += struct.pack("<I", 0)
+    t = b"II*\x00" + struct.pack("<I", 8) + b + raw
+    w, h, ch, px = decode_tiff(t)
+    assert np.array_equal(px, bits * 255)
+
+
 def test_tiff_error_contract():
     from ocracle_ray.core.tiff import decode_tiff, encode_tiff
 
