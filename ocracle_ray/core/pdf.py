@@ -533,18 +533,52 @@ _IMG_WH_RE = {
 }
 
 
+def _ccitt_image_gray(body: bytes, w: int, h: int):
+    """Gray u8 bitmap of a /CCITTFaxDecode image XObject, or None if
+    the parameter shape is outside the supported fax profile (K<0 G4
+    or K=0 MH, BlackIs1 false, Columns == /Width). PDF default
+    BlackIs1=false means decoded 0-bits are BLACK, so the fax codec's
+    black runs land at gray 0 — the same visual sense a rasterizer
+    would produce."""
+    import re
+
+    import numpy as np
+
+    from .ccitt import g4_decode, mh_decode
+
+    if b"/BlackIs1 true" in body:
+        return None
+    km = re.search(rb"/K\s+(-?\d+)", body)
+    k = int(km.group(1)) if km else 0
+    cm = re.search(rb"/Columns\s+(\d+)", body)
+    cols = int(cm.group(1)) if cm else 1728
+    if cols != w:
+        return None
+    span = _raw_stream_span(body)
+    if span is None:
+        return None
+    raw = body[span[0] : span[1]]
+    try:
+        bits = g4_decode(raw, w, h) if k < 0 else mh_decode(raw, w, h)
+    except ValueError:
+        return None
+    return ((1 - bits) * np.uint8(255)).astype(np.uint8)
+
+
 def _ocr_image_runs(objects: dict[int, bytes]) -> list[tuple[int, float, float, str]]:
     """Text runs OCRed from embedded page images (images-only PDFs).
 
-    Supported image shape: ``/Subtype /Image /ColorSpace /DeviceGray
+    Supported image shapes: ``/Subtype /Image /ColorSpace /DeviceGray
     /BitsPerComponent 8`` with Flate or plain data — the scanned-exam
-    fixture format (``sources.realpdf.build_exam_pdf_scanned``); other
-    colorspaces/codecs are skipped (the caller raises if nothing OCRs).
-    Each image is treated as one page in ascending object-id order
-    (documented assumption: one full-page scan per page object, the
-    layout every scanner/print-to-PDF tool produces). Row coordinates
-    flip to PDF orientation (y grows UP) so the existing
-    (page, -y, x) reading-order sort needs no special case."""
+    fixture format (``sources.realpdf.build_exam_pdf_scanned``) — and
+    1-bit ``/CCITTFaxDecode`` fax scans (G4 / MH via ``core.ccitt``,
+    the classic scanner output); other colorspaces/codecs are skipped
+    (the caller raises if nothing OCRs). Each image is treated as one
+    page in ascending object-id order (documented assumption: one
+    full-page scan per page object, the layout every scanner/
+    print-to-PDF tool produces). Row coordinates flip to PDF
+    orientation (y grows UP) so the existing (page, -y, x)
+    reading-order sort needs no special case."""
     import numpy as np
 
     from .glyphfont import ocr_bitmap
@@ -559,13 +593,18 @@ def _ocr_image_runs(objects: dict[int, bytes]) -> list[tuple[int, float, float, 
             continue
         wm = _IMG_WH_RE["Width"].search(body)
         hm = _IMG_WH_RE["Height"].search(body)
-        data = _stream_of(body)
-        if not (wm and hm and data is not None):
+        if not (wm and hm):
             continue
         w, h = int(wm.group(1)), int(hm.group(1))
-        if len(data) != w * h:
-            continue
-        img = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+        if b"/CCITTFaxDecode" in body:
+            img = _ccitt_image_gray(body, w, h)
+            if img is None:
+                continue
+        else:
+            data = _stream_of(body)
+            if data is None or len(data) != w * h:
+                continue
+            img = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
         pageno += 1
         for row_y, col_x, text in ocr_bitmap(img):
             runs.append((pageno, float(h - row_y), float(col_x), text))

@@ -282,13 +282,65 @@ def build_exam_pdf_xrefstm(i: int, seed: int = 42) -> bytes:
     return bytes(out)
 
 
+def build_exam_pdf_scanned_fax(i: int, seed: int = 42) -> bytes:
+    """CCITT Group 4 twin of ``build_exam_pdf_scanned``: the same
+    rendered glyph bitmaps, but stored as 1-bit ``/CCITTFaxDecode``
+    (/K -1) image XObjects — the format real document scanners emit —
+    so the fax decode path (``core.ccitt``) is exercised inside the
+    Extract pool. Ink keeps the repo's bright-ink polarity: bright
+    pixels threshold to CCITT-white, background to CCITT-black, and
+    the decoder's BlackIs1=false mapping restores the identical gray
+    bitmap, hence byte-identical extracted text."""
+    from ..core.ccitt import g4_encode
+    from ..core.glyphfont import render_lines
+
+    chunks = _paginate(_content_lines(i, seed))
+    n = len(chunks)
+    kids = " ".join(f"{3 + 3 * p} 0 R" for p in range(n))
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+    }
+    for p, chunk in enumerate(chunks):
+        page_id, cs_id, img_id = 3 + 3 * p, 4 + 3 * p, 5 + 3 * p
+        img = render_lines(
+            chunk, noise_seed=int(fnv1a64(f"scan-{seed}:{i}:{p}".encode()) % 2**31)
+        )
+        h, w = img.shape
+        data = g4_encode((img < 128).astype("uint8"))  # bright ink = fax white
+        draw = f"q {w} 0 0 {h} 72 {720 - h} cm /Im1 Do Q\n".encode()
+        objs[page_id] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {cs_id} 0 R "
+            f"/MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << /Im1 {img_id} 0 R >> >> >>".encode()
+        )
+        objs[cs_id] = (
+            f"<< /Length {len(draw)} >>".encode()
+            + b"\nstream\n" + draw + b"\nendstream"
+        )
+        objs[img_id] = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            f"/Filter /CCITTFaxDecode "
+            f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+            f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    body = b"".join(
+        f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n" for oid in sorted(objs)
+    )
+    return b"%PDF-1.4\n" + body + b"trailer\n<< /Root 1 0 R /Size 99 >>\n%%EOF\n"
+
+
 def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
     """pages-schema table whose html payloads are real PDFs; every
     third doc uses the PDF 1.5 xref-stream/ObjStm layout so the
     compressed-object branch is driver-checked in-pipeline; of the
     rest, ``i % 5 == 4`` is RC4-encrypted (empty user password) and
-    ``i % 5 == 2`` is an images-only SCAN (glyph-font OCR branch) —
-    all round-4 branches exercised inside the Extract pool."""
+    ``i % 5 == 2`` is an images-only SCAN (glyph-font OCR branch;
+    even i stores pages as CCITT G4 fax images, odd i as Flate gray —
+    same variant label, byte-identical extraction) — all round-4
+    branches exercised inside the Extract pool."""
     import datetime
 
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
@@ -305,7 +357,9 @@ def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
         elif i % 5 == 4:
             builder = build_exam_pdf_encrypted
         elif i % 5 == 2:
-            builder = build_exam_pdf_scanned
+            builder = (
+                build_exam_pdf_scanned_fax if i % 2 == 0 else build_exam_pdf_scanned
+            )
         else:
             builder = build_exam_pdf
         rows["html"].append(builder(i, seed=seed))

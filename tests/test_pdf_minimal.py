@@ -232,3 +232,22 @@ def test_structural_streams_not_pages_in_fallback():
     objects = _objects_of(payload)
     streams = _page_content_streams(objects, payload)
     assert streams == [content]
+
+
+def test_scanned_fax_twin_extracts_identically():
+    """CCITT G4 fax pages (round 4, late) must extract byte-identical
+    text to their Flate-gray scanned twins — the fax decode path
+    (core.ccitt) slots into the same OCR branch."""
+    from ocracle_ray.core.pdf import parse_pdf_blocks
+    from ocracle_ray.sources.realpdf import (
+        build_exam_pdf_scanned,
+        build_exam_pdf_scanned_fax,
+    )
+
+    for i in (2, 7, 17):
+        flate = parse_pdf_blocks(build_exam_pdf_scanned(i))
+        fax_pdf = build_exam_pdf_scanned_fax(i)
+        assert b"/CCITTFaxDecode" in fax_pdf and b"/FlateDecode" not in fax_pdf
+        fax = parse_pdf_blocks(fax_pdf)
+        assert [b.text for b in fax] == [b.text for b in flate]
+        assert fax and all(b.text for b in fax)
