@@ -29,7 +29,10 @@ session it created.
 # Bump on ANY change that alters persisted record bytes (fingerprint
 # scheme, extraction semantics, schema): manifest resume validates
 # against this so mixed-version outputs are re-run, never merged.
-ENGINE_VERSION = "0.4.0"  # 0.4.0: PDF extraction semantics changed in
+ENGINE_VERSION = "0.5.0"  # 0.5.0: CCITT-fax (G4/MH) scanned PDFs now
+# OCR instead of producing error records — a fax-bearing input that a
+# 0.4.x manifest persisted as an error row must re-run, never merge;
+# 0.4.0: PDF extraction semantics changed in
 # round 3 (ObjStm/xref-stream expansion, /Length-exact stream slicing,
 # structural-stream exclusion from the page fallback): PDF-1.5 inputs
 # and Flate streams whose bytes end in CR/LF now extract different —
