@@ -6,26 +6,34 @@ exactly this shape), so the common baseline profile decodes in-repo:
 - both byte orders (``II``/``MM``), classic (non-Big) TIFF;
 - 8-bit samples, grayscale (1 sample), RGB (3), RGBA (4, alpha
   dropped), and palette-color via ColorMap;
-- strip organization (any RowsPerStrip), PlanarConfiguration 1;
+- strip AND tile organization (TileWidth/TileLength/TileOffsets,
+  edge tiles padded per spec §15 and cropped on decode),
+  PlanarConfiguration 1;
 - Compression 1 (none), 5 (TIFF-variant LZW: MSB-first bit order and
-  the "early change" width bump, unlike GIF's LSB-first), and 32773
-  (PackBits RLE); Predictor 2 (horizontal differencing) for LZW;
+  the "early change" width bump, unlike GIF's LSB-first), 8/32946
+  (Deflate, zlib), 32773 (PackBits RLE), and 7 (new-style JPEG: each
+  strip/tile is a standalone JPEG stream decoded by ``core.jpeg``,
+  with shared quantization/Huffman tables spliced in from the
+  JPEGTables tag 347 when present); Predictor 2 (horizontal
+  differencing) for LZW/Deflate;
 - BILEVEL (1-bit) scanned pages: uncompressed packed bits, CCITT
   Modified Huffman (compression 2) and Group 4 / T.6 MMR (compression
   4) via ``core.ccitt``, honoring FillOrder 2 and both
   PhotometricInterpretation senses — the classic fax-scan profile.
 
-Tiles, 4/16-bit samples and JPEG-in-TIFF raise
-``NotImplementedError``; malformed bytes raise ``ValueError`` (the
-png/gif/bmp contract). ``encode_tiff`` writes the fixture profile
-(uncompressed / LZW+predictor / G4 / MH, gray / RGB, configurable
-RowsPerStrip). Reference analogue: OpenCV's unconditional decode
+4/16-bit samples, tiled bilevel and old-style JPEG (compression 6)
+raise ``NotImplementedError``; malformed bytes raise ``ValueError``
+(the png/gif/bmp contract). ``encode_tiff`` writes the fixture
+profile (uncompressed / LZW+predictor / Deflate / JPEG, optionally
+via a shared JPEGTables tag / G4 / MH; gray / RGB; strips or tiles).
+Reference analogue: OpenCV's unconditional decode
 (``scripts/extract_images.py``).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -152,6 +160,48 @@ def _packbits_decode(data: bytes, max_out: int) -> bytes:
     return bytes(out[:max_out])
 
 
+# --------------------------------------------------------- JPEG-in-TIFF
+
+
+def _jpeg_splice_tables(tables: bytes, seg: bytes) -> bytes:
+    """Merge a JPEGTables (tag 347) abbreviated stream with a
+    table-less strip/tile stream into one decodable JPEG (TIFF TN2:
+    tables stream is SOI..tables..EOI; the segment is SOI..frame)."""
+    if tables[:2] != b"\xff\xd8" or seg[:2] != b"\xff\xd8":
+        raise ValueError("TIFF: JPEGTables/segment missing SOI")
+    body = tables[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    return b"\xff\xd8" + body + seg[2:]
+
+
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Standalone baseline stream -> (abbreviated JPEGTables stream,
+    table-less segment stream) — the encoder's tag-347 producer. DQT
+    and DHT marker segments move to the tables stream; everything
+    else (APPn, SOF, SOS + entropy data + EOI) stays in the segment."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker segment")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy-coded data runs to EOI
+            rest += stream[pos:]
+            return bytes(b"\xff\xd8" + tables + b"\xff\xd9"), bytes(rest)
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        segment = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += segment
+        else:
+            rest += segment
+        pos += 2 + ln
+    raise ValueError("JPEG stream without SOS")
+
+
 # --------------------------------------------------------------- container
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -263,55 +313,117 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
     fill_order = one(266, 1)
     if planar != 1:
         raise NotImplementedError("TIFF: PlanarConfiguration 2")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("TIFF: tiled organization")
+    tiled = 322 in tags or 323 in tags
     if bps == [1] and spp == 1 and comp in (1, 2, 4):
+        if tiled:
+            raise NotImplementedError("TIFF: tiled bilevel organization")
         return _decode_bilevel(data, tags, w, h, comp, photo, fill_order)
     if any(b != 8 for b in bps):
         raise NotImplementedError(
             f"TIFF: {bps}-bit samples (8-bit, or 1-bit bilevel "
             "none/MH/G4, supported)"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF: compression {comp} (none/LZW/PackBits, or CCITT "
-            "MH/G4 for bilevel, supported)"
+            f"TIFF: compression {comp} (none/LZW/JPEG/Deflate/PackBits, "
+            "or CCITT MH/G4 for bilevel, supported)"
         )
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF: {spp} samples per pixel")
+    if comp == 7 and predictor == 2:
+        raise ValueError("TIFF: predictor with JPEG compression")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
-    rows_per_strip = one(278, h)
-    row_bytes = w * spp
-    rows_left = h
-    parts = []
-    for soff, scnt in zip(offsets, counts):
-        raw = data[soff : soff + scnt]
-        if len(raw) != scnt:
-            raise ValueError("TIFF: strip out of range")
-        n_rows = min(rows_per_strip, rows_left)
-        rows_left -= n_rows
-        want = n_rows * row_bytes
+    jpeg_tables: bytes | None = None
+    if comp == 7 and 347 in tags:
+        jt = tags[347]
+        # UNDEFINED payload arrives as [bytes]; BYTE as a list of ints
+        jpeg_tables = jt[0] if isinstance(jt[0], (bytes, bytearray)) else bytes(jt)
+
+    def seg_pixels(raw: bytes, n_rows: int, seg_w: int) -> np.ndarray:
+        """One strip or tile -> (n_rows, seg_w, spp) uint8."""
+        if comp == 7:
+            from .jpeg import decode_jpeg
+
+            stream = raw if jpeg_tables is None else _jpeg_splice_tables(
+                jpeg_tables, raw
+            )
+            jw, jh, jch, jpx = decode_jpeg(stream)
+            if (jh, jw) != (n_rows, seg_w):
+                raise ValueError(
+                    f"TIFF: JPEG segment is {jw}x{jh}, expected {seg_w}x{n_rows}"
+                )
+            if jpx.ndim == 2:
+                jpx = jpx[:, :, None]
+            if jpx.shape[2] < spp:
+                raise ValueError(
+                    f"TIFF: JPEG segment has {jpx.shape[2]} channels, need {spp}"
+                )
+            return np.ascontiguousarray(jpx[:, :, :spp])
+        want = n_rows * seg_w * spp
         if comp == 1:
             if len(raw) < want:
-                raise ValueError("TIFF: uncompressed strip short")
+                raise ValueError("TIFF: uncompressed segment short")
             chunk = raw[:want]
         elif comp == 5:
             chunk = _tiff_lzw_decode(raw, want)
+        elif comp in (8, 32946):
+            try:
+                chunk = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF: bad deflate segment: {exc}") from None
+            if len(chunk) < want:
+                raise ValueError("TIFF: deflate segment short")
+            chunk = chunk[:want]
         else:
             chunk = _packbits_decode(raw, want)
-        arr = np.frombuffer(chunk, np.uint8).reshape(n_rows, w, spp)
+        arr = np.frombuffer(chunk, np.uint8).reshape(n_rows, seg_w, spp)
         if predictor == 2:
             # horizontal differencing is mod-256; int64 accumulator
             # (uint16 would overflow past 257 columns)
             arr = (np.cumsum(arr.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
         elif predictor != 1:
             raise NotImplementedError(f"TIFF: predictor {predictor}")
-        parts.append(arr)
-    px = np.concatenate(parts, axis=0)
+        return arr
+
+    if tiled:
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"TIFF: bad tile size {tw}x{tl}")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing/mismatched tile offsets or byte counts")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF: {len(offsets)} tiles, expected {across * down}"
+            )
+        px = np.zeros((h, w, spp), np.uint8)
+        for idx, (soff, scnt) in enumerate(zip(offsets, counts)):
+            raw = data[soff : soff + scnt]
+            if len(raw) != scnt:
+                raise ValueError("TIFF: tile out of range")
+            tile = seg_pixels(raw, tl, tw)
+            ty, tx = (idx // across) * tl, (idx % across) * tw
+            # edge tiles are full-size in the file; crop the padding
+            px[ty : ty + tl, tx : tx + tw] = tile[: h - ty, : w - tx]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
+        rows_per_strip = one(278, h)
+        rows_left = h
+        parts = []
+        for soff, scnt in zip(offsets, counts):
+            raw = data[soff : soff + scnt]
+            if len(raw) != scnt:
+                raise ValueError("TIFF: strip out of range")
+            n_rows = min(rows_per_strip, rows_left)
+            rows_left -= n_rows
+            parts.append(seg_pixels(raw, n_rows, w))
+        px = np.concatenate(parts, axis=0)
     if spp == 1:
         if photo == 0:  # WhiteIsZero
             px = 255 - px
@@ -330,44 +442,88 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
 def encode_tiff(
     pixels: np.ndarray, *, compression: str = "none",
     predictor: bool = False, rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None, jpeg_tables: bool = False,
+    jpeg_quality: int = 85,
 ) -> bytes:
     """``(h, w)`` gray or ``(h, w, 3)`` RGB uint8 -> classic
     little-endian TIFF (fixture producer). ``compression``: ``'none'``
-    or ``'lzw'``; ``predictor`` applies horizontal differencing (LZW
-    only, per spec)."""
+    / ``'lzw'`` / ``'deflate'`` / ``'jpeg'`` / ``'g4'`` / ``'mh'``;
+    ``predictor`` applies horizontal differencing (LZW/Deflate, per
+    spec); ``tile=(tile_h, tile_w)`` writes tiled organization (edge
+    tiles zero-padded to full size, spec §15); ``jpeg_tables`` moves
+    the shared DQT/DHT segments into a JPEGTables tag (347) and writes
+    table-less strips/tiles (TIFF TN2)."""
     px = np.asarray(pixels, np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
     if spp not in (1, 3):
         raise ValueError("encode_tiff expects gray or RGB")
-    if compression not in ("none", "lzw", "g4", "mh"):
+    if compression not in ("none", "lzw", "deflate", "jpeg", "g4", "mh"):
         raise ValueError(f"compression {compression!r}")
-    if predictor and compression != "lzw":
-        raise ValueError("predictor requires lzw")
-    rps = rows_per_strip or h
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor requires lzw or deflate")
+    if jpeg_tables and compression != "jpeg":
+        raise ValueError("jpeg_tables requires compression='jpeg'")
     bilevel = compression in ("g4", "mh")
+    if tile is not None:
+        th, tw = tile
+        if th <= 0 or tw <= 0:
+            raise ValueError(f"bad tile size {tile}")
+        if bilevel:
+            raise ValueError("tiled bilevel is not in the fixture profile")
+        # row-major padded full-size tiles (decoder crops the padding)
+        chunks = []
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                c = np.zeros((th, tw, spp), np.uint8)
+                part = px[ty : ty + th, tx : tx + tw]
+                c[: part.shape[0], : part.shape[1]] = part
+                chunks.append(c)
+        seg_h, seg_w = th, tw
+    else:
+        rps = rows_per_strip or h
+        chunks = [px[r0 : r0 + rps] for r0 in range(0, h, rps)]
+        seg_h, seg_w = rps, w
+
+    table_stream: bytes | None = None
     if bilevel:
         if spp != 1:
             raise ValueError("CCITT compression is bilevel: pass (h, w) gray")
         from .ccitt import g4_encode, mh_encode
 
         # fax sense: 1 = black; threshold gray at 128, WhiteIsZero
-        bits = (px[:, :, 0] < 128).astype(np.uint8)
         enc = g4_encode if compression == "g4" else mh_encode
-        strips = [bits[r0 : r0 + rps] for r0 in range(0, h, rps)]
-        strips = [enc(s) for s in strips]
+        strips = [enc((c[:, :, 0] < 128).astype(np.uint8)) for c in chunks]
+    elif compression == "jpeg":
+        from .jpeg import encode_jpeg
+
+        strips = [
+            encode_jpeg(c[:, :, 0] if spp == 1 else c, quality=jpeg_quality)
+            for c in chunks
+        ]
+        if jpeg_tables:
+            split = [_jpeg_split_tables(s) for s in strips]
+            tbls = {t for t, _ in split}
+            # one encoder, one quality -> identical tables per segment
+            assert len(tbls) == 1, "JPEG segments disagree on tables"
+            table_stream = split[0][0]
+            strips = [rest for _, rest in split]
     else:
         strips = []
-        for r0 in range(0, h, rps):
-            chunk = px[r0 : r0 + rps]
+        for chunk in chunks:
             if predictor:
                 d = chunk.astype(np.int16)
                 d[:, 1:] -= chunk[:, :-1].astype(np.int16)
                 chunk = (d & 0xFF).astype(np.uint8)
             raw = chunk.tobytes()
-            strips.append(_tiff_lzw_encode(raw) if compression == "lzw" else raw)
+            if compression == "lzw":
+                raw = _tiff_lzw_encode(raw)
+            elif compression == "deflate":
+                raw = zlib.compress(raw)
+            strips.append(raw)
 
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     entries = []  # (tag, type, count, value_or_bytes)
     def short(tag, v):
         entries.append((tag, 3, 1, struct.pack("<HH", v, 0)))
@@ -383,16 +539,29 @@ def encode_tiff(
         short(258, 8)
     else:
         entries.append((258, 3, 3, struct.pack("<HHH", 8, 8, 8)))
-    short(259, {"none": 1, "lzw": 5, "mh": 2, "g4": 4}[compression])
-    # WhiteIsZero for fax (the CCITT default), else BlackIsZero / RGB
-    short(262, 0 if bilevel else (1 if spp == 1 else 2))
-    entries.append((273, 4, len(strips), None))  # patched below
+    short(259, {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7,
+                "mh": 2, "g4": 4}[compression])
+    # WhiteIsZero for fax (the CCITT default), YCbCr for color JPEG
+    # (what core.jpeg encodes), else BlackIsZero / RGB
+    if bilevel:
+        short(262, 0)
+    elif compression == "jpeg" and spp == 3:
+        short(262, 6)
+    else:
+        short(262, 1 if spp == 1 else 2)
+    entries.append((off_tag, 4, len(strips), None))  # patched below
     short(277, spp)
-    short(278, rps)
-    entries.append((279, 4, len(strips), None))
+    if tile is not None:
+        short(322, seg_w)
+        short(323, seg_h)
+    else:
+        short(278, seg_h)
+    entries.append((cnt_tag, 4, len(strips), None))
     short(284, 1)
     if predictor:
         short(317, 2)
+    if table_stream is not None:
+        entries.append((347, 7, len(table_stream), table_stream))
     entries.sort(key=lambda x: x[0])
 
     n = len(entries)
@@ -404,7 +573,7 @@ def encode_tiff(
     pos = payload_off
     fixed = []
     for tag, typ, count, val in entries:
-        if tag in (273, 279):
+        if tag in (off_tag, cnt_tag):
             size = 4 * len(strips)
             fixed.append((tag, typ, count, ("ptr", pos) if size > 4 else ("inl", None)))
             if size > 4:
@@ -433,12 +602,12 @@ def encode_tiff(
         elif kind == "ptr":
             out += struct.pack("<I", v)
         else:  # inline strip offset/count (single strip)
-            out += struct.pack("<I", offs[0] if tag == 273 else cnts[0])
+            out += struct.pack("<I", offs[0] if tag == off_tag else cnts[0])
     out += struct.pack("<I", 0)  # next IFD
     for pos_, val, tag in payloads:
         assert len(out) == pos_, (len(out), pos_, tag)
         if val is None:
-            arr = offs if tag == 273 else cnts
+            arr = offs if tag == off_tag else cnts
             out += struct.pack(f"<{len(arr)}I", *arr)
         else:
             out += val

@@ -1551,8 +1551,8 @@ def q_media_features(sf_dir: str):
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
-    # TIFFs + 4 PCM WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4
-    # animated GIFs (video)
+    # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 PCM WAVs + 4 G.711 WAVs
+    # + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1623,6 +1623,30 @@ def q_media_features(sf_dir: str):
                 fax, compression="g4" if j % 2 == 0 else "mh", rows_per_strip=7
             )
         )
+        # Tiled / Deflate / JPEG-in-TIFF (round 4, late): the tile
+        # grid deliberately does not divide the dims (edge-tile crop
+        # path); j==3 uses the shared JPEGTables tag-347 splice
+        y, x = np.mgrid[0:18, 0:21]
+        grad = ((x * 5 + y * 3) % 256).astype(np.uint8)
+        ids.append(n + 44 + j)
+        kinds.append("image")
+        if j == 0:
+            t4 = encode_tiff(
+                rng.randint(0, 256, (18, 21, 3), dtype=np.uint8), tile=(8, 8)
+            )
+        elif j == 1:
+            t4 = encode_tiff(
+                rng.randint(0, 256, (18, 21), dtype=np.uint8),
+                compression="deflate", predictor=True, rows_per_strip=5,
+            )
+        elif j == 2:
+            t4 = encode_tiff(grad, compression="jpeg", rows_per_strip=8)
+        else:
+            t4 = encode_tiff(
+                np.stack([grad, 255 - grad, grad], axis=2),
+                compression="jpeg", tile=(16, 16), jpeg_tables=True,
+            )
+        payloads.append(t4)
         # G.711 WAVs (round 4, late): mu-law even j, A-law odd j
         tone2 = 0.3 * np.sin(2 * np.pi * (330 + 55 * j) * np.arange(1600) / 8000.0)
         ids.append(n + 24 + j)

@@ -214,6 +214,102 @@ def test_tiff_big_endian_and_white_is_zero():
     assert np.array_equal(decode_tiff(bytes(wz))[3], 255 - g)
 
 
+def test_tiff_tiled_roundtrip():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(21)
+    # tile sizes deliberately NOT dividing the image dims: edge tiles
+    # are written padded and must come back cropped
+    g = rng.randint(0, 256, (37, 29), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(g, tile=(16, 16)))[3], g)
+    c = rng.randint(0, 256, (25, 41, 3), dtype=np.uint8)
+    w, h, ch, px = decode_tiff(encode_tiff(c, tile=(8, 32)))
+    assert (w, h, ch) == (41, 25, 3) and np.array_equal(px, c)
+    # tiled + LZW + predictor compose
+    out = decode_tiff(
+        encode_tiff(c, compression="lzw", predictor=True, tile=(16, 16))
+    )[3]
+    assert np.array_equal(out, c)
+
+
+@pytest.mark.parametrize("pred", [False, True])
+def test_tiff_deflate_roundtrip(pred):
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(22)
+    src = rng.randint(0, 256, (40, 33, 3), dtype=np.uint8)
+    t = encode_tiff(src, compression="deflate", predictor=pred, rows_per_strip=13)
+    assert np.array_equal(decode_tiff(t)[3], src)
+    # deflate also decodes under the legacy 32946 code
+    legacy = bytearray(t)
+    i = legacy.find(struct.pack("<HHI", 259, 3, 1))
+    legacy[i + 8 : i + 10] = struct.pack("<H", 32946 & 0xFFFF)
+    assert np.array_equal(decode_tiff(bytes(legacy))[3], src)
+
+
+def _smooth(h, w, rgb=False):
+    """Gradient fixture: smooth enough that q85 JPEG error is tiny."""
+    y, x = np.mgrid[0:h, 0:w]
+    g = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    if not rgb:
+        return g
+    return np.stack([g, np.roll(g, 7, axis=1), 255 - g], axis=2)
+
+
+def test_tiff_jpeg_strips_match_standalone_jpeg():
+    from ocracle_ray.core.jpeg import decode_jpeg, encode_jpeg
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    for src, spp in ((_smooth(21, 40), 1), (_smooth(24, 17, rgb=True), 3)):
+        t = encode_tiff(src, compression="jpeg", rows_per_strip=8)
+        got = decode_tiff(t)[3]
+        # exactness vs the SAME codec run standalone per strip — no
+        # lossiness assumption, pins the strip plumbing bit-for-bit
+        parts = []
+        for r0 in range(0, src.shape[0], 8):
+            chunk = src[r0 : r0 + 8]
+            parts.append(decode_jpeg(encode_jpeg(chunk, quality=85))[3])
+        ref = np.concatenate(parts, axis=0)
+        assert np.array_equal(got, ref)
+        assert int(np.abs(got.astype(np.int16) - src.astype(np.int16)).max()) <= 16
+
+
+def test_tiff_jpeg_tables_tag_and_tiles():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    src = _smooth(37, 29, rgb=True)
+    plain = encode_tiff(src, compression="jpeg", tile=(16, 16))
+    shared = encode_tiff(src, compression="jpeg", tile=(16, 16), jpeg_tables=True)
+    # tag-347 splice reproduces the exact same decode, in fewer bytes
+    a, b = decode_tiff(plain)[3], decode_tiff(shared)[3]
+    assert np.array_equal(a, b)
+    assert len(shared) < len(plain)
+    # edge tiles are zero-padded before DCT, so ringing near the crop
+    # boundary is expected — gate on mean error, not max
+    assert float(np.abs(a.astype(np.int16) - src.astype(np.int16)).mean()) <= 4.0
+
+
+def test_tiff_new_error_contracts():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    g = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="jpeg_tables"):
+        encode_tiff(g, compression="lzw", jpeg_tables=True)
+    with pytest.raises(ValueError, match="bilevel"):
+        encode_tiff(g, compression="g4", tile=(4, 4))
+    # predictor alongside JPEG compression is malformed: flip the
+    # compression tag on an LZW+predictor file
+    t2 = bytearray(encode_tiff(g, compression="lzw", predictor=True))
+    j = t2.find(struct.pack("<HHI", 259, 3, 1))
+    t2[j + 8 : j + 10] = struct.pack("<H", 7)
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(bytes(t2))
+    # truncated tile payload raises loud
+    tiled = encode_tiff(np.zeros((20, 20), np.uint8), tile=(16, 16))
+    with pytest.raises(ValueError):
+        decode_tiff(tiled[:-5])
+
+
 def test_ccitt_g4_mh_roundtrips():
     from ocracle_ray.core.ccitt import g4_decode, g4_encode, mh_decode, mh_encode
 
