@@ -4,8 +4,10 @@ TIFF dominates scanned-document corpora (the reference's OCR inputs are
 exactly this shape), so the common baseline profile decodes in-repo:
 
 - both byte orders (``II``/``MM``), classic (non-Big) TIFF;
-- 8-bit samples, grayscale (1 sample), RGB (3), RGBA (4, alpha
-  dropped), and palette-color via ColorMap;
+- 8-bit and 16-bit samples (16-bit honors the file's byte order,
+  predictor 2 differences whole sample values, and the high byte
+  downscales to u8 — the decode_png rule), grayscale (1 sample),
+  RGB (3), RGBA (4, alpha dropped), and palette-color via ColorMap;
 - strip AND tile organization (TileWidth/TileLength/TileOffsets,
   edge tiles padded per spec §15 and cropped on decode),
   PlanarConfiguration 1;
@@ -21,8 +23,9 @@ exactly this shape), so the common baseline profile decodes in-repo:
   4) via ``core.ccitt``, honoring FillOrder 2 and both
   PhotometricInterpretation senses — the classic fax-scan profile.
 
-4/16-bit samples, tiled bilevel and old-style JPEG (compression 6)
-raise ``NotImplementedError``; malformed bytes raise ``ValueError``
+4-bit samples, 16-bit JPEG/palette, tiled bilevel and old-style JPEG
+(compression 6) raise ``NotImplementedError``; malformed bytes raise
+``ValueError``
 (the png/gif/bmp contract). ``encode_tiff`` writes the fixture
 profile (uncompressed / LZW+predictor / Deflate / JPEG, optionally
 via a shared JPEGTables tag / G4 / MH; gray / RGB; strips or tiles).
@@ -318,11 +321,16 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if tiled:
             raise NotImplementedError("TIFF: tiled bilevel organization")
         return _decode_bilevel(data, tags, w, h, comp, photo, fill_order)
-    if any(b != 8 for b in bps):
+    depth = bps[0]
+    if depth not in (8, 16) or any(b != depth for b in bps):
         raise NotImplementedError(
-            f"TIFF: {bps}-bit samples (8-bit, or 1-bit bilevel "
+            f"TIFF: {bps}-bit samples (8/16-bit, or 1-bit bilevel "
             "none/MH/G4, supported)"
         )
+    if depth == 16 and comp == 7:
+        raise NotImplementedError("TIFF: 16-bit JPEG compression")
+    if depth == 16 and photo == 3:
+        raise NotImplementedError("TIFF: 16-bit palette-color")
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF: compression {comp} (none/LZW/JPEG/Deflate/PackBits, "
@@ -359,7 +367,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
                     f"TIFF: JPEG segment has {jpx.shape[2]} channels, need {spp}"
                 )
             return np.ascontiguousarray(jpx[:, :, :spp])
-        want = n_rows * seg_w * spp
+        want = n_rows * seg_w * spp * (depth // 8)
         if comp == 1:
             if len(raw) < want:
                 raise ValueError("TIFF: uncompressed segment short")
@@ -376,6 +384,20 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             chunk = chunk[:want]
         else:
             chunk = _packbits_decode(raw, want)
+        if depth == 16:
+            # samples follow the FILE's byte order; predictor 2
+            # differences whole 16-bit sample values (spec §14), then
+            # the high byte downscales to u8 (the decode_png rule)
+            a16 = np.frombuffer(chunk, np.dtype(e + "u2")).reshape(
+                n_rows, seg_w, spp
+            )
+            if predictor == 2:
+                a16 = (np.cumsum(a16.astype(np.int64), axis=1) & 0xFFFF).astype(
+                    np.uint16
+                )
+            elif predictor != 1:
+                raise NotImplementedError(f"TIFF: predictor {predictor}")
+            return (a16 >> 8).astype(np.uint8)
         arr = np.frombuffer(chunk, np.uint8).reshape(n_rows, seg_w, spp)
         if predictor == 2:
             # horizontal differencing is mod-256; int64 accumulator
@@ -443,7 +465,7 @@ def encode_tiff(
     pixels: np.ndarray, *, compression: str = "none",
     predictor: bool = False, rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None, jpeg_tables: bool = False,
-    jpeg_quality: int = 85,
+    jpeg_quality: int = 85, bit_depth: int = 8,
 ) -> bytes:
     """``(h, w)`` gray or ``(h, w, 3)`` RGB uint8 -> classic
     little-endian TIFF (fixture producer). ``compression``: ``'none'``
@@ -452,8 +474,11 @@ def encode_tiff(
     spec); ``tile=(tile_h, tile_w)`` writes tiled organization (edge
     tiles zero-padded to full size, spec §15); ``jpeg_tables`` moves
     the shared DQT/DHT segments into a JPEGTables tag (347) and writes
-    table-less strips/tiles (TIFF TN2)."""
-    px = np.asarray(pixels, np.uint8)
+    table-less strips/tiles (TIFF TN2); ``bit_depth=16`` takes uint16
+    pixels (decode returns the high byte, the decode_png rule)."""
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth {bit_depth}")
+    px = np.asarray(pixels, np.uint16 if bit_depth == 16 else np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, spp = px.shape
@@ -465,6 +490,8 @@ def encode_tiff(
         raise ValueError("predictor requires lzw or deflate")
     if jpeg_tables and compression != "jpeg":
         raise ValueError("jpeg_tables requires compression='jpeg'")
+    if bit_depth == 16 and compression in ("jpeg", "g4", "mh"):
+        raise ValueError(f"16-bit {compression} is not in the fixture profile")
     bilevel = compression in ("g4", "mh")
     if tile is not None:
         th, tw = tile
@@ -476,7 +503,7 @@ def encode_tiff(
         chunks = []
         for ty in range(0, h, th):
             for tx in range(0, w, tw):
-                c = np.zeros((th, tw, spp), np.uint8)
+                c = np.zeros((th, tw, spp), px.dtype)
                 part = px[ty : ty + th, tx : tx + tw]
                 c[: part.shape[0], : part.shape[1]] = part
                 chunks.append(c)
@@ -513,10 +540,17 @@ def encode_tiff(
         strips = []
         for chunk in chunks:
             if predictor:
-                d = chunk.astype(np.int16)
-                d[:, 1:] -= chunk[:, :-1].astype(np.int16)
-                chunk = (d & 0xFF).astype(np.uint8)
-            raw = chunk.tobytes()
+                d = chunk.astype(np.int32)
+                d[:, 1:] -= chunk[:, :-1].astype(np.int32)
+                if bit_depth == 16:
+                    chunk = (d & 0xFFFF).astype(np.uint16)
+                else:
+                    chunk = (d & 0xFF).astype(np.uint8)
+            # file is little-endian (II): 16-bit samples as <u2
+            raw = (
+                chunk.astype("<u2").tobytes() if bit_depth == 16
+                else chunk.tobytes()
+            )
             if compression == "lzw":
                 raw = _tiff_lzw_encode(raw)
             elif compression == "deflate":
@@ -536,9 +570,11 @@ def encode_tiff(
     if bilevel:
         short(258, 1)
     elif spp == 1:
-        short(258, 8)
+        short(258, bit_depth)
     else:
-        entries.append((258, 3, 3, struct.pack("<HHH", 8, 8, 8)))
+        entries.append(
+            (258, 3, 3, struct.pack("<HHH", bit_depth, bit_depth, bit_depth))
+        )
     short(259, {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7,
                 "mh": 2, "g4": 4}[compression])
     # WhiteIsZero for fax (the CCITT default), YCbCr for color JPEG

@@ -289,6 +289,29 @@ def test_tiff_jpeg_tables_tag_and_tiles():
     assert float(np.abs(a.astype(np.int16) - src.astype(np.int16)).mean()) <= 4.0
 
 
+def test_tiff_16bit_roundtrip():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(23)
+    g16 = rng.randint(0, 65536, (19, 23), dtype=np.uint16)
+    for kw in (
+        dict(),
+        dict(compression="lzw", predictor=True, rows_per_strip=7),
+        dict(compression="deflate", tile=(8, 8)),
+    ):
+        w, h, ch, px = decode_tiff(encode_tiff(g16, bit_depth=16, **kw))
+        # 16-bit downscales to the high byte (the decode_png rule)
+        assert (w, h, ch) == (23, 19, 1)
+        assert np.array_equal(px, (g16 >> 8).astype(np.uint8))
+    c16 = rng.randint(0, 65536, (10, 12, 3), dtype=np.uint16)
+    px = decode_tiff(
+        encode_tiff(c16, bit_depth=16, compression="deflate", predictor=True)
+    )[3]
+    assert np.array_equal(px, (c16 >> 8).astype(np.uint8))
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_tiff(g16, bit_depth=16, compression="jpeg")
+
+
 def test_tiff_new_error_contracts():
     from ocracle_ray.core.tiff import decode_tiff, encode_tiff
 
