@@ -96,3 +96,83 @@ def test_range_join_null_ts_raises(ray_session):
     ds = rd.from_pandas(df)
     with pytest.raises(Exception, match="null timestamp"):
         range_join_count(ds, window=pd.Timedelta(hours=1)).to_pandas()
+
+
+# ------------------------- broadcast verify lane (round-4 late work)
+
+
+def _neardup_ds(n=24):
+    base = "fysikk oppgave om krefter og energi i systemet med kloss "
+    return rd.from_items(
+        [{"key": i, "text": base + f"variant {i % 8}"} for i in range(n)]
+    ).repartition(4)
+
+
+def test_broadcast_verify_equals_join_lane(ray_session):
+    """The zero-exchange broadcast lane and the two-join lane return
+    identical verified pairs (same jaccard values, same order)."""
+    from ocracle_ray.stages import dedup as dd
+
+    ds = _neardup_ds()
+    auto = dd.minhash_lsh_pairs(ds, "key", "text", threshold=0.8)
+    dist = dd.minhash_lsh_pairs(
+        ds, "key", "text", threshold=0.8, verify_mode="distributed"
+    )
+    pd.testing.assert_frame_equal(auto, dist)
+    assert len(auto) > 0
+
+
+def test_broadcast_verify_missing_key_semantics(ray_session):
+    """Pairs whose keys are absent from the corpus: both-missing drops
+    (join parity); one-side-missing scores against '' and drops below
+    any positive threshold."""
+    from ocracle_ray.stages import dedup as dd
+
+    ds = rd.from_items(
+        [{"key": i, "text": "helt lik tekst om fysikk og energi"} for i in (1, 2)]
+    )
+    cand = pd.DataFrame({"a": [1, 1, 90], "b": [2, 91, 91]})
+    out = verify_candidate_pairs(ds, "key", "text", cand, threshold=0.5)
+    assert out[["a", "b"]].values.tolist() == [[1, 2]]
+    assert float(out["jaccard"].iloc[0]) == 1.0
+
+
+def test_broadcast_lane_guard_raises_past_cap(ray_session, monkeypatch):
+    """Explicit 'driver' mode past GATHER_TEXT_LIMIT still raises loud
+    (the ADVICE r3 hard cap, now enforced by the broadcast lane)."""
+    from ocracle_ray.stages import dedup as dd
+
+    ds = _neardup_ds(8)
+    cand = pd.DataFrame({"a": [0, 1, 2], "b": [8 + 0, 8 + 1, 8 + 2]})
+    monkeypatch.setattr(dd, "GATHER_TEXT_LIMIT", 3)
+    with pytest.raises(RuntimeError, match="GATHER_TEXT_LIMIT"):
+        verify_candidate_pairs(ds, "key", "text", cand, verify_mode="driver")
+
+
+def test_minhash_auto_dispatch_never_pulls_pair_frame(ray_session, monkeypatch):
+    """In the broadcast-lane regime the pair set must stay in the
+    object store: booby-trap the driver unique helper."""
+    from ocracle_ray.stages import dedup as dd
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver pair frame pulled in broadcast lane")
+
+    monkeypatch.setattr(dd, "_dedup_candidates", boom)
+    out = dd.minhash_lsh_pairs(_neardup_ds(), "key", "text", threshold=0.8)
+    assert len(out) > 0
+
+
+def test_text_map_cache_reuse(ray_session):
+    """_text_map caches the built dict per broadcast object (worker
+    processes reuse it across scoring tasks)."""
+    import ray
+
+    from ocracle_ray.stages import dedup as dd
+
+    dd._TEXT_MAP_CACHE.clear()
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "txt": pa.array(["a", "b"], pa.large_string())})
+    refs_obj = ray.put([ray.put(t)])
+    m1, memo1 = dd._text_map(refs_obj)
+    m2, memo2 = dd._text_map(refs_obj)
+    assert m1 is m2 and memo1 is memo2 and m1 == {1: "a", 2: "b"}
