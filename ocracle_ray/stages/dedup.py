@@ -253,6 +253,12 @@ def band_candidate_pairs(band_rows, key: str, max_bucket: int, *,
             {"a": pa.array(a[first], pa.int64()), "b": pa.array(b[first], pa.int64())}
         )
 
+    # reduce-partition count stays at the sort shuffle's default (one
+    # per input block): an explicit 2x-pool num_partitions was A/B
+    # measured (round 4) — shuffle-machinery-only it looked ~2x
+    # cheaper, but with the emitter included the coarser layout LOST
+    # at 16 CPUs (4.6-5.5 s vs 3.9-4.1 s; fewer, bigger map_groups
+    # tasks balance worse) and was noise-neutral at 4.
     return (
         band_rows.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
