@@ -1551,8 +1551,8 @@ def q_media_features(sf_dir: str):
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
-    # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 PCM WAVs + 4 G.711 WAVs
-    # + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
+    # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 lossless WebPs + 4 PCM
+    # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1647,6 +1647,26 @@ def q_media_features(sf_dir: str):
                 compression="jpeg", tile=(16, 16), jpeg_tables=True,
             )
         payloads.append(t4)
+        # WebP lossless / VP8L (round 4, late): plain, subtract-green,
+        # bundled palette, RGBA with LZ77 runs — the four encoder
+        # knobs, all exact-roundtrip
+        from ..core.webp import encode_webp
+        ids.append(n + 48 + j)
+        kinds.append("image")
+        if j == 0:
+            t5 = encode_webp(rng.randint(0, 256, (15, 22, 3), dtype=np.uint8))
+        elif j == 1:
+            t5 = encode_webp(
+                rng.randint(0, 256, (12, 18, 3), dtype=np.uint8),
+                subtract_green=True,
+            )
+        elif j == 2:
+            lut = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+            t5 = encode_webp(lut[rng.randint(0, 7, (16, 20))], palette=True)
+        else:
+            rgba = rng.randint(0, 256, (10, 14, 4), dtype=np.uint8)
+            t5 = encode_webp(np.repeat(rgba[:, :7], 2, axis=1))
+        payloads.append(t5)
         # G.711 WAVs (round 4, late): mu-law even j, A-law odd j
         tone2 = 0.3 * np.sin(2 * np.pi * (330 + 55 * j) * np.arange(1600) / 8000.0)
         ids.append(n + 24 + j)

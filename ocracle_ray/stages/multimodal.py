@@ -89,6 +89,7 @@ class _ImageDecoder:
         from ..core.jpeg import decode_jpeg, is_jpeg
         from ..core.png import decode_png, is_png
         from ..core.tiff import decode_tiff, is_tiff
+        from ..core.webp import decode_webp, is_webp
 
         # (sniff, decode, exceptions-that-mean-skip-row)
         self._codecs = (
@@ -96,6 +97,9 @@ class _ImageDecoder:
             (is_gif, decode_gif, (NotImplementedError, ValueError)),
             (is_bmp, decode_bmp, (NotImplementedError, ValueError)),
             (is_tiff, decode_tiff, (NotImplementedError, ValueError)),
+            # lossless VP8L decodes; lossy VP8 raises the honest
+            # NotImplementedError -> skip-row, like arithmetic JPEG
+            (is_webp, decode_webp, (NotImplementedError, ValueError)),
             # broad on purpose: truncated JPEG headers raise
             # struct.error / IndexError, not just ValueError (same
             # contract as figures._decode)
@@ -118,8 +122,8 @@ class _ImageDecoder:
                     return None
         raise NotImplementedError(
             "image decode requires PIL, which is not installed in this "
-            "container; IMG1 synthetic and stdlib PNG/JPEG/GIF/BMP/TIFF "
-            "payloads are supported"
+            "container; IMG1 synthetic and stdlib PNG/JPEG/GIF/BMP/TIFF/"
+            "WebP-lossless payloads are supported"
         )
 
 
@@ -137,6 +141,8 @@ class ImageFeatures:
     - real GIF via the stdlib decoder (``core.gif`` — LZW, interlace,
       transparency; first frame),
     - real BMP via the stdlib decoder (``core.bmp`` — 8/24-bit BI_RGB),
+    - real lossless WebP via the stdlib decoder (``core.webp`` —
+      VP8L prefix codes, LZ77, color cache, all four transforms),
     - real TIFF via the stdlib decoder (``core.tiff`` — strips,
       none/LZW/PackBits, predictor, palette/gray/RGB),
     - anything else (arithmetic JPEG, webp, CCITT-fax TIFF) needs PIL;
