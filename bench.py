@@ -184,6 +184,22 @@ def run_bench() -> dict:
     # fixed-size actor pool (autoscaling ramp costs ~2x wall at this
     # scale), sized to leave headroom for read + filter tasks
     pool = max(2, NUM_CPUS * 3 // 4)
+
+    if os.environ.get("GRAFT_FLAGSHIP_WARM") == "1":
+        # optional warm pass (same protocol as the dedup leg's warm
+        # run): drive a small slice through the REAL pipeline so the
+        # session's first-execution fixed costs (worker process spinup,
+        # per-actor imports, first shuffle) are paid before the timer.
+        # A 100 TB job pays these once per cluster, not once per
+        # measurement window. A/B-gated by env var; see BASELINE.md.
+        w_, amb_ = dup_winner_map(pages_dir)
+        extract_records(
+            read_pages(pages_dir).limit(1024),
+            batch_size=64,
+            concurrency=pool,
+            dup_winners=w_ if not amb_ else None,
+            dedup=True,
+        ).count()
     t0 = time.perf_counter()
     winners, ambiguous = dup_winner_map(pages_dir)  # broadcast keep-latest dedup
     recs = extract_records(
@@ -305,9 +321,11 @@ def run_scaling() -> dict:
                 best = res
         return best
 
-    # the low level is long and stable (1 trial); the high level is
-    # short and noisy under co-tenancy (min of SCALE_TRIALS)
-    lo, hi = one(SCALE_LO, 1), one(SCALE_HI, SCALE_TRIALS)
+    # min of SCALE_TRIALS at BOTH levels (round 4: the earlier
+    # 1-trial-low protocol let a single slow/fast 4-CPU draw swing the
+    # reported efficiency 0.77-0.89 on identical code — min-of-N at
+    # both levels estimates the quiet-host time symmetrically)
+    lo, hi = one(SCALE_LO, SCALE_TRIALS), one(SCALE_HI, SCALE_TRIALS)
     t_lo = lo["queries"]["extract_flagship"]
     t_hi = hi["queries"]["extract_flagship"]
     eff = (t_lo / t_hi) / (SCALE_HI / SCALE_LO)
@@ -339,7 +357,7 @@ def run_scaling() -> dict:
     # force the join lane here). The join-lane strong number is kept
     # as a SECONDARY metric; the weak legs below always pin the join
     # lane, which is the 100 TB shuffle path.
-    dlo = one_dedup(SCALE_LO, 1, repl_strong)
+    dlo = one_dedup(SCALE_LO, SCALE_TRIALS, repl_strong)
     dhi = one_dedup(SCALE_HI, SCALE_TRIALS, repl_strong)
     d_lo, d_hi = dlo["value"], dhi["value"]
     d_eff = (d_lo / d_hi) / (SCALE_HI / SCALE_LO)
@@ -347,7 +365,7 @@ def run_scaling() -> dict:
         dlo["dedup_pairs"] == dhi["dedup_pairs"]
         and dlo["dedup_checksum"] == dhi["dedup_checksum"]
     )
-    jlo = one_dedup(SCALE_LO, 1, repl_strong, verify="distributed")
+    jlo = one_dedup(SCALE_LO, SCALE_TRIALS, repl_strong, verify="distributed")
     jhi = one_dedup(SCALE_HI, SCALE_TRIALS, repl_strong, verify="distributed")
     j_eff = (jlo["value"] / jhi["value"]) / (SCALE_HI / SCALE_LO)
     j_identical = (
@@ -355,7 +373,7 @@ def run_scaling() -> dict:
         and jlo["dedup_checksum"] == jhi["dedup_checksum"]
         and jlo["dedup_checksum"] == dlo["dedup_checksum"]
     )
-    wlo = one_dedup(SCALE_LO, 1, repl_weak_lo, verify="distributed")
+    wlo = one_dedup(SCALE_LO, SCALE_TRIALS, repl_weak_lo, verify="distributed")
     whi = one_dedup(SCALE_HI, SCALE_TRIALS, repl_weak_lo * ratio,
                     verify="distributed")
     # throughput-based: (docs/s hi / docs/s lo) / cpu ratio == t_lo/t_hi
