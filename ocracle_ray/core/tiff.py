@@ -18,12 +18,13 @@ exactly this shape), so the common baseline profile decodes in-repo:
   with shared quantization/Huffman tables spliced in from the
   JPEGTables tag 347 when present); Predictor 2 (horizontal
   differencing) for LZW/Deflate;
-- BILEVEL (1-bit) scanned pages: uncompressed packed bits, CCITT
-  Modified Huffman (compression 2) and Group 4 / T.6 MMR (compression
-  4) via ``core.ccitt``, honoring FillOrder 2 and both
+- BILEVEL (1-bit) scanned pages, strips or tiles: uncompressed packed
+  bits, CCITT Modified Huffman (compression 2) and Group 4 / T.6 MMR
+  (compression 4) via ``core.ccitt``, honoring FillOrder 2 and both
   PhotometricInterpretation senses — the classic fax-scan profile.
+  Each tile is an independently coded rectangle (spec §15).
 
-4-bit samples, 16-bit JPEG/palette, tiled bilevel and old-style JPEG
+4-bit samples, 16-bit JPEG/palette and old-style JPEG
 (compression 6) raise ``NotImplementedError``; malformed bytes raise
 ``ValueError``
 (the png/gif/bmp contract). ``encode_tiff`` writes the fixture
@@ -248,41 +249,66 @@ _BITREV = np.packbits(
 )[:, 0]
 
 
-def _decode_bilevel(data, tags, w, h, comp, photo, fill_order):
-    """1-bit strips: uncompressed packed bits, CCITT MH (compression 2)
-    or G4 (compression 4). Fax 'black' bits map to gray via
-    PhotometricInterpretation (0 = WhiteIsZero, the fax default)."""
+def _decode_bilevel(data, tags, w, h, comp, photo, fill_order, tiled=False):
+    """1-bit strips or tiles: uncompressed packed bits, CCITT MH
+    (compression 2) or G4 (compression 4). Each segment (strip or tile)
+    is an independently coded rectangle; edge tiles are full-size in
+    the file and cropped here (spec §15). Fax 'black' bits map to gray
+    via PhotometricInterpretation (0 = WhiteIsZero, the fax default)."""
     from .ccitt import g4_decode, mh_decode
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
-    rows_per_strip = tags.get(278, [h])[0]
-    rows_left = h
-    parts = []
-    for soff, scnt in zip(offsets, counts):
-        raw = data[soff : soff + scnt]
-        if len(raw) != scnt:
-            raise ValueError("TIFF: strip out of range")
+    def seg_bits(raw: bytes, n_rows: int, seg_w: int) -> np.ndarray:
         if fill_order == 2:  # LSB-first bit fill: reverse each byte
             raw = _BITREV[np.frombuffer(raw, np.uint8)].tobytes()
-        n_rows = min(rows_per_strip, rows_left)
-        rows_left -= n_rows
         if comp == 4:
-            bits = g4_decode(raw, w, n_rows)
-        elif comp == 2:
-            bits = mh_decode(raw, w, n_rows)
-        else:
-            stride = (w + 7) // 8
-            if len(raw) < stride * n_rows:
-                raise ValueError("TIFF: bilevel strip short")
-            rows = np.frombuffer(raw[: stride * n_rows], np.uint8).reshape(
-                n_rows, stride
-            )
-            bits = np.unpackbits(rows, axis=1)[:, :w]
-        parts.append(bits)
-    bits = np.concatenate(parts, axis=0)
+            return g4_decode(raw, seg_w, n_rows)
+        if comp == 2:
+            return mh_decode(raw, seg_w, n_rows)
+        stride = (seg_w + 7) // 8
+        if len(raw) < stride * n_rows:
+            raise ValueError("TIFF: bilevel segment short")
+        rows = np.frombuffer(raw[: stride * n_rows], np.uint8).reshape(
+            n_rows, stride
+        )
+        return np.unpackbits(rows, axis=1)[:, :seg_w]
+
+    if tiled:
+        tw = tags.get(322, [0])[0]
+        tl = tags.get(323, [0])[0]
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"TIFF: bad tile size {tw}x{tl}")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing/mismatched tile offsets or byte counts")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) != across * down:
+            raise ValueError(f"TIFF: {len(offsets)} tiles, expected {across * down}")
+        bits = np.zeros((h, w), np.uint8)
+        for idx, (soff, scnt) in enumerate(zip(offsets, counts)):
+            raw = data[soff : soff + scnt]
+            if len(raw) != scnt:
+                raise ValueError("TIFF: tile out of range")
+            tile = seg_bits(raw, tl, tw)
+            ty, tx = (idx // across) * tl, (idx % across) * tw
+            bits[ty : ty + tl, tx : tx + tw] = tile[: h - ty, : w - tx]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
+        rows_per_strip = tags.get(278, [h])[0]
+        rows_left = h
+        parts = []
+        for soff, scnt in zip(offsets, counts):
+            raw = data[soff : soff + scnt]
+            if len(raw) != scnt:
+                raise ValueError("TIFF: strip out of range")
+            n_rows = min(rows_per_strip, rows_left)
+            rows_left -= n_rows
+            parts.append(seg_bits(raw, n_rows, w))
+        bits = np.concatenate(parts, axis=0)
     # photo 0 (WhiteIsZero): stored 1 = black -> gray 0; photo 1 inverts
     px = (255 * (1 - bits if photo == 0 else bits)).astype(np.uint8)
     return w, h, 1, px
@@ -318,9 +344,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         raise NotImplementedError("TIFF: PlanarConfiguration 2")
     tiled = 322 in tags or 323 in tags
     if bps == [1] and spp == 1 and comp in (1, 2, 4):
-        if tiled:
-            raise NotImplementedError("TIFF: tiled bilevel organization")
-        return _decode_bilevel(data, tags, w, h, comp, photo, fill_order)
+        return _decode_bilevel(data, tags, w, h, comp, photo, fill_order, tiled)
     depth = bps[0]
     if depth not in (8, 16) or any(b != depth for b in bps):
         raise NotImplementedError(
@@ -497,9 +521,9 @@ def encode_tiff(
         th, tw = tile
         if th <= 0 or tw <= 0:
             raise ValueError(f"bad tile size {tile}")
-        if bilevel:
-            raise ValueError("tiled bilevel is not in the fixture profile")
-        # row-major padded full-size tiles (decoder crops the padding)
+        # row-major padded full-size tiles (decoder crops the padding);
+        # bilevel tiles are g4/mh-coded per tile like any other segment
+
         chunks = []
         for ty in range(0, h, th):
             for tx in range(0, w, tw):

@@ -318,8 +318,6 @@ def test_tiff_new_error_contracts():
     g = np.zeros((8, 8), np.uint8)
     with pytest.raises(ValueError, match="jpeg_tables"):
         encode_tiff(g, compression="lzw", jpeg_tables=True)
-    with pytest.raises(ValueError, match="bilevel"):
-        encode_tiff(g, compression="g4", tile=(4, 4))
     # predictor alongside JPEG compression is malformed: flip the
     # compression tag on an LZW+predictor file
     t2 = bytearray(encode_tiff(g, compression="lzw", predictor=True))
@@ -378,6 +376,29 @@ def test_tiff_g4_fax_roundtrip():
             assert np.array_equal(px, page)
     # G4 earns its keep on scanned content
     assert len(encode_tiff(page, compression="g4")) < page.size // 8
+
+
+def test_tiff_tiled_bilevel_roundtrip():
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    page = np.full((37, 53), 255, np.uint8)  # text-like scanned page
+    for r0 in range(3, 34, 6):
+        page[r0 : r0 + 2, 4:50:5] = 0
+    page[0, 0] = page[36, 52] = 0  # corners pin tile placement
+    # tile sizes deliberately NOT dividing the page: edge tiles are
+    # written padded and must come back cropped (spec §15)
+    for comp in ("g4", "mh"):
+        for tile in ((16, 16), (8, 24)):
+            t = encode_tiff(page, compression=comp, tile=tile)
+            w, h, ch, px = decode_tiff(t)
+            assert (w, h, ch) == (53, 37, 1)
+            assert np.array_equal(px, page)
+    # tile-count mismatch raises loud, not garbage
+    t = bytearray(encode_tiff(page, compression="g4", tile=(16, 16)))
+    i = t.find(struct.pack("<HHI", 322, 3, 1))
+    t[i + 8 : i + 10] = struct.pack("<H", 32)  # lie about TileWidth
+    with pytest.raises(ValueError, match="tiles"):
+        decode_tiff(bytes(t))
 
 
 def test_tiff_1bit_uncompressed_fillorder2_photo1():
