@@ -17,9 +17,14 @@ invertible transforms — all implementable without a codec library:
   cross-channel deltas), SUBTRACT-GREEN, COLOR-INDEXING (delta-coded
   palette, sub-byte pixel bundling for palettes <= 16).
 
-Lossy ``VP8 `` (DCT + boolean coder) and animation (``ANIM``/
-``ANMF``) raise ``NotImplementedError`` — an honest gate, same
-contract as arithmetic JPEG; malformed bytes raise ``ValueError``.
+Animation (``ANIM``/``ANMF``) composes lossless frames on the canvas
+per the container spec (``decode_webp_frames``: background color,
+2-px frame offsets, alpha-blend vs overwrite, dispose-to-background)
+and feeds FrameSample as a real video branch alongside animated GIF.
+Lossy ``VP8 `` (DCT + boolean coder) — still or as animation frames
+(with their ``ALPH`` alpha chunks) — raises ``NotImplementedError``,
+an honest gate, same contract as arithmetic JPEG; malformed bytes
+raise ``ValueError``.
 
 ``encode_webp`` writes the fixture profile: literal or greedy
 run-length LZ77 (linear-escape distances), per-alphabet canonical
@@ -47,17 +52,25 @@ def is_webp(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
 
 
-def _vp8l_payload(data: bytes) -> bytes:
-    """Walk RIFF chunks to the VP8L payload; gate lossy/animation."""
-    if not is_webp(data):
-        raise ValueError("not a WebP (bad RIFF header)")
-    pos = 12
-    while pos + 8 <= len(data):
+def _chunks(data: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body)`` RIFF sub-chunks in ``data[pos:end]``."""
+    while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
-        if len(body) != size:
+        if pos + 8 + size > end:
             raise ValueError("WebP: chunk out of range")
+        yield fourcc, body
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+
+
+def _vp8l_payload(data: bytes) -> bytes:
+    """Walk RIFF chunks to the still image's VP8L payload; gate lossy.
+    Animated files (ANMF frames) are handled by ``decode_webp_frames``;
+    a bare ANIM chunk with no frames is malformed."""
+    if not is_webp(data):
+        raise ValueError("not a WebP (bad RIFF header)")
+    for fourcc, body in _chunks(data, 12, len(data)):
         if fourcc == b"VP8L":
             return body
         if fourcc == b"VP8 ":
@@ -65,10 +78,16 @@ def _vp8l_payload(data: bytes) -> bytes:
                 "WebP lossy (VP8) requires a DCT/bool-coder codec; only "
                 "lossless (VP8L) decodes in-repo"
             )
-        if fourcc in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP is not supported")
-        pos += 8 + size + (size & 1)  # chunks are even-padded
     raise ValueError("WebP: no VP8L chunk found")
+
+
+def _is_animated(data: bytes) -> bool:
+    if not is_webp(data):
+        return False
+    try:
+        return any(f == b"ANMF" for f, _ in _chunks(data, 12, len(data)))
+    except ValueError:
+        return False
 
 
 # ----------------------------------------------------------- bit I/O
@@ -538,8 +557,23 @@ def _apply_color_inverse(px: np.ndarray, bits: int, tr_img: np.ndarray,
 
 def decode_webp(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """WebP bytes -> (width, height, channels, pixels u8). Channels is
-    4 when any alpha < 255, else 3."""
-    br = _BitReader(_vp8l_payload(data))
+    4 when any alpha < 255, else 3. Animated files return the first
+    composited canvas as RGB (the ``decode_gif`` rule)."""
+    if _is_animated(data):
+        w, h, frames = decode_webp_frames(data)
+        return w, h, 3, frames[0]
+    p = _decode_vp8l(_vp8l_payload(data))
+    h, w = p.shape[:2]
+    a, r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2], p[:, :, 3]
+    rgb = np.stack([r, g, b], axis=2)
+    if bool((a != 255).any()):
+        return w, h, 4, np.ascontiguousarray(np.dstack([rgb, a]))
+    return w, h, 3, np.ascontiguousarray(rgb)
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L payload -> ``(h, w, 4)`` u8 planes in (a, r, g, b) order."""
+    br = _BitReader(payload)
     if br.read(8) != 0x2F:
         raise ValueError("VP8L: bad signature byte")
     w = br.read(14) + 1
@@ -598,12 +632,7 @@ def decode_webp(data: bytes) -> tuple[int, int, int, np.ndarray]:
             p = _apply_predictor_inverse(planes(px, tw), bits, mode_img, tw, h)
             px = _pack(p)
 
-    p = planes(px, w)
-    a, r, g, b = p[:, :, 0], p[:, :, 1], p[:, :, 2], p[:, :, 3]
-    rgb = np.stack([r, g, b], axis=2)
-    if bool((a != 255).any()):
-        return w, h, 4, np.ascontiguousarray(np.dstack([rgb, a]))
-    return w, h, 3, np.ascontiguousarray(rgb)
+    return planes(px, w)
 
 
 def _pack(p: np.ndarray) -> np.ndarray:
@@ -614,6 +643,178 @@ def _pack(p: np.ndarray) -> np.ndarray:
         | (p[:, :, 2].astype(np.uint64) << np.uint64(8))
         | p[:, :, 3].astype(np.uint64)
     ).reshape(-1)
+
+
+# ---------------------------------------------------------- animation
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _blend_over(canvas: np.ndarray, frame: np.ndarray, y: int, x: int) -> None:
+    """Alpha-blend ``frame`` (RGBA u8) over the canvas rect at (y, x),
+    non-premultiplied, per the container spec's blending formula:
+    ``A = aF + aC*(1-aF)``; ``rgb = (rgbF*aF + rgbC*aC*(1-aF)) / A``
+    (0 where A == 0). Round-half-up back to u8 (deterministic)."""
+    fh, fw = frame.shape[:2]
+    c = canvas[y : y + fh, x : x + fw].astype(np.float64) / 255.0
+    f = frame.astype(np.float64) / 255.0
+    af, ac = f[:, :, 3:4], c[:, :, 3:4]
+    a_out = af + ac * (1.0 - af)
+    rgb = f[:, :, :3] * af + c[:, :, :3] * ac * (1.0 - af)
+    with np.errstate(invalid="ignore"):
+        rgb = np.where(a_out > 0, rgb / np.where(a_out > 0, a_out, 1.0), 0.0)
+    out = np.concatenate([rgb, a_out], axis=2)
+    canvas[y : y + fh, x : x + fw] = np.floor(out * 255.0 + 0.5).astype(
+        np.uint8
+    )
+
+
+def decode_webp_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """All frames -> ``(canvas_w, canvas_h, [canvas, ...])``, each
+    ``(h, w, 3)`` RGB u8 — the composited canvas as displayed at that
+    point of the animation (the ``decode_gif_frames`` contract).
+
+    Container semantics per the public WebP container spec: VP8X
+    carries the canvas size; ANIM the background color (BGRA byte
+    order) and loop count; each ANMF a frame rect in 2-px units, a
+    duration and a flags byte (bit 1: blending — 0 alpha-blends the
+    frame over the canvas, 1 overwrites; bit 0: disposal — 1 fills the
+    frame rect with the background color after rendering). The canvas
+    starts filled with the background color. Lossless (VP8L) frames
+    only; lossy VP8 / ALPH frames raise ``NotImplementedError``. A
+    still (non-animated) file decodes as a single frame."""
+    if not _is_animated(data):
+        w, h, ch, px = decode_webp(data)
+        return w, h, [px[:, :, :3] if ch == 4 else px]
+    cw = ch_ = None
+    bg = np.array([255, 255, 255, 255], np.uint8)  # RGBA
+    frames: list[np.ndarray] = []
+    canvas = None
+    for fourcc, body in _chunks(data, 12, len(data)):
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP: short VP8X chunk")
+            cw = _u24(body, 4) + 1
+            ch_ = _u24(body, 7) + 1
+        elif fourcc == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("WebP: short ANIM chunk")
+            # background color is stored B, G, R, A
+            bg = np.array([body[2], body[1], body[0], body[3]], np.uint8)
+        elif fourcc == b"ANMF":
+            if cw is None:
+                raise ValueError("WebP: ANMF frame without a VP8X canvas")
+            if len(body) < 16:
+                raise ValueError("WebP: short ANMF header")
+            fx, fy = _u24(body, 0) * 2, _u24(body, 3) * 2
+            fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+            flags = body[15]
+            blend_over = (flags >> 1) & 1 == 0
+            dispose_bg = flags & 1 == 1
+            if fx + fw > cw or fy + fh > ch_:
+                raise ValueError("WebP: frame rect exceeds the canvas")
+            payload = None
+            for sub, sbody in _chunks(body, 16, len(body)):
+                if sub == b"ALPH":
+                    raise NotImplementedError(
+                        "WebP: ALPH frame alpha pairs with lossy VP8 frames"
+                    )
+                if sub == b"VP8 ":
+                    raise NotImplementedError(
+                        "WebP lossy (VP8) animation frames require a "
+                        "DCT/bool-coder codec"
+                    )
+                if sub == b"VP8L":
+                    payload = sbody
+                    break
+            if payload is None:
+                raise ValueError("WebP: ANMF frame without image data")
+            p = _decode_vp8l(payload)
+            if p.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"WebP: frame bitstream is {p.shape[1]}x{p.shape[0]}, "
+                    f"ANMF header says {fw}x{fh}"
+                )
+            rgba = p[:, :, [1, 2, 3, 0]]  # (a,r,g,b) planes -> RGBA
+            if canvas is None:
+                canvas = np.broadcast_to(bg, (ch_, cw, 4)).copy()
+            if blend_over:
+                _blend_over(canvas, rgba, fy, fx)
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = rgba
+            frames.append(canvas[:, :, :3].copy())
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+    if not frames:
+        raise ValueError("WebP: no animation frames")
+    return cw, ch_, frames
+
+
+def encode_webp_animated(
+    frames: list[np.ndarray],
+    *,
+    offsets: list[tuple[int, int]] | None = None,
+    durations: int | list[int] = 100,
+    blend: list[bool] | None = None,
+    dispose: list[bool] | None = None,
+    bg: tuple[int, int, int, int] = (255, 255, 255, 255),
+    canvas: tuple[int, int] | None = None,
+    loop: int = 0,
+    **encode_kwargs,
+) -> bytes:
+    """Animated WebP fixture producer: each frame is a lossless VP8L
+    sub-image (via ``encode_webp``) placed at ``offsets[i]`` (x, y; 2-px
+    units, so both must be even). ``blend[i]`` True alpha-blends the
+    frame over the canvas (flag bit B=0), False overwrites (default);
+    ``dispose[i]`` True restores the rect to the background color after
+    the frame. ``bg`` is RGBA; ``canvas`` (w, h) defaults to the frames'
+    joint extent. ``decode_webp_frames(encode_webp_animated(fs))`` is
+    exact for opaque non-blended frames."""
+    if not frames:
+        raise ValueError("encode_webp_animated needs at least one frame")
+    n = len(frames)
+    offsets = offsets or [(0, 0)] * n
+    durs = [durations] * n if isinstance(durations, int) else list(durations)
+    blend = blend or [False] * n
+    dispose = dispose or [False] * n
+    if not (len(offsets) == len(durs) == len(blend) == len(dispose) == n):
+        raise ValueError("per-frame lists must match the frame count")
+    dims = []
+    for f, (x, y) in zip(frames, offsets):
+        if x < 0 or y < 0 or x % 2 or y % 2:
+            raise ValueError(f"frame offsets must be even and >= 0: {(x, y)}")
+        fh, fw = np.asarray(f).shape[:2]
+        dims.append((x + fw, y + fh))
+    cw, chh = canvas or (max(d[0] for d in dims), max(d[1] for d in dims))
+    if any(d[0] > cw or d[1] > chh for d in dims):
+        raise ValueError("a frame rect exceeds the canvas")
+
+    def u24(v: int) -> bytes:
+        return bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return (
+            fourcc + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    has_alpha = bg[3] < 255 or any(
+        np.asarray(f).ndim == 3 and np.asarray(f).shape[2] == 4 for f in frames
+    )
+    vp8x = bytes([0x02 | (0x10 if has_alpha else 0)]) + bytes(3)
+    vp8x += u24(cw - 1) + u24(chh - 1)
+    anim = bytes((bg[2], bg[1], bg[0], bg[3])) + struct.pack("<H", loop)
+    out = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for f, (x, y), dur, bl, dp in zip(frames, offsets, durs, blend, dispose):
+        f = np.asarray(f, np.uint8)
+        fh, fw = f.shape[:2]
+        payload = _vp8l_payload(encode_webp(f, **encode_kwargs))
+        hdr = u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1)
+        hdr += u24(dur) + bytes([(0 if bl else 2) | (1 if dp else 0)])
+        out += chunk(b"ANMF", hdr + chunk(b"VP8L", payload))
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out
 
 
 # ------------------------------------------------------------- encode

@@ -1517,8 +1517,8 @@ def q_media_features(sf_dir: str):
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
     interlaced/transparent GIF, 24-bit BMP, LZW/uncompressed TIFF and
     CCITT G4/MH fax TIFF images; PCM, G.711 mu-law/A-law and IMA-ADPCM
-    WAV clips; animated GIFs through the video frame sampler) — so the
-    stdlib decode branches are
+    WAV clips; animated GIFs AND animated lossless WebPs through the
+    video frame sampler) — so the stdlib decode branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
     row counts pin that).
@@ -1552,7 +1552,8 @@ def q_media_features(sf_dir: str):
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
     # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 lossless WebPs + 4 PCM
-    # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs (video)
+    # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs and
+    # 4 animated WebPs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1689,6 +1690,27 @@ def q_media_features(sf_dir: str):
             encode_gif(
                 [rng.randint(0, 16, (10, 12), dtype=np.uint8) for _ in range(6)],
                 pal,
+            )
+        )
+        # animated WebP as VIDEO (round 4, late): the ANMF compositor
+        # in-pipeline — full-canvas base + offset sub-rect frames with
+        # blend (odd j) / dispose (j>=2), 5 frames -> 3 sampled rows
+        from ..core.webp import encode_webp_animated
+        ids.append(n + 52 + j)
+        kinds.append("video")
+        wf = [rng.randint(0, 256, (12, 16, 3), dtype=np.uint8)]
+        offs = [(0, 0)]
+        for k in range(4):
+            fr = rng.randint(0, 256, (4, 6, 3 if j % 2 == 0 else 4),
+                             dtype=np.uint8)
+            wf.append(fr)
+            offs.append(((2 * k) % 10, (2 * k) % 8))
+        payloads.append(
+            encode_webp_animated(
+                wf, offsets=offs,
+                blend=[False] + [j % 2 == 1] * 4,
+                dispose=[False] + [j >= 2] * 4,
+                bg=(j * 40, 255 - j * 30, 128, 255),
             )
         )
     extra = pa.Table.from_pydict(

@@ -294,17 +294,21 @@ class Resize:
 class FrameSample:
     """Video frame sampling: every k-th frame -> one row per frame.
 
-    Two payload formats: the VID1 synthetic container (opaque frame
-    bytes) and REAL animated GIF via ``core.gif`` (each sampled frame
-    is the composited RGB canvas at that point of the animation, as
-    raw ``h*w*3`` bytes)."""
+    Three payload formats: the VID1 synthetic container (opaque frame
+    bytes) and REAL animated GIF / animated WebP via ``core.gif`` /
+    ``core.webp`` (each sampled frame is the composited RGB canvas at
+    that point of the animation, as raw ``h*w*3`` bytes)."""
 
     def __init__(self, every: int = 2):
-        from ..core.gif import decode_gif_frames, is_gif  # once per actor
+        # once per actor
+        from ..core.gif import decode_gif_frames, is_gif
+        from ..core.webp import decode_webp_frames, is_webp
 
         self.every = every
         self._decode_gif_frames = decode_gif_frames
         self._is_gif = is_gif
+        self._decode_webp_frames = decode_webp_frames
+        self._is_webp = is_webp
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, fidx, frames = [], [], []
@@ -313,8 +317,11 @@ class FrameSample:
         ):
             if kind != "video":
                 continue
-            if self._is_gif(payload):
-                _w, _h, canvases = self._decode_gif_frames(payload)
+            if self._is_gif(payload) or self._is_webp(payload):
+                if self._is_gif(payload):
+                    _w, _h, canvases = self._decode_gif_frames(payload)
+                else:
+                    _w, _h, canvases = self._decode_webp_frames(payload)
                 for f in range(0, len(canvases), self.every):
                     ids.append(mid)
                     fidx.append(f)

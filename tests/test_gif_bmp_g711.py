@@ -673,3 +673,17 @@ def test_frame_sample_animated_gif():
     assert list(out["frame_index"]) == [0, 2, 4]
     for _, row in out.iterrows():
         assert row["frame"] == pal[frames[row["frame_index"]]].tobytes()
+
+
+def test_frame_sample_animated_webp():
+    from ocracle_ray.core.webp import encode_webp_animated
+    from ocracle_ray.stages.multimodal import FrameSample
+
+    rng = np.random.RandomState(13)
+    frames = [rng.randint(0, 256, (9, 11, 3), dtype=np.uint8) for _ in range(5)]
+    t = _media_table([(0, "video", encode_webp_animated(frames))])
+    out = FrameSample(every=2)(t).to_pandas()
+    assert list(out["frame_index"]) == [0, 2, 4]
+    for _, row in out.iterrows():
+        # full-canvas overwrite frames: each canvas == the raw frame
+        assert row["frame"] == frames[row["frame_index"]].tobytes()

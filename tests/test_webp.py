@@ -108,9 +108,10 @@ def test_error_contracts():
     lossy[12:16] = b"VP8 "
     with pytest.raises(NotImplementedError, match="lossy"):
         decode_webp(bytes(lossy))
+    # a bare ANIM chunk with no ANMF frames is malformed, not gated
     anim = bytearray(ok)
     anim[12:16] = b"ANIM"
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="no VP8L"):
         decode_webp(bytes(anim))
     assert not is_webp(b"")
 
@@ -286,6 +287,107 @@ def test_color_cache_and_distance_map_decode():
         np.uint8,
     )
     assert np.array_equal(out, exp)
+
+
+# ----------------------- animation (ANIM / ANMF)
+
+
+def _compose_reference(canvas_wh, frames, offsets, blend, dispose, bg):
+    """Independent compositor model: overwrite / alpha-blend / dispose
+    per the container spec, float64 round-half-up."""
+    cw, ch = canvas_wh
+    canvas = np.zeros((ch, cw, 4), np.float64)
+    canvas[:] = np.asarray(bg, np.float64)
+    out = []
+    for f, (x, y), bl, dp in zip(frames, offsets, blend, dispose):
+        f = np.asarray(f, np.float64)
+        if f.shape[2] == 3:
+            f = np.dstack([f, np.full(f.shape[:2], 255.0)])
+        fh, fw = f.shape[:2]
+        rect = canvas[y : y + fh, x : x + fw]
+        if bl:
+            af = f[:, :, 3:4] / 255.0
+            ac = rect[:, :, 3:4] / 255.0
+            ao = af + ac * (1 - af)
+            rgb = f[:, :, :3] / 255.0 * af + rect[:, :, :3] / 255.0 * ac * (1 - af)
+            rgb = np.where(ao > 0, rgb / np.where(ao > 0, ao, 1.0), 0.0)
+            # quantize to u8 exactly like the decoder does
+            q = np.floor(np.concatenate([rgb, ao], axis=2) * 255.0 + 0.5)
+            canvas[y : y + fh, x : x + fw] = q
+        else:
+            canvas[y : y + fh, x : x + fw] = f
+        out.append(np.floor(canvas[:, :, :3] + 0.5).astype(np.uint8))
+        if dp:
+            canvas[y : y + fh, x : x + fw] = np.asarray(bg, np.float64)
+    return out
+
+
+def test_animation_overwrite_and_dispose():
+    from ocracle_ray.core.webp import decode_webp_frames, encode_webp_animated
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (10, 12, 3), dtype=np.uint8)
+    patch = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    patch2 = rng.randint(0, 256, (3, 4, 3), dtype=np.uint8)
+    frames = [base, patch, patch2]
+    offsets = [(0, 0), (4, 2), (6, 4)]
+    blend = [False, False, False]
+    dispose = [False, True, False]  # frame 1's rect reverts to bg
+    bg = (9, 17, 33, 255)
+    wb = encode_webp_animated(
+        frames, offsets=offsets, blend=blend, dispose=dispose, bg=bg
+    )
+    w, h, got = decode_webp_frames(wb)
+    assert (w, h) == (12, 10) and len(got) == 3
+    exp = _compose_reference((12, 10), frames, offsets, blend, dispose, bg)
+    for i, (g, e) in enumerate(zip(got, exp)):
+        assert np.array_equal(g, e), f"frame {i}"
+    # decode_webp on an animated file = first composited canvas
+    from ocracle_ray.core.webp import decode_webp as dw
+
+    assert np.array_equal(dw(wb)[3], exp[0])
+
+
+def test_animation_alpha_blend():
+    from ocracle_ray.core.webp import decode_webp_frames, encode_webp_animated
+
+    rng = np.random.RandomState(8)
+    base = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    overlay = rng.randint(0, 256, (4, 4, 4), dtype=np.uint8)
+    overlay[:, :, 3] = rng.randint(0, 256, (4, 4), dtype=np.uint8)
+    frames = [base, overlay]
+    offsets = [(0, 0), (2, 2)]
+    blend = [False, True]
+    dispose = [False, False]
+    bg = (0, 0, 0, 255)
+    wb = encode_webp_animated(
+        frames, offsets=offsets, blend=blend, dispose=dispose, bg=bg
+    )
+    _w, _h, got = decode_webp_frames(wb)
+    exp = _compose_reference((8, 8), frames, offsets, blend, dispose, bg)
+    assert np.array_equal(got[1], exp[1])
+
+
+def test_animation_error_contracts():
+    from ocracle_ray.core.webp import decode_webp_frames, encode_webp_animated
+
+    f = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_animated([f, f], offsets=[(0, 0), (1, 0)])
+    with pytest.raises(ValueError, match="canvas"):
+        encode_webp_animated([f], canvas=(2, 2))
+    # lossy animation frames gate loud: splice a VP8 fourcc into the
+    # frame's sub-chunk
+    wb = bytearray(encode_webp_animated([f, f], offsets=[(0, 0), (0, 0)]))
+    i = wb.find(b"VP8L", 30)  # first frame's sub-chunk
+    wb[i : i + 4] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp_frames(bytes(wb))
+    # a still file decodes as a single frame
+    still = encode_webp(np.full((3, 3, 3), 7, np.uint8))
+    w, h, frames = decode_webp_frames(still)
+    assert (w, h, len(frames)) == (3, 3, 1)
+    assert np.array_equal(frames[0], np.full((3, 3, 3), 7, np.uint8))
 
 
 def test_vp8x_container_walks_to_vp8l():
