@@ -23,13 +23,18 @@ exactly this shape), so the common baseline profile decodes in-repo:
   (compression 4) via ``core.ccitt``, honoring FillOrder 2 and both
   PhotometricInterpretation senses — the classic fax-scan profile.
   Each tile is an independently coded rectangle (spec §15).
+- OLD-style JPEG (compression 6, TIFF 6.0 §22): the dominant
+  real-world profile — one full interchange stream addressed by
+  JPEGInterchangeFormat/Length (tags 513/514) — decodes through
+  ``core.jpeg``; the deprecated per-strip variant (517/519/520 table
+  tags, killed by TIFF TN2) stays honestly gated.
 
-4-bit samples, 16-bit JPEG/palette and old-style JPEG
-(compression 6) raise ``NotImplementedError``; malformed bytes raise
-``ValueError``
+4-bit samples, 16-bit JPEG/palette and per-strip old-style JPEG
+raise ``NotImplementedError``; malformed bytes raise ``ValueError``
 (the png/gif/bmp contract). ``encode_tiff`` writes the fixture
 profile (uncompressed / LZW+predictor / Deflate / JPEG, optionally
-via a shared JPEGTables tag / G4 / MH; gray / RGB; strips or tiles).
+via a shared JPEGTables tag or as an old-style tag-513 stream /
+G4 / MH; gray / RGB; strips or tiles).
 Reference analogue: OpenCV's unconditional decode
 (``scripts/extract_images.py``).
 """
@@ -351,10 +356,43 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             f"TIFF: {bps}-bit samples (8/16-bit, or 1-bit bilevel "
             "none/MH/G4, supported)"
         )
-    if depth == 16 and comp == 7:
+    if depth == 16 and comp in (6, 7):
         raise NotImplementedError("TIFF: 16-bit JPEG compression")
     if depth == 16 and photo == 3:
         raise NotImplementedError("TIFF: 16-bit palette-color")
+    if comp == 6:
+        # Old-style JPEG (TIFF 6.0 §22, deprecated by TIFF TN2): the
+        # dominant real-world profile stores ONE full interchange
+        # stream at JPEGInterchangeFormat (513) / ...Length (514).
+        # The per-strip variant driven by the 517/519/520 table tags
+        # is the part TN2 killed — honest gate below.
+        off = tags.get(513)
+        if not off:
+            raise NotImplementedError(
+                "TIFF: old-style per-strip JPEG (compression 6 without "
+                "a JPEGInterchangeFormat stream)"
+            )
+        ln = tags.get(514, [len(data) - off[0]])[0]
+        stream = data[off[0] : off[0] + ln]
+        if len(stream) != ln:
+            raise ValueError("TIFF: JPEGInterchangeFormat out of range")
+        from .jpeg import decode_jpeg
+
+        jw, jh, _jch, jpx = decode_jpeg(stream)
+        if (jw, jh) != (w, h):
+            raise ValueError(
+                f"TIFF: old-JPEG stream is {jw}x{jh}, IFD says {w}x{h}"
+            )
+        if jpx.ndim == 2:
+            jpx = jpx[:, :, None]
+        if jpx.shape[2] < spp:
+            raise ValueError(
+                f"TIFF: old-JPEG stream has {jpx.shape[2]} channels, "
+                f"need {spp}"
+            )
+        if spp == 1:
+            return w, h, 1, np.ascontiguousarray(jpx[:, :, 0])
+        return w, h, 3, np.ascontiguousarray(jpx[:, :, :3])
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF: compression {comp} (none/LZW/JPEG/Deflate/PackBits, "
@@ -489,7 +527,7 @@ def encode_tiff(
     pixels: np.ndarray, *, compression: str = "none",
     predictor: bool = False, rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None, jpeg_tables: bool = False,
-    jpeg_quality: int = 85, bit_depth: int = 8,
+    jpeg_quality: int = 85, bit_depth: int = 8, old_style_jpeg: bool = False,
 ) -> bytes:
     """``(h, w)`` gray or ``(h, w, 3)`` RGB uint8 -> classic
     little-endian TIFF (fixture producer). ``compression``: ``'none'``
@@ -517,6 +555,15 @@ def encode_tiff(
     if bit_depth == 16 and compression in ("jpeg", "g4", "mh"):
         raise ValueError(f"16-bit {compression} is not in the fixture profile")
     bilevel = compression in ("g4", "mh")
+    if old_style_jpeg and (
+        compression != "jpeg" or tile is not None or jpeg_tables
+    ):
+        raise ValueError(
+            "old_style_jpeg writes one interchange stream: requires "
+            "compression='jpeg', no tiles, no jpeg_tables"
+        )
+    if old_style_jpeg:
+        rows_per_strip = None  # one full-image stream at tag 513
     if tile is not None:
         th, tw = tile
         if th <= 0 or tw <= 0:
@@ -581,7 +628,12 @@ def encode_tiff(
                 raw = zlib.compress(raw)
             strips.append(raw)
 
-    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    # old-style JPEG: the single interchange stream is addressed by
+    # JPEGInterchangeFormat/Length (513/514) instead of strip tags
+    if old_style_jpeg:
+        off_tag, cnt_tag = 513, 514
+    else:
+        off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     entries = []  # (tag, type, count, value_or_bytes)
     def short(tag, v):
         entries.append((tag, 3, 1, struct.pack("<HH", v, 0)))
@@ -599,8 +651,9 @@ def encode_tiff(
         entries.append(
             (258, 3, 3, struct.pack("<HHH", bit_depth, bit_depth, bit_depth))
         )
-    short(259, {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7,
-                "mh": 2, "g4": 4}[compression])
+    short(259, 6 if old_style_jpeg else
+          {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7,
+           "mh": 2, "g4": 4}[compression])
     # WhiteIsZero for fax (the CCITT default), YCbCr for color JPEG
     # (what core.jpeg encodes), else BlackIsZero / RGB
     if bilevel:

@@ -1551,7 +1551,8 @@ def q_media_features(sf_dir: str):
     base = synth_media_table(n)
     # append real-codec rows, deterministic: 4 PNGs + 4 baseline JPEGs
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
-    # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 lossless WebPs + 4 PCM
+    # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 old-style (tag-513)
+    # JPEG-in-TIFFs + 4 lossless WebPs + 4 PCM
     # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs and
     # 4 animated WebPs (video)
     ids, kinds, payloads = [], [], []
@@ -1648,6 +1649,16 @@ def q_media_features(sf_dir: str):
                 compression="jpeg", tile=(16, 16), jpeg_tables=True,
             )
         payloads.append(t4)
+        # OLD-style JPEG-in-TIFF (round 4, late): compression 6, one
+        # interchange stream at tag 513 — gray even j, RGB odd j
+        ids.append(n + 56 + j)
+        kinds.append("image")
+        payloads.append(
+            encode_tiff(
+                grad if j % 2 == 0 else np.stack([grad, grad, 255 - grad], axis=2),
+                compression="jpeg", old_style_jpeg=True,
+            )
+        )
         # WebP lossless / VP8L (round 4, late): plain, subtract-green,
         # bundled palette, RGBA with LZ77 runs — the four encoder
         # knobs, all exact-roundtrip

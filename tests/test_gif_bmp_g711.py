@@ -289,6 +289,35 @@ def test_tiff_jpeg_tables_tag_and_tiles():
     assert float(np.abs(a.astype(np.int16) - src.astype(np.int16)).mean()) <= 4.0
 
 
+def test_tiff_old_style_jpeg():
+    from ocracle_ray.core.jpeg import decode_jpeg, encode_jpeg
+    from ocracle_ray.core.tiff import decode_tiff, encode_tiff
+
+    for src, spp in ((_smooth(21, 40), 1), (_smooth(24, 17, rgb=True), 3)):
+        t = encode_tiff(src, compression="jpeg", old_style_jpeg=True)
+        jw, jh, jch, jexp = decode_jpeg(encode_jpeg(src, quality=85))
+        w, h, ch, got = decode_tiff(t)
+        # exactness vs the SAME codec standalone: pins the tag-513
+        # plumbing bit-for-bit, no lossiness assumption
+        assert (w, h, ch) == (src.shape[1], src.shape[0], spp if spp == 3 else 1)
+        assert np.array_equal(got, jexp)
+        assert struct.pack("<HHI", 259, 3, 1) in t  # compression tag…
+        i = t.find(struct.pack("<HHI", 259, 3, 1))
+        assert struct.unpack("<H", t[i + 8 : i + 10])[0] == 6  # …says 6
+    # per-strip old JPEG (no tag 513) stays honestly gated
+    bad = bytearray(encode_tiff(_smooth(8, 8), compression="jpeg",
+                                old_style_jpeg=True))
+    i = bad.find(struct.pack("<HHI", 513, 4, 1))
+    bad[i : i + 2] = struct.pack("<H", 273)  # rename 513 -> strip tag
+    with pytest.raises(NotImplementedError, match="per-strip"):
+        decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="old_style"):
+        encode_tiff(_smooth(8, 8), compression="lzw", old_style_jpeg=True)
+    with pytest.raises(ValueError, match="old_style"):
+        encode_tiff(_smooth(8, 8), compression="jpeg", old_style_jpeg=True,
+                    tile=(4, 4))
+
+
 def test_tiff_16bit_roundtrip():
     from ocracle_ray.core.tiff import decode_tiff, encode_tiff
 
