@@ -650,6 +650,24 @@ def q_docs_quality(sf_dir: str):
     return out[["lang", "n_docs", "avg_quality"]]
 
 
+BM25_TERMS = ["dup", "vector", "merge", "window"]  # df spread: rare..common
+
+
+def q_docs_bm25_topk(sf_dir: str):
+    """BM25 keyword top-k over documents (stages.bm25): the
+    retrieval-filtering op of a training-data pipeline. Two streaming
+    passes, no shuffle: pass 1 folds one tiny per-batch partial row
+    into (N, avgdl, per-term df); pass 2 scores against the broadcast
+    constants and ships only a local top-k per batch. Tokenization is
+    lowercase [a-z0-9]+ runs, chosen so the DuckDB oracle reproduces
+    it verbatim with regexp_split_to_array."""
+    from ..stages.bm25 import bm25_topk, corpus_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = corpus_stats(ds, BM25_TERMS)
+    return bm25_topk(ds, BM25_TERMS, stats, k=10)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2161,6 +2179,7 @@ QUERIES = {
     "docs_dup_count": q_docs_dup_count,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
+    "docs_bm25_topk": q_docs_bm25_topk,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2432,6 +2451,40 @@ ORACLE_SQL = {
                CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))
                     AS BIGINT) AS total_bpe_tokens
         FROM documents GROUP BY lang
+    """,
+    "docs_bm25_topk": """
+        -- BM25 (k1=1.2, b=0.75), tokenization = lowercase [a-z0-9]+
+        -- runs (stages/bm25.py TOKEN_SPLIT_RE, shared verbatim)
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                     / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        terms AS (SELECT * FROM (VALUES ('dup'), ('vector'), ('merge'),
+                                        ('window')) t(term)),
+        tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+               FROM tok2 WHERE tok IN (SELECT term FROM terms)
+               GROUP BY doc_id, tok),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) )
+                     AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS bm25
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
