@@ -668,6 +668,21 @@ def q_docs_bm25_topk(sf_dir: str):
     return bm25_topk(ds, BM25_TERMS, stats, k=10)
 
 
+def q_docs_perplexity(sf_dir: str):
+    """Bigram-LM self-perplexity per lang (stages.ngram_lm): the
+    KenLM-style quality-filter shape. Pass 1 folds per-batch bigram
+    partials into a loud-guarded model; pass 2 scores in an actor pool
+    against the broadcast model (pc.index_in hash probes, no Python
+    per token) and folds per-lang partials — per-doc rows never reach
+    the driver. The DuckDB oracle re-derives the identical model and
+    scores from the same tokenization (lag() over ordered unnest)."""
+    from ..stages.ngram_lm import bigram_counts, perplexity_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    model = bigram_counts(ds)
+    return perplexity_by_lang(ds, model, k=0.5)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2180,6 +2195,7 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
     "docs_bm25_topk": q_docs_bm25_topk,
+    "docs_perplexity": q_docs_perplexity,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2485,6 +2501,47 @@ ORACLE_SQL = {
         )
         SELECT doc_id, round(score, 4) AS bm25
         FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "docs_perplexity": """
+        -- add-0.5-smoothed bigram self-perplexity; tokenization =
+        -- lowercase [a-z0-9]+ runs (stages/bm25.py TOKEN_SPLIT_RE),
+        -- BOS = chr(2) per document (stages/ngram_lm.py)
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        pairs AS (
+            SELECT doc_id, lang, tok, pos,
+                   coalesce(lag(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos), chr(2)) AS prev
+            FROM toks
+        ),
+        bg AS (SELECT prev, tok, count(*)::DOUBLE AS n
+               FROM pairs GROUP BY prev, tok),
+        ctx AS (SELECT prev, sum(n) AS cn FROM bg GROUP BY prev),
+        vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM bg),
+        scored AS (
+            SELECT p.doc_id, any_value(p.lang) AS lang,
+                   count(*)::DOUBLE AS n_tok,
+                   sum(ln((bg.n + 0.5) / (ctx.cn + 0.5 * (vocab.v + 1))))
+                     AS logp
+            FROM pairs p
+            JOIN bg ON bg.prev = p.prev AND bg.tok = p.tok
+            JOIN ctx ON ctx.prev = p.prev
+            CROSS JOIN vocab
+            GROUP BY p.doc_id
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
+        FROM scored GROUP BY lang ORDER BY lang
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
