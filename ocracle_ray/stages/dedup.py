@@ -1348,11 +1348,23 @@ def simhash_neardup_pairs(
 # ------------------------------------------- n-gram jaccard brute force
 
 def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
-                        k_shingle: int = 3, n_buckets: int = 8, max_bucket: int = 2048):
-    """All-pairs exact Jaccard within key-hash buckets — the brute-force
-    baseline (only pairs whose keys hash to the same bucket are compared;
-    with n_buckets=1 it is a true all-pairs pass for small corpora)."""
+                        k_shingle: int = 3, n_buckets: int = 8, max_bucket: int = 2048,
+                        metric: str = "jaccard"):
+    """All-pairs exact set similarity within key-hash buckets — the
+    brute-force baseline (only pairs whose keys hash to the same bucket
+    are compared; with n_buckets=1 it is a true all-pairs pass for
+    small corpora).
+
+    ``metric='jaccard'`` scores |A∩B| / |A∪B|; ``metric='containment'``
+    scores |A∩B| / min(|A|, |B|) — the asymmetric wrapper-dedup rule
+    (doc B = doc A + boilerplate shell has containment ~1 while its
+    jaccard shrinks with the shell), i.e. Broder's containment
+    coefficient. Same inverted-index kernel either way; only the
+    keep rule and the score column name change."""
     import pandas as pd
+
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"metric {metric!r} (jaccard/containment)")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = pa.array([int(k) % n_buckets for k in t[key].to_pylist()], pa.int32())
@@ -1376,7 +1388,7 @@ def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                metric: pa.array([], pa.float64()),
             }
         )
         if n < 2:
@@ -1403,9 +1415,12 @@ def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
             return empty
         enc, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
         ai, bi = enc // n, enc % n
-        union = sizes[ai] + sizes[bi] - counts
-        jac = counts / np.maximum(union, 1)
-        keep = jac >= threshold
+        if metric == "containment":
+            denom = np.minimum(sizes[ai], sizes[bi])
+        else:
+            denom = sizes[ai] + sizes[bi] - counts
+        score = counts / np.maximum(denom, 1)
+        keep = score >= threshold
         a_keys, b_keys = ks[ai[keep]], ks[bi[keep]]
         swap = a_keys > b_keys
         a_keys[swap], b_keys[swap] = b_keys[swap], a_keys[swap].copy()
@@ -1413,7 +1428,7 @@ def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
             {
                 "a": pa.array(a_keys, pa.int64()),
                 "b": pa.array(b_keys, pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                metric: pa.array(np.round(score[keep], 6), pa.float64()),
             }
         )
 
@@ -1424,8 +1439,18 @@ def ngram_jaccard_pairs(ds, key: str, text: str, *, threshold: float = 0.8,
         .to_pandas()
     )
     if out.empty:  # empty input -> column-less frame from to_pandas
-        return _empty_pairs_df("jaccard")
+        return _empty_pairs_df(metric)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def ngram_containment_pairs(ds, key: str, text: str, *,
+                            threshold: float = 0.9, **kw):
+    """Asymmetric wrapper-dedup: pairs whose smaller shingle set is
+    ``threshold``-contained in the other (|A∩B| / min(|A|,|B|)). The
+    case jaccard misses: page B = page A + a boilerplate shell."""
+    return ngram_jaccard_pairs(
+        ds, key, text, threshold=threshold, metric="containment", **kw
+    )
 
 
 # --------------------------------------------------- embedding near-dup

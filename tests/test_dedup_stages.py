@@ -102,6 +102,43 @@ def test_minhash_subset_of_bruteforce():
     assert ones <= set(zip(lsh["a"], lsh["b"]))
 
 
+def test_ngram_containment_wrapper_dedup():
+    """The asymmetric case jaccard misses: doc B = doc A inside a
+    boilerplate shell — containment 1.0, jaccard well below 0.8."""
+    import ray.data as rd
+
+    from ocracle_ray.core.dedup import word_shingles
+    from ocracle_ray.stages.dedup import ngram_containment_pairs
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    shell = ("nav home login search " + core
+             + " footer contact privacy terms copyright sitemap")
+    other = "one two three four five six seven eight nine ten"
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [core, shell, other],
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = ngram_containment_pairs(ds, "doc_id", "text",
+                                  threshold=0.9, n_buckets=1)
+    assert list(zip(out["a"], out["b"])) == [(1, 2)]
+    # reference: |A∩B| / min(|A|,|B|) over word-3-gram sets
+    sa, sb = set(word_shingles(core)), set(word_shingles(shell.lower()))
+    ref = len(sa & sb) / min(len(sa), len(sb))
+    assert out["containment"].iloc[0] == round(ref, 6)
+    # jaccard would NOT pair them at the usual threshold
+    jac = len(sa & sb) / len(sa | sb)
+    assert jac < 0.8 and ref >= 0.9
+    from ocracle_ray.stages.dedup import ngram_jaccard_pairs
+
+    bf = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8, n_buckets=1)
+    assert len(bf) == 0
+    with pytest.raises(ValueError, match="metric"):
+        ngram_jaccard_pairs(ds, "doc_id", "text", metric="cosine")
+
+
 def test_simhash_dups_stage():
     out = simhash_dups(_docs_ds(), "doc_id", "text").to_pandas()
     assert (out["n_docs"] > 1).all()
