@@ -254,6 +254,18 @@ _BITREV = np.packbits(
 )[:, 0]
 
 
+def _ints(tags, tag, default=None):
+    """Tag payload validated as an integer list (malformed files can
+    flip a tag's type field so a numeric tag parses as bytes — the
+    skip-row contract demands ValueError, not a TypeError downstream)."""
+    v = tags.get(tag)
+    if v is None:
+        return default
+    if not all(isinstance(x, (int, np.integer)) for x in v):
+        raise ValueError(f"TIFF: tag {tag} has a non-integer payload")
+    return v
+
+
 def _decode_bilevel(data, tags, w, h, comp, photo, fill_order, tiled=False):
     """1-bit strips or tiles: uncompressed packed bits, CCITT MH
     (compression 2) or G4 (compression 4). Each segment (strip or tile)
@@ -278,12 +290,12 @@ def _decode_bilevel(data, tags, w, h, comp, photo, fill_order, tiled=False):
         return np.unpackbits(rows, axis=1)[:, :seg_w]
 
     if tiled:
-        tw = tags.get(322, [0])[0]
-        tl = tags.get(323, [0])[0]
+        tw = _ints(tags, 322, [0])[0]
+        tl = _ints(tags, 323, [0])[0]
         if tw <= 0 or tl <= 0:
             raise ValueError(f"TIFF: bad tile size {tw}x{tl}")
-        offsets = tags.get(324)
-        counts = tags.get(325)
+        offsets = _ints(tags, 324)
+        counts = _ints(tags, 325)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing/mismatched tile offsets or byte counts")
         across = -(-w // tw)
@@ -299,11 +311,11 @@ def _decode_bilevel(data, tags, w, h, comp, photo, fill_order, tiled=False):
             ty, tx = (idx // across) * tl, (idx % across) * tw
             bits[ty : ty + tl, tx : tx + tw] = tile[: h - ty, : w - tx]
     else:
-        offsets = tags.get(273)
-        counts = tags.get(279)
+        offsets = _ints(tags, 273)
+        counts = _ints(tags, 279)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
-        rows_per_strip = tags.get(278, [h])[0]
+        rows_per_strip = _ints(tags, 278, [h])[0]
         rows_left = h
         parts = []
         for soff, scnt in zip(offsets, counts):
@@ -333,13 +345,15 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if default is None:
                 raise ValueError(f"TIFF: required tag {tag} missing")
             return default
+        if not isinstance(v[0], (int, np.integer)):
+            raise ValueError(f"TIFF: tag {tag} has a non-integer payload")
         return v[0]
 
     w, h = one(256), one(257)
     if w <= 0 or h <= 0 or w * h > 500_000_000:
         raise ValueError(f"TIFF: bad dimensions {w}x{h}")
     spp = one(277, 1)
-    bps = tags.get(258, [8])
+    bps = _ints(tags, 258, [8])
     comp = one(259, 1)
     photo = one(262, 1)
     planar = one(284, 1)
@@ -366,13 +380,13 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         # stream at JPEGInterchangeFormat (513) / ...Length (514).
         # The per-strip variant driven by the 517/519/520 table tags
         # is the part TN2 killed — honest gate below.
-        off = tags.get(513)
+        off = _ints(tags, 513)
         if not off:
             raise NotImplementedError(
                 "TIFF: old-style per-strip JPEG (compression 6 without "
                 "a JPEGInterchangeFormat stream)"
             )
-        ln = tags.get(514, [len(data) - off[0]])[0]
+        ln = _ints(tags, 514, [len(data) - off[0]])[0]
         stream = data[off[0] : off[0] + ln]
         if len(stream) != ln:
             raise ValueError("TIFF: JPEGInterchangeFormat out of range")
@@ -473,8 +487,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         tw, tl = one(322), one(323)
         if tw <= 0 or tl <= 0:
             raise ValueError(f"TIFF: bad tile size {tw}x{tl}")
-        offsets = tags.get(324)
-        counts = tags.get(325)
+        offsets = _ints(tags, 324)
+        counts = _ints(tags, 325)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing/mismatched tile offsets or byte counts")
         across = -(-w // tw)
@@ -493,8 +507,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             # edge tiles are full-size in the file; crop the padding
             px[ty : ty + tl, tx : tx + tw] = tile[: h - ty, : w - tx]
     else:
-        offsets = tags.get(273)
-        counts = tags.get(279)
+        offsets = _ints(tags, 273)
+        counts = _ints(tags, 279)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing/mismatched strip offsets or byte counts")
         rows_per_strip = one(278, h)
@@ -512,7 +526,7 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
         if photo == 0:  # WhiteIsZero
             px = 255 - px
         if photo == 3:  # palette: ColorMap is 3*2^bits uint16s
-            cmap = tags.get(320)
+            cmap = _ints(tags, 320)
             if not cmap or len(cmap) < 3 * 256:
                 raise ValueError("TIFF: palette image without a full ColorMap")
             lut = (np.asarray(cmap[: 3 * 256], np.uint32).reshape(3, 256) >> 8).astype(

@@ -1,0 +1,111 @@
+"""Codec fuzz contracts: the multimodal stages skip-row ONLY on
+``(NotImplementedError, ValueError)`` (stages/multimodal.py), so every
+stdlib decoder must map arbitrary malformed bytes to exactly those —
+an ``IndexError``/``struct.error`` escaping a decoder would crash a
+production pipeline instead of skipping the row.
+
+Three corruption families per codec, all seeded/deterministic:
+truncations of a valid file, single-byte flips, and valid-magic +
+random tails. JPEG is exempt from the strict rule (its stage contract
+is a deliberate broad ``except Exception`` for truncated-header
+shapes) — for it the test only asserts termination.
+"""
+
+import numpy as np
+import pytest
+
+from ocracle_ray.core.bmp import encode_bmp
+from ocracle_ray.core.gif import encode_gif
+from ocracle_ray.core.jpeg import encode_jpeg
+from ocracle_ray.core.png import encode_png
+from ocracle_ray.core.tiff import encode_tiff
+from ocracle_ray.core.wav import encode_wav
+from ocracle_ray.core.webp import encode_webp, encode_webp_animated
+
+STRICT = (NotImplementedError, ValueError)
+
+
+def _img(seed=5, shape=(12, 14, 3)):
+    return np.random.RandomState(seed).randint(0, 256, shape, dtype=np.uint8)
+
+
+def _valid_files():
+    g = _img()
+    frames = [_img(i, (6, 8, 3)) for i in range(3)]
+    tone = 0.3 * np.sin(2 * np.pi * 440 * np.arange(500) / 8000.0)
+    pal = np.random.RandomState(3).randint(0, 256, (8, 3), dtype=np.uint8)
+    idx = np.random.RandomState(4).randint(0, 8, (10, 12)).astype(np.uint8)
+    return {
+        "png": encode_png(g),
+        "gif": encode_gif(idx, pal),
+        "bmp": encode_bmp(g),
+        "tiff": encode_tiff(g, compression="lzw", predictor=True,
+                            rows_per_strip=5),
+        "webp": encode_webp(g),
+        "webp_anim": encode_webp_animated(frames),
+        "wav": encode_wav(tone, 8000),
+        "jpeg": encode_jpeg(g, quality=85),
+    }
+
+
+def _decoder(name):
+    from ocracle_ray.core import bmp, gif, jpeg, png, tiff, wav, webp
+
+    return {
+        "png": png.decode_png,
+        "gif": gif.decode_gif,
+        "bmp": bmp.decode_bmp,
+        "tiff": tiff.decode_tiff,
+        "webp": webp.decode_webp,
+        "webp_anim": webp.decode_webp_frames,
+        "wav": wav.decode_wav,
+        "jpeg": jpeg.decode_jpeg,
+    }[name]
+
+
+def _mutations(data: bytes, rng):
+    # every truncation length for small files, sampled for larger
+    lengths = range(len(data)) if len(data) <= 160 else sorted(
+        rng.choice(len(data), 128, replace=False)
+    )
+    for ln in lengths:
+        yield data[:ln]
+    # single-byte flips across the whole file (full sweep when small)
+    positions = range(len(data)) if len(data) <= 300 else sorted(
+        rng.choice(len(data), 256, replace=False)
+    )
+    for pos in positions:
+        b = bytearray(data)
+        b[pos] ^= 1 << int(rng.randint(8))
+        yield bytes(b)
+    # multi-byte scrambles of the header region
+    for _ in range(32):
+        b = bytearray(data)
+        start = int(rng.randint(max(1, len(b) - 8)))
+        b[start : start + 8] = rng.bytes(min(8, len(b) - start))
+        yield bytes(b)
+    # valid magic + random tail
+    for n in (4, 16, 128, 512):
+        yield data[:12] + rng.bytes(n)
+
+
+@pytest.mark.parametrize("name", sorted(_valid_files()))
+def test_fuzz_decoder_error_contract(name):
+    data = _valid_files()[name]
+    decode = _decoder(name)
+    rng = np.random.RandomState(hash(name) % (2**31))
+    strict = name != "jpeg"  # jpeg's stage contract is broad by design
+    for i, mut in enumerate(_mutations(data, rng)):
+        try:
+            decode(mut)
+        except STRICT:
+            continue
+        except Exception as exc:  # noqa: BLE001 — the fuzz assertion
+            if strict:
+                raise AssertionError(
+                    f"{name} mutation {i}: {type(exc).__name__} escaped "
+                    f"the (NotImplementedError, ValueError) skip contract: "
+                    f"{exc}"
+                ) from exc
+        # decoding to a (possibly wrong) image is acceptable: a flipped
+        # pixel byte is still a valid file
