@@ -48,6 +48,11 @@ MAX_TERMS = 64
 def _check_terms(terms: list[str]) -> None:
     if not terms or len(terms) > MAX_TERMS:
         raise ValueError(f"BM25 term set must be 1..{MAX_TERMS} terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "BM25 term set has duplicates (a repeated term would "
+            "double-count its score contribution)"
+        )
     for t in terms:
         if not t or any(not ("a" <= c <= "z" or "0" <= c <= "9") for c in t):
             raise ValueError(

@@ -100,5 +100,7 @@ def test_bm25_term_contracts(ray_session):
         corpus_stats(ds, ["two words"])
     with pytest.raises(ValueError, match="1.."):
         corpus_stats(ds, ["t"] * (MAX_TERMS + 1))
+    with pytest.raises(ValueError, match="duplicates"):
+        corpus_stats(ds, ["dup", "dup"])
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_topk(ds, ["a"], {"n_docs": 0, "total_dl": 0, "df": [0]})
