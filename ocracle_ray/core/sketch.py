@@ -268,3 +268,97 @@ def kmv_distinct_by(ds, key: str, column: str, *, k: int = 1024):
         .groupby([key, "_knull"])
         .map_groups(fold, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit key hashes — the exact-dedup
+    SHUFFLE PREFILTER at corpus scale: build per-partition filters in
+    one streaming pass (map partials, OR-merge — associative and
+    commutative, so tree-merge at 100 TB), then a negative lookup
+    PROVES a key was never seen anywhere, so only Bloom-positive keys
+    (true duplicates + ~fp_rate false positives) need to enter the
+    dedup exchange at all. For a mostly-unique corpus that removes
+    almost the whole all-to-all.
+
+    Deterministic double hashing (Kirsch–Mitzenmacher): bit positions
+    ``(h1 + i*h2) mod m`` for ``i < k`` with ``h1``/``h2`` splitmix64
+    finalizers of the input hash (``h2`` forced odd). Parameters from
+    the standard sizing ``m = -n ln p / (ln 2)^2``, ``k = (m/n) ln 2``.
+    No false negatives ever; the numpy bit array is vectorized for
+    both add and lookup (``np.bitwise_or.at`` scatter, gather + AND)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        import math
+
+        if capacity < 1 or not (0.0 < fp_rate < 1.0):
+            raise ValueError(f"bad Bloom sizing: {capacity=} {fp_rate=}")
+        m_bits = int(round(-capacity * math.log(fp_rate) / math.log(2) ** 2))
+        self.m = max(64, (m_bits + 63) // 64 * 64)  # whole uint64 words
+        self.k = max(1, int(round(self.m / capacity * math.log(2))))
+        self.capacity = capacity
+        self.fp_rate = fp_rate
+        self.words = np.zeros(self.m // 64, np.uint64)
+
+    def _positions(self, hashes) -> np.ndarray:
+        h = np.asarray(hashes, np.uint64)
+        from .dedup import _splitmix64
+
+        h1 = _splitmix64(h)
+        h2 = _splitmix64(h ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add_hashes(self, hashes) -> None:
+        if len(hashes) == 0:
+            return
+        pos = self._positions(hashes).reshape(-1)
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_hashes(self, hashes) -> np.ndarray:
+        """Boolean mask; False is a PROOF the key was never added."""
+        if len(hashes) == 0:
+            return np.zeros(0, bool)
+        pos = self._positions(hashes)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.all(axis=1)
+
+    def _check_same(self, other: "BloomFilter") -> None:
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError(
+                f"Bloom merge needs identical sizing: "
+                f"(m={self.m}, k={self.k}) vs (m={other.m}, k={other.k})"
+            )
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_same(other)
+        out = BloomFilter(self.capacity, self.fp_rate)
+        out.words = self.words | other.words
+        return out
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.words.view(np.uint8)).mean())
+
+    def serialize(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, capacity: int,
+                    fp_rate: float = 0.01) -> "BloomFilter":
+        out = cls(capacity, fp_rate)
+        words = np.frombuffer(data, np.uint64)
+        if len(words) != len(out.words):
+            raise ValueError(
+                f"Bloom blob has {len(words)} words, sizing expects "
+                f"{len(out.words)}"
+            )
+        out.words = words.copy()
+        return out

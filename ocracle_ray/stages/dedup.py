@@ -105,6 +105,37 @@ def exact_dedup(ds, key: str, text: str, n_buckets: int = 64):
     )
 
 
+def build_hash_bloom(ds, col: str, *, capacity: int, fp_rate: float = 0.01):
+    """One streaming pass -> a merged ``core.sketch.BloomFilter`` over
+    the uint64/int64 hash column ``col`` — the exact-dedup SHUFFLE
+    PREFILTER: a negative ``contains_hashes`` lookup PROVES a key never
+    occurred in ``ds``, so a second corpus (or a later partition of the
+    same job) can drop provably-unseen keys before any dedup exchange;
+    only Bloom-positive keys (true dups + ~fp_rate false positives)
+    shuffle. Per-batch partial filters ride back as m/8-byte blobs and
+    OR-fold on the driver — the merge is associative and commutative,
+    so at 100 TB the fold becomes a per-partition tree-merge instead."""
+    from ..core.sketch import BloomFilter
+
+    proto = BloomFilter(capacity, fp_rate)
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = BloomFilter(capacity, fp_rate)
+        b.add_hashes(
+            t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table({"blob": pa.array([b.serialize()], pa.large_binary())})
+
+    merged = proto
+    for part in ds.map_batches(partial, batch_format="pyarrow").to_pandas()[
+        "blob"
+    ]:
+        merged = merged.merge(
+            BloomFilter.deserialize(part, capacity, fp_rate)
+        )
+    return merged
+
+
 # ------------------------------------------------------------- minhash
 
 class MinHasher:
