@@ -18,12 +18,13 @@ unigram vocabulary size and the ``+1`` covers the unseen-token mass.
 Two streaming passes (the stages/bm25.py shape):
 
 1. ``bigram_counts`` — per-batch partial bigram-count tables (Arrow
-   ``group_by`` inside the batch) folded with a tiny driver groupby.
-   The vocabulary is the natural-language long tail at 100 TB, so the
-   fold is guarded LOUD at ``MAX_VOCAB_BIGRAMS`` (the honest ceiling:
-   a bigger model needs a count-shuffle + pruning pass, a different
-   op) — the partials are already per-batch aggregated, so driver
-   traffic is O(distinct bigrams), never O(tokens).
+   ``group_by`` inside the batch) STREAM-folded on the driver via
+   ``iter_batches`` (never a full pull). The vocabulary is the
+   natural-language long tail at 100 TB, so the fold is guarded LOUD
+   and CONTINUOUSLY at ``MAX_VOCAB_BIGRAMS`` — it aborts on the batch
+   that crosses the ceiling (the honest limit: a bigger model needs a
+   count-shuffle + pruning pass, a different op). Driver traffic is
+   O(distinct bigrams), never O(tokens).
 2. ``perplexity_by_lang`` — an actor-pool scorer holding the model as
    Arrow value-set arrays (shipped once via ``ray.put`` +
    ``broadcast.cached_get``); per-token lookups are ``pc.index_in``
@@ -92,23 +93,38 @@ def bigram_counts(ds, *, text_col: str = "text") -> dict:
     as parallel lists plus the vocabulary size. The driver fold is one
     pandas groupby over O(distinct bigrams) rows, guarded at
     ``MAX_VOCAB_BIGRAMS``."""
-    parts = ds.map_batches(
+    part_ds = ds.map_batches(
         lambda t: _batch_bigrams(t[text_col]), batch_format="pyarrow"
-    ).to_pandas()
-    folded = parts.groupby(["prev", "tok"], as_index=False)["n"].sum()
-    if len(folded) > MAX_VOCAB_BIGRAMS:
-        raise ValueError(
-            f"bigram model has {len(folded)} entries > "
-            f"MAX_VOCAB_BIGRAMS={MAX_VOCAB_BIGRAMS}: prune with a "
-            "count-shuffle pass before scoring (different op)"
-        )
-    ctx = folded.groupby("prev", as_index=False)["n"].sum()
+    )
+    # stream-fold the per-batch partials (one pass, no full driver
+    # pull), guarding the model size CONTINUOUSLY — a vocabulary past
+    # the ceiling aborts on the batch that crosses it, not after
+    # holding everything
+    merged: dict = {}
+    for bt in part_ds.iter_batches(batch_format="pyarrow"):
+        for p, t_, n in zip(
+            bt["prev"].to_pylist(), bt["tok"].to_pylist(), bt["n"].to_pylist()
+        ):
+            k = p + SEP + t_
+            merged[k] = merged.get(k, 0) + n
+        if len(merged) > MAX_VOCAB_BIGRAMS:
+            raise ValueError(
+                f"bigram model exceeds MAX_VOCAB_BIGRAMS="
+                f"{MAX_VOCAB_BIGRAMS}: prune with a distributed "
+                "count-shuffle pass before scoring (different op)"
+            )
+    ctx: dict = {}
+    vocab = set()
+    for k, n in merged.items():
+        p, t_ = k.split(SEP, 1)
+        ctx[p] = ctx.get(p, 0) + n
+        vocab.add(t_)
     return {
-        "bg_keys": (folded["prev"] + SEP + folded["tok"]).tolist(),
-        "bg_n": folded["n"].astype("int64").tolist(),
-        "ctx_keys": ctx["prev"].tolist(),
-        "ctx_n": ctx["n"].astype("int64").tolist(),
-        "vocab_size": int(folded["tok"].nunique()),
+        "bg_keys": list(merged),
+        "bg_n": [int(v) for v in merged.values()],
+        "ctx_keys": list(ctx),
+        "ctx_n": [int(v) for v in ctx.values()],
+        "vocab_size": len(vocab),
     }
 
 
