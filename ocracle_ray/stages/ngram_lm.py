@@ -90,9 +90,9 @@ def _batch_bigrams(texts) -> pa.Table:
 
 def bigram_counts(ds, *, text_col: str = "text") -> dict:
     """Pass 1 -> the model: bigram keys/counts and context keys/counts
-    as parallel lists plus the vocabulary size. The driver fold is one
-    pandas groupby over O(distinct bigrams) rows, guarded at
-    ``MAX_VOCAB_BIGRAMS``."""
+    as parallel lists plus the vocabulary size. Per-batch partials are
+    stream-folded on the driver (``iter_batches``), guarded
+    continuously at ``MAX_VOCAB_BIGRAMS``."""
     part_ds = ds.map_batches(
         lambda t: _batch_bigrams(t[text_col]), batch_format="pyarrow"
     )
