@@ -68,3 +68,23 @@ def annotate_text(ds, text_col: str = "text", concurrency=2, **kwargs):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def scrub_text(ds, text_col: str = "text"):
+    """PII redaction over ``text_col`` (``core.scrub``): replaces the
+    column with its redacted form and appends exact per-row
+    ``n_email`` / ``n_ipv4`` / ``n_phone`` insertion counts. Pure
+    Arrow kernels per batch (RE2 replace + substring counts) — a plain
+    task map, no actor state to hold."""
+    from ..core.scrub import scrub_pii
+
+    def fn(t: pa.Table) -> pa.Table:
+        redacted, counts = scrub_pii(t[text_col])
+        t = t.set_column(
+            t.schema.get_field_index(text_col), text_col, redacted
+        )
+        for name, arr in counts.items():
+            t = t.append_column(name, arr)
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
