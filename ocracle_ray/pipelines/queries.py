@@ -683,6 +683,21 @@ def q_docs_perplexity(sf_dir: str):
     return perplexity_by_lang(ds, model, k=0.5)
 
 
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per lang
+    (stages.gopher): top-bigram char coverage + duplicate-5-gram
+    occurrence fraction — the degenerate-repetition gate docs_quality's
+    length/punct signals can't see. One streaming pass, no shuffle:
+    in-batch Arrow group_by per (doc, gram), per-lang partials folded
+    on the driver. The DuckDB oracle re-derives both signals from the
+    same tokenization (lag() windows over ordered unnest), including
+    the smallest-key tie-break for the top bigram."""
+    from ..stages.gopher import repetition_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return repetition_by_lang(ds)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2196,6 +2211,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_bm25_topk": q_docs_bm25_topk,
     "docs_perplexity": q_docs_perplexity,
+    "docs_repetition": q_docs_repetition,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2542,6 +2558,71 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "docs_repetition": """
+        -- Gopher-style repetition signals; tokenization = lowercase
+        -- [a-z0-9]+ runs (stages/bm25.py TOKEN_SPLIT_RE); top-bigram
+        -- ties break by the smallest chr(1)-joined key, the engine's
+        -- rule (stages/gopher.py)
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        chars AS (
+            SELECT doc_id, sum(length(tok))::DOUBLE AS tc
+            FROM toks GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id, lag(tok) OVER w AS w1, tok AS w2
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        bigc AS (
+            SELECT doc_id, w1, w2, count(*) AS c,
+                   length(w1) + length(w2) AS cl
+            FROM big WHERE w1 IS NOT NULL GROUP BY doc_id, w1, w2
+        ),
+        top AS (
+            SELECT doc_id, (c * cl)::DOUBLE AS cover FROM (
+                SELECT doc_id, c, cl,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY c DESC, w1 || chr(1) || w2
+                       ) AS rn
+                FROM bigc
+            ) WHERE rn = 1
+        ),
+        five AS (
+            SELECT doc_id,
+                   lag(tok, 4) OVER w AS a, lag(tok, 3) OVER w AS b,
+                   lag(tok, 2) OVER w AS c2, lag(tok, 1) OVER w AS d,
+                   tok AS e
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        fivec AS (
+            SELECT doc_id, count(*)::DOUBLE AS total5,
+                   count(DISTINCT a || chr(1) || b || chr(1) || c2
+                         || chr(1) || d || chr(1) || e)::DOUBLE
+                     AS distinct5
+            FROM five WHERE a IS NOT NULL GROUP BY doc_id
+        )
+        SELECT d.lang, count(*) AS n_docs,
+               round(avg(coalesce(t.cover / nullif(ch.tc, 0), 0)), 4)
+                 AS avg_top_bigram_char_frac,
+               round(avg(coalesce(1 - f.distinct5 / f.total5, 0)), 4)
+                 AS avg_dup_5gram_frac
+        FROM docs d
+        LEFT JOIN chars ch USING (doc_id)
+        LEFT JOIN top t USING (doc_id)
+        LEFT JOIN fivec f USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
