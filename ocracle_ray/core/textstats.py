@@ -89,6 +89,41 @@ def quality_score(text: str) -> float:
     return score
 
 
+def quality_scores_vec(texts) -> "np.ndarray":
+    """Vectorized ``quality_score`` over an Arrow string array — RE2
+    ``count_substring_regex`` kernels, the exact ASCII classes the
+    DuckDB oracle runs (the hot-path form q_docs_quality and the
+    filter funnel share)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words = (
+        pc.count_substring_regex(texts, r"[^ \t\n\r\f]+")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n_ws = (
+        pc.count_substring_regex(texts, r"[ \t\n\r\f]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n_punct = (
+        pc.count_substring_regex(texts, r"[!-/:-@\[-`{-~]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_wl = np.where(n_words > 0, (n - n_ws) / np.maximum(n_words, 1), 0.0)
+        pr = np.where(n > 0, n_punct / np.maximum(n, 1), 0.0)
+    return (
+        0.25 * ((n >= 50) & (n <= 10000))
+        + 0.25 * ((n_words > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0))
+        + 0.25 * ((n == 0) | (pr < 0.2))
+        + 0.25 * (n_words >= 10)
+    )
+
+
 # ASCII whitespace tokenizer for lang-id — deliberately ASCII (like
 # _TOKEN_RE/_PUNCT_RE above) so the DuckDB oracle's RE2 '\s+' mirrors
 # it exactly; NBSP/U+3000-joined words count as one token on BOTH

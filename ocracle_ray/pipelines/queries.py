@@ -611,34 +611,12 @@ def q_docs_quality(sf_dir: str):
     token count and punctuation via RE2 ``count_substring_regex``
     (mean word length = non-whitespace chars / tokens, since split
     tokens partition exactly the non-whitespace characters)."""
+    from ..core.textstats import quality_scores_vec
+
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def add_q(t: pa.Table) -> pa.Table:
-        n = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.float64)
-        n_words = (
-            pc.count_substring_regex(t["text"], r"[^ \t\n\r\f]+")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        n_ws = (
-            pc.count_substring_regex(t["text"], r"[ \t\n\r\f]")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        n_punct = (
-            pc.count_substring_regex(t["text"], r"[!-/:-@\[-`{-~]")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mean_wl = np.where(n_words > 0, (n - n_ws) / np.maximum(n_words, 1), 0.0)
-            pr = np.where(n > 0, n_punct / np.maximum(n, 1), 0.0)
-        q = (
-            0.25 * ((n >= 50) & (n <= 10000))
-            + 0.25 * ((n_words > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0))
-            + 0.25 * ((n == 0) | (pr < 0.2))
-            + 0.25 * (n_words >= 10)
-        )
+        q = quality_scores_vec(t["text"])
         return pa.table({"lang": t["lang"], "q": pa.array(q, pa.float64())})
 
     out = driver_grouped_agg(
@@ -696,6 +674,21 @@ def q_docs_repetition(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
     return repetition_by_lang(ds)
+
+
+def q_docs_filter_funnel(sf_dir: str):
+    """The composite training-data filter funnel (stages.funnel): all
+    five gates — exact-dup, min-tokens, quality, perplexity,
+    repetition — in ONE scoring pass with first-failing-gate
+    attribution; per-lang outcome counts partition n_docs exactly.
+    Two loud-guarded prep passes (bigram model + conflicted-fp winner
+    map) broadcast once; per-doc rows never reach the driver. The
+    DuckDB oracle re-derives every gate AND the attribution order from
+    the same tokenization and thresholds."""
+    from ..stages.funnel import filter_funnel_by_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return filter_funnel_by_lang(ds)
 
 
 def q_docs_langid(sf_dir: str):
@@ -2212,6 +2205,7 @@ QUERIES = {
     "docs_bm25_topk": q_docs_bm25_topk,
     "docs_perplexity": q_docs_perplexity,
     "docs_repetition": q_docs_repetition,
+    "docs_filter_funnel": q_docs_filter_funnel,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2623,6 +2617,125 @@ ORACLE_SQL = {
         LEFT JOIN top t USING (doc_id)
         LEFT JOIN fivec f USING (doc_id)
         GROUP BY d.lang ORDER BY d.lang
+    """,
+    "docs_filter_funnel": f"""
+        -- composite funnel: first-failing gate in the fixed order
+        -- dup -> short(<10 toks) -> quality(<0.75) -> ppl(>29.6 on
+        -- round(.,6)) -> repetition(top-bigram frac > 0.2) -> kept;
+        -- tokenization/model/signals shared verbatim with the
+        -- docs_perplexity / docs_repetition / docs_quality oracles
+        WITH dupr AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY {_TNORM}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        pairs AS (
+            SELECT doc_id, tok, pos,
+                   coalesce(lag(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos), chr(2)) AS prev
+            FROM toks
+        ),
+        bg AS (SELECT prev, tok, count(*)::DOUBLE AS n
+               FROM pairs GROUP BY prev, tok),
+        ctx AS (SELECT prev, sum(n) AS cn FROM bg GROUP BY prev),
+        vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM bg),
+        scored AS (
+            SELECT p.doc_id, count(*)::DOUBLE AS n_tok,
+                   sum(ln((bg.n + 0.5) / (ctx.cn + 0.5 * (vocab.v + 1))))
+                     AS logp
+            FROM pairs p
+            JOIN bg ON bg.prev = p.prev AND bg.tok = p.tok
+            JOIN ctx ON ctx.prev = p.prev
+            CROSS JOIN vocab
+            GROUP BY p.doc_id
+        ),
+        chars AS (
+            SELECT doc_id, sum(length(tok))::DOUBLE AS tc
+            FROM toks GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id, lag(tok) OVER w AS w1, tok AS w2
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        bigc AS (
+            SELECT doc_id, w1, w2, count(*) AS c,
+                   length(w1) + length(w2) AS cl
+            FROM big WHERE w1 IS NOT NULL GROUP BY doc_id, w1, w2
+        ),
+        top AS (
+            SELECT doc_id, (c * cl)::DOUBLE AS cover FROM (
+                SELECT doc_id, c, cl,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY c DESC, w1 || chr(1) || w2
+                       ) AS rn
+                FROM bigc
+            ) WHERE rn = 1
+        ),
+        qual AS (
+            SELECT doc_id,
+                 (CASE WHEN length(text) BETWEEN 50 AND 10000
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words > 0
+                       AND (sum_wl * 1.0 / n_words) BETWEEN 3.0 AND 12.0
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN length(text) = 0
+                       OR (n_punct * 1.0 / length(text)) < 0.2
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END) AS q
+            FROM (
+                SELECT doc_id, text,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')) AS n_words,
+                       coalesce(list_sum(list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> ''),
+                           x -> length(x))), 0) AS sum_wl,
+                       length(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+                         AS n_punct
+                FROM documents
+            )
+        ),
+        per AS (
+            SELECT d.lang,
+                   CASE
+                     WHEN dupr.rn > 1 THEN 'dup'
+                     WHEN coalesce(s.n_tok, 0) < 10 THEN 'short'
+                     WHEN qual.q < 0.75 THEN 'quality'
+                     WHEN round(exp(-s.logp / s.n_tok), 6) > 29.6
+                       THEN 'ppl'
+                     WHEN coalesce(t.cover / nullif(ch.tc, 0), 0) > 0.2
+                       THEN 'repetition'
+                     ELSE 'kept'
+                   END AS outcome
+            FROM documents d
+            JOIN dupr USING (doc_id)
+            JOIN qual USING (doc_id)
+            LEFT JOIN scored s USING (doc_id)
+            LEFT JOIN chars ch USING (doc_id)
+            LEFT JOIN top t USING (doc_id)
+        )
+        SELECT lang, count(*) AS n_docs,
+               count(*) FILTER (outcome = 'kept') AS n_kept,
+               count(*) FILTER (outcome = 'dup') AS n_dup,
+               count(*) FILTER (outcome = 'short') AS n_short,
+               count(*) FILTER (outcome = 'quality') AS n_quality,
+               count(*) FILTER (outcome = 'ppl') AS n_ppl,
+               count(*) FILTER (outcome = 'repetition') AS n_repetition
+        FROM per GROUP BY lang ORDER BY lang
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
