@@ -261,8 +261,10 @@ def _ints(tags, tag, default=None):
     v = tags.get(tag)
     if v is None:
         return default
-    if not all(isinstance(x, (int, np.integer)) for x in v):
-        raise ValueError(f"TIFF: tag {tag} has a non-integer payload")
+    if not v or not all(isinstance(x, (int, np.integer)) for x in v):
+        raise ValueError(
+            f"TIFF: tag {tag} has an empty or non-integer payload"
+        )
     return v
 
 
@@ -345,8 +347,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, np.ndarray]:
             if default is None:
                 raise ValueError(f"TIFF: required tag {tag} missing")
             return default
-        if not isinstance(v[0], (int, np.integer)):
-            raise ValueError(f"TIFF: tag {tag} has a non-integer payload")
+        if not v or not isinstance(v[0], (int, np.integer)):
+            raise ValueError(
+                f"TIFF: tag {tag} has an empty or non-integer payload"
+            )
         return v[0]
 
     w, h = one(256), one(257)

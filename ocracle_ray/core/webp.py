@@ -698,6 +698,10 @@ def decode_webp_frames(data: bytes) -> tuple[int, int, list[np.ndarray]]:
                 raise ValueError("WebP: short VP8X chunk")
             cw = _u24(body, 4) + 1
             ch_ = _u24(body, 7) + 1
+            # 24-bit canvas fields: cap like the TIFF dims guard, or a
+            # corrupted header demands a TiB canvas (fuzz-found)
+            if cw * ch_ > 500_000_000:
+                raise ValueError(f"WebP: bad canvas dimensions {cw}x{ch_}")
         elif fourcc == b"ANIM":
             if len(body) < 6:
                 raise ValueError("WebP: short ANIM chunk")

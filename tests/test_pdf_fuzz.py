@@ -11,6 +11,8 @@ and random tails after the header.
 
 import time
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -59,7 +61,7 @@ def test_pdf_fuzz_always_yields_a_record(variant):
     clean = extract_document("u://clean.pdf", data)
     keys = set(clean)
     assert clean["error"] == "", (variant, clean["error"])
-    rng = np.random.RandomState(hash(variant) % (2**31))
+    rng = np.random.RandomState(zlib.crc32(variant.encode()))
     for i, mut in enumerate(_mutations(data, rng)):
         t0 = time.perf_counter()
         rec = extract_document(f"u://{variant}/{i}.pdf", mut)
