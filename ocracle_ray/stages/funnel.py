@@ -47,8 +47,14 @@ def conflicted_winners(ds, *, id_col: str = "doc_id",
                        text_col: str = "text") -> dict:
     """``{fingerprint: min id}`` for fingerprints occurring MORE THAN
     once — the flagship's winner-map trick: unique docs never enter the
-    map, so it stays tiny on a mostly-unique corpus. Per-batch partials
-    (fp, min_id, n) fold on the driver, guarded at ``DUP_MAP_LIMIT``."""
+    broadcast map, so it stays tiny on a mostly-unique corpus.
+
+    Dispatch on corpus size: below ``DUP_MAP_LIMIT`` the per-batch
+    (fp, min_id, n) partials stream-fold on the driver (no shuffle —
+    the fast lane at bench scale where every exchange carries a ~5 s
+    session floor); past it the fold flips to ONE distributed
+    crc32-bucketed groupby and the driver pulls ONLY the conflicted
+    keys — at 100 TB the driver never holds the unique majority."""
 
     def partial(t: pa.Table) -> pa.Table:
         fps = pa.array(
@@ -59,10 +65,9 @@ def conflicted_winners(ds, *, id_col: str = "doc_id",
         )
         return g.rename_columns(["fp", "min_id", "n"])
 
+    part_ds = ds.map_batches(partial, batch_format="pyarrow")
     merged: dict = {}
-    for bt in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for bt in part_ds.iter_batches(batch_format="pyarrow"):
         for fp, mid, n in zip(
             bt["fp"].to_pylist(), bt["min_id"].to_pylist(), bt["n"].to_pylist()
         ):
@@ -70,11 +75,42 @@ def conflicted_winners(ds, *, id_col: str = "doc_id",
             merged[fp] = (mid if old is None else min(old[0], mid),
                           n if old is None else old[1] + n)
         if len(merged) > DUP_MAP_LIMIT:
-            raise ValueError(
-                f"funnel dup map exceeds DUP_MAP_LIMIT={DUP_MAP_LIMIT}: "
-                "use the full-shuffle exact dedup instead (stages.dedup)"
-            )
-    return {fp: mid for fp, (mid, n) in merged.items() if n > 1}
+            break
+    else:
+        return {fp: mid for fp, (mid, n) in merged.items() if n > 1}
+
+    # distributed lane: re-fold the partials with a bucketed groupby,
+    # ship only conflicted rows to the driver
+    del merged
+    import zlib
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(
+            [zlib.crc32(str(fp).encode()) % 256 for fp in t["fp"].to_pylist()],
+            pa.int32(),
+        )
+        return t.append_column("_b", b)
+
+    def fold_conflicted(group: pa.Table) -> pa.Table:
+        g = group.group_by(["fp"]).aggregate(
+            [("min_id", "min"), ("n", "sum")]
+        ).rename_columns(["fp", "min_id", "n"])
+        return g.filter(pc.greater(g["n"], 1)).select(["fp", "min_id"])
+
+    conflicted = (
+        part_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(fold_conflicted, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(conflicted) > DUP_MAP_LIMIT:
+        raise ValueError(
+            f"funnel has {len(conflicted)} CONFLICTED fingerprints > "
+            f"DUP_MAP_LIMIT={DUP_MAP_LIMIT}: a broadcast winner map no "
+            "longer fits — run the full-shuffle exact dedup instead "
+            "(stages.dedup.exact_dedup)"
+        )
+    return dict(zip(conflicted["fp"], conflicted["min_id"]))
 
 
 class FunnelScorer:

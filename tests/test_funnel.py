@@ -104,6 +104,33 @@ def _corpus():
     return docs
 
 
+def test_conflicted_winners_lane_parity(ray_session, monkeypatch):
+    """Driver stream-fold vs the distributed conflicted-only groupby
+    (forced by a tiny DUP_MAP_LIMIT) return identical winner maps, and
+    the funnel output is byte-identical across lanes."""
+    import ray.data as rd
+
+    from ocracle_ray.stages import funnel as fmod
+
+    docs = _corpus()
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "lang": [d[1] for d in docs],
+                "text": [d[2] for d in docs],
+            }
+        )
+    ).repartition(4)
+    fast = fmod.conflicted_winners(ds)
+    monkeypatch.setattr(fmod, "DUP_MAP_LIMIT", 3)
+    slow = fmod.conflicted_winners(ds)
+    assert fast == slow and len(fast) == 1  # exactly the base-text dup
+    out = filter_funnel_by_lang(ds)
+    monkeypatch.undo()
+    assert out.equals(filter_funnel_by_lang(ds))
+
+
 def test_funnel_matches_reference(ray_session):
     import ray.data as rd
 
