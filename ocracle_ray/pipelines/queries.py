@@ -691,6 +691,35 @@ def q_docs_filter_funnel(sf_dir: str):
     return filter_funnel_by_lang(ds)
 
 
+DECONTAM_BENCH_MOD = 7  # eval set = docs with doc_id % 7 == 0
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages.decontam): flag training docs
+    sharing any complete token 8-gram with a held-out eval slice
+    (doc_id % 7 == 0 — deterministic, no external data). The classic
+    broadcast shape: the eval gram set folds on the driver behind a
+    loud guard, ships once via ray.put, and the 100-TB training side
+    streams through one pc.is_in map pass — no shuffle, no join. The
+    DuckDB oracle re-derives the gram sets from the same tokenization
+    (lag() windows over ordered unnest) and semi-joins them."""
+    import numpy as np
+
+    from ..stages.decontam import benchmark_gram_set, contamination_by_lang
+
+    def side(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % \
+                DECONTAM_BENCH_MOD == 0
+            return t.filter(pa.array(m if is_bench else ~m))
+
+        return _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+            .map_batches(f, batch_format="pyarrow")
+
+    grams = benchmark_gram_set(side(True), n=8)
+    return contamination_by_lang(side(False), grams, n=8)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2206,6 +2235,7 @@ QUERIES = {
     "docs_perplexity": q_docs_perplexity,
     "docs_repetition": q_docs_repetition,
     "docs_filter_funnel": q_docs_filter_funnel,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2736,6 +2766,52 @@ ORACLE_SQL = {
                count(*) FILTER (outcome = 'ppl') AS n_ppl,
                count(*) FILTER (outcome = 'repetition') AS n_repetition
         FROM per GROUP BY lang ORDER BY lang
+    """,
+    "docs_decontaminate": """
+        -- benchmark decontamination: eval set = docs with
+        -- doc_id % 7 = 0; a training doc is contaminated when it
+        -- shares ANY complete token 8-gram with the eval set
+        -- (tokenization = lowercase [a-z0-9]+ runs, stages/bm25.py
+        -- TOKEN_SPLIT_RE; gram keys join tokens with chr(1), the
+        -- engine's rule). n_gram_hits counts gram OCCURRENCES.
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        grams AS (
+            SELECT doc_id,
+                   lag(tok, 7) OVER w || chr(1) || lag(tok, 6) OVER w
+                   || chr(1) || lag(tok, 5) OVER w || chr(1)
+                   || lag(tok, 4) OVER w || chr(1) || lag(tok, 3) OVER w
+                   || chr(1) || lag(tok, 2) OVER w || chr(1)
+                   || lag(tok, 1) OVER w || chr(1) || tok AS g
+            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        bench AS (
+            SELECT DISTINCT g FROM grams
+            WHERE doc_id % 7 = 0 AND g IS NOT NULL
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS nh
+            FROM grams
+            WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id
+        )
+        SELECT d.lang, count(*) AS n_docs,
+               count(h.doc_id) AS n_contaminated,
+               coalesce(sum(h.nh), 0)::BIGINT AS n_gram_hits,
+               round(count(h.doc_id)::DOUBLE / count(*), 4) AS contam_rate
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 7 <> 0
+        GROUP BY d.lang ORDER BY d.lang
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,

@@ -42,10 +42,15 @@ def _shifted(tok: pa.Array, parents: np.ndarray, lag: int):
         if d == 0:
             cols.append(tok)
         else:
-            pad = pa.nulls(d, pa.string())
-            cols.append(pa.concat_arrays([pad, tok.slice(0, n - d)]))
+            # clamp for batches with fewer than lag+1 total tokens
+            # (a block of one tiny doc): the column is all-pad and no
+            # row is valid — slice(0, negative) would raise
+            take = max(0, n - d)
+            pad = pa.nulls(n - take, pa.string())
+            cols.append(pa.concat_arrays([pad, tok.slice(0, take)]))
             v = np.zeros(n, bool)
-            v[d:] = parents[d:] == parents[:-d]
+            if take:
+                v[d:] = parents[d:] == parents[:-d]
             valid &= v
     keys = pc.binary_join_element_wise(*cols, SEP, null_handling="replace",
                                        null_replacement="")

@@ -66,3 +66,28 @@ def test_repetition_matches_reference(ray_session):
     en = out[out["lang"] == "en"].iloc[0]
     assert en["avg_top_bigram_char_frac"] > 0.3
     assert en["avg_dup_5gram_frac"] > 0.2
+
+
+def test_tiny_batch_below_window_is_total():
+    """A batch whose TOTAL token count is below the 5-gram window used
+    to crash _shifted with a negative slice (found by the decontam
+    stage reusing it); it must instead score zeros."""
+    import pyarrow as pa
+
+    from ocracle_ray.stages.gopher import _doc_gram_stats
+
+    s = _doc_gram_stats(pa.array(["one two three"]))
+    assert s["total5"].tolist() == [0]
+    # bigrams "one two" (6 chars) and "two three" (8) tie at count 1;
+    # smallest-key tie-break picks "one two" -> cover 6
+    assert s["top_cover"].tolist() == [6.0]
+
+
+def test_tiny_batch_bigram_cover_value():
+    import pyarrow as pa
+
+    from ocracle_ray.stages.gopher import _doc_gram_stats
+
+    s = _doc_gram_stats(pa.array(["aa bb aa bb"]))
+    # bigrams: aa|bb x2, bb|aa x1 -> top is "aa bb" covering 2*(2+2)=8
+    assert s["top_cover"].tolist() == [8.0]
