@@ -720,6 +720,23 @@ def q_docs_decontaminate(sf_dir: str):
     return contamination_by_lang(side(False), grams, n=8)
 
 
+def q_docs_substring_dedup(sf_dir: str):
+    """Exact substring dedup (stages.substring_dedup): per-lang stats
+    of token spans occurring >= 2 times in the corpus (Lee et al. /
+    RefinedWeb ExactSubstr, in its distributable n-gram form). ONE
+    exchange: per-batch combiner partials -> distributed
+    groupby(gram).sum -> only the dup set leaves the cluster (loud
+    guard), broadcasts, and scoring is a map-only pc.is_in + numpy
+    diff-array cover. The DuckDB oracle re-derives dup grams and the
+    distinct-covered-position count from the same tokenization."""
+    from ..stages.substring_dedup import (duplicated_gram_set,
+                                          span_coverage_by_lang)
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    grams = duplicated_gram_set(ds, n=8)
+    return span_coverage_by_lang(ds, grams, n=8)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2236,6 +2253,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_filter_funnel": q_docs_filter_funnel,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_substring_dedup": q_docs_substring_dedup,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2811,6 +2829,59 @@ ORACLE_SQL = {
                round(count(h.doc_id)::DOUBLE / count(*), 4) AS contam_rate
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 7 <> 0
+        GROUP BY d.lang ORDER BY d.lang
+    """,
+    "docs_substring_dedup": """
+        -- exact substring dedup: token 8-grams occurring >= 2 times
+        -- corpus-wide (occurrences, incl. within-doc repeats) mark
+        -- every token in their windows as covered; per-lang coverage
+        -- stats. Tokenization = lowercase [a-z0-9]+ runs; gram keys
+        -- join tokens with chr(1) (engine rules, stages/bm25.py +
+        -- stages/substring_dedup.py).
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        gg AS (
+            SELECT doc_id, pos, g FROM (
+                SELECT doc_id, pos,
+                       lag(tok, 7) OVER w || chr(1) || lag(tok, 6) OVER w
+                       || chr(1) || lag(tok, 5) OVER w || chr(1)
+                       || lag(tok, 4) OVER w || chr(1)
+                       || lag(tok, 3) OVER w || chr(1)
+                       || lag(tok, 2) OVER w || chr(1)
+                       || lag(tok, 1) OVER w || chr(1) || tok AS g
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) WHERE g IS NOT NULL
+        ),
+        dup AS (SELECT g FROM gg GROUP BY g HAVING count(*) >= 2),
+        cov AS (
+            SELECT t.doc_id, t.pos
+            FROM toks t
+            JOIN gg ON gg.doc_id = t.doc_id
+                   AND t.pos BETWEEN gg.pos - 7 AND gg.pos
+            WHERE gg.g IN (SELECT g FROM dup)
+            GROUP BY t.doc_id, t.pos
+        ),
+        per AS (SELECT doc_id, count(*) AS cv FROM cov GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id)
+        SELECT d.lang, count(*) AS n_docs,
+               count(per.doc_id) AS n_affected,
+               coalesce(sum(tot.nt), 0)::BIGINT AS total_tokens,
+               coalesce(sum(per.cv), 0)::BIGINT AS covered_tokens,
+               round(coalesce(sum(per.cv), 0)::DOUBLE
+                     / greatest(coalesce(sum(tot.nt), 0), 1), 4)
+                 AS covered_rate
+        FROM documents d
+        LEFT JOIN tot USING (doc_id) LEFT JOIN per USING (doc_id)
         GROUP BY d.lang ORDER BY d.lang
     """,
     "docs_quality": """
