@@ -1604,8 +1604,8 @@ def q_media_features(sf_dir: str):
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
     interlaced/transparent GIF, 24-bit BMP, LZW/uncompressed TIFF and
     CCITT G4/MH fax TIFF images; PCM, G.711 mu-law/A-law and IMA-ADPCM
-    WAV clips; animated GIFs AND animated lossless WebPs through the
-    video frame sampler) — so the stdlib decode branches are
+    WAV plus FLAC (fixed/LPC/mid-side/left-side) clips; animated GIFs
+    AND animated lossless WebPs through the video frame sampler) — so the stdlib decode branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
     row counts pin that).
@@ -1640,8 +1640,8 @@ def q_media_features(sf_dir: str):
     # + 4 progressive JPEGs + 4 GIFs + 4 BMPs + 4 TIFFs + 4 CCITT fax
     # TIFFs + 4 tiled/deflate/JPEG-in-TIFF + 4 old-style (tag-513)
     # JPEG-in-TIFFs + 4 lossless WebPs + 4 PCM
-    # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 animated GIFs and
-    # 4 animated WebPs (video)
+    # WAVs + 4 G.711 WAVs + 4 IMA-ADPCM WAVs + 4 FLACs + 4 animated
+    # GIFs and 4 animated WebPs (video)
     ids, kinds, payloads = [], [], []
     for j in range(4):
         rng = np.random.RandomState(1000 + j)
@@ -1780,6 +1780,27 @@ def q_media_features(sf_dir: str):
                 clip if j % 2 == 0 else np.stack([clip, 0.5 * clip], axis=1), 8000
             )
         )
+        # FLAC (round 4, late): fixed-predictor mono, LPC mono, and the
+        # two stereo-decorrelation fixtures — all decoded in-pipeline
+        from ..core.flac import encode_flac
+        ids.append(n + 60 + j)
+        kinds.append("audio")
+        fclip = 0.4 * np.sin(2 * np.pi * (196 + 98 * j) * np.arange(1800) / 8000.0)
+        if j == 0:
+            f5 = encode_flac(fclip, 8000, subframe="fixed")
+        elif j == 1:
+            f5 = encode_flac(fclip, 8000, subframe="lpc")
+        elif j == 2:
+            f5 = encode_flac(
+                np.stack([fclip, 0.6 * fclip], axis=1), 8000,
+                subframe="fixed", stereo="mid_side",
+            )
+        else:
+            f5 = encode_flac(
+                np.stack([fclip, -0.5 * fclip], axis=1), 8000,
+                subframe="auto", stereo="left_side",
+            )
+        payloads.append(f5)
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each
         ids.append(n + 28 + j)

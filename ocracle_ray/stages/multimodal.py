@@ -191,15 +191,20 @@ class AudioFeatures:
     peak amplitude per clip. Decode paths: AUD1 synthetic header (raw
     u8 samples), real WAV via the stdlib codec (``core.wav`` — PCM
     8/16/24/32-bit, G.711 mu-law/A-law, IMA ADPCM,
-    WAVE_FORMAT_EXTENSIBLE);
-    compressed codecs (mp3/ogg) honestly raise — they need a real
-    decoder this container lacks."""
+    WAVE_FORMAT_EXTENSIBLE), real FLAC via ``core.flac`` (all subframe
+    types, Rice partitions, stereo decorrelation modes);
+    compressed lossy codecs (mp3/ogg/aac) honestly raise — they need a
+    real decoder this container lacks."""
 
     def __init__(self):
-        from ..core.wav import decode_wav, is_wav  # bind once per actor
+        # bind once per actor
+        from ..core.flac import decode_flac, is_flac
+        from ..core.wav import decode_wav, is_wav
 
         self._decode_wav = decode_wav
         self._is_wav = is_wav
+        self._decode_flac = decode_flac
+        self._is_flac = is_flac
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, rates, ns, durs, rms_out, peaks = [], [], [], [], [], []
@@ -214,11 +219,13 @@ class AudioFeatures:
                 samples = ((raw - 128.0) / 128.0).reshape(-1, 1)
             elif self._is_wav(payload):
                 rate, _ch, samples = self._decode_wav(payload)
+            elif self._is_flac(payload):
+                rate, _ch, samples = self._decode_flac(payload)
             else:
                 raise NotImplementedError(
-                    "compressed audio decode (mp3/ogg/aac) requires a codec "
-                    "library absent in this container; AUD1 synthetic and "
-                    "stdlib-WAV payloads are supported"
+                    "compressed lossy audio decode (mp3/ogg/aac) requires a "
+                    "codec library absent in this container; AUD1 synthetic, "
+                    "stdlib-WAV and stdlib-FLAC payloads are supported"
                 )
             mono = samples.mean(axis=1)
             ids.append(mid)

@@ -21,6 +21,7 @@ from ocracle_ray.core.gif import encode_gif
 from ocracle_ray.core.jpeg import encode_jpeg
 from ocracle_ray.core.png import encode_png
 from ocracle_ray.core.tiff import encode_tiff
+from ocracle_ray.core.flac import encode_flac
 from ocracle_ray.core.wav import encode_wav
 from ocracle_ray.core.webp import encode_webp, encode_webp_animated
 
@@ -46,12 +47,13 @@ def _valid_files():
         "webp": encode_webp(g),
         "webp_anim": encode_webp_animated(frames),
         "wav": encode_wav(tone, 8000),
+        "flac": encode_flac(tone, 8000, subframe="fixed"),
         "jpeg": encode_jpeg(g, quality=85),
     }
 
 
 def _decoder(name):
-    from ocracle_ray.core import bmp, gif, jpeg, png, tiff, wav, webp
+    from ocracle_ray.core import bmp, flac, gif, jpeg, png, tiff, wav, webp
 
     return {
         "png": png.decode_png,
@@ -61,6 +63,7 @@ def _decoder(name):
         "webp": webp.decode_webp,
         "webp_anim": webp.decode_webp_frames,
         "wav": wav.decode_wav,
+        "flac": flac.decode_flac,
         "jpeg": jpeg.decode_jpeg,
     }[name]
 
