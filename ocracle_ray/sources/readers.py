@@ -1,9 +1,10 @@
-"""Format-sniffing pages readers: Parquet (canonical), JSONL, CSV.
+"""Format-sniffing pages readers: Parquet (canonical), JSONL, CSV, WARC.
 
 The engine's canonical input is the Parquet pages table
 (BASELINE.json input_hint), read column-pruned by
 ``pipelines.extraction.read_pages``. Real crawl deliveries also arrive
-as JSONL or CSV text dumps; these readers normalize either into the
+as JSONL/CSV text dumps or WARC crawl archives (sources/warc.py);
+these readers normalize each into the
 SAME Arrow schema (html utf-8-encoded to ``large_binary``, warc_ts ISO
 strings cast to ``timestamp[us]``) so every downstream stage is
 format-agnostic. Parquet remains the only format with true column
@@ -67,6 +68,8 @@ def _format_of(path: str) -> str:
         return "json"
     if ext == "csv":
         return "csv"
+    if ext in ("warc", "wet"):  # member-gzip handled inside the parser
+        return "warc"
     return "parquet"  # directories / extension-less: the canonical format
 
 
@@ -88,6 +91,10 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
     fmt = formats.pop()
     if fmt == "parquet":
         return rd.read_parquet(paths, columns=PAGES_COLUMNS, **kwargs)
+    if fmt == "warc":
+        from .warc import read_pages_warc
+
+        return read_pages_warc(paths, **kwargs)
     if fmt == "json":
         ds = rd.read_json(paths, **kwargs)
     else:  # csv

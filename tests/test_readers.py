@@ -91,3 +91,70 @@ def test_mixed_formats_rejected_and_gz_sniffed(tmp_path):
     pd.testing.assert_frame_equal(
         _fps(read_pages_any(pq_path)), _fps(read_pages_any(jl_gz))
     )
+
+
+def _warc_records(n=25):
+    t = pages_table(0, n)
+    return [
+        (
+            t["url"][i].as_py(),
+            t["warc_ts"][i].as_py().isoformat() + "Z",
+            t["html"][i].as_py(),
+        )
+        for i in range(n)
+    ]
+
+
+def test_warc_matches_parquet(tmp_path):
+    """WARC input (gzip members AND plain, chunked AND plain HTTP
+    bodies) produces byte-identical extraction output to Parquet."""
+    from ocracle_ray.sources.warc import encode_warc
+
+    pq_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(0, 25), pq_path)
+    want = _fps(read_pages_any(pq_path))
+
+    recs = _warc_records(25)
+    for name, kw in (
+        ("a.warc.gz", dict(gzip_members=True)),
+        ("b.warc", dict(gzip_members=False)),
+        ("c.warc.gz", dict(gzip_members=True, chunked=True)),
+    ):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(encode_warc(recs, **kw))
+        got = _fps(read_pages_any(p))
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_warc_record_parsing_details():
+    """Non-page record types are skipped; conversion records pass
+    their payload through; timestamps parse to us."""
+    from ocracle_ray.sources.warc import encode_warc, warc_pages_table
+
+    data = encode_warc(
+        [("http://x.test/a", "2023-06-05T12:34:56Z", b"<html>hi</html>")]
+    )
+    t = warc_pages_table(data)
+    assert t.num_rows == 1  # warcinfo skipped
+    assert t["url"][0].as_py() == "http://x.test/a"
+    assert t["html"][0].as_py() == b"<html>hi</html>"
+    assert str(t["warc_ts"][0]) == "2023-06-05 12:34:56"
+
+
+def test_warc_malformed_is_loud():
+    import pytest
+
+    from ocracle_ray.sources.warc import warc_pages_table
+
+    with pytest.raises(ValueError, match="version line"):
+        warc_pages_table(b"NOTWARC/1.0\r\n\r\n")
+    with pytest.raises(ValueError, match="gzip"):
+        warc_pages_table(b"\x1f\x8b" + b"\x00" * 20)
+    # truncated payload
+    bad = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+           b"WARC-Target-URI: http://t\r\n"
+           b"WARC-Date: 2023-01-01T00:00:00Z\r\n"
+           b"Content-Length: 999\r\n\r\nshort")
+    with pytest.raises(ValueError, match="overruns"):
+        warc_pages_table(bad)
