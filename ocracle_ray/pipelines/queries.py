@@ -737,6 +737,22 @@ def q_docs_substring_dedup(sf_dir: str):
     return span_coverage_by_lang(ds, grams, n=8)
 
 
+def q_docs_source_mixture(sf_dir: str):
+    """Source-mixture balancing (stages.mixture): uniform-cap token
+    budgets per source, all-integer weights (ppm) and Knuth-hash
+    deterministic doc sampling — the data-mixing pass of a corpus
+    release. Two map-only passes, no shuffle: per-source token stats
+    fold on the driver (sources are few by definition), thresholds
+    broadcast in the scorer closure. The DuckDB oracle re-derives the
+    budgets, the ppm thresholds and every per-doc hash decision."""
+    from ..stages.mixture import (mixture_sample_stats, mixture_thresholds,
+                                  source_token_stats)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    stats = source_token_stats(ds)
+    return mixture_sample_stats(ds, mixture_thresholds(stats))
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2275,6 +2291,7 @@ QUERIES = {
     "docs_filter_funnel": q_docs_filter_funnel,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_substring_dedup": q_docs_substring_dedup,
+    "docs_source_mixture": q_docs_source_mixture,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2904,6 +2921,47 @@ ORACLE_SQL = {
         FROM documents d
         LEFT JOIN tot USING (doc_id) LEFT JOIN per USING (doc_id)
         GROUP BY d.lang ORDER BY d.lang
+    """,
+    "docs_source_mixture": """
+        -- source-mixture balancing: uniform token budget per source
+        -- (budget = total // n_sources), weight_ppm = min(1e6,
+        -- (1e6*budget) // tokens_s), doc kept when the Knuth hash
+        -- ((doc_id % 2^31) * 2654435761) % 2^32 % 1e6 < weight_ppm —
+        -- all integer arithmetic, shared verbatim with the engine
+        -- (stages/mixture.py); tokenization = lowercase [a-z0-9]+ runs
+        WITH docs AS (
+            SELECT doc_id, source,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source, sum(n_tok) AS toks FROM docs GROUP BY source
+        ),
+        tot AS (SELECT sum(toks) AS total, count(*) AS ns FROM per_src),
+        thr AS (
+            SELECT source,
+                   CASE WHEN toks = 0 THEN 1000000
+                        ELSE least(1000000,
+                                   (1000000 * (tot.total // tot.ns))
+                                   // toks)
+                   END AS weight_ppm
+            FROM per_src, tot
+        ),
+        sampled AS (
+            SELECT d.source, d.n_tok, t.weight_ppm,
+                   (((d.doc_id % 2147483648) * 2654435761)
+                    % 4294967296) % 1000000 < t.weight_ppm AS kept
+            FROM docs d JOIN thr t USING (source)
+        )
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+               sum(n_tok)::BIGINT AS total_tokens,
+               sum(CASE WHEN kept THEN n_tok ELSE 0 END)::BIGINT
+                 AS sampled_tokens,
+               any_value(weight_ppm)::BIGINT AS weight_ppm
+        FROM sampled GROUP BY source ORDER BY source
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
