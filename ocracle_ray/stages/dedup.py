@@ -974,6 +974,25 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
             }
         )
 
+    def _safe(out_names, fn=None):
+        """Zero-row/zero-column block normalizer for join & aggregate
+        consumers: Ray's hash-join finalize can emit an EMPTY block
+        with a degenerate schema for an empty partition; referencing a
+        column on it raises, and letting it flow into a chained join's
+        left side raises ArrowInvalid ('No match ... FieldRef') inside
+        acero — the round-4 flake. Empty blocks become
+        empty-with-the-declared-schema; real blocks pass to ``fn``."""
+        empty = pa.schema(
+            [(n, pa.int64()) for n in out_names]
+        ).empty_table()
+
+        def g(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            return fn(t) if fn is not None else t
+
+        return g
+
     with join_cpu_reservation_guard(num_partitions, n_joins=2):
         edges = edges_src.materialize()
         if edges.count() == 0:
@@ -987,7 +1006,10 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
             .groupby("u")
             .aggregate(Count(alias_name="_c"))
             .map_batches(
-                lambda t: pa.table({"key": t["u"], "rep": t["u"]}),
+                _safe(
+                    ("key", "rep"),
+                    lambda t: pa.table({"key": t["u"], "rep": t["u"]}),
+                ),
                 batch_format="pyarrow",
             )
             # coalesce: aggregate outputs can include zero-column empty
@@ -1012,13 +1034,16 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
                 .groupby("u")
                 .aggregate(Min("v", alias_name="lab"))
                 .map_batches(
-                    lambda t: pa.table(
-                        {
-                            "key": t["u"],
-                            "lab": pc.min_element_wise(
-                                t["lab"], t["u"].combine_chunks()
-                            ),
-                        }
+                    _safe(
+                        ("key", "lab"),
+                        lambda t: pa.table(
+                            {
+                                "key": t["u"],
+                                "lab": pc.min_element_wise(
+                                    t["lab"], t["u"].combine_chunks()
+                                ),
+                            }
+                        ),
                     ),
                     batch_format="pyarrow",
                 )
@@ -1048,18 +1073,21 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
                         right_on=("k2",),
                     )
                     .map_batches(
-                        lambda t: pa.table(
-                            {
-                                "key": t["key"],
-                                "lab": pc.coalesce(t["lab2"], t["lab"]),
-                                "_chg": pc.cast(
-                                    pc.and_(
-                                        pc.is_valid(t["lab2"]),
-                                        pc.not_equal(t["lab2"], t["lab"]),
+                        _safe(
+                            ("key", "lab", "_chg"),
+                            lambda t: pa.table(
+                                {
+                                    "key": t["key"],
+                                    "lab": pc.coalesce(t["lab2"], t["lab"]),
+                                    "_chg": pc.cast(
+                                        pc.and_(
+                                            pc.is_valid(t["lab2"]),
+                                            pc.not_equal(t["lab2"], t["lab"]),
+                                        ),
+                                        pa.int64(),
                                     ),
-                                    pa.int64(),
-                                ),
-                            }
+                                }
+                            ),
                         ),
                         batch_format="pyarrow",
                     )
@@ -1093,8 +1121,14 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
                     right_on=("k2",),
                 )
                 .map_batches(
-                    lambda t: pa.table(
-                        {"key": t["key"], "rep": pc.coalesce(t["lab2"], t["rep"])}
+                    _safe(
+                        ("key", "rep"),
+                        lambda t: pa.table(
+                            {
+                                "key": t["key"],
+                                "rep": pc.coalesce(t["lab2"], t["rep"]),
+                            }
+                        ),
                     ),
                     batch_format="pyarrow",
                 )
@@ -1125,9 +1159,18 @@ def cluster_pairs_ds(pairs, *, max_rounds: int = 30, num_partitions: int = 16):
                 pin_join_cpu_reservation(
                     edges.join(lu, join_type="inner",
                                num_partitions=num_partitions, on=("u",))
+                    # normalize join-finalize empties BEFORE they hit
+                    # the chained join's left side (the observed
+                    # ArrowInvalid: an empty degenerate-schema block
+                    # has no 'v' for acero to key on). A map, not a
+                    # repartition — an AllToAll inside this pinned
+                    # two-join plan deadlocked a 4-CPU session.
+                    .map_batches(_safe(("u", "v", "lu")),
+                                 batch_format="pyarrow")
                     .join(lv, join_type="inner",
                           num_partitions=num_partitions, on=("v",))
-                    .map_batches(relabel, batch_format="pyarrow")
+                    .map_batches(_safe(("u", "v"), relabel),
+                                 batch_format="pyarrow")
                     .groupby(["u", "v"])
                     .aggregate(Count(alias_name="_c"))
                     .select_columns(["u", "v"]),
