@@ -39,6 +39,17 @@ _STOPWORDS: tuple[tuple[str, frozenset[str]], ...] = (
 )
 
 
+def round_half_away(x, decimals: int):
+    """DuckDB-parity rounding: round() in DuckDB is half-AWAY-from-zero
+    while numpy/pandas round half-even — 0.00625 must become 0.0063 on
+    both sides of every oracle. Vectorized, sign-aware."""
+    import numpy as np
+
+    f = 10.0 ** decimals
+    a = np.asarray(x, np.float64)
+    return np.sign(a) * np.floor(np.abs(a) * f + 0.5) / f
+
+
 def whitespace_token_count(text: str) -> int:
     """Whitespace tokenization count (matches DuckDB oracle:
     ``len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x != ''))``)."""

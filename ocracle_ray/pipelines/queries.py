@@ -753,6 +753,23 @@ def q_docs_source_mixture(sf_dir: str):
     return mixture_sample_stats(ds, mixture_thresholds(stats))
 
 
+def q_docs_nb_classifier(sf_dir: str):
+    """Trained model-based classification (stages.nbayes): multinomial
+    Naive Bayes self-trained on the corpus labels — the GPT-3-style
+    model-based filtering shape (closed-form training so the oracle
+    can re-derive it; docs_langid is the rule-table sibling). Pass 1
+    folds per-batch (class, token) count partials behind a loud guard;
+    pass 2 scores in an actor pool against the broadcast model
+    (pc.index_in probes) and folds per-(label, prediction) partials.
+    Per-doc scores round to 6 BEFORE the argmax on both sides so float
+    summation order can't flip a prediction."""
+    from ..stages.nbayes import nb_confusion, nb_train
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    model = nb_train(ds)
+    return nb_confusion(ds, model)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2292,6 +2309,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_substring_dedup": q_docs_substring_dedup,
     "docs_source_mixture": q_docs_source_mixture,
+    "docs_nb_classifier": q_docs_nb_classifier,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -2962,6 +2980,69 @@ ORACLE_SQL = {
                  AS sampled_tokens,
                any_value(weight_ppm)::BIGINT AS weight_ppm
         FROM sampled GROUP BY source ORDER BY source
+    """,
+    "docs_nb_classifier": """
+        -- multinomial Naive Bayes, add-1 smoothing, self-trained:
+        -- score(doc,c) = ln(prior_c) + sum_tok ln((cnt(c,tok)+1) /
+        -- (total_c + V)) over token OCCURRENCES; per-doc scores round
+        -- to 6 before the argmax (smallest-class tie-break), matching
+        -- stages/nbayes.py; tokenization = lowercase [a-z0-9]+ runs
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok
+            FROM docs WHERE len(arr) > 0
+        ),
+        cls AS (
+            SELECT d.lang AS c, t.tok, count(*)::DOUBLE AS cnt
+            FROM toks t JOIN docs d USING (doc_id) GROUP BY 1, 2
+        ),
+        tot AS (SELECT c, sum(cnt) AS total FROM cls GROUP BY c),
+        prior AS (
+            SELECT lang AS c, count(*)::DOUBLE AS nd
+            FROM docs GROUP BY lang
+        ),
+        nprior AS (SELECT sum(nd) AS n FROM prior),
+        vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM toks),
+        doc_tok AS (
+            SELECT doc_id, tok, count(*)::DOUBLE AS k
+            FROM toks GROUP BY 1, 2
+        ),
+        tok_lp AS (
+            SELECT dt.doc_id, p.c,
+                   sum(dt.k * ln((coalesce(cls.cnt, 0) + 1)
+                                 / (tot.total + vocab.v))) AS lp
+            FROM doc_tok dt
+            CROSS JOIN prior p
+            JOIN tot ON tot.c = p.c
+            CROSS JOIN vocab
+            LEFT JOIN cls ON cls.c = p.c AND cls.tok = dt.tok
+            GROUP BY 1, 2
+        ),
+        full_s AS (
+            SELECT d.doc_id, d.lang, p.c,
+                   round(ln(p.nd / np.n) + coalesce(s.lp, 0), 6) AS score
+            FROM docs d
+            CROSS JOIN prior p
+            CROSS JOIN nprior np
+            LEFT JOIN tok_lp s ON s.doc_id = d.doc_id AND s.c = p.c
+        ),
+        pred AS (
+            SELECT lang, c AS pred_lang, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, c
+                   ) AS rn
+            FROM full_s
+        )
+        SELECT lang, pred_lang, count(*) AS n_docs,
+               round(avg(score), 4) AS avg_score
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,

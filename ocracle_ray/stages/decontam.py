@@ -144,12 +144,11 @@ def contamination_by_lang(train_ds, grams: list[str], *,
     )
     out["n_contaminated"] = out["n_contaminated"].astype("int64")
     out["n_gram_hits"] = out["n_gram_hits"].astype("int64")
-    # DuckDB round() is half-AWAY (0.00625 -> 0.0063); pandas .round is
-    # half-even (-> 0.0062). Rates are non-negative, so floor(x*1e4+.5)
-    # reproduces DuckDB exactly.
-    out["contam_rate"] = np.floor(
-        out["n_contaminated"] / out["n_docs"] * 1e4 + 0.5
-    ) / 1e4
+    from ..core.textstats import round_half_away
+
+    out["contam_rate"] = round_half_away(
+        out["n_contaminated"] / out["n_docs"], 4
+    )
     return (
         out[["lang", "n_docs", "n_contaminated", "n_gram_hits",
              "contam_rate"]]

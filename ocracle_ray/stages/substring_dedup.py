@@ -189,11 +189,11 @@ def span_coverage_by_lang(ds, grams: list[str], *,
     )
     for c in ("n_affected", "total_tokens", "covered_tokens"):
         out[c] = out[c].astype("int64")
-    # DuckDB round() is half-away; rates are non-negative
-    out["covered_rate"] = np.floor(
-        out["covered_tokens"] / out["total_tokens"].clip(lower=1) * 1e4
-        + 0.5
-    ) / 1e4
+    from ..core.textstats import round_half_away
+
+    out["covered_rate"] = round_half_away(
+        out["covered_tokens"] / out["total_tokens"].clip(lower=1), 4
+    )
     return (
         out[["lang", "n_docs", "n_affected", "total_tokens",
              "covered_tokens", "covered_rate"]]
