@@ -770,6 +770,18 @@ def q_docs_nb_classifier(sf_dir: str):
     return nb_confusion(ds, model)
 
 
+def q_docs_chunking(sf_dir: str):
+    """Context-window chunking stats (stages.chunking): 64-token
+    windows, stride 48 (overlap 16) — the packing pass in front of a
+    tokenizer/embedder. Pure map, vectorized window arithmetic; the
+    DuckDB oracle re-derives every window INDEPENDENTLY of the
+    engine's closed form via generate_series starts."""
+    from ..stages.chunking import chunk_stats_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return chunk_stats_by_lang(ds, size=64, stride=48)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2310,6 +2322,7 @@ QUERIES = {
     "docs_substring_dedup": q_docs_substring_dedup,
     "docs_source_mixture": q_docs_source_mixture,
     "docs_nb_classifier": q_docs_nb_classifier,
+    "docs_chunking": q_docs_chunking,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -3043,6 +3056,45 @@ ORACLE_SQL = {
                round(avg(score), 4) AS avg_score
         FROM pred WHERE rn = 1
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "docs_chunking": """
+        -- context-window chunking: 64-token windows every 48 tokens;
+        -- a start s is emitted while s == 0 or s < n_tok - overlap
+        -- (every window adds new tokens) — realized INDEPENDENTLY of
+        -- the engine's closed form via generate_series starts;
+        -- tokenization = lowercase [a-z0-9]+ runs
+        WITH per_doc AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(n_tok - 16, 1)::BIGINT, 48))
+                     AS s
+            FROM per_doc WHERE n_tok > 0
+        ),
+        lens AS (
+            SELECT c.doc_id, least(p.n_tok - c.s, 64) AS clen
+            FROM chunks c JOIN per_doc p USING (doc_id)
+        ),
+        agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(clen)::BIGINT AS chunk_toks,
+                   max(CASE WHEN clen < 64 THEN 1 ELSE 0 END)::BIGINT
+                     AS short_last
+            FROM lens GROUP BY doc_id
+        )
+        SELECT p.lang, count(*) AS n_docs,
+               coalesce(sum(a.n_chunks), 0)::BIGINT AS n_chunks,
+               coalesce(sum(a.short_last), 0)::BIGINT AS n_short_last,
+               sum(p.n_tok)::BIGINT AS total_tokens,
+               coalesce(sum(a.chunk_toks), 0)::BIGINT
+                 AS total_chunk_tokens
+        FROM per_doc p LEFT JOIN agg a USING (doc_id)
+        GROUP BY p.lang ORDER BY p.lang
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
