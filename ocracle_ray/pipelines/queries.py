@@ -782,6 +782,23 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+INV_INDEX_DIR = "/tmp/ocracle_invindex"
+
+
+def q_docs_search_index(sf_dir: str):
+    """Disk-backed inverted index (stages.invindex): build the
+    bucket-partitioned posting store in one streaming pass, then
+    answer a conjunctive term query reading ONLY the buckets the
+    terms hash to (the IVF pruned-read pattern for text). The DuckDB
+    oracle re-answers the same AND query over the RAW documents
+    table, verifying the build + pruned read end-to-end."""
+    from ..stages.invindex import build_inverted_index, query_index_and
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = build_inverted_index(ds, f"{INV_INDEX_DIR}/current")
+    return query_index_and(idx, ["dup", "merge"])
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2323,6 +2340,7 @@ QUERIES = {
     "docs_source_mixture": q_docs_source_mixture,
     "docs_nb_classifier": q_docs_nb_classifier,
     "docs_chunking": q_docs_chunking,
+    "docs_search_index": q_docs_search_index,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -3095,6 +3113,23 @@ ORACLE_SQL = {
                  AS total_chunk_tokens
         FROM per_doc p LEFT JOIN agg a USING (doc_id)
         GROUP BY p.lang ORDER BY p.lang
+    """,
+    "docs_search_index": """
+        -- conjunctive term query re-answered over the RAW documents
+        -- (the engine answers it from its bucket-partitioned index
+        -- with a pruned read); tokenization = lowercase [a-z0-9]+
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(
+                list_filter(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+            FROM documents
+        )
+        SELECT a.doc_id
+        FROM (SELECT doc_id FROM toks WHERE tok = 'dup') a
+        JOIN (SELECT doc_id FROM toks WHERE tok = 'merge') b
+          USING (doc_id)
+        ORDER BY a.doc_id
     """,
     "docs_quality": """
         SELECT lang, count(*) AS n_docs,
