@@ -799,6 +799,24 @@ def q_docs_search_index(sf_dir: str):
     return query_index_and(idx, ["dup", "merge"])
 
 
+BPE_N_MERGES = 8
+
+
+def q_docs_bpe_merges(sf_dir: str):
+    """BPE merge discovery (stages.bpe): the tokenizer-training pass.
+    The corpus-scale part is ONE streaming word-count fold (per-batch
+    combiners, loud MAX_BPE_VOCAB guard — BPE trains on the word dict,
+    per the published algorithm); the greedy merge rounds then run
+    closed-form on the folded dict. The DuckDB oracle re-derives the
+    word counts AND re-executes every round (generated, unrolled SQL —
+    double-space symbol joins make replace() exactly the left-to-right
+    non-overlapping merge rule)."""
+    from ..stages.bpe import bpe_merges, word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_merges(word_counts(ds), BPE_N_MERGES)
+
+
 def q_docs_langid(sf_dir: str):
     """Lang-id stage over documents: predicted-vs-labelled confusion
     counts. ORACLED since round 2: the DuckDB mirror is generated from
@@ -2341,6 +2359,7 @@ QUERIES = {
     "docs_nb_classifier": q_docs_nb_classifier,
     "docs_chunking": q_docs_chunking,
     "docs_search_index": q_docs_search_index,
+    "docs_bpe_merges": q_docs_bpe_merges,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -3159,6 +3178,10 @@ ORACLE_SQL = {
         GROUP BY source
     """,
     "docs_langid": _langid_oracle_sql(),
+    # generated: n-round-unrolled BPE mirror (stages/bpe.py)
+    "docs_bpe_merges": __import__(
+        "ocracle_ray.stages.bpe", fromlist=["bpe_oracle_sql"]
+    ).bpe_oracle_sql(BPE_N_MERGES),
     "docs_samples": """
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,
