@@ -799,6 +799,20 @@ def q_docs_search_index(sf_dir: str):
     return query_index_and(idx, ["dup", "merge"])
 
 
+def q_events_conversion_funnel(sf_dir: str):
+    """Ordered-sequence funnel (stages.sequence): users completing
+    view -> click -> purchase IN ORDER (each step strictly after the
+    user's earliest completion of the previous one) — CEP-lite, a
+    different operator from sessions/as-of because the predicate
+    chains across rows per key. One filtered combiner-fed groupby-min
+    per step against the broadcast previous-step thresholds; the
+    oracle chains the same mins in SQL."""
+    from ..stages.sequence import conversion_steps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return conversion_steps(ds)
+
+
 BPE_N_MERGES = 8
 
 
@@ -2360,6 +2374,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
+    "events_conversion_funnel": q_events_conversion_funnel,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -3132,6 +3147,34 @@ ORACLE_SQL = {
                  AS total_chunk_tokens
         FROM per_doc p LEFT JOIN agg a USING (doc_id)
         GROUP BY p.lang ORDER BY p.lang
+    """,
+    "events_conversion_funnel": """
+        -- ordered funnel: step k = per-user min ts of step-k events
+        -- STRICTLY AFTER the user's earliest step-(k-1) completion
+        WITH m1 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        m2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN m1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > m1.t
+            GROUP BY e.user_id
+        ),
+        m3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN m2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > m2.t
+            GROUP BY e.user_id
+        )
+        SELECT * FROM (
+            SELECT 1::BIGINT AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM m1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM m2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM m3)
+        ) ORDER BY step_idx
     """,
     "docs_search_index": """
         -- conjunctive term query re-answered over the RAW documents
