@@ -799,6 +799,27 @@ def q_docs_search_index(sf_dir: str):
     return query_index_and(idx, ["dup", "merge"])
 
 
+SEMDEDUP_ORACLE_DIR = "/tmp/ocracle_semdedup_oracle"
+
+
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup (stages.semdedup): k-means cells + within-cell cosine
+    dedup — the published semantic-dedup recipe (cells bound the
+    quadratic pair search; cross-cell misses are the paper's stated
+    approximation). Artifact-oracled the knn_ivf way: the (vec_id,
+    cell) assignment is written before returning, and DuckDB
+    re-derives the within-cell pairs from the raw embeddings, the
+    components (recursive CTE) and the per-cell stats — only the
+    k-means assignment is trusted."""
+    from ..stages.semdedup import semantic_dedup_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup_stats(
+        ds, n_cells=8, threshold=0.35,
+        artifact_dir=f"{SEMDEDUP_ORACLE_DIR}/current",
+    )
+
+
 def q_events_conversion_funnel(sf_dir: str):
     """Ordered-sequence funnel (stages.sequence): users completing
     view -> click -> purchase IN ORDER (each step strictly after the
@@ -2375,6 +2396,7 @@ QUERIES = {
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_conversion_funnel": q_events_conversion_funnel,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     "docs_langid": q_docs_langid,
     "docs_winnowing": q_docs_winnowing,
     "docs_wildcard_sources": q_docs_wildcard_sources,
@@ -3404,6 +3426,51 @@ ORACLE_SQL = {
         SELECT CAST(node AS BIGINT) AS doc_id,
                CAST(min(label) AS BIGINT) AS cluster_id
         FROM walk GROUP BY node
+    """,
+    "emb_semantic_dedup": """
+        -- SemDeDup artifact oracle: the engine's (vec_id, cell) map
+        -- is trusted (k-means); pairs, components and stats are
+        -- re-derived from the RAW embeddings view
+        WITH RECURSIVE cellmap AS (
+            SELECT vec_id, cell FROM read_parquet(
+                '/tmp/ocracle_semdedup_oracle/current/*.parquet')
+        ),
+        pairs AS (
+            SELECT c1.cell, e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1
+            JOIN cellmap c1 ON c1.vec_id = e1.vec_id
+            JOIN cellmap c2 ON c2.cell = c1.cell
+                           AND c2.vec_id > c1.vec_id
+            JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(e1.embedding AS DOUBLE[]),
+                      CAST(e2.embedding AS DOUBLE[])) >= 0.35
+        ),
+        nodes AS (SELECT DISTINCT x AS node FROM
+                  (SELECT a AS x FROM pairs UNION SELECT b FROM pairs)),
+        edges AS (SELECT a, b FROM pairs
+                  UNION SELECT b AS a, a AS b FROM pairs),
+        walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, w.label FROM walk w
+            JOIN edges e ON e.a = w.node
+            WHERE w.label < e.b
+        ),
+        comp AS (SELECT node, min(label) AS rep FROM walk GROUP BY node),
+        rem AS (
+            SELECT cm.cell, count(*)::BIGINT AS n_removed
+            FROM comp JOIN cellmap cm ON cm.vec_id = comp.node
+            WHERE comp.node <> comp.rep GROUP BY cm.cell
+        ),
+        pcnt AS (SELECT cell, count(*)::BIGINT AS n_pairs
+                 FROM pairs GROUP BY cell)
+        SELECT cm.cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+               coalesce(any_value(pcnt.n_pairs), 0)::BIGINT AS n_pairs,
+               coalesce(any_value(rem.n_removed), 0)::BIGINT AS n_removed
+        FROM cellmap cm
+        LEFT JOIN pcnt USING (cell) LEFT JOIN rem USING (cell)
+        GROUP BY cm.cell ORDER BY cell
     """,
     "emb_label_neardup": """
         SELECT e1.vec_id AS a, e2.vec_id AS b,
