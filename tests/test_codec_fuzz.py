@@ -24,6 +24,7 @@ from ocracle_ray.core.tiff import encode_tiff
 from ocracle_ray.core.flac import encode_flac
 from ocracle_ray.core.wav import encode_wav
 from ocracle_ray.core.webp import encode_webp, encode_webp_animated
+from ocracle_ray.sources.warc import encode_warc
 
 STRICT = (NotImplementedError, ValueError)
 
@@ -49,11 +50,17 @@ def _valid_files():
         "wav": encode_wav(tone, 8000),
         "flac": encode_flac(tone, 8000, subframe="fixed"),
         "jpeg": encode_jpeg(g, quality=85),
+        # not a codec, but the same hostile-bytes contract: the WARC
+        # parser must map arbitrary corruption to ValueError
+        "warc": encode_warc(
+            [("http://t.test/a", "2024-01-01T00:00:00Z", b"<p>x</p>")]
+        ),
     }
 
 
 def _decoder(name):
     from ocracle_ray.core import bmp, flac, gif, jpeg, png, tiff, wav, webp
+    from ocracle_ray.sources import warc
 
     return {
         "png": png.decode_png,
@@ -65,6 +72,7 @@ def _decoder(name):
         "wav": wav.decode_wav,
         "flac": flac.decode_flac,
         "jpeg": jpeg.decode_jpeg,
+        "warc": warc.warc_pages_table,
     }[name]
 
 
