@@ -782,6 +782,24 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_docs_split(sf_dir: str):
+    """Deterministic train/valid/test holdout split (stages.splits):
+    90/5/5 by a double-round Knuth hash on doc_id (second round
+    decorrelates the split from mixture's sampling hash), per-(lang,
+    split) doc/token stats via a driver fold, plus a cross-split
+    duplicate-LEAKAGE audit — normalized-text groups spanning >1 split
+    (the eval-contamination bug a corpus release must catch). The
+    audit shuffles only distinct (tnorm, split-bitmask) pairs; a group
+    leaks iff min(mask) != max(mask). The oracle re-derives every hash
+    decision and the leak count (count(DISTINCT split) > 1)."""
+    from ..stages.splits import leaky_group_count, split_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = split_stats(ds)
+    out["n_leaky_groups"] = leaky_group_count(ds)
+    return out
+
+
 INV_INDEX_DIR = "/tmp/ocracle_invindex"
 
 
@@ -2393,6 +2411,7 @@ QUERIES = {
     "docs_source_mixture": q_docs_source_mixture,
     "docs_nb_classifier": q_docs_nb_classifier,
     "docs_chunking": q_docs_chunking,
+    "docs_split": q_docs_split,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_conversion_funnel": q_events_conversion_funnel,
@@ -3067,6 +3086,45 @@ ORACLE_SQL = {
                  AS sampled_tokens,
                any_value(weight_ppm)::BIGINT AS weight_ppm
         FROM sampled GROUP BY source ORDER BY source
+    """,
+    "docs_split": """
+        -- train/valid/test holdout split: DOUBLE-round Knuth hash on
+        -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second
+        -- round decorrelates the split from mixture's sampling hash),
+        -- ppm = h2 % 1e6, train < 900000 <= valid < 950000 <= test;
+        -- leakage = trimmed-normalized-text groups spanning >1 split.
+        -- Integer arithmetic shared verbatim with stages/splits.py;
+        -- tokenization = lowercase [a-z0-9]+ runs
+        WITH docs AS (
+            SELECT lang,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     AS tnorm,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok,
+                   ((((((doc_id % 2147483648) * 2654435761) % 4294967296)
+                      % 2147483648) * 2654435761) % 4294967296) % 1000000
+                     AS ppm
+            FROM documents
+        ),
+        labeled AS (
+            SELECT *, CASE WHEN ppm < 900000 THEN 'train'
+                           WHEN ppm < 950000 THEN 'valid'
+                           ELSE 'test' END AS split
+            FROM docs
+        ),
+        leaky AS (
+            SELECT count(*)::BIGINT AS n FROM (
+                SELECT tnorm FROM labeled
+                GROUP BY tnorm HAVING count(DISTINCT split) > 1
+            )
+        )
+        SELECT lang, split, count(*) AS n_docs,
+               sum(n_tok)::BIGINT AS n_tokens,
+               leaky.n AS n_leaky_groups
+        FROM labeled, leaky
+        GROUP BY lang, split, leaky.n
+        ORDER BY lang, split
     """,
     "docs_nb_classifier": """
         -- multinomial Naive Bayes, add-1 smoothing, self-trained:
