@@ -11,6 +11,8 @@ distinct set, E[distinct] ≈ (k - 1) / (h_(k) / 2^64)  (classic KMV).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from .textstats import hash64
@@ -362,3 +364,164 @@ class BloomFilter:
             )
         out.words = words.copy()
         return out
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — constant-size mergeable distinct-count sketch
+# --------------------------------------------------------------------------
+
+HLL_P = 12                      # 4096 registers, std err ~1.04/sqrt(m) = 1.6%
+HLL_M = 1 << HLL_P
+_HLL_W_BITS = 64 - HLL_P        # 52 suffix bits feed rho
+_HLL_W_MASK = np.uint64((1 << _HLL_W_BITS) - 1)
+_SM64_C1 = 0xBF58476D1CE4E5B9
+_SM64_C2 = 0x94D049BB133111EB
+
+
+def splitmix64(values: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al., public domain
+    constants) — the well-mixed 64-bit hash HLL needs. uint64 wrap
+    semantics on purpose; kept xor/shift/multiply-only so the DuckDB
+    oracle re-derives it exactly over HUGEINT (`hll_oracle_sql`)."""
+    x = values.astype(np.uint64, copy=False)
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(_SM64_C1)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(_SM64_C2)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
+class HyperLogLog:
+    """Flajolet et al. 2007 HLL over int64 keys: register j = top-p
+    hash bits, rho = leading zeros of the 52-bit suffix + 1, register
+    keeps max(rho). Merge = elementwise max (associative/commutative:
+    tree-merge freely at 100 TB; 4 KB per sketch regardless of
+    cardinality — the KMV sibling is exact below k but grows with k).
+
+    The estimate is DETERMINISTIC given the key set: the denominator
+    sum(2^-M_j) is computed exactly in integer space scaled by 2^53
+    (max 4096·2^53 < 2^65 — Python int / DuckDB HUGEINT), so engine
+    and oracle divide the same two numbers; the small-range linear
+    count m·ln(m/V) fires on the identical integer V on both sides.
+    """
+
+    def __init__(self):
+        self.regs = np.zeros(HLL_M, np.uint8)
+
+    def add_int64(self, values: np.ndarray) -> None:
+        h = splitmix64(values)
+        j = (h >> np.uint64(_HLL_W_BITS)).astype(np.int64)
+        w = h & _HLL_W_MASK
+        # bit_length via frexp: w < 2^52 is exact in float64, and
+        # frexp(w) = (m, e) with w = m·2^e, 0.5 <= m < 1 → e = bit_length
+        _, e = np.frexp(w.astype(np.float64))
+        rho = np.where(w == 0, _HLL_W_BITS + 1, _HLL_W_BITS + 1 - e).astype(
+            np.uint8
+        )
+        np.maximum.at(self.regs, j, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog()
+        out.regs = np.maximum(self.regs, other.regs)
+        return out
+
+    def estimate(self) -> float:
+        m = HLL_M
+        counts = np.bincount(self.regs, minlength=_HLL_W_BITS + 2)
+        # exact integer denominator, scaled by 2^53
+        denom = sum(
+            int(c) << (_HLL_W_BITS + 1 - r)
+            for r, c in enumerate(counts.tolist())
+            if c
+        )
+        alpha = 0.7213 / (1.0 + 1.079 / float(m))
+        est = alpha * float(m) * float(m) * float(1 << (_HLL_W_BITS + 1)) / float(denom)
+        v = int(counts[0])
+        if est <= 2.5 * m and v > 0:
+            est = float(m) * math.log(float(m) / float(v))
+        return est
+
+    def serialize(self) -> bytes:
+        return self.regs.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HyperLogLog":
+        out = cls()
+        regs = np.frombuffer(data, np.uint8)
+        if len(regs) != HLL_M:
+            raise ValueError(f"HLL blob has {len(regs)} registers, want {HLL_M}")
+        out.regs = regs.copy()
+        return out
+
+
+def hll_distinct_by(ds, key: str, column: str):
+    """Grouped HLL distinct-count: per batch, ONE 4 KB register row per
+    group present in it (values never shuffle); partials tree-merge by
+    elementwise max — first within ~16 coalesced partitions, then an
+    O(16·groups) driver fold (same scale shape as ``kmv_distinct_by``;
+    unlike KMV the partial size is constant in both k and cardinality).
+
+    Returns ``{group_value: HyperLogLog}`` — callers merge across
+    groups for a grand total (register max IS the union sketch).
+    NULL column values are dropped (COUNT(DISTINCT x) parity)."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys_np = t[key].to_numpy(zero_copy_only=False)
+        # fill_null BEFORE to_numpy: a null would force the int64
+        # column to float64 and silently round keys past 2^53
+        vals = pc.fill_null(t[column], 0).to_numpy(zero_copy_only=False)
+        null_mask = t[column].is_null().to_numpy(zero_copy_only=False)
+        out_k, out_s = [], []
+        for g in pd_unique_stable(keys_np):
+            m = (keys_np == g) & ~null_mask
+            if not m.any():
+                continue
+            h = HyperLogLog()
+            h.add_int64(vals[m].astype(np.int64))
+            out_k.append(g)
+            out_s.append(h.serialize())
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "sketch": pa.array(out_s, pa.large_binary()),
+            }
+        )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        ks = t[key].to_pylist()
+        for g, blob in zip(ks, t["sketch"].to_pylist()):
+            h = HyperLogLog.deserialize(blob)
+            acc[g] = acc[g].merge(h) if g in acc else h
+        return pa.table(
+            {
+                key: pa.array(list(acc.keys())),
+                "sketch": pa.array(
+                    [h.serialize() for h in acc.values()], pa.large_binary()
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .repartition(16)
+        .map_batches(merge_partition, batch_format="pyarrow", batch_size=None)
+    )
+    final: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, blob in zip(b[key].to_pylist(), b["sketch"].to_pylist()):
+            h = HyperLogLog.deserialize(blob)
+            final[g] = final[g].merge(h) if g in final else h
+    return final
+
+
+def pd_unique_stable(arr: np.ndarray) -> np.ndarray:
+    """First-appearance-order unique (np.unique sorts, which breaks on
+    mixed-type object keys; pandas preserves order and handles objects)."""
+    import pandas as pd
+
+    return pd.unique(arr)

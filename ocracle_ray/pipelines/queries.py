@@ -782,6 +782,54 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_events_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct users per event_type + a merged '(all)'
+    row (core.sketch.HyperLogLog): the CONSTANT-size (4 KB) mergeable
+    distinct sketch — KMV's sibling for cardinalities where exact-
+    below-k stops being exact. Values never shuffle: one register row
+    per (batch, group), tree-merged (register max IS the union
+    sketch — the '(all)' row is literally the per-type sketches
+    merged). The n_exact lane (distinct-pair groupby) exists to EXPOSE
+    the sketch's error in the row; at 100 TB you would run the sketch
+    alone. The DuckDB oracle re-derives the splitmix64 hash (HUGEINT
+    modular arithmetic), every register, the integer-exact scaled
+    denominator and both estimator branches — the estimate itself is
+    oracled, not just the exact count."""
+    from functools import reduce
+
+    from ray.data.aggregate import Count
+
+    from ..core.sketch import HyperLogLog, hll_distinct_by
+    from ..core.textstats import round_half_away
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sketches = hll_distinct_by(ds, "event_type", "user_id")
+    merged = reduce(lambda a, b: a.merge(b), sketches.values(), HyperLogLog())
+
+    # exact lane: distinct (type, user) pairs via in-batch combiner +
+    # one groupby; global = distinct user over the SAME pair set
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    ).groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    per_type = driver_grouped_agg(
+        pairs, ["event_type"], {"n_exact": ("user_id", "count")}
+    )
+    exact = dict(zip(per_type["event_type"], per_type["n_exact"].astype(int)))
+    exact["(all)"] = int(
+        pairs.groupby("user_id").aggregate(Count(alias_name="c2")).count()
+    )
+
+    items = sorted(sketches.items()) + [("(all)", merged)]
+    return pd.DataFrame(
+        {
+            "event_type": [k for k, _ in items],
+            "n_exact": pd.array([exact[k] for k, _ in items], dtype="int64"),
+            "hll_est": [float(round_half_away(h.estimate(), 6)) for _, h in items],
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
 def q_docs_split(sf_dir: str):
     """Deterministic train/valid/test holdout split (stages.splits):
     90/5/5 by a double-round Knuth hash on doc_id (second round
@@ -2412,6 +2460,7 @@ QUERIES = {
     "docs_nb_classifier": q_docs_nb_classifier,
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
+    "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_conversion_funnel": q_events_conversion_funnel,
@@ -2531,6 +2580,86 @@ def _langid_oracle_sql() -> str:
     )
     SELECT lang, lang_pred, count(*) AS n_docs
     FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB re-derivation of the ENTIRE HyperLogLog pipeline
+    (core.sketch.HyperLogLog), generated from the same constants so
+    the two sides cannot drift: splitmix64 over HUGEINT (xor + //
+    logical shifts + modular multiply; negative keys wrap by +2^64,
+    matching numpy's uint64 view), register = top-p bits, rho =
+    53 - bit_length(52-bit suffix) via bin(), integer-exact scaled
+    denominator (sum of 2^(53-reg) + 2^53 per empty register), and
+    both estimator branches with the float expression written in the
+    engine's exact association order."""
+    from ..core.sketch import _SM64_C1, _SM64_C2, _HLL_W_BITS, HLL_M
+
+    m64 = 1 << 64
+    wb1 = _HLL_W_BITS + 1                       # 53
+    wpow = 1 << _HLL_W_BITS                     # 2^52
+    pow2 = ", ".join(f"({r}, {1 << (wb1 - r)})" for r in range(wb1 + 1))
+    alpha = f"0.7213/(1.0 + 1.079/{HLL_M}.0)"
+    return f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    keys AS (
+        SELECT event_type, user_id FROM pairs
+        UNION ALL
+        SELECT '(all)' AS event_type, user_id
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    h0 AS (
+        -- UHUGEINT (uint128): the 64x64-bit modular products below
+        -- overflow signed INT128 but fit uint128 exactly
+        SELECT event_type,
+               CASE WHEN user_id < 0
+                    THEN (user_id::HUGEINT + {m64}::HUGEINT)::UHUGEINT
+                    ELSE user_id::UHUGEINT END AS x
+        FROM keys
+    ),
+    s1 AS (SELECT event_type, xor(x, x // {1 << 30}) AS x FROM h0),
+    s2 AS (SELECT event_type,
+                  (x * {_SM64_C1}::UHUGEINT) % {m64}::UHUGEINT AS x FROM s1),
+    s3 AS (SELECT event_type, xor(x, x // {1 << 27}) AS x FROM s2),
+    s4 AS (SELECT event_type,
+                  (x * {_SM64_C2}::UHUGEINT) % {m64}::UHUGEINT AS x FROM s3),
+    s5 AS (SELECT event_type, xor(x, x // {1 << 31}) AS x FROM s4),
+    jw AS (SELECT event_type, (x // {wpow})::BIGINT AS j,
+                  (x % {wpow})::BIGINT AS w FROM s5),
+    rho AS (
+        SELECT event_type, j,
+               CASE WHEN w = 0 THEN {wb1}
+                    ELSE {wb1} - length(bin(w)) END AS r
+        FROM jw
+    ),
+    regs AS (SELECT event_type, j, max(r) AS mr FROM rho GROUP BY 1, 2),
+    den AS (
+        SELECT regs.event_type,
+               sum(p.v)::HUGEINT
+                 + ({HLL_M} - count(*))::HUGEINT * {1 << wb1}::HUGEINT
+                 AS denom,
+               ({HLL_M} - count(*))::BIGINT AS v0
+        FROM regs JOIN (VALUES {pow2}) p(r, v) ON p.r = regs.mr
+        GROUP BY regs.event_type
+    ),
+    est AS (
+        SELECT event_type, v0,
+               {alpha} * {HLL_M}.0 * {HLL_M}.0 * {1 << wb1}.0
+                 / denom::DOUBLE AS e_raw
+        FROM den
+    ),
+    fin AS (
+        SELECT event_type,
+               CASE WHEN e_raw <= 2.5 * {HLL_M}.0 AND v0 > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v0)
+                    ELSE e_raw END AS e
+        FROM est
+    ),
+    exact AS (SELECT event_type, count(*) AS n_exact FROM keys
+              GROUP BY event_type)
+    SELECT f.event_type, exact.n_exact, round(f.e, 6) AS hll_est
+    FROM fin f JOIN exact USING (event_type)
+    ORDER BY f.event_type
 """
 
 
@@ -3087,6 +3216,7 @@ ORACLE_SQL = {
                any_value(weight_ppm)::BIGINT AS weight_ppm
         FROM sampled GROUP BY source ORDER BY source
     """,
+    "events_distinct_hll": _hll_oracle_sql(),
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
         -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second

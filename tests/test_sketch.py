@@ -213,3 +213,128 @@ def test_misra_gries_heterogeneous_keys():
     out = MisraGries.deserialize(s.serialize())
     assert out.counts == s.counts
     assert None in out.candidates() and "click" in out.candidates()
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def _sm64_ref(v: int) -> int:
+    m = (1 << 64) - 1
+    v &= m
+    v ^= v >> 30
+    v = (v * 0xBF58476D1CE4E5B9) & m
+    v ^= v >> 27
+    v = (v * 0x94D049BB133111EB) & m
+    v ^= v >> 31
+    return v
+
+
+def test_splitmix64_matches_reference():
+    import numpy as np
+
+    from ocracle_ray.core.sketch import splitmix64
+
+    ids = np.array([0, 1, 2, -1, -12345, 2**63 - 1, -(2**63)], dtype=np.int64)
+    got = splitmix64(ids)
+    want = [_sm64_ref(int(v)) for v in ids]
+    assert [int(x) for x in got] == want
+
+
+def test_hll_register_semantics_vs_reference():
+    """Registers equal a pure-Python HLL over the same keys (pins the
+    top-12/suffix-52 split, rho via frexp, max-merge semantics)."""
+    import numpy as np
+
+    from ocracle_ray.core.sketch import HLL_M, HyperLogLog
+
+    keys = np.arange(-500, 500, dtype=np.int64)
+    h = HyperLogLog()
+    h.add_int64(keys)
+
+    regs = [0] * HLL_M
+    for v in keys:
+        x = _sm64_ref(int(v))
+        j, w = x >> 52, x & ((1 << 52) - 1)
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        regs[j] = max(regs[j], rho)
+    assert h.regs.tolist() == regs
+
+
+def test_hll_accuracy_both_branches():
+    import numpy as np
+
+    from ocracle_ray.core.sketch import HyperLogLog
+
+    # raw-estimator branch: 100k distinct >> 2.5*m
+    big = HyperLogLog()
+    big.add_int64(np.arange(100_000, dtype=np.int64))
+    est = big.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # linear-counting branch: 100 distinct
+    small = HyperLogLog()
+    small.add_int64(np.arange(100, dtype=np.int64))
+    assert abs(small.estimate() - 100) / 100 < 0.05
+    # duplicates don't move the estimate
+    dup = HyperLogLog()
+    dup.add_int64(np.arange(100, dtype=np.int64))
+    dup.add_int64(np.arange(100, dtype=np.int64))
+    assert dup.estimate() == small.estimate()
+
+
+def test_hll_merge_is_union_and_roundtrips():
+    import numpy as np
+
+    from ocracle_ray.core.sketch import HyperLogLog
+
+    a, b, u = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    ka = np.arange(0, 6000, dtype=np.int64)
+    kb = np.arange(4000, 11000, dtype=np.int64)
+    a.add_int64(ka)
+    b.add_int64(kb)
+    u.add_int64(np.arange(0, 11000, dtype=np.int64))
+    m = a.merge(b)
+    assert m.regs.tolist() == u.regs.tolist()  # max-merge IS the union
+    rt = HyperLogLog.deserialize(m.serialize())
+    assert rt.regs.tolist() == m.regs.tolist()
+    import pytest
+
+    with pytest.raises(ValueError):
+        HyperLogLog.deserialize(b"\x00" * 7)
+
+
+def test_hll_distinct_by_grouped(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.core.sketch import HyperLogLog, hll_distinct_by
+
+    rng_keys = np.arange(3000, dtype=np.int64)
+    groups = np.where(rng_keys % 3 == 0, "a", np.where(rng_keys % 3 == 1, "b", "c"))
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(groups.tolist(), pa.string()),
+        "k": pa.array(rng_keys, pa.int64()),
+    })).repartition(5)
+    got = hll_distinct_by(ds, "g", "k")
+    for g in "abc":
+        direct = HyperLogLog()
+        direct.add_int64(rng_keys[groups == g])
+        assert got[g].regs.tolist() == direct.regs.tolist()
+
+
+def test_hll_distinct_by_drops_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.core.sketch import HyperLogLog, hll_distinct_by
+
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "a"], pa.string()),
+        "k": pa.array([1, None, 2], pa.int64()),
+    }))
+    got = hll_distinct_by(ds, "g", "k")
+    direct = HyperLogLog()
+    import numpy as np
+
+    direct.add_int64(np.array([1, 2], dtype=np.int64))
+    assert got["a"].regs.tolist() == direct.regs.tolist()
