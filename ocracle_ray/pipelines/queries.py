@@ -782,6 +782,21 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_docs_seq_packing(sf_dir: str):
+    """GPT-style sequence packing (stages.packing): concatenate every
+    doc's tokens + EOS in doc_id order, chunk the stream into 256-token
+    training sequences — the cross-doc packing op (docs_chunking is the
+    per-doc sibling). Global ordered prefix sum via the running-sum
+    two-pass pattern: sort+materialize, per-block stream totals to the
+    driver (O(blocks) rows), broadcast exclusive offsets, second map
+    over the SAME blocks; per-doc spans stream as a Dataset. The
+    oracle re-derives every span from a window cumsum."""
+    from ..stages.packing import packing_stats_by_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return packing_stats_by_lang(ds, seq_len=256)
+
+
 def q_events_distinct_hll(sf_dir: str):
     """HyperLogLog distinct users per event_type + a merged '(all)'
     row (core.sketch.HyperLogLog): the CONSTANT-size (4 KB) mergeable
@@ -2460,6 +2475,7 @@ QUERIES = {
     "docs_nb_classifier": q_docs_nb_classifier,
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
+    "docs_seq_packing": q_docs_seq_packing,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3215,6 +3231,47 @@ ORACLE_SQL = {
                  AS sampled_tokens,
                any_value(weight_ppm)::BIGINT AS weight_ppm
         FROM sampled GROUP BY source ORDER BY source
+    """,
+    "docs_seq_packing": """
+        -- GPT-style packing: stream position off_d = SUM over earlier
+        -- doc_ids of (n_tok + 1 EOS); doc crosses a boundary when its
+        -- first and last content token fall in different 256-token
+        -- sequences; n_sequences = ceil(stream / 256). Tokenization =
+        -- lowercase [a-z0-9]+ runs, shared with stages/packing.py
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''))::BIGINT AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, lang, n_tok,
+                   coalesce(sum(n_tok + 1) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS strm
+            FROM docs
+        ),
+        spans AS (
+            SELECT lang, n_tok,
+                   CASE WHEN n_tok > 0
+                             AND strm // 256 <> (strm + n_tok - 1) // 256
+                        THEN 1 ELSE 0 END AS crossing
+            FROM cum
+        ),
+        tot AS (SELECT sum(n_tok) + count(*) AS stream FROM docs),
+        seqs AS (
+            SELECT ((stream + 255) // 256)::BIGINT AS n_sequences,
+                   (((stream + 255) // 256) * 256 - stream)::BIGINT
+                     AS n_pad_tokens
+            FROM tot
+        )
+        SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+               sum(crossing)::BIGINT AS n_crossing_docs,
+               seqs.n_sequences, seqs.n_pad_tokens
+        FROM spans, seqs
+        GROUP BY lang, seqs.n_sequences, seqs.n_pad_tokens
+        ORDER BY lang
     """,
     "events_distinct_hll": _hll_oracle_sql(),
     "docs_split": """
