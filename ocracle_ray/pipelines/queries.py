@@ -782,6 +782,33 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_events_rollup(sf_dir: str):
+    """Hierarchical rollup (stages.rollup): (event_type, day) →
+    (event_type) → grand total from ONE finest-grain pass — coarser
+    levels derive from the finest RESULT, never a second scan; integer
+    cents keep every level bit-exact vs the oracle's ROLLUP over raw
+    rows (no float-order caveat)."""
+    from ..stages.rollup import rollup_agg
+    from ..stages.running import _cents
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), "%Y-%m-%d")
+        cents = _cents(t["value"].to_numpy(zero_copy_only=False), 100)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": day,
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return rollup_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type", "day"]
+    )
+
+
 def q_docs_seq_packing(sf_dir: str):
     """GPT-style sequence packing (stages.packing): concatenate every
     doc's tokens + EOS in doc_id order, chunk the stream into 256-token
@@ -2476,6 +2503,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
     "docs_seq_packing": q_docs_seq_packing,
+    "events_rollup": q_events_rollup,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3272,6 +3300,24 @@ ORACLE_SQL = {
         FROM spans, seqs
         GROUP BY lang, seqs.n_sequences, seqs.n_pad_tokens
         ORDER BY lang
+    """,
+    "events_rollup": """
+        -- ROLLUP over (event_type, day): the oracle aggregates every
+        -- level from RAW rows while the engine derives coarser levels
+        -- from the finest result — integer cents make both exact.
+        -- round(value*100) = the stages/running.py cent rule
+        WITH ev AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(day, '(all)') AS day,
+               count(*) AS n_events,
+               sum(cents)::BIGINT AS total_cents
+        FROM ev GROUP BY ROLLUP(event_type, day)
+        ORDER BY 1, 2
     """,
     "events_distinct_hll": _hll_oracle_sql(),
     "docs_split": """
