@@ -782,6 +782,24 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_docs_bpe_encode(sf_dir: str):
+    """BPE ENCODE (stages.bpe.bpe_apply/bpe_encode_stats): apply the
+    trained merge table to the corpus — docs_bpe_merges' consumer
+    half. The merge loop runs once per DISTINCT word (vocabulary-
+    sized, exactly like training); per-doc encoding is then a
+    broadcast word→token-count probe (pc.index_in), one streaming
+    pass, per-lang partials only. The oracle re-runs the full unrolled
+    merge chain carrying each word key and joins the final symbol
+    counts back onto the raw token stream."""
+    from ..stages.bpe import (bpe_apply, bpe_encode_stats, bpe_merges,
+                              word_counts)
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    counts = word_counts(ds)
+    merges = bpe_merges(counts, BPE_N_MERGES)
+    return bpe_encode_stats(ds, bpe_apply(counts.keys(), merges))
+
+
 def q_events_rollup(sf_dir: str):
     """Hierarchical rollup (stages.rollup): (event_type, day) →
     (event_type) → grand total from ONE finest-grain pass — coarser
@@ -2503,6 +2521,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
     "docs_seq_packing": q_docs_seq_packing,
+    "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
@@ -3538,6 +3557,9 @@ ORACLE_SQL = {
     "docs_bpe_merges": __import__(
         "ocracle_ray.stages.bpe", fromlist=["bpe_oracle_sql"]
     ).bpe_oracle_sql(BPE_N_MERGES),
+    "docs_bpe_encode": __import__(
+        "ocracle_ray.stages.bpe", fromlist=["bpe_encode_oracle_sql"]
+    ).bpe_encode_oracle_sql(BPE_N_MERGES),
     "docs_samples": """
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,

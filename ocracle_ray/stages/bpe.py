@@ -110,6 +110,83 @@ def bpe_merges(counts: dict[str, int], n_merges: int) -> pd.DataFrame:
     return df
 
 
+def bpe_apply(words, merges: pd.DataFrame) -> dict[str, int]:
+    """The ENCODE side of BPE: apply a shipped ranked merge table to a
+    word vocabulary, returning word → token count. Runs once per
+    DISTINCT word (vocabulary-sized, like training itself) — per-doc
+    encoding then reduces to a broadcast dict probe, never a per-doc
+    merge loop."""
+    ranked = list(zip(merges["lft"], merges["rgt"]))
+    out: dict[str, int] = {}
+    for w in words:
+        if not w:
+            continue
+        syms = tuple(w)
+        for left, right in ranked:
+            if len(syms) == 1:
+                break
+            syms = _merge_word(syms, left, right)
+        out[w] = len(syms)
+    return out
+
+
+def bpe_encode_stats(ds, word_ntok: dict[str, int], *,
+                     lang_col: str = "lang", text_col: str = "text"):
+    """One streaming map pass: per-doc BPE token counts via broadcast
+    word→ntok probes (``pc.index_in`` against the ray.put value-set —
+    the stages/ngram_lm.py scoring shape), folded to per-lang
+    (n_docs, n_word_chars, n_bpe_tokens) on the driver. A token absent
+    from the map raises loud (the map must come from the same corpus,
+    or encoding needs an UNK rule — a semantic choice, not a default)."""
+    import numpy as np
+    import ray
+
+    from ..pipelines.queries import driver_grouped_agg
+
+    keys = pa.array(list(word_ntok.keys()), pa.string())
+    vals = np.fromiter(word_ntok.values(), np.int64, len(word_ntok))
+    ref = ray.put((keys, vals))
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..broadcast import cached_get
+
+        k, v = cached_get(ref)
+        parents, _prev, tok = _doc_token_stream(t[text_col])
+        idx = pc.index_in(tok, value_set=k)
+        if idx.null_count:
+            raise ValueError(
+                "bpe_encode_stats: token missing from the vocab map "
+                "(encode needs an UNK rule for out-of-corpus words)"
+            )
+        ntok = v[idx.to_numpy(zero_copy_only=False)]
+        chars = pc.utf8_length(tok).to_numpy(zero_copy_only=False)
+        n_docs = len(t)
+        bpe_doc = np.bincount(parents, weights=ntok, minlength=n_docs)
+        chr_doc = np.bincount(parents, weights=chars, minlength=n_docs)
+        return pa.table(
+            {
+                "lang": t[lang_col],
+                "n_bpe": pa.array(bpe_doc.astype(np.int64), pa.int64()),
+                "n_chars": pa.array(chr_doc.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = driver_grouped_agg(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        ["lang"],
+        {
+            "n_docs": ("n_bpe", "count"),
+            "n_word_chars": ("n_chars", "sum"),
+            "n_bpe_tokens": ("n_bpe", "sum"),
+        },
+    )
+    for c in ("n_word_chars", "n_bpe_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def bpe_oracle_sql(n_merges: int) -> str:
     """Generated DuckDB mirror: word counts from the raw documents,
     then ``n_merges`` unrolled rounds — pair counts via lead() over the
@@ -123,6 +200,52 @@ def bpe_oracle_sql(n_merges: int) -> str:
     one space into the following double gap, so back-to-back pairs all
     merge — byte-for-byte the engine's rule (tested on aaaa/abab
     words)."""
+    parts = _bpe_chain_parts(n_merges)
+    selects = " UNION ALL ".join(
+        f"SELECT rank, l AS lft, r AS rgt, l || r AS merged, support "
+        f"FROM m{r}" for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n        {selects} ORDER BY rank")
+    return "".join(parts)
+
+
+def bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Generated DuckDB mirror of the ENCODE pass: the same unrolled
+    merge chain (carrying each word key through every round), then the
+    final per-word symbol count joined back onto the raw documents'
+    token stream for per-lang totals."""
+    parts = _bpe_chain_parts(n_merges)
+    parts.append(f""",
+        vocab AS (
+            SELECT w, len(str_split(s, '  '))::BIGINT AS ntok
+            FROM v{n_merges}
+        ),
+        docw AS (
+            SELECT lang, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT d.lang, sum(v.ntok)::BIGINT AS n_bpe_tokens,
+                   sum(length(d.w))::BIGINT AS n_word_chars
+            FROM docw d JOIN vocab v USING (w) GROUP BY d.lang
+        ),
+        nd AS (SELECT lang, count(*) AS n_docs FROM documents
+               GROUP BY lang)
+        SELECT nd.lang, nd.n_docs,
+               coalesce(per_lang.n_word_chars, 0)::BIGINT AS n_word_chars,
+               coalesce(per_lang.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+        FROM nd LEFT JOIN per_lang USING (lang) ORDER BY nd.lang
+    """)
+    return "".join(parts)
+
+
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """The shared unrolled CTE chain: wc0 (word counts), v0..vN (word
+    key + double-space symbol string + count per round), m1..mN (the
+    round's winning merge). v_r carries ``w`` so consumers can map
+    final symbol states back to words; m_r ignores it."""
     parts = ["""
         WITH wc0 AS (
             SELECT w, count(*)::BIGINT AS n FROM (
@@ -134,7 +257,8 @@ def bpe_oracle_sql(n_merges: int) -> str:
         ),
         -- symbols joined by DOUBLE spaces; single chars to start
         v0 AS (
-            SELECT array_to_string(
+            SELECT w,
+                   array_to_string(
                        list_transform(range(1, length(w) + 1),
                                       i -> w[i]), '  ') AS s,
                    n
@@ -163,15 +287,11 @@ def bpe_oracle_sql(n_merges: int) -> str:
             GROUP BY l, r ORDER BY support DESC, l, r LIMIT 1
         ),
         v{r} AS (
-            SELECT trim(replace(' ' || v.s || ' ',
+            SELECT v.w,
+                   trim(replace(' ' || v.s || ' ',
                                 ' ' || m.l || '  ' || m.r || ' ',
                                 ' ' || m.l || m.r || ' ')) AS s,
                    v.n
             FROM {prev} v, m{r} m
         )""")
-    selects = " UNION ALL ".join(
-        f"SELECT rank, l AS lft, r AS rgt, l || r AS merged, support "
-        f"FROM m{r}" for r in range(1, n_merges + 1)
-    )
-    parts.append(f"\n        {selects} ORDER BY rank")
-    return "".join(parts)
+    return parts

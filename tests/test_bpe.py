@@ -72,3 +72,58 @@ def test_oracle_replace_rule_matches_engine_on_overlaps(ray_session):
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_bpe_apply_matches_training_final_state():
+    """Applying the ranked merge table to the vocabulary reproduces the
+    training loop's final word states (encode ≡ replay of training)."""
+    from ocracle_ray.stages.bpe import _merge_word, bpe_apply, bpe_merges
+
+    counts = {"aaaa": 3, "abab": 2, "banana": 5, "bandana": 1, "a": 4}
+    merges = bpe_merges(counts, 6)
+    got = bpe_apply(counts.keys(), merges)
+    # replay: run the training transformation directly
+    words = {tuple(w): n for w, n in counts.items()}
+    for _, m in merges.iterrows():
+        words = {_merge_word(s, m["lft"], m["rgt"]): n
+                 for s, n in words.items()}
+    want = {"".join(s): len(s) for s in words}
+    assert got == want
+    # the aaaa hazard: left-to-right non-overlap ('aa','aa' -> 2 tokens
+    # after the first merge, never 3 overlapping pairs)
+    aa_rank = merges[(merges["lft"] == "a") & (merges["rgt"] == "a")]
+    if len(aa_rank):
+        assert got["aaaa"] in (1, 2)
+
+
+def test_bpe_encode_stats_unknown_token_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ocracle_ray.stages.bpe import bpe_encode_stats
+
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en"], pa.string()),
+        "text": pa.array(["hello world"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="UNK rule"):
+        bpe_encode_stats(ds, {"hello": 2})
+
+
+def test_bpe_encode_stats_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocracle_ray.stages.bpe import bpe_encode_stats
+
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "text": pa.array(["ab ab cd", "ab", "cd cd"], pa.string()),
+    })).repartition(2)
+    out = bpe_encode_stats(ds, {"ab": 1, "cd": 2})
+    out = out.set_index("lang")
+    assert int(out.loc["en", "n_bpe_tokens"]) == 1 + 1 + 2 + 1
+    assert int(out.loc["en", "n_word_chars"]) == 2 * 3 + 2
+    assert int(out.loc["de", "n_bpe_tokens"]) == 4
+    assert int(out.loc["de", "n_docs"]) == 1
