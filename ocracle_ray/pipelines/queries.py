@@ -782,6 +782,19 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_docs_top_terms(sf_dir: str):
+    """Characterizing keywords per lang (stages.tfidf): add-1-smoothed
+    log-odds rate ratio, the Fightin'-Words family — presence-idf
+    (c-TF-IDF) is degenerate on this corpus's shared vocabulary, rate
+    ratios rank by OVER-representation. One pre-combined corpus pass;
+    totals/score/top-k all run on the vocab-sized aggregate; scores
+    round to 6 BEFORE ranking on both sides, ties on term ASC."""
+    from ..stages.tfidf import top_terms_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return top_terms_by_lang(ds, k=5)
+
+
 def q_docs_bpe_encode(sf_dir: str):
     """BPE ENCODE (stages.bpe.bpe_apply/bpe_encode_stats): apply the
     trained merge table to the corpus — docs_bpe_merges' consumer
@@ -2521,6 +2534,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
     "docs_seq_packing": q_docs_seq_packing,
+    "docs_top_terms": q_docs_top_terms,
     "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
     "events_distinct_hll": q_events_distinct_hll,
@@ -3319,6 +3333,39 @@ ORACLE_SQL = {
         FROM spans, seqs
         GROUP BY lang, seqs.n_sequences, seqs.n_pad_tokens
         ORDER BY lang
+    """,
+    "docs_top_terms": """
+        -- add-1-smoothed log-odds rate ratio (Fightin' Words family):
+        -- score = ln(((tf+1)/(T_l+V)) / ((TF_w-tf+1)/(G-T_l+V))),
+        -- present (lang, term) pairs only; score rounded to 6 BEFORE
+        -- ranking (engine rule); ties on term ASC. Tokenization =
+        -- lowercase [a-z0-9]+ runs (stages/tfidf.py)
+        WITH toks AS (
+            SELECT lang, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT lang, term, count(*)::BIGINT AS tf
+               FROM toks GROUP BY lang, term),
+        tl AS (SELECT lang, sum(tf)::BIGINT AS tl FROM tf GROUP BY lang),
+        gl AS (SELECT sum(tf)::BIGINT AS g,
+                      count(DISTINCT term)::BIGINT AS v FROM tf),
+        tw AS (SELECT term, sum(tf)::BIGINT AS tw FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.lang, tf.term, tf.tf,
+                   round(ln(((tf.tf + 1)::DOUBLE / (tl.tl + gl.v))
+                            / ((tw.tw - tf.tf + 1)::DOUBLE
+                               / (gl.g - tl.tl + gl.v))), 6) AS score
+            FROM tf JOIN tl USING (lang) JOIN tw USING (term), gl
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY score DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT lang, rk, term, tf, score FROM ranked
+        WHERE rk <= 5 ORDER BY lang, rk
     """,
     "events_rollup": """
         -- ROLLUP over (event_type, day): the oracle aggregates every
