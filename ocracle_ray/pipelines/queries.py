@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -780,6 +782,75 @@ def q_docs_chunking(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
     return chunk_stats_by_lang(ds, size=64, stride=48)
+
+
+def q_events_outliers(sf_dir: str):
+    """Grouped moments + z-score anomaly gate, zero shuffle: per-type
+    (n, Σc, Σc²) integer-cent sufficient statistics fold on the driver
+    (mergeable — the tree-fold shape at 100 TB), then one broadcast
+    re-scan counts |c - mean| > 3σ events. Float parity is EXACT, not
+    rounded: both sides build mean/σ from the identical integers with
+    the identical double expression (σ² = (Σc² - (Σc·Σc)/n)/n, Σc
+    rounded to double BEFORE squaring — mirroring SQL's ::DOUBLE — so
+    the unrounded 3σ boundary comparison cannot flip an outlier count
+    between engine and oracle). σ = 0 groups gate to zero outliers."""
+    from ..core.textstats import round_half_away
+    from ..stages.running import _cents
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"].to_numpy(zero_copy_only=False), 100)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "c": pa.array(c, pa.int64()),
+                "c2": pa.array(c * c, pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    st = driver_grouped_agg(
+        prepped,
+        ["event_type"],
+        {"n_events": ("c", "count"), "s": ("c", "sum"), "s2": ("c2", "sum")},
+    )
+    stats = {}
+    for _, r in st.iterrows():
+        n, sf_, s2f = int(r["n_events"]), float(int(r["s"])), float(int(r["s2"]))
+        mean = sf_ / n
+        var = (s2f - (sf_ * sf_) / n) / n
+        std = math.sqrt(var) if var > 0 else 0.0
+        stats[r["event_type"]] = (mean, std)
+
+    def outliers(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        flag = np.zeros(len(t), np.int64)
+        for et, (mean, std) in stats.items():
+            if std > 0:
+                m = types == et
+                flag[m] = (np.abs(c[m] - mean) > 3.0 * std).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "o": pa.array(flag, pa.int64())})
+
+    out = driver_grouped_agg(
+        prepped.map_batches(outliers, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_outliers": ("o", "sum")},
+    )
+    res = st.merge(out, on="event_type")
+    res["mean_cents"] = round_half_away(
+        [stats[e][0] for e in res["event_type"]], 6)
+    res["std_cents"] = round_half_away(
+        [stats[e][1] for e in res["event_type"]], 6)
+    res["n_outliers"] = res["n_outliers"].astype("int64")
+    return (
+        res[["event_type", "n_events", "mean_cents", "std_cents",
+             "n_outliers"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
 
 
 def q_docs_top_terms(sf_dir: str):
@@ -2534,6 +2605,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
     "docs_seq_packing": q_docs_seq_packing,
+    "events_outliers": q_events_outliers,
     "docs_top_terms": q_docs_top_terms,
     "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
@@ -3366,6 +3438,41 @@ ORACLE_SQL = {
         FROM spans, seqs
         GROUP BY lang, seqs.n_sequences, seqs.n_pad_tokens
         ORDER BY lang
+    """,
+    "events_outliers": """
+        -- grouped moments + 3-sigma gate over integer cents; the
+        -- double expression mirrors the engine exactly (s rounded to
+        -- DOUBLE before squaring) so the unrounded boundary compare
+        -- cannot flip a count; std=0 groups gate to zero
+        WITH ev AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        st AS (
+            SELECT event_type, count(*) AS n_events,
+                   sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2
+            FROM ev GROUP BY event_type
+        ),
+        mo AS (
+            SELECT event_type, n_events, s::DOUBLE / n_events AS mean,
+                   CASE WHEN (s2::DOUBLE - (s::DOUBLE * s::DOUBLE)
+                              / n_events) / n_events > 0
+                        THEN sqrt((s2::DOUBLE - (s::DOUBLE * s::DOUBLE)
+                                   / n_events) / n_events)
+                        ELSE 0.0 END AS std
+            FROM st
+        ),
+        o AS (
+            SELECT e.event_type,
+                   sum(CASE WHEN mo.std > 0
+                                 AND abs(e.c::DOUBLE - mo.mean)
+                                     > 3.0 * mo.std
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM ev e JOIN mo USING (event_type) GROUP BY e.event_type
+        )
+        SELECT mo.event_type, mo.n_events, round(mo.mean, 6) AS mean_cents,
+               round(mo.std, 6) AS std_cents, o.n_outliers
+        FROM mo JOIN o USING (event_type) ORDER BY mo.event_type
     """,
     "docs_top_terms": """
         -- add-1-smoothed log-odds rate ratio (Fightin' Words family):
