@@ -784,6 +784,18 @@ def q_docs_chunking(sf_dir: str):
     return chunk_stats_by_lang(ds, size=64, stride=48)
 
 
+def q_docs_profile(sf_dir: str):
+    """Table profiling (stages.profile): per-column nulls + distincts
+    for ALL columns in ONE streaming pass (one partial row per column
+    per block: null count + KMV sketch, exact below k=65536 — the
+    distinct_counts contract). A 100 TB profile costs one read, not
+    one scan per column."""
+    from ..stages.profile import profile_table
+
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    return profile_table(_read(sf_dir, "documents", cols), cols)
+
+
 def q_events_outliers(sf_dir: str):
     """Grouped moments + z-score anomaly gate, zero shuffle: per-type
     (n, Σc, Σc²) integer-cent sufficient statistics fold on the driver
@@ -2605,6 +2617,7 @@ QUERIES = {
     "docs_chunking": q_docs_chunking,
     "docs_split": q_docs_split,
     "docs_seq_packing": q_docs_seq_packing,
+    "docs_profile": q_docs_profile,
     "events_outliers": q_events_outliers,
     "docs_top_terms": q_docs_top_terms,
     "docs_bpe_encode": q_docs_bpe_encode,
@@ -3438,6 +3451,21 @@ ORACLE_SQL = {
         FROM spans, seqs
         GROUP BY lang, seqs.n_sequences, seqs.n_pad_tokens
         ORDER BY lang
+    """,
+    "docs_profile": """
+        -- one row per column: COUNT(DISTINCT) skips NULLs, matching
+        -- the engine's drop-null-before-hash KMV rule (exact below k)
+        SELECT 'doc_id' AS col_name, (count(*) - count(doc_id))::BIGINT AS n_nulls,
+               count(DISTINCT doc_id)::BIGINT AS n_distinct FROM documents
+        UNION ALL SELECT 'lang' AS col_name, (count(*) - count(lang))::BIGINT AS n_nulls,
+               count(DISTINCT lang)::BIGINT AS n_distinct FROM documents
+        UNION ALL SELECT 'n_chars' AS col_name, (count(*) - count(n_chars))::BIGINT AS n_nulls,
+               count(DISTINCT n_chars)::BIGINT AS n_distinct FROM documents
+        UNION ALL SELECT 'source' AS col_name, (count(*) - count(source))::BIGINT AS n_nulls,
+               count(DISTINCT source)::BIGINT AS n_distinct FROM documents
+        UNION ALL SELECT 'text' AS col_name, (count(*) - count(text))::BIGINT AS n_nulls,
+               count(DISTINCT text)::BIGINT AS n_distinct FROM documents
+        ORDER BY col_name
     """,
     "events_outliers": """
         -- grouped moments + 3-sigma gate over integer cents; the
