@@ -923,6 +923,31 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Crosstab reshape (stages.pivot): day x event_type long rows to
+    ONE wide row per day with (count, int64-cent sum) column pairs per
+    type — SQL PIVOT / pandas crosstab. The key domain is declared
+    (EVENT_TYPE_DOMAIN) so the wide schema is a plan-time constant; an
+    unexpected key raises loud. One streaming pass of in-Arrow-grouped
+    partials, driver folds only 30 x 5 aggregate rows, cents stay
+    integer end to end (bit-exact vs the FILTER-aggregate oracle)."""
+    from ..stages.pivot import pivot_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = pivot_counts(
+        ds,
+        time_col="ts",
+        key_col="event_type",
+        value_col="value",
+        expected_keys=EVENT_TYPE_DOMAIN,
+        unit="day",
+    )
+    return out.rename(columns={"bucket": "day"})
+
+
 def q_docs_seq_packing(sf_dir: str):
     """GPT-style sequence packing (stages.packing): concatenate every
     doc's tokens + EOS in doc_id order, chunk the stream into 256-token
@@ -2622,6 +2647,7 @@ QUERIES = {
     "docs_top_terms": q_docs_top_terms,
     "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
+    "events_pivot": q_events_pivot,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3552,6 +3578,36 @@ ORACLE_SQL = {
                sum(cents)::BIGINT AS total_cents
         FROM ev GROUP BY ROLLUP(event_type, day)
         ORDER BY 1, 2
+    """,
+    "events_pivot": """
+        -- wide crosstab over the declared 5-type domain; counts via
+        -- FILTER, sums as integer cents (round(value*100) = the
+        -- stages/running.py cent rule) so the wide columns are
+        -- bit-exact with no float-order caveat
+        SELECT date_trunc('day', ts) AS day,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+               coalesce(sum(CASE WHEN event_type = 'click'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)::BIGINT
+                   AS cents_click,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+               coalesce(sum(CASE WHEN event_type = 'error'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)::BIGINT
+                   AS cents_error,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+                   AS n_purchase,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)::BIGINT
+                   AS cents_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT
+                   AS n_signup,
+               coalesce(sum(CASE WHEN event_type = 'signup'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)::BIGINT
+                   AS cents_signup,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+               coalesce(sum(CASE WHEN event_type = 'view'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)::BIGINT
+                   AS cents_view
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "events_distinct_hll": _hll_oracle_sql(),
     "docs_split": """
