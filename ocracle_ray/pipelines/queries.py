@@ -923,6 +923,21 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_docs_textrank(sf_dir: str):
+    """TextRank keywords per lang (stages.textrank): PageRank over the
+    adjacent-token co-occurrence graph in FIXED-POINT INTEGER
+    arithmetic — every damped iteration floor-divides at the same two
+    points as the generated unrolled SQL oracle, so the score column
+    matches by exact int64 equality (no float ever exists). One corpus
+    pass of in-Arrow-grouped edge partials; the iteration runs on the
+    vocabulary-sized aggregate, loud-guarded at TEXTRANK_EDGE_LIMIT."""
+    from ..stages.textrank import textrank_terms
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return textrank_terms(ds, n_iters=TEXTRANK_ITERS, k=5)
+
+
+TEXTRANK_ITERS = 8
 EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2648,6 +2663,7 @@ QUERIES = {
     "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
+    "docs_textrank": q_docs_textrank,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3831,6 +3847,10 @@ ORACLE_SQL = {
     "docs_bpe_encode": __import__(
         "ocracle_ray.stages.bpe", fromlist=["bpe_encode_oracle_sql"]
     ).bpe_encode_oracle_sql(BPE_N_MERGES),
+    # generated: n-iteration-unrolled fixed-point TextRank mirror
+    "docs_textrank": __import__(
+        "ocracle_ray.stages.textrank", fromlist=["textrank_oracle_sql"]
+    ).textrank_oracle_sql(TEXTRANK_ITERS, 5),
     "docs_samples": """
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,
