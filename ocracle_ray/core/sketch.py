@@ -525,3 +525,110 @@ def pd_unique_stable(arr: np.ndarray) -> np.ndarray:
     import pandas as pd
 
     return pd.unique(arr)
+
+
+class QuantileSketch:
+    """Deterministic mergeable quantile sketch — an MRL/KLL compactor
+    hierarchy (Manku-Rajagopalan-Lindsay 1998; Karnin-Lall-Liberty
+    2016) with ALTERNATING-PARITY compaction instead of coin flips, so
+    there is no randomness anywhere: a fixed fold order reproduces
+    bit-identical estimates, and the parity alternation cancels the
+    systematic rank drift a fixed offset would accumulate.
+
+    Level i holds values of weight 2^i. When a level exceeds ``k``
+    items it is sorted and every other element (starting at the
+    level's parity offset, which then flips) is promoted one level up
+    at doubled weight. Size is O(k log(n/k)); worst-case rank error is
+    O(n log(n/k) / k) — at k=512 that is well under 1% of n for any
+    corpus this engine folds on a driver, and the consuming query
+    EXPOSES the realized error per quantile (true_rank columns) rather
+    than asserting the bound blindly.
+
+    Merging = concatenate levels pairwise + recompress: associative up
+    to the documented error bound (the tree-merge shape at 100 TB —
+    per-batch sketches are ~k·log(n) rows, so the driver fold carries
+    sketch-sized, not corpus-sized, traffic).
+    """
+
+    def __init__(self, k: int = 512):
+        if k < 8:
+            raise ValueError(f"QuantileSketch: k={k} too small")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, np.float64)
+        if len(v) and not np.all(np.isfinite(v)):
+            raise ValueError(
+                "QuantileSketch: non-finite values (drop nulls before "
+                "sketching — the COUNT(DISTINCT)-parity rule)"
+            )
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def add_level(self, level: int, values: np.ndarray) -> None:
+        """Fold pre-weighted rows (level i = weight 2^i) from another
+        sketch's flattened representation; call compress() after."""
+        while len(self.levels) <= level:
+            self.levels.append(np.empty(0, np.float64))
+            self.parity.append(0)
+        self.levels[level] = np.concatenate(
+            [self.levels[level], np.asarray(values, np.float64)]
+        )
+
+    def compress(self) -> None:
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i], kind="stable")
+                off = self.parity[i]
+                self.parity[i] ^= 1
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                    self.parity.append(0)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], buf[off::2]]
+                )
+                self.levels[i] = np.empty(0, np.float64)
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.k != self.k:
+            raise ValueError("QuantileSketch.merge: mismatched k")
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.add_level(i, arr)
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, wts = [], []
+        for i, arr in enumerate(self.levels):
+            if len(arr):
+                vals.append(arr)
+                wts.append(np.full(len(arr), 1 << i, np.int64))
+        if not vals:
+            return np.empty(0, np.float64), np.empty(0, np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def rank_value(self, target_rank: int) -> float:
+        """Smallest stored value whose cumulative weight reaches
+        ``target_rank`` (clamped to the last value if compaction left
+        total weight just under n)."""
+        v, w = self._weighted()
+        if len(v) == 0:
+            raise ValueError("QuantileSketch: empty")
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(cum, max(1, int(target_rank))))
+        return float(v[min(idx, len(v) - 1)])

@@ -939,6 +939,68 @@ def q_docs_textrank(sf_dir: str):
 
 TEXTRANK_ITERS = 8
 EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
+QSKETCH_ORACLE_DIR = "/tmp/ocracle_qsketch_oracle"
+QSKETCH_QPMS = [10, 100, 250, 500, 750, 900, 990]
+
+
+def q_events_quantile_sketch(sf_dir: str):
+    """Mergeable-sketch quantiles (stages.qsketch): the one-pass
+    shuffle-free sibling of events_value_quantiles' exact two-pass.
+    Hybrid artifact oracle (the knn_ivf pattern): the sketch estimates
+    are written to parquet — only the compaction itself is trusted —
+    and BOTH sides independently re-derive each estimate's TRUE rank
+    from raw rows plus the integer target rank ((q_pm*n+999)//1000),
+    so the within_1pct column verifies the sketch's error bound
+    externally instead of self-reporting it."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.qsketch import quantile_estimates
+
+    ds = _read(sf_dir, "events", ["value"])
+    ests = quantile_estimates(ds, "value", QSKETCH_QPMS)
+
+    out_dir = f"{QSKETCH_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    _pq.write_table(
+        pa.table({
+            "q_pm": pa.array([q for q, _, _ in ests], pa.int64()),
+            "est": pa.array([e for _, e, _ in ests], pa.float64()),
+        }),
+        f"{out_dir}/part-0.parquet",
+    )
+
+    est_arr = np.array([e for _, e, _ in ests], np.float64)
+    q_arr = np.array([q for q, _, _ in ests], np.int64)
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        le = np.array([(v <= e).sum() for e in est_arr], np.int64)
+        return pa.table({
+            "q_pm": pa.array(q_arr, pa.int64()),
+            "le": pa.array(le, pa.int64()),
+            "nb": pa.array(np.full(len(q_arr), len(v), np.int64)),
+        })
+
+    agg = driver_grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["q_pm"],
+        {"true_rank": ("le", "sum"), "n": ("nb", "sum")},
+    ).set_index("q_pm")
+
+    rows = []
+    for q_pm, est, target in ests:
+        true_rank = int(agg.loc[q_pm, "true_rank"])
+        n = int(agg.loc[q_pm, "n"])
+        rows.append((q_pm, est, target, true_rank, n,
+                     abs(true_rank - target) * 100 <= n))
+    out = pd.DataFrame(rows, columns=["q_pm", "est", "target_rank",
+                                      "true_rank", "n", "within_1pct"])
+    for c in ("q_pm", "target_rank", "true_rank", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("q_pm").reset_index(drop=True)
 
 
 def q_events_pivot(sf_dir: str):
@@ -2664,6 +2726,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_pivot": q_events_pivot,
     "docs_textrank": q_docs_textrank,
+    "events_quantile_sketch": q_events_quantile_sketch,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3851,6 +3914,29 @@ ORACLE_SQL = {
     "docs_textrank": __import__(
         "ocracle_ray.stages.textrank", fromlist=["textrank_oracle_sql"]
     ).textrank_oracle_sql(TEXTRANK_ITERS, 5),
+    "events_quantile_sketch": """
+        -- hybrid artifact oracle: the sketch ESTIMATES come from the
+        -- written parquet (only the compaction is trusted); the true
+        -- rank of each estimate, the integer target rank and the
+        -- error gate are re-derived here from raw rows independently
+        WITH est AS (
+            SELECT q_pm, est FROM read_parquet(
+                '/tmp/ocracle_qsketch_oracle/current/*.parquet')
+        ),
+        nn AS (SELECT count(*)::BIGINT AS n FROM events),
+        tr AS (
+            SELECT e.q_pm, e.est,
+                   (SELECT count(*) FROM events ev
+                    WHERE ev.value <= e.est)::BIGINT AS true_rank
+            FROM est e
+        )
+        SELECT t.q_pm, t.est,
+               ((t.q_pm * nn.n + 999) // 1000)::BIGINT AS target_rank,
+               t.true_rank, nn.n AS n,
+               (abs(t.true_rank - ((t.q_pm * nn.n + 999) // 1000)) * 100
+                <= nn.n) AS within_1pct
+        FROM tr t CROSS JOIN nn ORDER BY t.q_pm
+    """,
     "docs_samples": """
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,
