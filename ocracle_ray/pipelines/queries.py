@@ -941,6 +941,101 @@ TEXTRANK_ITERS = 8
 EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
 QSKETCH_ORACLE_DIR = "/tmp/ocracle_qsketch_oracle"
 QSKETCH_QPMS = [10, 100, 250, 500, 750, 900, 990]
+SNAPDELTA_ORACLE_DIR = "/tmp/ocracle_snapdelta_oracle"
+_RECRAWL_NOTE = b"<!-- recrawl-delta -->"
+_RECRAWL_TS_BUMP_US = 30 * 86_400 * 1_000_000
+
+
+def q_pages_snapshot_delta(sf_dir: str):
+    """Crawl-recrawl CDC (stages.snapshot): classify every url across
+    two snapshots as added/removed/changed/unchanged and census each
+    class with a fingerprint XOR. Snapshot B shifts the crawl window
+    by 10% (adds+removes) and deterministically mutates every 7th doc
+    (trailing url digits % 7 == 3 — the pdf_branch dispatch trick) with
+    a content note + 30-day ts bump (changes). Artifact oracle of the
+    STRONG kind (webview_tasks pattern): the raw pre-dedup fingerprint
+    rows of BOTH sides are written, and SQL re-derives keep-latest
+    (row_number over ts DESC, fp DESC — the engine's exact tie-break),
+    the full-outer diff, the status rule and the census; only the
+    blake2b fingerprint itself is trusted from the artifact."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.pages import (PAGES_SCHEMA, gen_page, n_docs_for_sf,
+                                 sf_of_dir)
+    from ..stages.snapshot import fingerprint_pages, snapshot_delta_census
+
+    sf = sf_of_dir(sf_dir)
+    n = min(2000, n_docs_for_sf(sf))
+    ofs = n // 10
+
+    def gen_window(start: int):
+        def gen(batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_pylist()
+            if not ids:
+                return PAGES_SCHEMA.empty_table()
+            rows = [gen_page(i + start) for i in ids]
+            return pa.Table.from_pydict(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                        pa.timestamp("us")),
+                    "html": pa.array([r["html"] for r in rows],
+                                     pa.large_binary()),
+                    "text": pa.array([r["text"] for r in rows],
+                                     pa.large_string()),
+                    "lang": [r["lang"] for r in rows],
+                },
+                schema=PAGES_SCHEMA,
+            )
+        return gen
+
+    def recrawl_mutate(t: pa.Table) -> pa.Table:
+        """Deterministic content drift: urls whose trailing doc number
+        is ≡3 (mod 7) changed since the last crawl."""
+        urls = t["url"].to_pylist()
+        html = t["html"].to_pylist()
+        ts = t["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        changed = np.array([int(u[-6:]) % 7 == 3 for u in urls], bool)
+        html = [h + _RECRAWL_NOTE if c else h
+                for h, c in zip(html, changed)]
+        ts = np.where(changed, ts + _RECRAWL_TS_BUMP_US, ts)
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": pa.array(ts.astype("datetime64[us]"),
+                                pa.timestamp("us")),
+            "html": pa.array(html, pa.large_binary()),
+            "text": t["text"],
+            "lang": t["lang"],
+        })
+
+    snap_a = rd.range(n).map_batches(
+        gen_window(0), batch_format="pyarrow", batch_size=256)
+    snap_b = rd.range(n).map_batches(
+        gen_window(ofs), batch_format="pyarrow", batch_size=256
+    ).map_batches(recrawl_mutate, batch_format="pyarrow")
+
+    rows = fingerprint_pages(snap_a, "a").union(
+        fingerprint_pages(snap_b, "b"))
+    out_dir = f"{SNAPDELTA_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    rows.map_batches(
+        lambda t: t.rename_columns(["side", "url", "warc_ts", "fp"]),
+        batch_format="pyarrow",
+    ).write_parquet(out_dir)
+
+    back = rd.read_parquet(out_dir)
+
+    def unrename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["side", "url", "warc_ts",
+                                 "text_fingerprint"])
+
+    back = back.map_batches(unrename, batch_format="pyarrow")
+    side_a = back.filter(expr="side == 'a'")
+    side_b = back.filter(expr="side == 'b'")
+    return snapshot_delta_census(side_a, side_b)
 
 
 def q_events_quantile_sketch(sf_dir: str):
@@ -2727,6 +2822,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "docs_textrank": q_docs_textrank,
     "events_quantile_sketch": q_events_quantile_sketch,
+    "pages_snapshot_delta": q_pages_snapshot_delta,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -3936,6 +4032,41 @@ ORACLE_SQL = {
                (abs(t.true_rank - ((t.q_pm * nn.n + 999) // 1000)) * 100
                 <= nn.n) AS within_1pct
         FROM tr t CROSS JOIN nn ORDER BY t.q_pm
+    """,
+    "pages_snapshot_delta": """
+        -- strong artifact oracle: raw PRE-dedup fingerprint rows of
+        -- both snapshots are written; SQL re-derives keep-latest (ts
+        -- DESC, fp DESC — the engine's exact tie-break, null ts ≡
+        -- epoch 0 always-loser), the full-outer url diff, the status
+        -- rule and the per-status census. Only the blake2b content
+        -- fingerprint is trusted from the artifact.
+        WITH raw AS (
+            SELECT side, url,
+                   coalesce(warc_ts, TIMESTAMP '1970-01-01') AS ts, fp
+            FROM read_parquet(
+                '/tmp/ocracle_snapdelta_oracle/current/*.parquet')
+        ),
+        win AS (
+            SELECT side, url, fp FROM (
+                SELECT side, url, fp,
+                       row_number() OVER (PARTITION BY side, url
+                                          ORDER BY ts DESC, fp DESC)
+                           AS rn
+                FROM raw) WHERE rn = 1
+        ),
+        a AS (SELECT url, fp FROM win WHERE side = 'a'),
+        b AS (SELECT url, fp FROM win WHERE side = 'b'),
+        d AS (
+            SELECT CASE WHEN a.url IS NULL THEN 'added'
+                        WHEN b.url IS NULL THEN 'removed'
+                        WHEN a.fp = b.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   coalesce(b.fp, a.fp) AS fp_latest
+            FROM a FULL OUTER JOIN b ON a.url = b.url
+        )
+        SELECT status, count(*)::BIGINT AS n_urls,
+               bit_xor(fp_latest)::BIGINT AS fp_xor
+        FROM d GROUP BY status ORDER BY status
     """,
     "docs_samples": """
     WITH ranked AS (
