@@ -942,6 +942,33 @@ EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
 QSKETCH_ORACLE_DIR = "/tmp/ocracle_qsketch_oracle"
 QSKETCH_QPMS = [10, 100, 250, 500, 750, 900, 990]
 SNAPDELTA_ORACLE_DIR = "/tmp/ocracle_snapdelta_oracle"
+BOILER_ORACLE_DIR = "/tmp/ocracle_boiler_oracle"
+
+
+def q_pages_boilerplate(sf_dir: str):
+    """CCNet-style frequent-block suppression (stages.boiler): blocks
+    whose normalized-text hash repeats ≥5 times corpus-wide are
+    template boilerplate; the census reports per-branch drop counts
+    and a kept-hash XOR. Strong artifact oracle: the per-block hash
+    rows are written BEFORE any frequency logic runs and both engine
+    passes re-read them, so SQL re-derives the counts, the frequent
+    set, the drop rule and the census from the identical surface —
+    only the blake2b text hash is trusted."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+    from ..stages.blocks import pages_to_blocks
+    from ..stages.boiler import block_hash_rows, boilerplate_census
+
+    sf = sf_of_dir(sf_dir)
+    n = min(2000, n_docs_for_sf(sf))
+    blocks = pages_to_blocks(generate_pages_dataset(n), concurrency=2)
+    out_dir = f"{BOILER_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    block_hash_rows(blocks).write_parquet(out_dir)
+    return boilerplate_census(rd.read_parquet(out_dir))
 _RECRAWL_NOTE = b"<!-- recrawl-delta -->"
 _RECRAWL_TS_BUMP_US = 30 * 86_400 * 1_000_000
 
@@ -2823,6 +2850,7 @@ QUERIES = {
     "docs_textrank": q_docs_textrank,
     "events_quantile_sketch": q_events_quantile_sketch,
     "pages_snapshot_delta": q_pages_snapshot_delta,
+    "pages_boilerplate": q_pages_boilerplate,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -4067,6 +4095,33 @@ ORACLE_SQL = {
         SELECT status, count(*)::BIGINT AS n_urls,
                bit_xor(fp_latest)::BIGINT AS fp_xor
         FROM d GROUP BY status ORDER BY status
+    """,
+    "pages_boilerplate": """
+        -- strong artifact oracle: per-block hash rows written before
+        -- any frequency logic; SQL re-derives occurrence counts, the
+        -- ≥5 frequent set, the drop rule and the per-branch census —
+        -- only the blake2b text hash is trusted from the artifact
+        WITH blk AS (
+            SELECT url, branch, h, n_chars FROM read_parquet(
+                '/tmp/ocracle_boiler_oracle/current/*.parquet')
+        ),
+        freq AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM blk GROUP BY h)
+            WHERE c >= 5
+        ),
+        marked AS (
+            SELECT b.branch, b.h, b.n_chars,
+                   (f.h IS NOT NULL) AS is_boiler
+            FROM blk b LEFT JOIN freq f ON b.h = f.h
+        )
+        SELECT branch, count(*)::BIGINT AS n_blocks,
+               sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dropped,
+               coalesce(sum(CASE WHEN NOT is_boiler THEN n_chars END),
+                        0)::BIGINT AS kept_chars,
+               coalesce(bit_xor(CASE WHEN NOT is_boiler THEN h END),
+                        0)::BIGINT AS fp_xor_kept
+        FROM marked GROUP BY branch ORDER BY branch
     """,
     "docs_samples": """
     WITH ranked AS (
