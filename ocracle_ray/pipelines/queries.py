@@ -943,6 +943,27 @@ QSKETCH_ORACLE_DIR = "/tmp/ocracle_qsketch_oracle"
 QSKETCH_QPMS = [10, 100, 250, 500, 750, 900, 990]
 SNAPDELTA_ORACLE_DIR = "/tmp/ocracle_snapdelta_oracle"
 BOILER_ORACLE_DIR = "/tmp/ocracle_boiler_oracle"
+PAGERANK_ITERS = 8
+
+
+def q_orders_basket_rank(sf_dir: str):
+    """DISTRIBUTED PageRank (stages.pagerank) over the basket
+    co-purchase graph: consecutive lineitem parts per order are edges
+    (exact across block boundaries via the sort + seam two-pass), then
+    every damped iteration streams the edge Dataset once against a
+    broadcast rank vector — edges never fold to the driver, only
+    |V|-sized contribution partials do (loud-guarded). Same int64
+    fixed-point as docs_textrank, so the generated unrolled oracle
+    matches by exact integer equality."""
+    from ..stages.pagerank import consecutive_pair_edges, pagerank
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey"])
+    edges = consecutive_pair_edges(
+        ds, group_col="l_orderkey", order_col="l_linenumber",
+        item_col="l_partkey")
+    out = pagerank(edges, n_iters=PAGERANK_ITERS, k=10)
+    return out.rename(columns={"node": "part_key"})
 
 
 def q_pages_boilerplate(sf_dir: str):
@@ -2851,6 +2872,7 @@ QUERIES = {
     "events_quantile_sketch": q_events_quantile_sketch,
     "pages_snapshot_delta": q_pages_snapshot_delta,
     "pages_boilerplate": q_pages_boilerplate,
+    "orders_basket_rank": q_orders_basket_rank,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -4038,6 +4060,21 @@ ORACLE_SQL = {
     "docs_textrank": __import__(
         "ocracle_ray.stages.textrank", fromlist=["textrank_oracle_sql"]
     ).textrank_oracle_sql(TEXTRANK_ITERS, 5),
+    # generated: unrolled distributed-PageRank mirror; lag() over
+    # (orderkey, linenumber) re-derives the consecutive-pair edges
+    "orders_basket_rank": __import__(
+        "ocracle_ray.stages.pagerank", fromlist=["pagerank_oracle_sql"]
+    ).pagerank_oracle_sql(
+        """li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         l_partkey AS pk FROM lineitem),
+        nxt AS (SELECT ok, pk,
+                       lag(pk) OVER (PARTITION BY ok
+                                     ORDER BY ln, pk) AS prev
+                FROM li),
+        cp AS (SELECT least(prev, pk) AS a, greatest(prev, pk) AS b
+               FROM nxt WHERE prev IS NOT NULL AND prev <> pk),
+        ew AS (SELECT a, b, count(*)::BIGINT AS w FROM cp GROUP BY a, b)""",
+        PAGERANK_ITERS, 10, node_alias="part_key"),
     "events_quantile_sketch": """
         -- hybrid artifact oracle: the sketch ESTIMATES come from the
         -- written parquet (only the compaction is trusted); the true
