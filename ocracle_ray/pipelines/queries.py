@@ -946,6 +946,18 @@ BOILER_ORACLE_DIR = "/tmp/ocracle_boiler_oracle"
 PAGERANK_ITERS = 8
 
 
+def q_docs_collocations(sf_dir: str):
+    """PMI collocations (stages.colloc): rank adjacent-token pairs by
+    pointwise mutual information over the bigram event space — one
+    corpus pass of Arrow-grouped bigram partials, model-sized driver
+    scoring behind the perplexity model's loud guard. PMI floats use
+    the repo's ln/round-6-before-rank parity rule; ties on terms ASC."""
+    from ..stages.colloc import collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return collocations(ds, k=10, min_count=5)
+
+
 def q_orders_basket_rank(sf_dir: str):
     """DISTRIBUTED PageRank (stages.pagerank) over the basket
     co-purchase graph: consecutive lineitem parts per order are edges
@@ -2873,6 +2885,7 @@ QUERIES = {
     "pages_snapshot_delta": q_pages_snapshot_delta,
     "pages_boilerplate": q_pages_boilerplate,
     "orders_basket_rank": q_orders_basket_rank,
+    "docs_collocations": q_docs_collocations,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -4075,6 +4088,54 @@ ORACLE_SQL = {
                FROM nxt WHERE prev IS NOT NULL AND prev <> pk),
         ew AS (SELECT a, b, count(*)::BIGINT AS w FROM cp GROUP BY a, b)""",
         PAGERANK_ITERS, 10, node_alias="part_key"),
+    "docs_collocations": """
+        -- PMI over the bigram event space: left/right marginals and
+        -- the pair count all from ONE bigram table; expression shape
+        -- (n·N double / cl·cr double, ln, round 6 BEFORE ranking)
+        -- mirrors stages/colloc.py exactly; tokenization = lowercase
+        -- [a-z0-9]+ runs; ties on (term_a, term_b) ASC
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        pairs AS (
+            SELECT tok,
+                   lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS prev
+            FROM toks
+        ),
+        bg AS (SELECT prev, tok, count(*)::BIGINT AS n FROM pairs
+               WHERE prev IS NOT NULL GROUP BY prev, tok),
+        lf AS (SELECT prev, sum(n)::BIGINT AS cl FROM bg GROUP BY prev),
+        rf AS (SELECT tok, sum(n)::BIGINT AS cr FROM bg GROUP BY tok),
+        nn AS (SELECT sum(n)::BIGINT AS total FROM bg),
+        sc AS (
+            SELECT b.prev AS term_a, b.tok AS term_b, b.n AS n_pair,
+                   round(ln((b.n::DOUBLE * nn.total)
+                            / (lf.cl::DOUBLE * rf.cr)), 6) AS pmi
+            FROM bg b
+            JOIN lf ON lf.prev = b.prev
+            JOIN rf ON rf.tok = b.tok
+            CROSS JOIN nn
+            WHERE b.n >= 5
+        ),
+        ranked AS (
+            SELECT term_a, term_b, n_pair, pmi,
+                   row_number() OVER (ORDER BY pmi DESC, term_a, term_b)
+                       AS rk
+            FROM sc
+        )
+        SELECT rk, term_a, term_b, n_pair, pmi
+        FROM ranked WHERE rk <= 10 ORDER BY rk
+    """,
     "events_quantile_sketch": """
         -- hybrid artifact oracle: the sketch ESTIMATES come from the
         -- written parquet (only the compaction is trusted); the true
