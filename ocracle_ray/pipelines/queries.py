@@ -2879,13 +2879,6 @@ QUERIES = {
     "docs_top_terms": q_docs_top_terms,
     "docs_bpe_encode": q_docs_bpe_encode,
     "events_rollup": q_events_rollup,
-    "events_pivot": q_events_pivot,
-    "docs_textrank": q_docs_textrank,
-    "events_quantile_sketch": q_events_quantile_sketch,
-    "pages_snapshot_delta": q_pages_snapshot_delta,
-    "pages_boilerplate": q_pages_boilerplate,
-    "orders_basket_rank": q_orders_basket_rank,
-    "docs_collocations": q_docs_collocations,
     "events_distinct_hll": q_events_distinct_hll,
     "docs_search_index": q_docs_search_index,
     "docs_bpe_merges": q_docs_bpe_merges,
@@ -2928,6 +2921,15 @@ QUERIES = {
     "media_features": q_media_features,
     "webview_tasks": q_webview_tasks,
     "salted_events_value": q_salted_events_value,
+    # session-4 additions, in priority order (after all earlier
+    # round-4 entries — the registry-order insurance note below)
+    "events_pivot": q_events_pivot,
+    "docs_textrank": q_docs_textrank,
+    "events_quantile_sketch": q_events_quantile_sketch,
+    "pages_snapshot_delta": q_pages_snapshot_delta,
+    "pages_boilerplate": q_pages_boilerplate,
+    "orders_basket_rank": q_orders_basket_rank,
+    "docs_collocations": q_docs_collocations,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
