@@ -958,6 +958,23 @@ def q_docs_collocations(sf_dir: str):
     return collocations(ds, k=10, min_count=5)
 
 
+def q_events_transitions(sf_dir: str):
+    """First-order Markov transition matrix (stages.markov) over
+    per-user event sequences ordered by (ts, event_id) — a total
+    order, so the lag() mirror is unambiguous. Directed pairs from the
+    exact sort+seam builder (self-transitions kept); integer-ppm
+    probabilities with floor division shared verbatim with SQL."""
+    from ..stages.markov import transition_matrix
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = transition_matrix(ds, group_col="user_id",
+                            order_cols=["ts", "event_id"],
+                            item_col="event_type")
+    return out.rename(columns={"prev_state": "prev_type",
+                               "next_state": "next_type"})
+
+
 def q_orders_basket_rank(sf_dir: str):
     """DISTRIBUTED PageRank (stages.pagerank) over the basket
     co-purchase graph: consecutive lineitem parts per order are edges
@@ -2930,6 +2947,7 @@ QUERIES = {
     "pages_boilerplate": q_pages_boilerplate,
     "orders_basket_rank": q_orders_basket_rank,
     "docs_collocations": q_docs_collocations,
+    "events_transitions": q_events_transitions,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4137,6 +4155,28 @@ ORACLE_SQL = {
         )
         SELECT rk, term_a, term_b, n_pair, pmi
         FROM ranked WHERE rk <= 10 ORDER BY rk
+    """,
+    "events_transitions": """
+        -- first-order Markov matrix per user sequence; (ts, event_id)
+        -- is a total order so lag() is unambiguous; p_ppm = integer
+        -- floor (n·1e6 // row_total), shared verbatim with the engine
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        tr AS (
+            SELECT prev AS prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS n_trans
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT prev_type, sum(n_trans)::BIGINT AS tot
+                FROM tr GROUP BY prev_type)
+        SELECT t.prev_type, t.next_type, t.n_trans,
+               ((t.n_trans * 1000000) // tot.tot)::BIGINT AS p_ppm
+        FROM tr t JOIN tot USING (prev_type)
+        ORDER BY t.prev_type, t.next_type
     """,
     "events_quantile_sketch": """
         -- hybrid artifact oracle: the sketch ESTIMATES come from the

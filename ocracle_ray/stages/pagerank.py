@@ -35,81 +35,108 @@ from .textrank import BASE, D_DEN, D_NUM, SCALE
 NODE_LIMIT = 5_000_000
 
 
-def consecutive_pair_edges(ds, *, group_col: str, order_col: str,
-                           item_col: str):
-    """Undirected canonical (a, b, w) edges between consecutive items
-    within each group (ordered by ``order_col``), self-pairs dropped.
-    Exact across block boundaries: within-block pairs come from a
-    vectorized pass over the sorted blocks; the O(blocks) seam rows
-    (each block's first/last item) fold on the driver."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+def consecutive_pairs(ds, *, group_col: str, order_cols: list[str],
+                      item_col: str):
+    """DIRECTED (p, q) pairs of consecutive items within each group
+    (totally ordered by ``order_cols``), item dtype preserved,
+    self-pairs KEPT (downstream ops filter per their semantics). Exact
+    across block boundaries: within-block pairs come from a vectorized
+    pass over the sorted blocks; the O(blocks) seam rows (each block's
+    first/last item) pair up on the driver.
 
-    # item_col is the FINAL sort key: (group, order) need not be
-    # unique (the synthetic lineitem duplicates ~20% of its
-    # (orderkey, linenumber) pairs), and with the item as tiebreak any
-    # remaining ties are fully-identical rows, whose permutation
-    # cannot change the consecutive-pair multiset — the SQL mirror
-    # orders its lag() window identically
-    s = ds.select_columns([group_col, order_col, item_col]).sort(
-        [group_col, order_col, item_col]).materialize()
+    ``order_cols`` must make the sort a TOTAL order within each group
+    — (group, order) alone need not be unique (the synthetic lineitem
+    duplicates ~20% of its (orderkey, linenumber) pairs, found by the
+    sf0.01 oracle); include the item column as the final tiebreak when
+    no unique key exists: any remaining ties are then fully-identical
+    rows, whose permutation cannot change the pair multiset. The SQL
+    mirror orders its lag() window by the same columns."""
+    import ray.data as rd
+
+    cols = [group_col, *order_cols, item_col]
+    s = ds.select_columns(list(dict.fromkeys(cols))).sort(
+        [group_col, *order_cols]).materialize()
+
+    sch = s.schema()
+    item_type = dict(zip(sch.names, sch.types))[item_col]
 
     def within(t: pa.Table) -> pa.Table:
         g = t[group_col].to_numpy(zero_copy_only=False)
-        it = t[item_col].to_numpy(zero_copy_only=False)
         if len(g) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        same = g[1:] == g[:-1]
-        p, q = it[:-1][same], it[1:][same]
-        keep = p != q
-        p, q = p[keep], q[keep]
-        return pa.table({"a": pa.array(np.minimum(p, q), pa.int64()),
-                         "b": pa.array(np.maximum(p, q), pa.int64())})
+            return pa.table({"p": pa.array([], item_type),
+                             "q": pa.array([], item_type)})
+        same = np.nonzero(g[1:] == g[:-1])[0]
+        it = t[item_col].combine_chunks()
+        return pa.table({
+            "p": it.take(pa.array(same, pa.int64())),
+            "q": it.take(pa.array(same + 1, pa.int64())),
+        })
 
     def seam(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"g": pa.array([], pa.int64()),
-                             "o": pa.array([], pa.int64()),
-                             "it": pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.string())})
+            return pa.table(
+                {"g": pa.array([], t.schema.field(group_col).type),
+                 **{f"o{i}": pa.array([], t.schema.field(c).type)
+                    for i, c in enumerate(order_cols)},
+                 "it": pa.array([], item_type),
+                 "pos": pa.array([], pa.string())})
         idx = pa.array([0, t.num_rows - 1], pa.int64())
         return pa.table({
             "g": t[group_col].take(idx),
-            "o": t[order_col].take(idx),
+            **{f"o{i}": t[c].take(idx) for i, c in enumerate(order_cols)},
             "it": t[item_col].take(idx),
             "pos": pa.array(["first", "last"], pa.string()),
         })
 
-    # seam pass: blocks are in sorted order; ordering seam rows by
-    # (g, o) reconstructs the block sequence without block ids
+    # seam pass: blocks are in sorted order; ordering seam rows by the
+    # sort key reconstructs the block sequence without block ids
+    okeys = [f"o{i}" for i in range(len(order_cols))]
     seams = s.map_batches(seam, batch_format="pyarrow",
                           batch_size=None).to_pandas()
-    seams = seams.sort_values(["g", "o", "it", "pos"]).reset_index(drop=True)
-    extra_a, extra_b = [], []
+    seams = seams.sort_values(["g", *okeys, "it", "pos"]).reset_index(
+        drop=True)
+    extra_p, extra_q = [], []
     lasts = seams[seams["pos"] == "last"].reset_index()
     firsts = seams[seams["pos"] == "first"].reset_index()
     # pair each block's last row with the NEXT block's first row
     for i in range(len(lasts) - 1):
-        lg, lo, li = lasts.loc[i, ["g", "o", "it"]]
-        fg, fo, fi = firsts.loc[i + 1, ["g", "o", "it"]]
-        if lg == fg and li != fi:
-            extra_a.append(min(li, fi))
-            extra_b.append(max(li, fi))
+        if lasts.loc[i, "g"] == firsts.loc[i + 1, "g"]:
+            extra_p.append(lasts.loc[i, "it"])
+            extra_q.append(firsts.loc[i + 1, "it"])
 
     pairs = s.map_batches(within, batch_format="pyarrow", batch_size=None)
-    if extra_a:
+    if extra_p:
         pairs = pairs.union(rd.from_arrow(pa.table({
-            "a": pa.array(extra_a, pa.int64()),
-            "b": pa.array(extra_b, pa.int64()),
+            "p": pa.array(list(extra_p), item_type),
+            "q": pa.array(list(extra_q), item_type),
         })))
+    return pairs
+
+
+def consecutive_pair_edges(ds, *, group_col: str, order_col: str,
+                           item_col: str):
+    """Undirected canonical (a, b, w) int64 edges between consecutive
+    items per group, self-pairs dropped — PageRank's edge builder on
+    top of ``consecutive_pairs`` (item col as final sort tiebreak)."""
+    from ray.data.aggregate import Sum
+
+    pairs = consecutive_pairs(ds, group_col=group_col,
+                              order_cols=[order_col, item_col],
+                              item_col=item_col)
 
     def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "a" not in t.column_names:
+        if t.num_rows == 0 or "p" not in t.column_names:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "w": pa.array([], pa.int64())})
-        g = t.group_by(["a", "b"]).aggregate([("a", "count")])
+        p = t["p"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        keep = p != q
+        p, q = p[keep], q[keep]
+        g = pa.table({
+            "a": pa.array(np.minimum(p, q), pa.int64()),
+            "b": pa.array(np.maximum(p, q), pa.int64()),
+        }).group_by(["a", "b"]).aggregate([("a", "count")])
         return g.rename_columns(["a", "b", "w"])
 
     return (
