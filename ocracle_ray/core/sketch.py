@@ -632,3 +632,56 @@ class QuantileSketch:
         cum = np.cumsum(w)
         idx = int(np.searchsorted(cum, max(1, int(target_rank))))
         return float(v[min(idx, len(v) - 1)])
+
+
+CMS_D = 4
+CMS_W = 1024
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over int64
+    keys: d hash rows x w counters, estimate = min over rows — never
+    an underestimate, overestimate bounded by collisions (~n/w per
+    row). Merge = elementwise ADD (associative/commutative — the
+    tree-merge shape; constant (d·w)·8 bytes per sketch).
+
+    Hashing is Kirsch-Mitzenmacher double hashing on two chained
+    ``splitmix64`` applications (a; b = splitmix64(a) | 1; col_i =
+    (a + i·b) mod 2^64 mod w) — xor/shift/multiply only, so the DuckDB
+    oracle re-derives every counter AND every estimate exactly over
+    UHUGEINT (the HLL precedent).
+    """
+
+    def __init__(self, d: int = CMS_D, w: int = CMS_W):
+        self.d, self.w = int(d), int(w)
+        self.counters = np.zeros((self.d, self.w), np.int64)
+        self.n = 0
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        """(d, len(keys)) column indices."""
+        a = splitmix64(keys.astype(np.int64).view(np.uint64))
+        b = splitmix64(a) | np.uint64(1)
+        i = np.arange(self.d, dtype=np.uint64)[:, None]
+        return ((a[None, :] + i * b[None, :]) % np.uint64(self.w)).astype(
+            np.int64)
+
+    def add(self, keys: np.ndarray) -> "CountMin":
+        keys = np.asarray(keys, np.int64)
+        cols = self._cols(keys)
+        for i in range(self.d):
+            np.add.at(self.counters[i], cols[i], 1)
+        self.n += len(keys)
+        return self
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (other.d, other.w) != (self.d, self.w):
+            raise ValueError("CountMin.merge: mismatched dimensions")
+        self.counters += other.counters
+        self.n += other.n
+        return self
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, np.int64)
+        cols = self._cols(keys)
+        ests = np.stack([self.counters[i, cols[i]] for i in range(self.d)])
+        return ests.min(axis=0)

@@ -958,6 +958,68 @@ def q_docs_collocations(sf_dir: str):
     return collocations(ds, k=10, min_count=5)
 
 
+def q_events_user_cms(sf_dir: str):
+    """Count-Min frequency sketch (core.sketch.CountMin): constant
+    (d·w)-cell counters, mergeable by elementwise ADD — the frequency
+    sibling of HLL/KMV for per-key counts too numerous to shuffle.
+    Values never leave the workers: each batch emits its sparse
+    counter cells (≤ d·w rows), the driver tree-folds dense matrices.
+    The query reports the sketch estimate vs the exact count for the
+    top-10 users — the ESTIMATE itself is oracled (the HLL precedent):
+    SQL re-derives both chained splitmix64 applications, every counter
+    cell and every min-over-rows estimate over UHUGEINT."""
+    from ..core.sketch import CountMin
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = CountMin().add(t["user_id"].to_numpy(zero_copy_only=False))
+        i, col = np.nonzero(sk.counters)
+        return pa.table({
+            "i": pa.array(i.astype(np.int64)),
+            "col": pa.array(col.astype(np.int64)),
+            "cnt": pa.array(sk.counters[i, col], pa.int64()),
+        })
+
+    acc = CountMin()
+    for block in ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        acc.counters[block["i"].to_numpy(zero_copy_only=False),
+                     block["col"].to_numpy(zero_copy_only=False)] += (
+            block["cnt"].to_numpy(zero_copy_only=False))
+
+    # exact top-10 by count: distributed groupby + per-batch top-k
+    # candidates + tiny driver resolve (the user_totals pattern)
+    from ray.data.aggregate import Sum
+
+    def cpartial(t: pa.Table) -> pa.Table:
+        g = t.select(["user_id"]).group_by("user_id").aggregate(
+            [("user_id", "count")])
+        return g.rename_columns(["user_id", "n_exact"])
+
+    grouped = (
+        ds.map_batches(cpartial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_exact", alias_name="n_exact"))
+    )
+    cand = grouped.map_batches(
+        lambda t: _topk_batch(t, [("n_exact", "descending"),
+                                  ("user_id", "ascending")], 10),
+        batch_format="pyarrow",
+    ).to_pandas()
+    top = (
+        cand.sort_values(["n_exact", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    ests = acc.estimate(top["user_id"].to_numpy())
+    top["n_exact"] = top["n_exact"].astype("int64")
+    top["n_cms"] = ests.astype("int64")
+    top["overest"] = (top["n_cms"] - top["n_exact"]).astype("int64")
+    return top[["user_id", "n_exact", "n_cms", "overest"]]
+
+
 def q_events_transitions(sf_dir: str):
     """First-order Markov transition matrix (stages.markov) over
     per-user event sequences ordered by (ts, event_id) — a total
@@ -2948,6 +3010,7 @@ QUERIES = {
     "orders_basket_rank": q_orders_basket_rank,
     "docs_collocations": q_docs_collocations,
     "events_transitions": q_events_transitions,
+    "events_user_cms": q_events_user_cms,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -3060,6 +3123,88 @@ def _langid_oracle_sql() -> str:
     SELECT lang, lang_pred, count(*) AS n_docs
     FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
 """
+
+
+def _sm64_ctes(prefix: str, src: str, carry: list[str]) -> tuple[str, str]:
+    """splitmix64 as a chain of CTEs over UHUGEINT column ``x``,
+    carrying ``carry`` columns through; returns (sql_fragment,
+    last_cte_name). Shared by the HLL and Count-Min oracles so the
+    hash mirror cannot drift per consumer."""
+    from ..core.sketch import _SM64_C1, _SM64_C2
+
+    m64 = 1 << 64
+    cc = ", ".join(carry) + (", " if carry else "")
+    steps = [
+        f"xor(x, x // {1 << 30})",
+        f"(x * {_SM64_C1}::UHUGEINT) % {m64}::UHUGEINT",
+        f"xor(x, x // {1 << 27})",
+        f"(x * {_SM64_C2}::UHUGEINT) % {m64}::UHUGEINT",
+        f"xor(x, x // {1 << 31})",
+    ]
+    out, cur = [], src
+    for j, e in enumerate(steps, 1):
+        name = f"{prefix}{j}"
+        out.append(f"{name} AS (SELECT {cc}{e} AS x FROM {cur})")
+        cur = name
+    return ",\n    ".join(out), cur
+
+
+def _cms_oracle_sql() -> str:
+    """DuckDB re-derivation of the ENTIRE Count-Min pipeline
+    (core.sketch.CountMin): both chained splitmix64 applications, the
+    Kirsch-Mitzenmacher column schedule ((a + i·b) mod 2^64 mod w with
+    b forced odd), every counter cell, and every min-over-rows
+    estimate — generated from the same constants as the engine."""
+    from ..core.sketch import CMS_D, CMS_W
+
+    m64 = 1 << 64
+    wrap = (f"CASE WHEN user_id < 0 THEN (user_id::HUGEINT + "
+            f"{m64}::HUGEINT)::UHUGEINT ELSE user_id::UHUGEINT END")
+    ev_a, ev_a_end = _sm64_ctes("eva", "ev0", [])
+    ev_b, ev_b_end = _sm64_ctes("evb", "evmid", ["a"])
+    tp_a, tp_a_end = _sm64_ctes("tpa", "tp0", ["user_id"])
+    tp_b, tp_b_end = _sm64_ctes("tpb", "tpmid", ["user_id", "a"])
+    return f"""
+    WITH exact AS (
+        SELECT user_id, count(*)::BIGINT AS n_exact
+        FROM events GROUP BY user_id
+    ),
+    top AS (SELECT user_id, n_exact FROM exact
+            ORDER BY n_exact DESC, user_id LIMIT 10),
+    ev0 AS (SELECT {wrap} AS x FROM events),
+    {ev_a},
+    evmid AS (SELECT x AS a, x FROM {ev_a_end}),
+    {ev_b},
+    evh AS (SELECT a, x // 2 * 2 + 1 AS b FROM {ev_b_end}),
+    cells AS (
+        SELECT i.range AS i,
+               (((a + i.range::UHUGEINT * b) % {m64}::UHUGEINT)
+                % {CMS_W}::UHUGEINT)::BIGINT AS col
+        FROM evh CROSS JOIN range({CMS_D}) i
+    ),
+    counters AS (SELECT i, col, count(*)::BIGINT AS cnt
+                 FROM cells GROUP BY i, col),
+    tp0 AS (SELECT user_id, {wrap} AS x FROM top),
+    {tp_a},
+    tpmid AS (SELECT user_id, x AS a, x FROM {tp_a_end}),
+    {tp_b},
+    tph AS (SELECT user_id, a, x // 2 * 2 + 1 AS b FROM {tp_b_end}),
+    tcells AS (
+        SELECT user_id, i.range AS i,
+               (((a + i.range::UHUGEINT * b) % {m64}::UHUGEINT)
+                % {CMS_W}::UHUGEINT)::BIGINT AS col
+        FROM tph CROSS JOIN range({CMS_D}) i
+    ),
+    est AS (
+        SELECT t.user_id, min(c.cnt)::BIGINT AS n_cms
+        FROM tcells t JOIN counters c ON c.i = t.i AND c.col = t.col
+        GROUP BY t.user_id
+    )
+    SELECT top.user_id, top.n_exact, est.n_cms,
+           (est.n_cms - top.n_exact)::BIGINT AS overest
+    FROM top JOIN est USING (user_id)
+    ORDER BY top.n_exact DESC, top.user_id
+    """
 
 
 def _hll_oracle_sql() -> str:
@@ -3868,6 +4013,8 @@ ORACLE_SQL = {
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "events_distinct_hll": _hll_oracle_sql(),
+    # generated: full Count-Min mirror (hashes, counters, estimates)
+    "events_user_cms": _cms_oracle_sql(),
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
         -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second

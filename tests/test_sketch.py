@@ -338,3 +338,39 @@ def test_hll_distinct_by_drops_nulls(ray_session):
 
     direct.add_int64(np.array([1, 2], dtype=np.int64))
     assert got["a"].regs.tolist() == direct.regs.tolist()
+
+
+# ---------------------------------------------------------------- CountMin
+
+
+def test_cms_never_underestimates_and_merges():
+    import numpy as np
+
+    from ocracle_ray.core.sketch import CountMin
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(-50, 50, 5000)  # heavy collisions at w=64
+    whole = CountMin(d=4, w=64).add(keys)
+    merged = CountMin(d=4, w=64)
+    for i in range(0, len(keys), 700):
+        merged.merge(CountMin(d=4, w=64).add(keys[i:i + 700]))
+    # merge == single-pass (elementwise-add associativity)
+    np.testing.assert_array_equal(whole.counters, merged.counters)
+    assert whole.n == merged.n == len(keys)
+    uniq, counts = np.unique(keys, return_counts=True)
+    est = whole.estimate(uniq)
+    assert (est >= counts).all()  # the CMS one-sided guarantee
+    # error bound (loose, e*n/w per Cormode-Muthukrishnan at d=4)
+    assert (est - counts).max() <= 3 * len(keys) / 64
+
+
+def test_cms_negative_keys_and_mismatch():
+    import numpy as np
+    import pytest as _pytest
+
+    from ocracle_ray.core.sketch import CountMin
+
+    sk = CountMin(d=2, w=32).add(np.array([-7, -7, 3]))
+    assert int(sk.estimate(np.array([-7]))[0]) >= 2
+    with _pytest.raises(ValueError, match="mismatched"):
+        CountMin(d=2, w=32).merge(CountMin(d=2, w=16))
