@@ -944,6 +944,44 @@ QSKETCH_QPMS = [10, 100, 250, 500, 750, 900, 990]
 SNAPDELTA_ORACLE_DIR = "/tmp/ocracle_snapdelta_oracle"
 BOILER_ORACLE_DIR = "/tmp/ocracle_boiler_oracle"
 PAGERANK_ITERS = 8
+SIMJOIN_ORACLE_DIR = "/tmp/ocracle_simjoin_oracle"
+
+
+def q_pages_url_simjoin(sf_dir: str):
+    """Edit-distance-1 similarity self-join (stages.simjoin): FastSS
+    deletion-neighborhood blocking + exact verify over the crawl's
+    distinct urls. Strong artifact oracle: the distinct url list is
+    written and DuckDB re-derives the FULL pair set by brute-force
+    all-pairs levenshtein (length-blocked) — verifying the blocking
+    trick's exactness externally, the docs_simhash_dups precedent.
+    pair_ck XORs a 60-bit md5 per pair so one wrong/missing pair
+    anywhere flips the row."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, sf_of_dir
+    from ..stages.simjoin import edit1_join_census
+
+    sf = sf_of_dir(sf_dir)
+    n = min(2000, n_docs_for_sf(sf))
+    pages = generate_pages_dataset(n)
+
+    def urls_only(t: pa.Table) -> pa.Table:
+        return t.select(["url"])
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        pages.map_batches(urls_only, batch_format="pyarrow")
+        .groupby("url").aggregate(Count(alias_name="_n"))
+    )
+    out_dir = f"{SIMJOIN_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    distinct.map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    return edit1_join_census(rd.read_parquet(out_dir), col="url")
 
 
 def q_docs_collocations(sf_dir: str):
@@ -3011,6 +3049,7 @@ QUERIES = {
     "docs_collocations": q_docs_collocations,
     "events_transitions": q_events_transitions,
     "events_user_cms": q_events_user_cms,
+    "pages_url_simjoin": q_pages_url_simjoin,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4015,6 +4054,29 @@ ORACLE_SQL = {
     "events_distinct_hll": _hll_oracle_sql(),
     # generated: full Count-Min mirror (hashes, counters, estimates)
     "events_user_cms": _cms_oracle_sql(),
+    "pages_url_simjoin": """
+        -- strong artifact oracle: the distinct url list is written;
+        -- SQL re-derives the FULL ed<=1 pair set by brute-force
+        -- all-pairs levenshtein (length-blocked), externally
+        -- verifying the FastSS deletion-neighborhood blocking
+        WITH urls AS (
+            SELECT url FROM read_parquet(
+                '/tmp/ocracle_simjoin_oracle/current/*.parquet')
+        ),
+        pairs AS (
+            SELECT a.url AS ua, b.url AS ub
+            FROM urls a JOIN urls b
+              ON a.url < b.url
+             AND abs(length(a.url) - length(b.url)) <= 1
+             AND levenshtein(a.url, b.url) <= 1
+        )
+        SELECT (SELECT count(*) FROM urls)::BIGINT AS n_keys,
+               count(*)::BIGINT AS n_pairs,
+               coalesce(bit_xor(('0x' || substr(
+                   md5(ua || '|' || ub), 1, 15))::BIGINT), 0)::BIGINT
+                   AS pair_ck
+        FROM pairs
+    """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
         -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second
