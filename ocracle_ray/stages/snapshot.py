@@ -53,12 +53,12 @@ def fingerprint_pages(pages_ds, side: str):
     return pages_ds.map_batches(fp_batch, batch_format="pyarrow")
 
 
-def snapshot_delta_census(side_a, side_b, *, n_buckets: int = 16) -> pd.DataFrame:
-    """Census over the url diff of two fingerprinted snapshots (outputs
-    of ``fingerprint_pages``): (status, n_urls, fp_xor) with fp_xor the
-    XOR of each url's LATEST fingerprint (side b where present, else a)
-    — one flipped content byte anywhere moves a url between statuses or
-    flips its group's XOR."""
+def snapshot_delta_rows(side_a, side_b, *, n_buckets: int = 16):
+    """Per-url classified diff of two fingerprinted snapshots (outputs
+    of ``fingerprint_pages``): a Dataset of (url, status, fp_latest)
+    rows — the surface an INCREMENTAL pipeline consumes (re-extract
+    only added/changed urls, carry unchanged results forward; pinned
+    by the incremental≡full test)."""
     from .extract import dedup_keep_latest_records
 
     def tag(side_flag: int):
@@ -89,15 +89,15 @@ def snapshot_delta_census(side_a, side_b, *, n_buckets: int = 16) -> pd.DataFram
         )
     )
 
-    _EMPTY = pa.table({"status": pa.array([], pa.string()),
-                       "n": pa.array([], pa.int64()),
-                       "x": pa.array([], pa.int64())})
+    _EMPTY_ROWS = pa.table({"url": pa.array([], pa.string()),
+                            "status": pa.array([], pa.string()),
+                            "fp_latest": pa.array([], pa.int64())})
 
     def classify(t: pa.Table) -> pa.Table:
         # zero-row blocks from union/aggregate can arrive with a
         # degenerate schema (NOTES_r4 contraction hazard) — coalesce
         if t.num_rows == 0 or "in_a" not in t.column_names:
-            return _EMPTY
+            return _EMPTY_ROWS
         in_a = t["in_a"].to_numpy(zero_copy_only=False)
         in_b = t["in_b"].to_numpy(zero_copy_only=False)
         fp_a = t["fp_a"].to_numpy(zero_copy_only=False)
@@ -108,6 +108,31 @@ def snapshot_delta_census(side_a, side_b, *, n_buckets: int = 16) -> pd.DataFram
                      np.where(fp_a == fp_b, "unchanged", "changed")),
         )
         fp_latest = np.where(in_b == 1, fp_b, fp_a)
+        return pa.table({
+            "url": t["url"],
+            "status": pa.array(status.astype(str), pa.string()),
+            "fp_latest": pa.array(fp_latest, pa.int64()),
+        })
+
+    return per_url.map_batches(classify, batch_format="pyarrow")
+
+
+def snapshot_delta_census(side_a, side_b, *, n_buckets: int = 16) -> pd.DataFrame:
+    """Census over ``snapshot_delta_rows``: (status, n_urls, fp_xor)
+    with fp_xor the XOR of each url's LATEST fingerprint (side b where
+    present, else a) — one flipped content byte anywhere moves a url
+    between statuses or flips its group's XOR."""
+    rows_ds = snapshot_delta_rows(side_a, side_b, n_buckets=n_buckets)
+
+    _EMPTY = pa.table({"status": pa.array([], pa.string()),
+                       "n": pa.array([], pa.int64()),
+                       "x": pa.array([], pa.int64())})
+
+    def census(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "status" not in t.column_names:
+            return _EMPTY
+        status = t["status"].to_numpy(zero_copy_only=False)
+        fp_latest = t["fp_latest"].to_numpy(zero_copy_only=False)
         # per-batch partial: (status, n, xor) — XOR folds associatively
         rows = []
         for s in STATUSES:
@@ -124,8 +149,8 @@ def snapshot_delta_census(side_a, side_b, *, n_buckets: int = 16) -> pd.DataFram
         })
 
     acc: dict[str, tuple[int, int]] = {}
-    for block in per_url.map_batches(
-        classify, batch_format="pyarrow"
+    for block in rows_ds.map_batches(
+        census, batch_format="pyarrow"
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
         for s, n, x in zip(block["status"].to_pylist(),
                            block["n"].to_pylist(), block["x"].to_pylist()):

@@ -75,3 +75,67 @@ def test_identical_snapshots_are_all_unchanged(ray_session):
     out = snapshot_delta_census(a, b, n_buckets=2)
     assert list(out["status"]) == ["unchanged"]
     assert int(out["n_urls"].iloc[0]) == 2
+
+
+def test_incremental_extraction_equals_full(ray_session):
+    """The CDC payoff: re-extracting ONLY added+changed urls and
+    carrying unchanged records forward reproduces the full snapshot-B
+    extraction exactly (per-url extracted-text fingerprints)."""
+    import pyarrow.compute as pc
+
+    from ocracle_ray.pipelines.extraction import extract_records
+    from ocracle_ray.sources.pages import pages_table
+    from ocracle_ray.stages.snapshot import snapshot_delta_rows
+
+    n, ofs = 60, 6
+    note, bump = b"<!-- recrawl -->", 30 * 86_400 * 1_000_000
+
+    def mutate(t):
+        urls = t["url"].to_pylist()
+        html = t["html"].to_pylist()
+        ts = t["warc_ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype("int64")
+        changed = [int(u[-6:]) % 7 == 3 for u in urls]
+        html = [h + note if c else h for h, c in zip(html, changed)]
+        ts = [t_ + bump if c else t_ for t_, c in zip(ts, changed)]
+        import numpy as np
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": pa.array(np.array(ts, "int64").astype(
+                "datetime64[us]"), pa.timestamp("us")),
+            "html": pa.array(html, pa.large_binary()),
+            "text": t["text"], "lang": t["lang"],
+        })
+
+    snap_a = rd.from_arrow(pages_table(0, n)).repartition(3)
+    snap_b = rd.from_arrow(mutate(pages_table(ofs, n))).repartition(3)
+
+    from ocracle_ray.stages.snapshot import fingerprint_pages
+
+    delta = snapshot_delta_rows(
+        fingerprint_pages(snap_a, "a"), fingerprint_pages(snap_b, "b"),
+        n_buckets=4,
+    ).to_pandas()
+    todo = set(delta[delta["status"].isin(["added", "changed"])]["url"])
+    keep = set(delta[delta["status"] == "unchanged"]["url"])
+
+    def fp_map(recs):
+        df = recs.to_pandas()
+        return dict(zip(df["url"], df["text_fingerprint"]))
+
+    full = fp_map(extract_records(snap_b, concurrency=2))
+
+    todo_arr = pa.array(sorted(todo), pa.string())
+    inc_new = fp_map(extract_records(
+        snap_b.map_batches(
+            lambda t: t.filter(pc.is_in(t["url"], value_set=todo_arr)),
+            batch_format="pyarrow"),
+        concurrency=2))
+    base = fp_map(extract_records(snap_a, concurrency=2))
+    carried = {u: base[u] for u in keep}
+    merged = {**carried, **inc_new}
+
+    assert set(delta[delta["status"] == "changed"]["url"])  # non-trivial
+    assert merged == full
+    # and the carried set really skipped re-extraction work
+    assert keep and todo and not (keep & todo)
