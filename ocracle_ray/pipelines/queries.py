@@ -1395,6 +1395,26 @@ def q_docs_search_index(sf_dir: str):
     return query_index_and(idx, ["dup", "merge"])
 
 
+ZONEMAP_DIR = "/tmp/ocracle_zonemap"
+ZONEMAP_LO, ZONEMAP_HI = "2024-01-10T00:00:00", "2024-01-12T12:00:00"
+
+
+def q_events_timerange_pruned(sf_dir: str):
+    """Zone-map data skipping (stages.zonemap): day-partitioned store
+    with a (min_ts, max_ts) file manifest built FROM parquet footer
+    statistics; a time-range aggregate reads ONLY the overlapping
+    files plus an exact residual filter. The invindex/IVF pruned-read
+    pattern on the RANGE axis. The DuckDB oracle re-answers the range
+    aggregate over the RAW events table, verifying layout + zone map +
+    pruned read + residual end-to-end."""
+    from ..stages.zonemap import build_time_partitioned, range_aggregate
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    store = f"{ZONEMAP_DIR}/current"
+    build_time_partitioned(ds, store)
+    return range_aggregate(store, ZONEMAP_LO, ZONEMAP_HI)
+
+
 SEMDEDUP_ORACLE_DIR = "/tmp/ocracle_semdedup_oracle"
 
 
@@ -3050,6 +3070,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_user_cms": q_events_user_cms,
     "pages_url_simjoin": q_pages_url_simjoin,
+    "events_timerange_pruned": q_events_timerange_pruned,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4076,6 +4097,17 @@ ORACLE_SQL = {
                    md5(ua || '|' || ub), 1, 15))::BIGINT), 0)::BIGINT
                    AS pair_ck
         FROM pairs
+    """,
+    "events_timerange_pruned": """
+        -- the pruned-read result must equal a first-principles range
+        -- aggregate over RAW rows — layout, zone map, pruning and the
+        -- residual filter all verified end to end
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 12:00:00'
+        GROUP BY event_type ORDER BY event_type
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
