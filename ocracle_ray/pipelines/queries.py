@@ -1415,6 +1415,27 @@ def q_events_timerange_pruned(sf_dir: str):
     return range_aggregate(store, ZONEMAP_LO, ZONEMAP_HI)
 
 
+ZORDER_DIR = "/tmp/ocracle_zorder"
+ZBOX = dict(ts_lo="2024-01-08T00:00:00", ts_hi="2024-01-20T00:00:00",
+            key_lo=100, key_hi=300)
+
+
+def q_events_box_pruned(sf_dir: str):
+    """Z-order clustering + 2-D zone-map pruning (stages.zonemap):
+    rows sorted along the Morton curve of (user_id, day) into bounded
+    files whose footer-stat bounding BOXES prune a (time × user) box
+    predicate on BOTH dimensions — the Delta/Iceberg OPTIMIZE ZORDER
+    technique (a day layout opens every file for the user range). The
+    oracle re-answers the box aggregate over RAW events: layout,
+    curve, manifest, pruning and residual verified end-to-end."""
+    from ..stages.zonemap import box_aggregate, build_zordered
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+    store = f"{ZORDER_DIR}/current"
+    build_zordered(ds, store, target_rows_per_file=1024)
+    return box_aggregate(store, **ZBOX)
+
+
 SEMDEDUP_ORACLE_DIR = "/tmp/ocracle_semdedup_oracle"
 
 
@@ -3071,6 +3092,7 @@ QUERIES = {
     "events_user_cms": q_events_user_cms,
     "pages_url_simjoin": q_pages_url_simjoin,
     "events_timerange_pruned": q_events_timerange_pruned,
+    "events_box_pruned": q_events_box_pruned,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4107,6 +4129,17 @@ ORACLE_SQL = {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts <  TIMESTAMP '2024-01-12 12:00:00'
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "events_box_pruned": """
+        -- 2-D (time x user) box over RAW rows must equal the
+        -- Z-ordered store's pruned read + residual filter
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND user_id >= 100 AND user_id < 300
         GROUP BY event_type ORDER BY event_type
     """,
     "docs_split": """
