@@ -1415,6 +1415,23 @@ def q_events_timerange_pruned(sf_dir: str):
     return range_aggregate(store, ZONEMAP_LO, ZONEMAP_HI)
 
 
+KMEANS_K, KMEANS_ITERS = 8, 4
+
+
+def q_emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (stages.kmeans) — the trainer that
+    knn_ivf/emb_semantic_dedup previously TRUSTED is now itself
+    oracled: a generated unrolled SQL re-executes every iteration
+    (round-6 distances before argmin with lowest-cell ties, round-6
+    centroid means, empty-cell coalesce), so the assignment map is
+    verified, not assumed. One streaming pass per iteration against
+    broadcast centroids; k·(dim+1) partials only."""
+    from ..stages.kmeans import kmeans_cells
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cells(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+
+
 ZORDER_DIR = "/tmp/ocracle_zorder"
 ZBOX = dict(ts_lo="2024-01-08T00:00:00", ts_hi="2024-01-20T00:00:00",
             key_lo=100, key_hi=300)
@@ -3093,6 +3110,7 @@ QUERIES = {
     "pages_url_simjoin": q_pages_url_simjoin,
     "events_timerange_pruned": q_events_timerange_pruned,
     "events_box_pruned": q_events_box_pruned,
+    "emb_kmeans": q_emb_kmeans,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4142,6 +4160,10 @@ ORACLE_SQL = {
           AND user_id >= 100 AND user_id < 300
         GROUP BY event_type ORDER BY event_type
     """,
+    # generated: full Lloyd mirror (assignments, means, coalesce)
+    "emb_kmeans": __import__(
+        "ocracle_ray.stages.kmeans", fromlist=["kmeans_oracle_sql"]
+    ).kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, 64),
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
         -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second
