@@ -1415,6 +1415,43 @@ def q_events_timerange_pruned(sf_dir: str):
     return range_aggregate(store, ZONEMAP_LO, ZONEMAP_HI)
 
 
+def q_events_value_mad(sf_dir: str):
+    """Median absolute deviation per event_type — the robust
+    dispersion stat (events_outliers' 3σ gate breaks on heavy tails;
+    MAD does not). Composes the exact two-pass histogram-refinement
+    quantile machinery TWICE: per-type median, broadcast (5 floats),
+    then the exact median of |value − med| over a derived column —
+    four streaming passes total, zero shuffle, no group ever
+    materializes. Both medians are quantile_cont-exact so the oracle
+    is DuckDB median() directly."""
+    from ..stages.quantile import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    med_df = grouped_exact_quantiles(ds, "event_type", "value",
+                                     probs=(0.5,))
+    med = dict(zip(med_df["event_type"], med_df["p50"]))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.empty(len(v), np.float64)
+        for et, mv in med.items():
+            m[types == et] = mv
+        return pa.table({"event_type": t["event_type"],
+                         "dev": pa.array(np.abs(v - m), pa.float64())})
+
+    mad_df = grouped_exact_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        "event_type", "dev", probs=(0.5,))
+    out = med_df.merge(mad_df, on="event_type",
+                       suffixes=("_med", "_mad"))
+    out = out.rename(columns={"p50_med": "med_value", "p50_mad": "mad"})
+    out["med_value"] = out["med_value"].round(4)
+    out["mad"] = out["mad"].round(4)
+    return (out[["event_type", "med_value", "mad"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 KMEANS_K, KMEANS_ITERS = 8, 4
 
 
@@ -3111,6 +3148,7 @@ QUERIES = {
     "events_timerange_pruned": q_events_timerange_pruned,
     "events_box_pruned": q_events_box_pruned,
     "emb_kmeans": q_emb_kmeans,
+    "events_value_mad": q_events_value_mad,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4164,6 +4202,18 @@ ORACLE_SQL = {
     "emb_kmeans": __import__(
         "ocracle_ray.stages.kmeans", fromlist=["kmeans_oracle_sql"]
     ).kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, 64),
+    "events_value_mad": """
+        -- MAD per type: both medians are quantile_cont-exact, so the
+        -- engine's two exact-selection passes mirror median() directly
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, round(any_value(m.med), 4) AS med_value,
+               round(median(abs(e.value - m.med)), 4) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
         -- doc_id (round = ((x % 2^31) * 2654435761) % 2^32; the second
