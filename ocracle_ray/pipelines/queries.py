@@ -1452,6 +1452,19 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention matrix (stages.retention): users
+    bucketed by first-seen week; n_users = distinct users of that
+    cohort active k weeks later. Zero joins — the per-user cohort min
+    is local to the one guarded groupby group (bounded by
+    blocks x calendar-weeks, not events); the matrix is weeks²-sized
+    so the final fold is driver-safe by construction."""
+    from ..stages.retention import retention_matrix
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_matrix(ds)
+
+
 KMEANS_K, KMEANS_ITERS = 8, 4
 
 
@@ -3149,6 +3162,7 @@ QUERIES = {
     "events_box_pruned": q_events_box_pruned,
     "emb_kmeans": q_emb_kmeans,
     "events_value_mad": q_events_value_mad,
+    "events_retention": q_events_retention,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4213,6 +4227,24 @@ ORACLE_SQL = {
                round(median(abs(e.value - m.med)), 4) AS mad
         FROM events e JOIN med m USING (event_type)
         GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    "events_retention": """
+        -- weekly cohort retention: week = floored epoch-us week index
+        -- (integer // on post-1970 timestamps == the engine's int64
+        -- floor division); the engine computes the cohort min inside
+        -- the per-user group instead of this join
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS week
+            FROM events
+        ), c AS (
+            SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+        )
+        SELECT c.cohort AS cohort_week,
+               uw.week - c.cohort AS week_offset,
+               count(*) AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
