@@ -1452,6 +1452,22 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_docs_dsir(sf_dir: str):
+    """DSIR importance weights (stages.dsir, Xie et al. 2023): hashed
+    bag-of-words importance of every doc against the lang='en' target
+    slice. The FNV-1a bucket space is FIXED (4096), so the model fold
+    is bounded by construction — the published hashing trick replacing
+    the explicit-vocab guards of the LM ops; the oracle re-derives
+    every hash, both smoothed distributions and every per-doc weight
+    in SQL."""
+    from ..stages.dsir import (dsir_bucket_counts, dsir_lambda,
+                               dsir_score_by_lang)
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    model = dsir_bucket_counts(ds)
+    return dsir_score_by_lang(ds, dsir_lambda(model))
+
+
 def q_events_retention(sf_dir: str):
     """Weekly cohort retention matrix (stages.retention): users
     bucketed by first-seen week; n_users = distinct users of that
@@ -3163,6 +3179,7 @@ QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "events_value_mad": q_events_value_mad,
     "events_retention": q_events_retention,
+    "docs_dsir": q_docs_dsir,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4245,6 +4262,67 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "docs_dsir": """
+        -- DSIR (arXiv:2302.03169): hashed-unigram importance weights
+        -- vs the lang='en' target slice. The FNV-1a/4096 bucket hash
+        -- is re-derived byte-for-byte via list_reduce over codepoints
+        -- (tokens are ASCII [a-z0-9]+ so codepoint == UTF-8 byte);
+        -- add-1 smoothing over the bucket space on both sides; per-doc
+        -- log-weights round to 6 before any aggregate (the
+        -- nb_classifier summation-order rule)
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+        dist AS (SELECT DISTINCT tok FROM tok2),
+        hd AS (
+            SELECT tok,
+                   CAST(CAST(list_reduce(
+                       list_prepend(
+                           CAST(14695981039346656037 AS UHUGEINT),
+                           list_transform(string_split(tok, ''),
+                               c -> CAST(unicode(c) AS UHUGEINT))),
+                       (h, c) -> (xor(CAST(h AS UBIGINT),
+                                      CAST(c AS UBIGINT))::UHUGEINT
+                                  * 1099511628211)
+                                 % 18446744073709551616::UHUGEINT
+                   ) AS UBIGINT) % 4096 AS BIGINT) AS bucket
+            FROM dist
+        ),
+        hashed AS (
+            SELECT doc_id, lang, bucket FROM tok2 JOIN hd USING (tok)
+        ),
+        counts AS (
+            SELECT bucket,
+                   count(*) FILTER (WHERE lang = 'en') AS n_t,
+                   count(*) AS n_r
+            FROM hashed GROUP BY bucket
+        ),
+        tot AS (SELECT sum(n_t)::DOUBLE AS ct, sum(n_r)::DOUBLE AS cr
+                FROM counts),
+        lam AS (
+            SELECT bucket,
+                   ln((n_t + 1.0) / (ct + 4096.0))
+                   - ln((n_r + 1.0) / (cr + 4096.0)) AS lam
+            FROM counts CROSS JOIN tot
+        ),
+        scores AS (
+            SELECT h.doc_id, round(sum(l.lam), 6) AS logw
+            FROM hashed h JOIN lam l USING (bucket)
+            GROUP BY h.doc_id
+        ),
+        alldocs AS (
+            SELECT d.lang, coalesce(s.logw, 0.0) AS logw
+            FROM documents d LEFT JOIN scores s USING (doc_id)
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(sum(logw) / count(*), 4) AS avg_logw,
+               count(*) FILTER (WHERE logw > 0) AS n_pos
+        FROM alldocs GROUP BY lang ORDER BY lang
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
