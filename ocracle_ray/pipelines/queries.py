@@ -2787,7 +2787,10 @@ def q_pdf_branch(sf_dir: str):
 
         return fn
 
-    n_real = max(16, min(200, int(1000 * sf_of_dir(sf_dir))))
+    # floor 40 (round 4, AES): ids 0..39 cover all four encryption
+    # schemes (rc4-40 @4, rc4-128 @9, aesv3 @19/39, aesv2 @34), so the
+    # driver row pins every decrypt branch at every sf
+    n_real = max(40, min(200, int(1000 * sf_of_dir(sf_dir))))
     real_pages = from_arrow(real_pdf_pages_table(n_real)).repartition(
         max(2, n_real // 8)
     )

@@ -59,25 +59,85 @@ def build_exam_pdf(i: int, seed: int = 42) -> bytes:
     return b"%PDF-1.4\n" + body + b"trailer\n<< /Root 1 0 R /Size 99 >>\n%%EOF\n"
 
 
-def build_exam_pdf_encrypted(i: int, seed: int = 42, *, r: int | None = None,
+def build_exam_pdf_encrypted(i: int, seed: int = 42, *,
+                             mode: str | None = None,
                              user_pw: bytes = b"") -> bytes:
-    """RC4-encrypted twin of ``build_exam_pdf`` (same (seed, i) ->
+    """Encrypted twin of ``build_exam_pdf`` (same (seed, i) ->
     byte-identical TEXT after decryption): Standard security handler,
-    EMPTY user password, alternating RC4-40 (R2) / RC4-128 (R3) by id
-    so both key schedules are exercised. ``user_pw`` non-empty builds a
-    genuinely LOCKED file (for the loud-raise test)."""
+    EMPTY user password, cycling ALL four supported schemes by id —
+    RC4-40 (R2), RC4-128 (R3), AES-128 crypt filter (V4/R4 /AESV2) and
+    AES-256 (V5/R6 /AESV3) — so every key schedule and both AES stream
+    layouts (IV prefix + PKCS#7) are exercised inside the pipeline.
+    ``user_pw`` non-empty builds a genuinely LOCKED file (for the
+    loud-raise test); ``mode`` forces one of
+    ``rc4-40 rc4-128 aesv2 aesv3``."""
     import hashlib
+    import struct
 
-    from ..core.pdfcrypt import compute_o, compute_u, _derive_key, object_key, rc4
+    from ..core.aes import cbc_encrypt, ecb_encrypt_blocks, expand_key
+    from ..core.pdfcrypt import (_derive_key, compute_o, compute_r6_owner,
+                                 compute_r6_user, compute_u, object_key, rc4)
 
-    if r is None:
-        r = 2 if i % 2 == 0 else 3
-    n_key = 5 if r == 2 else 16
+    if mode is None:
+        mode = ("rc4-40", "rc4-128", "aesv2", "aesv3")[(i // 5) % 4]
     p_flags = -44  # print allowed, modify denied — a typical owner lock
     id0 = hashlib.md5(f"ocr-encpdf-{seed}:{i}".encode()).digest()
-    o_val = compute_o(b"", user_pw, r, n_key)
-    key = _derive_key(o_val, p_flags, id0, n_key, r, user_pw=user_pw)
-    u_val = compute_u(key, id0, r)
+
+    if mode == "aesv3":
+        file_key = hashlib.sha256(f"ocr-r6key-{seed}:{i}".encode()).digest()
+        # FIXED salt seed across fixtures: the per-doc secret is the
+        # file key (wrapped in /UE); sharing salts lets the expensive
+        # Algorithm 2.B hash cache across every fixture build/parse in
+        # a process (alg2b is lru_cached on (pw, salt, udata))
+        u_val, ue_val = compute_r6_user(user_pw, file_key, b"ocr-r6-fixture")
+        o_val, oe_val = compute_r6_owner(user_pw, file_key, u_val,
+                                         b"ocr-r6-fixture")
+        perms_plain = (struct.pack("<i", p_flags) + b"\xff\xff\xff\xff"
+                       + b"Tadb" + id0[:4])
+        import numpy as np
+
+        perms = ecb_encrypt_blocks(
+            expand_key(file_key), np.frombuffer(perms_plain, np.uint8)
+            .reshape(1, 16)).tobytes()
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p_flags} "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f"/O <{o_val.hex()}> /U <{u_val.hex()}> "
+            f"/OE <{oe_val.hex()}> /UE <{ue_val.hex()}> "
+            f"/Perms <{perms.hex()}> >>".encode()
+        )
+
+        def enc_stream(data: bytes, oid: int) -> bytes:
+            iv = hashlib.md5(f"iv-{seed}:{i}:{oid}".encode()).digest()
+            return iv + cbc_encrypt(file_key, iv, data)
+    else:
+        r = {"rc4-40": 2, "rc4-128": 3, "aesv2": 4}[mode]
+        n_key = 5 if r == 2 else 16
+        o_val = compute_o(b"", user_pw, r, n_key)
+        key = _derive_key(o_val, p_flags, id0, n_key, r, user_pw=user_pw)
+        u_val = compute_u(key, id0, r)
+        if mode == "aesv2":
+            enc_dict = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p_flags} "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o_val.hex()}> /U <{u_val[:32].hex()}> >>".encode()
+            )
+
+            def enc_stream(data: bytes, oid: int) -> bytes:
+                iv = hashlib.md5(f"iv-{seed}:{i}:{oid}".encode()).digest()
+                return iv + cbc_encrypt(object_key(key, oid, aes=True),
+                                        iv, data)
+        else:
+            enc_dict = (
+                f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+                f"/Length {n_key * 8} /P {p_flags} "
+                f"/O <{o_val.hex()}> /U <{u_val[:32].hex()}> >>".encode()
+            )
+
+            def enc_stream(data: bytes, oid: int) -> bytes:
+                return rc4(object_key(key, oid), data)
 
     pages = _content_pages(i, seed)
     compress = i % 2 == 1
@@ -89,7 +149,7 @@ def build_exam_pdf_encrypted(i: int, seed: int = 42, *, r: int | None = None,
     }
     for p, stream in enumerate(pages):
         data = zlib.compress(stream) if compress else stream
-        data = rc4(object_key(key, 4 + 2 * p), data)  # compress THEN encrypt
+        data = enc_stream(data, 4 + 2 * p)  # compress THEN encrypt
         filt = b"/Filter /FlateDecode " if compress else b""
         objs[3 + 2 * p] = (
             f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * p} 0 R "
@@ -100,11 +160,7 @@ def build_exam_pdf_encrypted(i: int, seed: int = 42, *, r: int | None = None,
             + b"\nstream\n" + data + b"\nendstream"
         )
     enc_id = max(objs) + 1
-    objs[enc_id] = (
-        f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-        f"/Length {n_key * 8} /P {p_flags} "
-        f"/O <{o_val.hex()}> /U <{u_val[:32].hex()}> >>".encode()
-    )
+    objs[enc_id] = enc_dict
     body = b"".join(
         f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n" for oid in sorted(objs)
     )
@@ -336,7 +392,8 @@ def real_pdf_pages_table(n: int, seed: int = 42) -> pa.Table:
     """pages-schema table whose html payloads are real PDFs; every
     third doc uses the PDF 1.5 xref-stream/ObjStm layout so the
     compressed-object branch is driver-checked in-pipeline; of the
-    rest, ``i % 5 == 4`` is RC4-encrypted (empty user password) and
+    rest, ``i % 5 == 4`` is encrypted (empty user password, cycling
+    RC4-40 / RC4-128 / AESV2 / AESV3 by ``(i//5) % 4``) and
     ``i % 5 == 2`` is an images-only SCAN (glyph-font OCR branch;
     even i stores pages as CCITT G4 fax images, odd i as Flate gray —
     same variant label, byte-identical extraction) — all round-4

@@ -101,15 +101,16 @@ def test_encrypted_locked_file_raises():
         parse_pdf_blocks(locked)
 
 
-def test_encrypted_aes_raises():
-    """/V 4 (AES) must raise the unsupported-handler error, not decrypt
-    garbage."""
+def test_encrypted_v4_without_crypt_filter_raises():
+    """/V 4 with no recognizable /CFM must raise the
+    unsupported-handler error, not decrypt garbage (real V4 support is
+    crypt-filter-based — tests/test_pdf_aes.py)."""
     import pytest
 
     from ocracle_ray.core.pdf import parse_pdf_blocks
     from ocracle_ray.sources.realpdf import build_exam_pdf_encrypted
 
-    doc = build_exam_pdf_encrypted(2, r=3)
+    doc = build_exam_pdf_encrypted(2, mode="rc4-128")
     doc = doc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
     with pytest.raises(NotImplementedError, match="unsupported"):
         parse_pdf_blocks(doc)

@@ -34,6 +34,8 @@ def _variants():
         "plain": build_exam_pdf(3),
         "xrefstm": build_exam_pdf_xrefstm(5),
         "encrypted": build_exam_pdf_encrypted(7),
+        "aesv2": build_exam_pdf_encrypted(7, mode="aesv2"),
+        "aesv3": build_exam_pdf_encrypted(7, mode="aesv3"),
         "scanned": build_exam_pdf_scanned(2),
         "fax": build_exam_pdf_scanned_fax(4),
     }
