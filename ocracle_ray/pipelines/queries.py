@@ -1452,6 +1452,115 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+SUPPLIER_BROADCAST_LIMIT = 5_000_000  # rows; ~80MB of (key, nation) int64
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape — the canonical multi-way join: revenue by
+    nation where the CUSTOMER and the SUPPLIER share the nation, one
+    region, two-year order window.
+
+    Plan (the 100-TB decomposition): region/nation and the supplier
+    nation map ride as broadcasts (supplier is TPC-H's 600x-smaller-
+    than-lineitem dimension; loud-guarded at SUPPLIER_BROADCAST_LIMIT
+    — past it the local-supplier probe becomes a third hash join); the
+    two genuinely large sides meet in TWO chained hash joins (orders
+    filtered to the window ⋈ region-filtered customers on custkey,
+    then lineitem ⋈ that on orderkey), partition count clamped and the
+    aggregator CPU reservation pinned on the dataset
+    (pool.clamp_join_partitions / pin_join_cpu_reservation — two
+    chained 13-way joins livelocked a 4-CPU session in round 3). The
+    local-supplier predicate is a zero-exchange pc.index_in probe per
+    batch, and the nation aggregate folds per-batch partials."""
+    import ray
+
+    from ..pool import clamp_join_partitions, pin_join_cpu_reservation
+
+    region = pd.read_parquet(_p(sf_dir, "region"))
+    nation = pd.read_parquet(_p(sf_dir, "nation"))
+    rkey = region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].iloc[0]
+    nat = nation[nation["n_regionkey"] == rkey]
+    nat_name = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    nat_set = pa.array(sorted(nat_name), pa.int64())
+
+    supp = pd.read_parquet(_p(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+    if len(supp) > SUPPLIER_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"q_local_supplier_revenue: supplier has {len(supp)} rows "
+            f"(> {SUPPLIER_BROADCAST_LIMIT}); broadcast probe no longer "
+            f"safe — add a third hash join on l_suppkey instead"
+        )
+    supp_ref = ray.put((
+        pa.array(supp["s_suppkey"].astype("int64"), pa.int64()),
+        supp["s_nationkey"].to_numpy(np.int64),
+    ))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int64()), value_set=nat_set)
+        ),
+        batch_format="pyarrow",
+    )
+
+    lo = pa.scalar(Q5_LO, pa.timestamp("us"))
+    hi = pa.scalar(Q5_HI, pa.timestamp("us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    n_parts = clamp_join_partitions(8, n_joins=2)
+    ord_cust = orders.join(
+        cust, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(
+        ord_cust, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    joined = pin_join_cpu_reservation(joined, n_parts, n_joins=2)
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        keys, s_nat = _cached_broadcast(supp_ref)
+        idx = pc.index_in(pc.cast(t["l_suppkey"], pa.int64()),
+                          value_set=keys).to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx) if idx.dtype.kind == "f" else np.zeros(
+            len(idx), bool)
+        safe = np.where(miss, 0, idx).astype(np.int64)
+        sn = np.where(miss, -1, s_nat[safe])
+        cn = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = sn == cn
+        rev = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nationkey": pa.array(cn[keep], pa.int64()),
+            "rev": pa.array(rev[keep], pa.float64()),
+        })
+
+    out = driver_grouped_agg(
+        joined.map_batches(local_rev, batch_format="pyarrow"),
+        ["nationkey"], {"revenue": ("rev", "sum")},
+    )
+    out["n_name"] = out["nationkey"].map(nat_name)
+    out["revenue"] = out["revenue"].round(2)
+    return (out[["n_name", "revenue"]]
+            .sort_values(["revenue", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 def q_docs_dsir(sf_dir: str):
     """DSIR importance weights (stages.dsir, Xie et al. 2023): hashed
     bag-of-words importance of every doc against the lang='en' target
@@ -3183,6 +3292,7 @@ QUERIES = {
     "events_value_mad": q_events_value_mad,
     "events_retention": q_events_retention,
     "docs_dsir": q_docs_dsir,
+    "local_supplier_revenue": q_local_supplier_revenue,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4326,6 +4436,24 @@ ORACLE_SQL = {
                round(sum(logw) / count(*), 4) AS avg_logw,
                count(*) FILTER (WHERE logw > 0) AS n_pos
         FROM alldocs GROUP BY lang ORDER BY lang
+    """,
+    "local_supplier_revenue": """
+        -- TPC-H Q5: revenue by nation, customer and supplier in the
+        -- SAME nation, one region, [1995-01-01, 1997-01-01) window
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
