@@ -1452,6 +1452,62 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+PQ_ORACLE_DIR = "/tmp/ocracle_pq_oracle"
+PQ_M, PQ_K, PQ_ITERS, PQ_DSUB = 8, 16, 3, 8
+
+
+def q_emb_pq(sf_dir: str):
+    """Product quantization (stages.pq, Jégou et al. 2011): train an
+    8x16 codebook over the 64-dim embeddings (3 Lloyd iterations per
+    subspace, all in ONE streaming pass per iteration), encode every
+    vector to 8 codes, and report per-subspace vector counts, codes
+    used, assignment matches and reconstruction error. Artifact oracle
+    of the trusted-training kind (knn_ivf): codes + codebook are
+    written; SQL re-derives EVERY assignment and error from the raw
+    embeddings + the written codebook, so only the training itself is
+    trusted."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..stages.pq import codebook_table, encode_pq, train_pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = train_pq(ds, m=PQ_M, k=PQ_K, n_iters=PQ_ITERS)
+
+    out_dir = f"{PQ_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(f"{out_dir}/cb")
+    encode_pq(ds, cb).write_parquet(f"{out_dir}/codes")
+    _pq.write_table(codebook_table(cb), f"{out_dir}/cb/part-0.parquet")
+
+    # driver row re-aggregated FROM the written files (running-sum
+    # pattern): per-batch (m, code) combiners -> an m*k-bounded fold
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["m", "code"]).aggregate(
+            [("code", "count"), ("d2", "sum")])
+        return g.rename_columns(["m", "code", "n", "d2_sum"])
+
+    agg = driver_grouped_agg(
+        rd.read_parquet(f"{out_dir}/codes").map_batches(
+            combine, batch_format="pyarrow"),
+        ["m", "code"], {"n": ("n", "sum"), "d2_sum": ("d2_sum", "sum")},
+    )
+    g = agg.groupby("m")
+    out = pd.DataFrame({
+        "m": np.sort(agg["m"].unique()).astype(np.int64),
+        "n_vectors": g["n"].sum().sort_index().to_numpy(np.int64),
+        "k_used": g.size().sort_index().to_numpy(np.int64),
+        "sq_err": g["d2_sum"].sum().sort_index().round(4).to_numpy(),
+    })
+    out["n_match"] = out["n_vectors"]  # engine codes ARE its argmin;
+    # the oracle recomputes the argmin externally and diverges here if
+    # the engine kernel is wrong
+    return out[["m", "n_vectors", "k_used", "n_match",
+                "sq_err"]].reset_index(drop=True)
+
+
 SUPPLIER_BROADCAST_LIMIT = 5_000_000  # rows; ~80MB of (key, nation) int64
 Q5_REGION = "ASIA"
 Q5_LO, Q5_HI = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
@@ -3293,6 +3349,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "docs_dsir": q_docs_dsir,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "emb_pq": q_emb_pq,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4454,6 +4511,47 @@ ORACLE_SQL = {
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """,
+    "emb_pq": f"""
+        -- product quantization, trusted-training artifact oracle: the
+        -- codebook is read from the written artifact; every ASSIGNMENT
+        -- and reconstruction error is re-derived from raw embeddings
+        -- (round-6 distance before argmin, lowest-cell ties — the
+        -- emb_kmeans parity rules per subspace)
+        WITH cb AS (
+            SELECT m, cell, list(value ORDER BY j) AS c
+            FROM read_parquet('{PQ_ORACLE_DIR}/current/cb/*.parquet')
+            GROUP BY m, cell
+        ),
+        art AS (
+            SELECT * FROM
+            read_parquet('{PQ_ORACLE_DIR}/current/codes/*.parquet')
+        ),
+        d AS (
+            SELECT e.vec_id, cb.m, cb.cell,
+                   round(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                       j -> (CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                   AS INT)] AS DOUBLE)
+                             - cb.c[j])
+                            * (CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                     AS INT)] AS DOUBLE)
+                               - cb.c[j]))), 6) AS d2
+            FROM embeddings e CROSS JOIN cb
+        ),
+        asg AS (
+            SELECT vec_id, m, cell AS code, d2 FROM (
+                SELECT vec_id, m, cell, d2,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, cell) AS rn
+                FROM d
+            ) WHERE rn = 1
+        )
+        SELECT a.m, count(*) AS n_vectors,
+               count(DISTINCT t.code) AS k_used,
+               count(*) FILTER (WHERE t.code = a.code) AS n_match,
+               round(sum(a.d2), 4) AS sq_err
+        FROM asg a JOIN art t ON t.vec_id = a.vec_id AND t.m = a.m
+        GROUP BY a.m ORDER BY a.m
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
