@@ -1452,6 +1452,22 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_events_watermark_late(sf_dir: str):
+    """Watermark late-event census (stages.watermark, Flink/Beam
+    semantics): events processed in arrival order, watermark =
+    running-max ts − 2h, late events counted + average lateness per
+    type. Arrival order is the Knuth-hash simulated shuffle (the sf
+    corpus arrives exactly ts-ordered — zero late — so plain ingestion
+    order would be an all-zeros oracle; engineered out-of-order
+    fixtures pin the semantics in tests). One sort + a global-prefix
+    boundary carry (O(blocks) driver rows, loud-guarded); lateness
+    sums are int64 microseconds end to end."""
+    from ..stages.watermark import late_event_census
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    return late_event_census(ds)
+
+
 PQ_ORACLE_DIR = "/tmp/ocracle_pq_oracle"
 PQ_M, PQ_K, PQ_ITERS, PQ_DSUB = 8, 16, 3, 8
 
@@ -3350,6 +3366,7 @@ QUERIES = {
     "docs_dsir": q_docs_dsir,
     "local_supplier_revenue": q_local_supplier_revenue,
     "emb_pq": q_emb_pq,
+    "events_watermark_late": q_events_watermark_late,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4552,6 +4569,32 @@ ORACLE_SQL = {
                round(sum(a.d2), 4) AS sq_err
         FROM asg a JOIN art t ON t.vec_id = a.vec_id AND t.m = a.m
         GROUP BY a.m ORDER BY a.m
+    """,
+    "events_watermark_late": """
+        -- watermark = running-max ts over the Knuth-hash arrival order
+        -- (docs_split trick; (hash, event_id) is a total order) minus
+        -- 2h; lateness summed in integer microseconds, ONE division
+        -- per group (the engine's exact arithmetic)
+        WITH w AS (
+            SELECT event_type, epoch_us(ts) AS t,
+                   max(epoch_us(ts)) OVER (
+                       ORDER BY ((event_id % 2147483648) * 2654435761)
+                                % 4294967296, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+               count(*) FILTER (WHERE pm IS NOT NULL
+                                AND t < pm - 7200000000) AS n_late,
+               round(coalesce(
+                   CAST(sum(pm - 7200000000 - t)
+                        FILTER (WHERE pm IS NOT NULL
+                                AND t < pm - 7200000000) AS DOUBLE)
+                   / nullif(count(*) FILTER (WHERE pm IS NOT NULL
+                                             AND t < pm - 7200000000),
+                            0) / 1000000.0, 0), 2) AS avg_late_sec
+        FROM w GROUP BY event_type ORDER BY event_type
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
