@@ -1452,6 +1452,37 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+PQSEARCH_ORACLE_DIR = "/tmp/ocracle_pqsearch_oracle"
+PQ_NQ, PQ_TOPK = 4, 10
+
+
+def q_emb_pq_search(sf_dir: str):
+    """ADC top-k search over PQ codes (stages.pq.adc_search) — the
+    query side of product quantization: per-query M-lookup distances,
+    top-10 by ADC, and measured recall@10 against the exact ranking,
+    all in ONE corpus scan with per-batch top-k candidates. Oracle
+    trusts ONLY the trained codebook (written artifact): SQL
+    re-derives code assignments, ADC tables, both rankings (tie-break
+    (distance, vec_id)) and the recall from raw embeddings."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.pq import adc_search, codebook_table, train_pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = train_pq(ds, m=PQ_M, k=PQ_K, n_iters=PQ_ITERS)
+    out_dir = f"{PQSEARCH_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    _pq.write_table(codebook_table(cb), f"{out_dir}/part-0.parquet")
+
+    qdf = ds.sort("vec_id").limit(PQ_NQ).to_pandas()
+    queries = np.stack([np.asarray(v, np.float64)
+                        for v in qdf["embedding"]])
+    return adc_search(ds, cb, queries, k=PQ_TOPK)
+
+
 def q_events_watermark_late(sf_dir: str):
     """Watermark late-event census (stages.watermark, Flink/Beam
     semantics): events processed in arrival order, watermark =
@@ -3367,6 +3398,7 @@ QUERIES = {
     "local_supplier_revenue": q_local_supplier_revenue,
     "emb_pq": q_emb_pq,
     "events_watermark_late": q_events_watermark_late,
+    "emb_pq_search": q_emb_pq_search,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4595,6 +4627,92 @@ ORACLE_SQL = {
                                              AND t < pm - 7200000000),
                             0) / 1000000.0, 0), 2) AS avg_late_sec
         FROM w GROUP BY event_type ORDER BY event_type
+    """,
+    "emb_pq_search": f"""
+        -- ADC search, trusted-training oracle: codebook from the
+        -- artifact; code ASSIGNMENTS, ADC tables, both rankings and
+        -- recall@{PQ_TOPK} all re-derived from raw embeddings
+        WITH cb AS (
+            SELECT m, cell, list(value ORDER BY j) AS c
+            FROM read_parquet('{PQSEARCH_ORACLE_DIR}/current/*.parquet')
+            GROUP BY m, cell
+        ),
+        d AS (
+            SELECT e.vec_id, cb.m, cb.cell,
+                   round(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                       j -> (CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                   AS INT)] AS DOUBLE)
+                             - cb.c[j])
+                            * (CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                     AS INT)] AS DOUBLE)
+                               - cb.c[j]))), 6) AS d2
+            FROM embeddings e CROSS JOIN cb
+        ),
+        asg AS (
+            SELECT vec_id, m, cell AS code FROM (
+                SELECT vec_id, m, cell,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, cell) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS qid,
+                   embedding
+            FROM (SELECT * FROM embeddings ORDER BY vec_id
+                  LIMIT {PQ_NQ})
+        ),
+        tab AS (
+            SELECT q.qid, cb.m, cb.cell,
+                   round(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                       j -> (CAST(q.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                   AS INT)] AS DOUBLE)
+                             - cb.c[j])
+                            * (CAST(q.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                     AS INT)] AS DOUBLE)
+                               - cb.c[j]))), 6) AS td
+            FROM q CROSS JOIN cb
+        ),
+        adc AS (
+            SELECT t.qid, a.vec_id, round(sum(t.td), 6) AS adc
+            FROM asg a JOIN tab t ON t.m = a.m AND t.cell = a.code
+            GROUP BY t.qid, a.vec_id
+        ),
+        ex AS (
+            SELECT q.qid, e.vec_id,
+                   round(list_sum(list_transform(range(1, 65),
+                       j -> (CAST(q.embedding[j] AS DOUBLE)
+                             - CAST(e.embedding[j] AS DOUBLE))
+                            * (CAST(q.embedding[j] AS DOUBLE)
+                               - CAST(e.embedding[j] AS DOUBLE)))), 6)
+                     AS exd
+            FROM q CROSS JOIN embeddings e
+        ),
+        ra AS (SELECT qid, vec_id, adc,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adc, vec_id) AS rk
+               FROM adc),
+        re AS (SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY exd, vec_id) AS rk
+               FROM ex),
+        hits AS (
+            SELECT ra.qid, count(*) AS h
+            FROM ra JOIN re ON re.qid = ra.qid
+                           AND re.vec_id = ra.vec_id
+                           AND re.rk <= {PQ_TOPK}
+            WHERE ra.rk <= {PQ_TOPK}
+            GROUP BY ra.qid
+        )
+        SELECT r.qid,
+               any_value(r.vec_id) FILTER (WHERE r.rk = 1) AS adc_top1,
+               round(any_value(r.adc) FILTER (WHERE r.rk = 1), 4)
+                 AS adc_d2,
+               round(coalesce(any_value(h.h), 0) / {PQ_TOPK}.0, 4)
+                 AS recall_at_k
+        FROM ra r LEFT JOIN hits h USING (qid)
+        WHERE r.rk <= {PQ_TOPK}
+        GROUP BY r.qid ORDER BY r.qid
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on

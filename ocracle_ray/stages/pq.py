@@ -138,6 +138,82 @@ def codebook_table(cb: np.ndarray) -> pa.Table:
     })
 
 
+def adc_search(ds, cb: np.ndarray, queries: np.ndarray, *, k: int = 10,
+               vec_col: str = "embedding", id_col: str = "vec_id"
+               ) -> pd.DataFrame:
+    """Asymmetric-distance top-k (the PQ search side): per query,
+    distance(vec) = Σ_m table[m][code(vec, m)] where table[m][cell] =
+    round-6 ||q_sub − centroid||² — the classic M-lookup scoring that
+    never touches the original vectors at query time. Here codes are
+    computed in the same streaming pass (one corpus scan, per-batch
+    top-k candidates per query for BOTH the ADC and the exact ranking,
+    driver resolves ≤ 2·k·n_queries·n_batches rows), and recall@k of
+    ADC against the exact ranking is measured in-query.
+
+    Ties break (distance, vec_id) on both rankings — shared with the
+    SQL mirror. ADC totals round to 6 (sums of 8 round-6 terms) before
+    ranking; exact distances round to 6 before ranking."""
+    m, _kc, dsub = cb.shape
+    q = np.asarray(queries, np.float64)
+    nq = q.shape[0]
+    qsub = q.reshape(nq, m, dsub)
+    # table[qi, m, cell]
+    table = round_half_away(
+        ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1), 6)
+
+    import ray
+
+    from ..broadcast import cached_get
+
+    ref = ray.put((table, cb, q))
+
+    def fn(t: pa.Table) -> pa.Table:
+        tab, c, qq = cached_get(ref)
+        v = _stack64(t[vec_col])
+        vv = v.reshape(-1, m, dsub)
+        d2 = round_half_away(
+            ((vv[:, :, None, :] - c[None, :, :, :]) ** 2).sum(-1), 6)
+        cell = np.argmin(d2, axis=2)  # [n, m]
+        # ADC per query: gather tab[qi, m, cell]
+        adc = round_half_away(
+            np.stack([tab[qi, np.arange(m)[None, :], cell].sum(-1)
+                      for qi in range(nq)]), 6)  # [nq, n]
+        exact = round_half_away(
+            ((qq[:, None, :] - v[None, :, :]) ** 2).sum(-1), 6)  # [nq, n]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"qid": [], "vec_id": [], "adc": [], "exact": []}
+        for qi in range(nq):
+            cand = np.union1d(
+                np.lexsort((ids, adc[qi]))[:k],
+                np.lexsort((ids, exact[qi]))[:k],
+            )
+            rows["qid"].extend([qi] * len(cand))
+            rows["vec_id"].extend(ids[cand].tolist())
+            rows["adc"].extend(adc[qi][cand].tolist())
+            rows["exact"].extend(exact[qi][cand].tolist())
+        return pa.table({
+            "qid": pa.array(rows["qid"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "adc": pa.array(rows["adc"], pa.float64()),
+            "exact": pa.array(rows["exact"], pa.float64()),
+        })
+
+    cand = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi in range(nq):
+        g = cand[cand.qid == qi]
+        top_adc = g.sort_values(["adc", "vec_id"]).head(k)
+        top_exact = g.sort_values(["exact", "vec_id"]).head(k)
+        hit = len(set(top_adc.vec_id) & set(top_exact.vec_id))
+        out.append({
+            "qid": int(qi),
+            "adc_top1": int(top_adc.iloc[0].vec_id),
+            "adc_d2": round(float(top_adc.iloc[0].adc), 4),
+            "recall_at_k": round(hit / k, 4),
+        })
+    return pd.DataFrame(out)
+
+
 def pq_summary(codes_df: pd.DataFrame) -> pd.DataFrame:
     """Per-subspace driver row from the written artifact: vector
     count, distinct codes used, n_match (pinned externally by the
