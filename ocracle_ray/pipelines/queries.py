@@ -1452,6 +1452,61 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+CDC_ORACLE_DIR = "/tmp/ocracle_cdc_oracle"
+
+
+def q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking census (stages.cdc, LBFS/FastCDC gear
+    hash): chunk every doc at content-determined boundaries, md5 each
+    chunk, report per-lang chunk counts / distinct chunks / mean
+    length. Artifact oracle of the winnowing hybrid kind: the BOUNDARY
+    policy is the trusted non-SQL part; everything downstream is
+    re-derived — SQL re-computes every chunk's md5 from
+    ``substr(text, start+1, len)`` (n_fp_match pins the engine's
+    content fingerprints) and checks the exact tiling invariant per
+    doc (contiguous from 0, lengths within [MIN, MAX] except a short
+    final chunk, ends at len(text)) via n_tiled."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.cdc import cdc_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out_dir = f"{CDC_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cdc_chunks(ds, keep_col="lang").write_parquet(out_dir)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "fp"]).aggregate(
+            [("fp", "count"), ("len", "sum")])
+        return g.rename_columns(["lang", "fp", "n", "len_sum"])
+
+    agg = driver_grouped_agg(
+        rd.read_parquet(out_dir).map_batches(
+            combine, batch_format="pyarrow"),
+        ["lang", "fp"], {"n": ("n", "sum"), "len_sum": ("len_sum", "sum")},
+    )
+    n_docs = driver_grouped_agg(
+        ds.select_columns(["lang", "doc_id"]),
+        ["lang"], {"n_docs": ("doc_id", "count")},
+    ).set_index("lang")["n_docs"]
+    g = agg.groupby("lang")
+    out = pd.DataFrame({
+        "lang": np.sort(agg["lang"].unique()),
+        "n_chunks": g["n"].sum().sort_index().to_numpy(np.int64),
+        "n_unique_chunks": g.size().sort_index().to_numpy(np.int64),
+        "avg_chunk_len": (g["len_sum"].sum() / g["n"].sum()
+                          ).sort_index().round(2).to_numpy(),
+    })
+    out["n_docs"] = out["lang"].map(n_docs).astype("int64")
+    out["n_fp_match"] = out["n_chunks"]  # SQL recomputes from substr
+    out["n_tiled"] = out["n_docs"]       # SQL checks the invariant
+    return (out[["lang", "n_docs", "n_chunks", "n_unique_chunks",
+                 "n_fp_match", "n_tiled", "avg_chunk_len"]]
+            .sort_values("lang").reset_index(drop=True))
+
+
 PQSEARCH_ORACLE_DIR = "/tmp/ocracle_pqsearch_oracle"
 PQ_NQ, PQ_TOPK = 4, 10
 
@@ -3399,6 +3454,7 @@ QUERIES = {
     "emb_pq": q_emb_pq,
     "events_watermark_late": q_events_watermark_late,
     "emb_pq_search": q_emb_pq_search,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4713,6 +4769,54 @@ ORACLE_SQL = {
         FROM ra r LEFT JOIN hits h USING (qid)
         WHERE r.rk <= {PQ_TOPK}
         GROUP BY r.qid ORDER BY r.qid
+    """,
+    "docs_cdc_chunks": f"""
+        -- CDC hybrid oracle (the winnowing pattern): boundary policy
+        -- trusted from the artifact; chunk CONTENT re-derived via
+        -- md5(substr(...)) (char semantics — positions are
+        -- codepoints) and the per-doc tiling invariant checked
+        WITH art AS (
+            SELECT doc_id, start, len, fp
+            FROM read_parquet('{CDC_ORACLE_DIR}/current/*.parquet')
+        ),
+        chk AS (
+            SELECT a.doc_id, d.lang, a.start, a.len, a.fp,
+                   md5(substr(d.text, a.start + 1, a.len)) AS fp_sql,
+                   lead(a.start) OVER (PARTITION BY a.doc_id
+                                       ORDER BY a.start) AS nxt,
+                   length(d.text) AS tl
+            FROM art a JOIN documents d USING (doc_id)
+        ),
+        per_doc AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   (min(start) = 0
+                    AND bool_and(nxt IS NULL OR nxt = start + len)
+                    AND max(start + len) = max(tl)
+                    AND bool_and(len >= 1 AND len <= 128)
+                    AND bool_and(len >= 16 OR start + len = tl)
+                   ) AS tiled
+            FROM chk GROUP BY doc_id
+        ),
+        lang_docs AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        lang_chunks AS (
+            SELECT lang, count(*) AS n_chunks,
+                   count(DISTINCT fp_sql) AS n_unique_chunks,
+                   count(*) FILTER (WHERE fp = fp_sql) AS n_fp_match,
+                   round(CAST(sum(len) AS DOUBLE) / count(*), 2)
+                     AS avg_chunk_len
+            FROM chk GROUP BY lang
+        ),
+        lang_tiled AS (
+            SELECT lang, count(*) FILTER (WHERE tiled) AS n_tiled
+            FROM per_doc GROUP BY lang
+        )
+        SELECT d.lang, d.n_docs, c.n_chunks, c.n_unique_chunks,
+               c.n_fp_match, t.n_tiled, c.avg_chunk_len
+        FROM lang_docs d JOIN lang_chunks c USING (lang)
+        JOIN lang_tiled t USING (lang)
+        ORDER BY d.lang
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
