@@ -1452,6 +1452,63 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_parts_pareto(sf_dir: str):
+    """Ranked cumulative-share (Pareto/ABC) analysis: how many parts
+    cover 50/80/95% of revenue, and the top-10 parts' share. Per-part
+    revenue is a distributed groupby (per-line integer cents via
+    round-half-away — DuckDB round() parity, int64-exact thereafter);
+    the ranked cumulative sum is the stages/prefix.py GLOBAL prefix
+    scan (sort + O(blocks) boundary carry, the watermark pattern with
+    SUM); thresholds compare pure int64 products so the oracle matches
+    by exact integer equality."""
+    from ray.data.aggregate import Sum
+
+    from ..core.textstats import round_half_away
+    from ..stages.prefix import global_prefix_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "c": pa.array(round_half_away(rev * 100.0, 0).astype(np.int64)),
+        })
+
+    part_rev = (li.map_batches(cents, batch_format="pyarrow")
+                .groupby("l_partkey").aggregate(Sum("c", alias_name="c")))
+    scanned, total = global_prefix_sum(
+        part_rev,
+        order_cols=[("c", "descending"), ("l_partkey", "ascending")],
+        val_col="c")
+
+    top10 = scanned.limit(10).to_pandas()
+    top10_ppm = int(top10["c"].sum()) * 1_000_000 // total
+
+    def counts(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = t["cum"].to_numpy(zero_copy_only=False).astype(np.int64) - c
+        row = {"n_parts": len(c)}
+        for k in (50, 80, 95):
+            row[f"n_p{k}"] = int((prev * 100 < k * total).sum())
+        return pa.table({kk: pa.array([vv], pa.int64())
+                         for kk, vv in row.items()})
+
+    parts = scanned.map_batches(
+        counts, batch_format="pyarrow", batch_size=None).to_pandas()
+    agg = parts.sum()
+    return pd.DataFrame([{
+        "n_parts": int(agg["n_parts"]),
+        "n_p50": int(agg["n_p50"]),
+        "n_p80": int(agg["n_p80"]),
+        "n_p95": int(agg["n_p95"]),
+        "top10_share_ppm": int(top10_ppm),
+        "total_cents": int(total),
+    }])
+
+
 CDC_ORACLE_DIR = "/tmp/ocracle_cdc_oracle"
 
 
@@ -3455,6 +3512,7 @@ QUERIES = {
     "events_watermark_late": q_events_watermark_late,
     "emb_pq_search": q_emb_pq_search,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "parts_pareto": q_parts_pareto,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4817,6 +4875,36 @@ ORACLE_SQL = {
         FROM lang_docs d JOIN lang_chunks c USING (lang)
         JOIN lang_tiled t USING (lang)
         ORDER BY d.lang
+    """,
+    "parts_pareto": """
+        -- ranked cumulative revenue share in exact integer cents:
+        -- per-line round-half-away cents, (revenue DESC, partkey)
+        -- total order, pure-int64 threshold products
+        WITH pr AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice *
+                                       (1 - l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_partkey
+        ),
+        r AS (
+            SELECT l_partkey, c,
+                   sum(c) OVER (ORDER BY c DESC, l_partkey) AS cum,
+                   row_number() OVER (ORDER BY c DESC, l_partkey) AS rk
+            FROM pr
+        ),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM pr)
+        SELECT count(*) AS n_parts,
+               count(*) FILTER (WHERE (cum - c) * 100 < 50 * t.total)
+                 AS n_p50,
+               count(*) FILTER (WHERE (cum - c) * 100 < 80 * t.total)
+                 AS n_p80,
+               count(*) FILTER (WHERE (cum - c) * 100 < 95 * t.total)
+                 AS n_p95,
+               CAST(sum(c) FILTER (WHERE rk <= 10) * 1000000 // t.total
+                    AS BIGINT) AS top10_share_ppm,
+               t.total AS total_cents
+        FROM r CROSS JOIN t GROUP BY t.total
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
