@@ -1452,6 +1452,51 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+BLOCKLIST = ("dup", "contraband", "forbidden")
+
+
+def q_docs_blocklist(sf_dir: str):
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2's badwords
+    filter — the one canonical corpus-release gate the funnel doesn't
+    model): a doc is flagged when ANY token hits the list. Tokens via
+    the shared [a-z0-9]+ kernel, membership via one pc.is_in probe
+    (C kernel, no Python per token), per-lang partials fold on the
+    driver; the rate is integer ppm with floor division (the mixture
+    rule). The list is tiny by nature — it rides in the closure; only
+    'dup' occurs in the synthetic corpus (~5% of docs), the other
+    entries pin the zero-hit path."""
+    from ..stages.dsir import _doc_tokens
+
+    bl = pa.array(list(BLOCKLIST), pa.string())
+
+    def flags(t: pa.Table) -> pa.Table:
+        parents, tok = _doc_tokens(t["text"])
+        flagged = np.zeros(t.num_rows, np.int64)
+        if len(tok):
+            hit = pc.is_in(tok, value_set=bl).to_numpy(
+                zero_copy_only=False)
+            flagged[np.unique(parents[hit])] = 1
+        g = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "flagged": pa.array(flagged),
+        }).group_by(["lang"]).aggregate(
+            [("one", "sum"), ("flagged", "sum")])
+        return g.rename_columns(["lang", "n", "n_flagged"])
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    agg = driver_grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("n", "sum"),
+                   "n_flagged": ("n_flagged", "sum")},
+    )
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_flagged"] = agg["n_flagged"].astype("int64")
+    agg["flag_ppm"] = (agg["n_flagged"] * 1_000_000
+                       // agg["n_docs"]).astype("int64")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
 def q_parts_pareto(sf_dir: str):
     """Ranked cumulative-share (Pareto/ABC) analysis: how many parts
     cover 50/80/95% of revenue, and the top-10 parts' share. Per-part
@@ -3513,6 +3558,7 @@ QUERIES = {
     "emb_pq_search": q_emb_pq_search,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "parts_pareto": q_parts_pareto,
+    "docs_blocklist": q_docs_blocklist,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4905,6 +4951,25 @@ ORACLE_SQL = {
                     AS BIGINT) AS top10_share_ppm,
                t.total AS total_cents
         FROM r CROSS JOIN t GROUP BY t.total
+    """,
+    "docs_blocklist": """
+        -- C4 badwords gate: doc flagged when any [a-z0-9]+ token is
+        -- in the list; integer-ppm rate with floor division
+        WITH d AS (
+            SELECT lang,
+                   CAST(list_has_any(
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> ''),
+                       ['dup', 'contraband', 'forbidden']) AS BIGINT)
+                     AS flagged
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               CAST(sum(flagged) * 1000000 // count(*) AS BIGINT)
+                 AS flag_ppm
+        FROM d GROUP BY lang ORDER BY lang
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
