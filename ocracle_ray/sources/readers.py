@@ -1,4 +1,5 @@
-"""Format-sniffing pages readers: Parquet (canonical), JSONL, CSV, WARC.
+"""Format-sniffing pages readers: Parquet (canonical), JSONL, CSV,
+WARC, ORC.
 
 The engine's canonical input is the Parquet pages table
 (BASELINE.json input_hint), read column-pruned by
@@ -70,6 +71,8 @@ def _format_of(path: str) -> str:
         return "csv"
     if ext in ("warc", "wet"):  # member-gzip handled inside the parser
         return "warc"
+    if ext == "orc":
+        return "orc"
     return "parquet"  # directories / extension-less: the canonical format
 
 
@@ -95,6 +98,8 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
         from .warc import read_pages_warc
 
         return read_pages_warc(paths, **kwargs)
+    if fmt == "orc":
+        return read_pages_orc(path_list, **kwargs)
     if fmt == "json":
         ds = rd.read_json(paths, **kwargs)
     else:  # csv
@@ -106,3 +111,31 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
             **kwargs,
         )
     return ds.map_batches(_normalize_pages, batch_format="pyarrow")
+
+
+def read_pages_orc(paths: Sequence[str], **kwargs):
+    """ORC pages via pyarrow.orc — Ray Data ships no ORC reader, so
+    this is the WARC pattern: read the file bytes, one decode task per
+    FILE (the format's natural split here; stripe-level parallelism
+    would need a custom datasource). Column pruning IS pushed down
+    (pyarrow.orc materializes only the pages columns)."""
+    import io
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(list(paths), **kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        from pyarrow import orc as paorc
+
+        tables = [
+            _normalize_pages(
+                paorc.ORCFile(io.BytesIO(b.as_py())).read(
+                    columns=PAGES_COLUMNS)
+            )
+            for b in t["bytes"]
+        ]
+        return (pa.concat_tables(tables) if tables
+                else _PAGES_ARROW_SCHEMA.empty_table())
+
+    return ds.map_batches(parse, batch_format="pyarrow")

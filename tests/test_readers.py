@@ -158,3 +158,30 @@ def test_warc_malformed_is_loud():
            b"Content-Length: 999\r\n\r\nshort")
     with pytest.raises(ValueError, match="overruns"):
         warc_pages_table(bad)
+
+
+def test_orc_matches_parquet(tmp_path):
+    from pyarrow import orc as paorc
+
+    pq_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(0, 25), pq_path)
+    orc_path = str(tmp_path / "pages.orc")
+    paorc.write_table(pages_table(0, 25), orc_path)
+
+    want = _fps(read_pages_any(pq_path))
+    got = _fps(read_pages_any(orc_path))
+    pd.testing.assert_frame_equal(want, got)
+
+
+def test_orc_schema_identical(tmp_path):
+    from pyarrow import orc as paorc
+
+    orc_path = str(tmp_path / "p.orc")
+    paorc.write_table(pages_table(0, 4), orc_path)
+    pqp = str(tmp_path / "p.parquet")
+    pq.write_table(pages_table(0, 4), pqp)
+    a = read_pages_any(orc_path).schema()
+    b = read_pages_any(pqp).schema()
+    assert {f for f in a.names} == {f for f in b.names}
+    got = read_pages_any(orc_path).to_pandas()
+    assert len(got) == 4 and got["html"].map(bytes).str.len().gt(0).all()
