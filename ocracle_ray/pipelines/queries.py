@@ -1452,6 +1452,48 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+DAY_US = 86_400_000_000
+
+
+def q_events_streaks(sf_dir: str):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, histogrammed. Reuses the retention machinery — per-batch
+    distinct (user, day) combiner, ONE guarded groupby whose groups
+    are calendar-bounded; the max-streak is a numpy diff/split inside
+    the group (the SQL mirror is the classic row_number-difference
+    islands trick). Zero joins; the histogram is streak-length-sized
+    so the fold is driver-safe by construction."""
+    from ..stages.retention import user_week_pairs
+    from ..stages.sessions import guarded_map_groups
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    pairs = user_week_pairs(ds, week_us=DAY_US)  # (user_id, week)=day
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g["week"].to_numpy())
+        runs = np.split(d, np.flatnonzero(np.diff(d) > 1) + 1)
+        return pd.DataFrame({"streak": [max(len(r) for r in runs)]})
+
+    streaks = guarded_map_groups(pairs, "user_id", per_user,
+                                 max_group_rows=100_000)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "streak" not in t.column_names:
+            return pa.table({"streak": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["streak"]).aggregate([("streak", "count")])
+        return g.rename_columns(["streak", "n"])
+
+    agg = driver_grouped_agg(
+        streaks.map_batches(combine, batch_format="pyarrow"),
+        ["streak"], {"n_users": ("n", "sum")},
+    )
+    agg["streak_len"] = agg["streak"].astype("int64")
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return (agg[["streak_len", "n_users"]]
+            .sort_values("streak_len").reset_index(drop=True))
+
+
 BLOCKLIST = ("dup", "contraband", "forbidden")
 
 
@@ -3559,6 +3601,7 @@ QUERIES = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "parts_pareto": q_parts_pareto,
     "docs_blocklist": q_docs_blocklist,
+    "events_streaks": q_events_streaks,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4970,6 +5013,30 @@ ORACLE_SQL = {
                CAST(sum(flagged) * 1000000 // count(*) AS BIGINT)
                  AS flag_ppm
         FROM d GROUP BY lang ORDER BY lang
+    """,
+    "events_streaks": """
+        -- gaps-and-islands via the row_number difference trick; the
+        -- engine computes the same runs with a numpy diff/split
+        -- inside the per-user group
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM ud
+        ),
+        runs AS (
+            SELECT user_id, count(*) AS len
+            FROM g GROUP BY user_id, grp
+        ),
+        mx AS (SELECT user_id, max(len) AS streak FROM runs
+               GROUP BY user_id)
+        SELECT streak AS streak_len, count(*) AS n_users
+        FROM mx GROUP BY streak ORDER BY streak
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
