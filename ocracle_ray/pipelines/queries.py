@@ -1603,7 +1603,11 @@ def q_docs_cdc_chunks(sf_dir: str):
     """Content-defined chunking census (stages.cdc, LBFS/FastCDC gear
     hash): chunk every doc at content-determined boundaries, md5 each
     chunk, report per-lang chunk counts / distinct chunks / mean
-    length. Artifact oracle of the winnowing hybrid kind: the BOUNDARY
+    length. The distinct-chunk census folds (lang, fp) rows on the
+    driver behind driver_grouped_agg's loud 2M guard — the sf-scale
+    census tool; at 100 TB distinct-counting is a groupby(fp) or the
+    KMV estimator (chunking itself streams at any scale). Artifact
+    oracle of the winnowing hybrid kind: the BOUNDARY
     policy is the trusted non-SQL part; everything downstream is
     re-derived — SQL re-computes every chunk's md5 from
     ``substr(text, start+1, len)`` (n_fp_match pins the engine's
@@ -2850,7 +2854,8 @@ def q_media_features(sf_dir: str):
     bytes (stdlib-encoded PNG, baseline AND progressive JPEG,
     interlaced/transparent GIF, 24-bit BMP, LZW/uncompressed TIFF and
     CCITT G4/MH fax TIFF images; PCM, G.711 mu-law/A-law and IMA-ADPCM
-    WAV plus FLAC (fixed/LPC/mid-side/left-side) clips; animated GIFs
+    WAV plus FLAC (fixed/LPC/mid-side/left-side) and Ogg Vorbis
+    (mono/stereo/noise/dual-tone) clips; animated GIFs
     AND animated lossless WebPs through the video frame sampler) — so the stdlib decode branches are
     driver-checked every round, not only unit-tested. ALL decodable
     rows decode (no skip-rows for any appended codec — the per-kind
@@ -3047,6 +3052,28 @@ def q_media_features(sf_dir: str):
                 subframe="auto", stereo="left_side",
             )
         payloads.append(f5)
+        # Ogg Vorbis (round 4, session 5): the lossy branch — mono
+        # sine, stereo, clipped noise and a dual-tone clip through the
+        # stdlib MDCT decoder (core.vorbis); closes the r3 "mp3/ogg"
+        # gap for the self-describing half of it
+        from ..core.vorbis import encode_vorbis
+        ids.append(n + 64 + j)
+        kinds.append("audio")
+        vclip = 0.4 * np.sin(2 * np.pi * (185 + 77 * j)
+                             * np.arange(1700) / 8000.0)
+        if j == 0:
+            v6 = encode_vorbis(vclip, 8000)
+        elif j == 1:
+            v6 = encode_vorbis(np.stack([vclip, -0.5 * vclip], axis=1),
+                               8000)
+        elif j == 2:
+            v6 = encode_vorbis(
+                np.clip(rng.randn(1700) * 0.3, -1, 1), 16000)
+        else:
+            v6 = encode_vorbis(
+                vclip + 0.2 * np.sin(2 * np.pi * 55
+                                     * np.arange(1700) / 8000.0), 8000)
+        payloads.append(v6)
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each
         ids.append(n + 28 + j)

@@ -192,19 +192,23 @@ class AudioFeatures:
     u8 samples), real WAV via the stdlib codec (``core.wav`` — PCM
     8/16/24/32-bit, G.711 mu-law/A-law, IMA ADPCM,
     WAVE_FORMAT_EXTENSIBLE), real FLAC via ``core.flac`` (all subframe
-    types, Rice partitions, stereo decorrelation modes);
-    compressed lossy codecs (mp3/ogg/aac) honestly raise — they need a
-    real decoder this container lacks."""
+    types, Rice partitions, stereo decorrelation modes), real Ogg
+    Vorbis via ``core.vorbis`` (self-describing codebooks, floor1,
+    residue 1/2, MDCT); mp3/aac honestly raise — their spec constant
+    tables are absent in this sandbox."""
 
     def __init__(self):
         # bind once per actor
         from ..core.flac import decode_flac, is_flac
+        from ..core.vorbis import decode_vorbis, is_ogg
         from ..core.wav import decode_wav, is_wav
 
         self._decode_wav = decode_wav
         self._is_wav = is_wav
         self._decode_flac = decode_flac
         self._is_flac = is_flac
+        self._decode_vorbis = decode_vorbis
+        self._is_ogg = is_ogg
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, rates, ns, durs, rms_out, peaks = [], [], [], [], [], []
@@ -221,11 +225,14 @@ class AudioFeatures:
                 rate, _ch, samples = self._decode_wav(payload)
             elif self._is_flac(payload):
                 rate, _ch, samples = self._decode_flac(payload)
+            elif self._is_ogg(payload):
+                rate, _ch, samples = self._decode_vorbis(payload)
             else:
                 raise NotImplementedError(
-                    "compressed lossy audio decode (mp3/ogg/aac) requires a "
-                    "codec library absent in this container; AUD1 synthetic, "
-                    "stdlib-WAV and stdlib-FLAC payloads are supported"
+                    "compressed lossy audio decode (mp3/aac) requires spec "
+                    "constant tables absent in this sandbox; AUD1 synthetic, "
+                    "stdlib-WAV, stdlib-FLAC and stdlib-Ogg-Vorbis payloads "
+                    "are supported"
                 )
             mono = samples.mean(axis=1)
             ids.append(mid)

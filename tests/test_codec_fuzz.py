@@ -22,6 +22,7 @@ from ocracle_ray.core.jpeg import encode_jpeg
 from ocracle_ray.core.png import encode_png
 from ocracle_ray.core.tiff import encode_tiff
 from ocracle_ray.core.flac import encode_flac
+from ocracle_ray.core.vorbis import encode_vorbis
 from ocracle_ray.core.wav import encode_wav
 from ocracle_ray.core.webp import encode_webp, encode_webp_animated
 from ocracle_ray.sources.warc import encode_warc
@@ -49,6 +50,7 @@ def _valid_files():
         "webp_anim": encode_webp_animated(frames),
         "wav": encode_wav(tone, 8000),
         "flac": encode_flac(tone, 8000, subframe="fixed"),
+        "ogg": encode_vorbis(tone, 8000),
         "jpeg": encode_jpeg(g, quality=85),
         # not a codec, but the same hostile-bytes contract: the WARC
         # parser must map arbitrary corruption to ValueError
@@ -59,7 +61,7 @@ def _valid_files():
 
 
 def _decoder(name):
-    from ocracle_ray.core import bmp, flac, gif, jpeg, png, tiff, wav, webp
+    from ocracle_ray.core import bmp, flac, gif, jpeg, png, tiff, vorbis, wav, webp
     from ocracle_ray.sources import warc
 
     return {
@@ -71,6 +73,7 @@ def _decoder(name):
         "webp_anim": webp.decode_webp_frames,
         "wav": wav.decode_wav,
         "flac": flac.decode_flac,
+        "ogg": vorbis.decode_vorbis,
         "jpeg": jpeg.decode_jpeg,
         "warc": warc.warc_pages_table,
     }[name]
