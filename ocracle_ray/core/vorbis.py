@@ -15,11 +15,14 @@ VQ-lookup (type 1 lattice + type 2 explicit) codebooks with the custom
 21-bit-mantissa float32; floor type 1 with the full curve synthesis
 (low/high neighbor, render_point prediction, step2 flags, integer
 render_line); residue types 1 and 2 (2 = channel-interleaved 1);
-mapping type 0 with square-polar channel coupling; modes with
-long/short windows and the 4-slope lapped overlap-add; IMDCT via a
-cached cosine matrix (numpy matmul — O(n^2) per frame but vectorized;
-a split-radix FFT formulation is the known speedup, out of scope for
-fixture-scale clips); final granule-position trim.
+mapping type 0 with square-polar channel coupling; equal-blocksize
+lapped overlap-add; IMDCT via a cached cosine matrix (numpy matmul —
+O(n^2) per frame but vectorized; a split-radix FFT formulation is the
+known speedup, out of scope for fixture-scale clips); final
+granule-position trim. Streams that switch between the two blocksizes
+mid-stream raise a clearly-marked NotImplementedError (the 4-slope
+unequal-window lap) rather than emit wrong audio; floor type 0 (LSP)
+likewise.
 
 One documented approximation: the spec's ``floor1_inverse_dB_table``
 is a 256-entry literal; it is reproduced here by its generating form —
