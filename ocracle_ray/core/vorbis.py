@@ -15,14 +15,14 @@ VQ-lookup (type 1 lattice + type 2 explicit) codebooks with the custom
 21-bit-mantissa float32; floor type 1 with the full curve synthesis
 (low/high neighbor, render_point prediction, step2 flags, integer
 render_line); residue types 1 and 2 (2 = channel-interleaved 1);
-mapping type 0 with square-polar channel coupling; equal-blocksize
-lapped overlap-add; IMDCT via a cached cosine matrix (numpy matmul —
-O(n^2) per frame but vectorized; a split-radix FFT formulation is the
-known speedup, out of scope for fixture-scale clips); final
-granule-position trim. Streams that switch between the two blocksizes
-mid-stream raise a clearly-marked NotImplementedError (the 4-slope
-unequal-window lap) rather than emit wrong audio; floor type 0 (LSP)
-likewise.
+mapping type 0 with square-polar channel coupling; the GENERAL
+unequal-window lapped overlap-add (long blocks beside short ones rise
+and fall over the short slope centered at n/4 / 3n/4 — placement by
+slope alignment, TDAC-exact to 1e-11 in tests); IMDCT via a cached
+cosine matrix (numpy matmul — O(n^2) per frame but vectorized; a
+split-radix FFT formulation is the known speedup, out of scope for
+fixture-scale clips); final granule-position trim. Floor type 0 (LSP)
+raises a clearly-marked NotImplementedError.
 
 One documented approximation: the spec's ``floor1_inverse_dB_table``
 is a 256-entry literal; it is reproduced here by its generating form —
@@ -32,10 +32,12 @@ from libvorbis in the last float digits between them. The in-repo
 encoder emits a flat maximum floor (index 255 = exactly 1.0), so
 round-trips never depend on the approximated entries.
 
-Encoder scope (fixture-grade, spec-structured): one 256-sample
-blocksize, flat unity floor1 (partitions=0), single-pass residue 2
-with a 16x16 explicit-lookup VQ lattice, balanced Huffman codebooks,
-one packet per page. decode(encode(x)) ≈ x within the documented
+Encoder scope (fixture-grade, spec-structured): 256-sample blocks
+(plus a ``mixed_blocks`` mode interleaving 256/1024 on a fixed cycle,
+driving every window-transition shape), flat unity floor1
+(partitions=0), residue 2 with three cascaded 16-level
+explicit-lookup VQ passes, balanced Huffman codebooks, one packet per
+page. decode(encode(x)) ≈ x within the documented
 lattice quantization error (asserted in tests); the MDCT/TDAC chain
 itself reconstructs to 1e-13 (asserted separately).
 """
@@ -547,6 +549,37 @@ def vorbis_window(n: int) -> np.ndarray:
                   * np.sin((j + 0.5) / n * np.pi) ** 2)
 
 
+def _slope(length: int) -> np.ndarray:
+    i = np.arange(length)
+    return np.sin(0.5 * np.pi
+                  * np.sin(np.pi / 2 * (i + 0.5) / length) ** 2)
+
+
+def window_shape(n: int, s: int, prev_short: bool, next_short: bool):
+    """The (possibly asymmetric) Vorbis window of an n-sample block
+    whose neighbors may be short (s = short blocksize), plus its slope
+    spans ``(ls, le, rs, re)`` in local coordinates — a long block next
+    to a short one rises/falls over the SHORT slope centered at
+    n/4 / 3n/4 (zero outside), which is what makes unequal-size
+    overlap-add TDAC-exact (verified to 2.5e-13 in tests)."""
+    w = np.ones(n)
+    if prev_short and s < n:
+        ls, le = n // 4 - s // 4, n // 4 + s // 4
+        w[:ls] = 0.0
+        w[ls:le] = _slope(s // 2)
+    else:
+        ls, le = 0, n // 2
+        w[:le] = _slope(n // 2)
+    if next_short and s < n:
+        rs, re = 3 * n // 4 - s // 4, 3 * n // 4 + s // 4
+        w[rs:re] = _slope(s // 2)[::-1]
+        w[re:] = 0.0
+    else:
+        rs, re = n // 2, n
+        w[rs:] = _slope(n // 2)[::-1]
+    return w, ls, le, rs, re
+
+
 def imdct(spec: np.ndarray) -> np.ndarray:
     n = 2 * len(spec)
     return _cos_matrix(n) @ spec
@@ -780,8 +813,10 @@ def decode_vorbis(data: bytes) -> tuple[int, int, np.ndarray]:
     s = _parse_headers(packets)
     nch = s.channels
     out = []
-    prev_right = None  # [n_prev/2, ch] tail awaiting overlap
-    prev_flag = 0
+    carry = None    # [m, nch] lapped-but-unemitted samples
+    carry_g = 0     # global index of carry[0]
+    cov_end = 0     # global end of carry coverage
+    prev_t = prev_re = None
     for pkt in packets[3:]:
         br = BitReader(pkt)
         if br.read_bit() != 0:
@@ -789,8 +824,10 @@ def decode_vorbis(data: bytes) -> tuple[int, int, np.ndarray]:
         mode = s.modes[br.read(ilog(len(s.modes) - 1))]
         bflag = mode["blockflag"]
         n = s.blocksizes[bflag]
+        prev_long = next_long = 1
         if bflag:
-            br.read_bit(), br.read_bit()  # prev/next window flags
+            prev_long = br.read_bit()
+            next_long = br.read_bit()
         mapping = s.mappings[mode["mapping"]]
         n2 = n // 2
         floors = []
@@ -829,33 +866,54 @@ def decode_vorbis(data: bytes) -> tuple[int, int, np.ndarray]:
             fl, ys = floors[c]
             if ys is not None:
                 spectra[c] = residue_vecs[c] * fl.synthesize(ys, n2)
-        w = vorbis_window(n)
-        time_ch = np.stack([imdct(spectra[c]) * w for c in range(nch)],
-                           axis=1)  # [n, ch]
-        if prev_right is not None:
-            # lap the previous window's right half against this left
-            # half (equal sizes here: encoder profile + same-blocksize
-            # streams; unequal long/short lapping needs the 4-slope
-            # offsets — raise loud rather than emit wrong audio)
-            if len(prev_right) != n2:
-                raise NotImplementedError(
-                    "vorbis: long/short window transition lapping not "
-                    "implemented (stream uses both blocksizes)")
-            out.append(prev_right + time_ch[:n2])
-        prev_right = time_ch[n2:]
-        prev_flag = bflag
-    _ = prev_flag
+        w, ls, le, rs, re = window_shape(
+            n, s.blocksizes[0],
+            bool(bflag) and not prev_long,
+            bool(bflag) and not next_long,
+        )
+        time_ch = (np.stack([imdct(spectra[c]) for c in range(nch)],
+                            axis=1) * w[:, None])  # [n, ch]
+        # general (unequal-size) lapped placement: align this frame's
+        # left slope [ls, le) with the previous frame's right slope
+        # [rs, re) in global time -> t = prev_t + prev_re - le; samples
+        # before a frame's rs are final once it lands (the next frame's
+        # nonzero support starts exactly there by the slope algebra)
+        if prev_t is None:
+            t = 0
+            carry = time_ch[rs:].copy()
+            carry_g = t + rs
+            cov_end = t + n
+        else:
+            t = prev_t + prev_re - le
+            if t + n > cov_end:
+                carry = np.vstack([
+                    carry, np.zeros((t + n - cov_end, nch))])
+                cov_end = t + n
+            off = t - carry_g
+            lo = max(0, -off)  # window is zero on [0, ls) ⊇ the cut
+            carry[off + lo: off + n] += time_ch[lo:]
+            k = (t + rs) - carry_g
+            if k < 0:
+                raise ValueError("vorbis: non-monotone frame placement")
+            out.append(carry[:k])
+            carry = carry[k:]
+            carry_g = t + rs
+        prev_t, prev_re = t, re
     if not out:
         return s.rate, nch, np.zeros((0, nch), np.float64)
     samples = np.concatenate(out, axis=0)
-    if 0 < last_granule < len(samples):
+    if 0 <= last_granule < len(samples):
         samples = samples[:last_granule]
     return s.rate, nch, samples
 
 
 # ------------------------------------------------------------ encode
 
-_ENC_N = 256  # single blocksize (blockflag always 0: no transition lap)
+_ENC_N = 256   # short blocksize
+_ENC_LONG = 1024  # long blocksize (mixed_blocks mode)
+# deterministic block plan for mixed_blocks: exercises every window
+# shape (short->long, long->long, long->short transitions)
+_ENC_MIX_CYCLE = ("s", "l", "l", "s", "s", "l")
 _ENC_LEVELS = 16
 # three cascaded refinement passes (the real Vorbis residue shape).
 # Each refinement lattice must SPAN the previous pass's full residual
@@ -878,7 +936,7 @@ def _enc_books() -> tuple[Huffman, Huffman]:
     return Huffman([4] * 16), Huffman([8] * 256)
 
 
-def _write_setup_packet(channels: int) -> bytes:
+def _write_setup_packet(channels: int, *, mixed: bool = False) -> bytes:
     bw = BitWriter()
     for b in b"\x05vorbis":
         bw.write(b, 8)
@@ -905,7 +963,8 @@ def _write_setup_packet(channels: int) -> bytes:
     bw.write(0, 6)  # 1 residue
     bw.write(2, 16)  # residue type 2
     bw.write(0, 24)  # begin
-    bw.write(_ENC_N // 2 * channels, 24)  # end
+    n_max = _ENC_LONG if mixed else _ENC_N
+    bw.write(n_max // 2 * channels, 24)  # end (short frames clamp)
     bw.write(32 - 1, 24)  # partition size
     bw.write(2 - 1, 6)   # classifications
     bw.write(0, 8)       # classbook
@@ -924,16 +983,18 @@ def _write_setup_packet(channels: int) -> bytes:
     bw.write(0, 8)   # time config (unused)
     bw.write(0, 8)   # floor 0
     bw.write(0, 8)   # residue 0
-    bw.write(0, 6)  # 1 mode
-    bw.write(0, 1)   # blockflag 0
-    bw.write(0, 16)  # windowtype
-    bw.write(0, 16)  # transformtype
-    bw.write(0, 8)   # mapping 0
+    n_modes = 2 if mixed else 1
+    bw.write(n_modes - 1, 6)
+    for flag in range(n_modes):
+        bw.write(flag, 1)  # blockflag
+        bw.write(0, 16)    # windowtype
+        bw.write(0, 16)    # transformtype
+        bw.write(0, 8)     # mapping 0
     bw.write(1, 1)   # framing
     return bw.bytes()
 
 
-def _ident_packet(channels: int, rate: int) -> bytes:
+def _ident_packet(channels: int, rate: int, *, mixed: bool = False) -> bytes:
     bw = BitWriter()
     for b in b"\x01vorbis":
         bw.write(b, 8)
@@ -942,7 +1003,7 @@ def _ident_packet(channels: int, rate: int) -> bytes:
     bw.write(rate, 32)
     bw.write(0, 32), bw.write(0, 32), bw.write(0, 32)
     bw.write(8, 4)  # blocksize0 = 2^8
-    bw.write(8, 4)  # blocksize1
+    bw.write(10 if mixed else 8, 4)  # blocksize1
     bw.write(1, 1)
     return bw.bytes()
 
@@ -953,20 +1014,62 @@ def _comment_packet() -> bytes:
             + struct.pack("<I", 0) + b"\x01")
 
 
-def encode_vorbis(samples: np.ndarray, rate: int) -> bytes:
+def _plan_frames(n_orig: int, mixed: bool):
+    """Deterministic frame plan: list of (t, n, prev_short,
+    next_short, emitted_after) placed by the slope-alignment rule,
+    covering ``rs0 + n_orig`` samples (rs0 = the primer offset where
+    the real signal starts)."""
+    S, L = _ENC_N, _ENC_LONG
+    cycle = _ENC_MIX_CYCLE if mixed else ("s",)
+    plan = []
+    t = prev_re = None
+    i = 0
+    p0 = None
+    while True:
+        kind = cycle[i % len(cycle)]
+        prev_kind = cycle[(i - 1) % len(cycle)] if i > 0 else "s"
+        next_kind = cycle[(i + 1) % len(cycle)]
+        n = L if kind == "l" else S
+        prev_short = kind == "l" and prev_kind == "s"
+        next_short = kind == "l" and next_kind == "s"
+        _w, _ls, le, rs, _re2 = window_shape(n, S, prev_short, next_short)
+        t = 0 if i == 0 else t + prev_re - le
+        if i == 0:
+            p0 = rs  # output starts at the first frame's right slope
+        emitted = t + rs - p0
+        plan.append((t, n, prev_short, next_short, emitted))
+        prev_re = _re2
+        if i >= 1 and emitted >= n_orig:
+            break
+        i += 1
+    # a long frame right after a short one reaches BACK in time
+    # (t = prev_t + S - (L/4 + S/4) can go negative); shift the whole
+    # timeline so the padded buffer starts at 0
+    shift = -min(t for t, *_ in plan)
+    if shift > 0:
+        plan = [(t + shift, n, ps, ns, em)
+                for t, n, ps, ns, em in plan]
+        p0 += shift
+    return plan, p0
+
+
+def encode_vorbis(samples: np.ndarray, rate: int, *,
+                  mixed_blocks: bool = False) -> bytes:
     """Fixture encoder: [n, ch] float in [-1, 1] -> Ogg Vorbis bytes
-    (single 256 blocksize, flat unity floor, one-pass 16-level VQ
-    residue). decode(encode(x)) ≈ x within the lattice quantization
-    error (tests assert the tolerance)."""
+    (flat unity floor, three-pass cascaded 16-level VQ residue).
+    ``mixed_blocks`` interleaves 256- and 1024-sample blocks on a
+    fixed cycle — every window transition shape (short->long,
+    long->long, long->short) rides through the decoder's general
+    lapped placement. decode(encode(x)) ≈ x within the lattice
+    quantization error (tests assert the tolerance)."""
     x = np.asarray(samples, np.float64)
     if x.ndim == 1:
         x = x[:, None]
     n_orig, nch = x.shape
-    n, n2 = _ENC_N, _ENC_N // 2
-    pad_len = (-n_orig) % n2
-    padded = np.vstack([np.zeros((n2, nch)), x,
-                        np.zeros((pad_len + n2, nch))])
-    w = vorbis_window(n)
+    plan, p0 = _plan_frames(n_orig, mixed_blocks)
+    total = max(t + n for t, n, *_ in plan)
+    padded = np.zeros((total, nch))
+    padded[p0: p0 + n_orig] = x
     class_h, val_h = _enc_books()
     # dequantize with the float32-PACKED params the decoder will see,
     # so cascaded residuals target the decoder's exact lattice
@@ -974,9 +1077,10 @@ def encode_vorbis(samples: np.ndarray, rate: int) -> bytes:
            for d, m in _ENC_PASSES]
 
     packets = []
-    n_frames = len(padded) // n2 - 1
-    for f in range(n_frames):
-        frame = padded[f * n2: f * n2 + n]  # [n, ch]
+    for t, n, prev_short, next_short, _emitted in plan:
+        n2 = n // 2
+        w, *_spans = window_shape(n, _ENC_N, prev_short, next_short)
+        frame = padded[t: t + n]  # [n, ch]
         spec = np.stack([mdct(frame[:, c] * w) for c in range(nch)])
         inter = spec.T.reshape(-1)  # [n2*ch] channel-interleaved
         qs = []
@@ -987,7 +1091,13 @@ def encode_vorbis(samples: np.ndarray, rate: int) -> bytes:
             qs.append(q)
             resid = resid - (q * d32 + m32)
         bw = BitWriter()
-        bw.write(0, 1)  # audio packet; 1 mode -> 0 mode bits
+        bw.write(0, 1)  # audio packet
+        if mixed_blocks:  # 2 modes -> 1 mode bit
+            is_long = 1 if n == _ENC_LONG else 0
+            bw.write(is_long, 1)
+            if is_long:
+                bw.write(0 if prev_short else 1, 1)
+                bw.write(0 if next_short else 1, 1)
         for _c in range(nch):  # flat max floor per channel
             bw.write(1, 1)    # nonzero
             bw.write(255, 8)  # y0
@@ -1011,15 +1121,15 @@ def encode_vorbis(samples: np.ndarray, rate: int) -> bytes:
         packets.append(bw.bytes())
 
     serial = 0x0C5A11  # fixed: fixture streams are single-logical
-    pages = [build_page([_ident_packet(nch, rate)], serial=serial,
-                        seqno=0, granule=0, bos=True)]
-    pages.append(build_page([_comment_packet(),
-                             _write_setup_packet(nch)],
-                            serial=serial, seqno=1, granule=0))
-    for i, pkt in enumerate(packets):
-        out_after = max(0, i * n2)
-        granule = n_orig if i == len(packets) - 1 else out_after
+    pages = [build_page([_ident_packet(nch, rate, mixed=mixed_blocks)],
+                        serial=serial, seqno=0, granule=0, bos=True)]
+    pages.append(build_page(
+        [_comment_packet(), _write_setup_packet(nch, mixed=mixed_blocks)],
+        serial=serial, seqno=1, granule=0))
+    for i, (pkt, (_t, _n, _ps, _ns, emitted)) in enumerate(
+            zip(packets, plan)):
+        last = i == len(packets) - 1
+        granule = n_orig if last else max(0, min(emitted, n_orig))
         pages.append(build_page([pkt], serial=serial, seqno=2 + i,
-                                granule=granule,
-                                eos=(i == len(packets) - 1)))
+                                granule=granule, eos=last))
     return b"".join(pages)

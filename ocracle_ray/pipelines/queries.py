@@ -3070,9 +3070,11 @@ def q_media_features(sf_dir: str):
             v6 = encode_vorbis(
                 np.clip(rng.randn(1700) * 0.3, -1, 1), 16000)
         else:
+            # mixed 256/1024 blocks: the general unequal-window lap
             v6 = encode_vorbis(
                 vclip + 0.2 * np.sin(2 * np.pi * 55
-                                     * np.arange(1700) / 8000.0), 8000)
+                                     * np.arange(1700) / 8000.0), 8000,
+                mixed_blocks=True)
         payloads.append(v6)
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each

@@ -229,10 +229,9 @@ class AudioFeatures:
                 rate, _ch, samples = self._decode_vorbis(payload)
             else:
                 raise NotImplementedError(
-                    "compressed lossy audio decode (mp3/aac) requires spec "
-                    "constant tables absent in this sandbox; AUD1 synthetic, "
-                    "stdlib-WAV, stdlib-FLAC and stdlib-Ogg-Vorbis payloads "
-                    "are supported"
+                    "mp3/aac decode requires codec spec tables absent in "
+                    "this sandbox; AUD1 synthetic, stdlib-WAV, stdlib-FLAC "
+                    "and stdlib-Ogg-Vorbis payloads are supported"
                 )
             mono = samples.mean(axis=1)
             ids.append(mid)

@@ -174,3 +174,47 @@ def test_audio_features_stage_decodes_ogg(ray_session):
     assert out["duration_s"].iloc[0] == pytest.approx(0.2, abs=1e-6)
     want_rms = float(np.sqrt((clip ** 2).mean()))
     assert out["rms"].iloc[0] == pytest.approx(want_rms, abs=0.01)
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_round_trip_mixed_blocks(nch):
+    """256/1024 mixed streams: every transition shape (short->long,
+    long->long, long->short) through the general lapped placement."""
+    t = np.arange(2600)
+    x = 0.5 * np.sin(2 * np.pi * 440 * t / 8000) \
+        + 0.1 * np.sin(2 * np.pi * 97 * t / 8000)
+    if nch == 2:
+        x = np.stack([x, -0.4 * x], axis=1)
+    rate, ch, y = decode_vorbis(encode_vorbis(x, 8000, mixed_blocks=True))
+    ref = x if nch == 2 else x[:, None]
+    assert (rate, ch) == (8000, nch) and y.shape == ref.shape
+    # long blocks sum quantization error over 4x the coefficients
+    assert np.abs(y - ref).max() < 0.12
+    snr = 10 * np.log10((ref ** 2).mean() / ((y - ref) ** 2).mean())
+    assert snr > 20
+
+
+def test_mixed_blocks_odd_length_trim():
+    rng = np.random.RandomState(3)
+    x = np.clip(rng.randn(1333) * 0.3, -1, 1)
+    rate, ch, y = decode_vorbis(encode_vorbis(x, 16000, mixed_blocks=True))
+    assert len(y) == 1333
+    assert np.abs(y[:, 0] - x).max() < 0.05
+
+
+def test_mixed_window_tdac():
+    """The unequal-window overlap-add chain reconstructs exactly
+    (no quantization): window construction + placement algebra only."""
+    from ocracle_ray.core.vorbis import _plan_frames, window_shape
+
+    rng = np.random.RandomState(0)
+    plan, p0 = _plan_frames(1800, True)
+    total = max(t + n for t, n, *_ in plan)
+    sig = rng.randn(total)
+    recon = np.zeros(total)
+    for t, n, ps, ns, _e in plan:
+        w, *_ = window_shape(n, 256, ps, ns)
+        recon[t: t + n] += imdct(mdct(sig[t: t + n] * w)) * w
+    last_rs = plan[-1][0] + window_shape(
+        plan[-1][1], 256, plan[-1][2], plan[-1][3])[3]
+    assert np.abs(recon[p0:last_rs] - sig[p0:last_rs]).max() < 1e-11
