@@ -1686,6 +1686,49 @@ def q_emb_pq_search(sf_dir: str):
     return adc_search(ds, cb, queries, k=PQ_TOPK)
 
 
+IVFPQ_ORACLE_DIR = "/tmp/ocracle_ivfpq_oracle"
+IVFPQ_CELLS, IVFPQ_PROBE = 8, 3
+
+
+def q_knn_ivfpq(sf_dir: str):
+    """IVF-PQ / IVFADC (stages.ivfpq, Jégou et al. 2011 §IV): coarse
+    k-means cells + PQ over RESIDUALS, search probes the 3 closest
+    cells and ranks by asymmetric distance; recall@10 measured against
+    the exact ranking over ALL vectors (probe misses count — that is
+    the tradeoff the number reports). Trusted-training artifact
+    oracle: given only the written centroids + residual codebook, SQL
+    re-derives every cell assignment, residual code, probe set, ADC
+    table, both rankings and the recall."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..stages.ivfpq import build_ivfpq, ivfpq_search
+    from ..stages.pq import codebook_table
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, cb = build_ivfpq(ds, n_cells=IVFPQ_CELLS, m=PQ_M, k=PQ_K,
+                            n_iters=PQ_ITERS)
+    out_dir = f"{IVFPQ_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(f"{out_dir}/cents")
+    os.makedirs(f"{out_dir}/cb")
+    cc, jj = np.meshgrid(np.arange(IVFPQ_CELLS), np.arange(cents.shape[1]),
+                         indexing="ij")
+    _pq.write_table(pa.table({
+        "cell": pa.array(cc.reshape(-1).astype(np.int64)),
+        "j": pa.array(jj.reshape(-1).astype(np.int64)),
+        "value": pa.array(cents.reshape(-1), pa.float64()),
+    }), f"{out_dir}/cents/part-0.parquet")
+    _pq.write_table(codebook_table(cb), f"{out_dir}/cb/part-0.parquet")
+
+    qdf = ds.sort("vec_id").limit(PQ_NQ).to_pandas()
+    queries = np.stack([np.asarray(v, np.float64)
+                        for v in qdf["embedding"]])
+    return ivfpq_search(ds, cents, cb, queries,
+                        n_probe=IVFPQ_PROBE, k=PQ_TOPK)
+
+
 def q_events_watermark_late(sf_dir: str):
     """Watermark late-event census (stages.watermark, Flink/Beam
     semantics): events processed in arrival order, watermark =
@@ -3631,6 +3674,7 @@ QUERIES = {
     "parts_pareto": q_parts_pareto,
     "docs_blocklist": q_docs_blocklist,
     "events_streaks": q_events_streaks,
+    "knn_ivfpq": q_knn_ivfpq,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -5066,6 +5110,150 @@ ORACLE_SQL = {
                GROUP BY user_id)
         SELECT streak AS streak_len, count(*) AS n_users
         FROM mx GROUP BY streak ORDER BY streak
+    """,
+    "knn_ivfpq": f"""
+        -- IVFADC, trusted-training oracle: only the written centroids
+        -- and residual codebook are trusted; cell assignments,
+        -- residual codes, probe sets, ADC tables, both rankings and
+        -- recall@{PQ_TOPK} re-derived from raw embeddings (round-6
+        -- before every argmin, lower index wins ties)
+        WITH cents AS (
+            SELECT cell, list(value ORDER BY j) AS c
+            FROM read_parquet('{IVFPQ_ORACLE_DIR}/current/cents/*.parquet')
+            GROUP BY cell
+        ),
+        cb AS (
+            SELECT m, cell AS code, list(value ORDER BY j) AS c
+            FROM read_parquet('{IVFPQ_ORACLE_DIR}/current/cb/*.parquet')
+            GROUP BY m, cell
+        ),
+        vd AS (
+            SELECT e.vec_id, ct.cell,
+                   round(list_sum(list_transform(range(1, 65),
+                       j -> (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
+                            * (CAST(e.embedding[j] AS DOUBLE)
+                               - ct.c[j]))), 6) AS d2
+            FROM embeddings e CROSS JOIN cents ct
+        ),
+        vcell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM vd
+            ) WHERE rn = 1
+        ),
+        rd AS (
+            SELECT e.vec_id, cb.m, cb.code,
+                   round(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                       j -> ((CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                    AS INT)] AS DOUBLE)
+                              - ct.c[CAST(cb.m * {PQ_DSUB} + j AS INT)])
+                             - cb.c[j])
+                            * ((CAST(e.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                      AS INT)] AS DOUBLE)
+                                - ct.c[CAST(cb.m * {PQ_DSUB} + j AS INT)])
+                               - cb.c[j]))), 6) AS d2
+            FROM embeddings e
+            JOIN vcell vc USING (vec_id)
+            JOIN cents ct ON ct.cell = vc.cell
+            CROSS JOIN cb
+        ),
+        vcode AS (
+            SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM rd
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS qid,
+                   embedding
+            FROM (SELECT * FROM embeddings ORDER BY vec_id
+                  LIMIT {PQ_NQ})
+        ),
+        qc AS (
+            SELECT q.qid, ct.cell,
+                   round(list_sum(list_transform(range(1, 65),
+                       j -> (CAST(q.embedding[j] AS DOUBLE) - ct.c[j])
+                            * (CAST(q.embedding[j] AS DOUBLE)
+                               - ct.c[j]))), 6) AS d2
+            FROM q CROSS JOIN cents ct
+        ),
+        probe AS (
+            SELECT qid, cell FROM (
+                SELECT qid, cell,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY d2, cell) AS rn
+                FROM qc
+            ) WHERE rn <= {IVFPQ_PROBE}
+        ),
+        probed_str AS (
+            SELECT qid, string_agg(CAST(cell AS VARCHAR), ','
+                                   ORDER BY cell) AS probed
+            FROM probe GROUP BY qid
+        ),
+        tab AS (
+            SELECT p.qid, p.cell, cb.m, cb.code,
+                   round(list_sum(list_transform(range(1, {PQ_DSUB + 1}),
+                       j -> ((CAST(q.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                    AS INT)] AS DOUBLE)
+                              - ct.c[CAST(cb.m * {PQ_DSUB} + j AS INT)])
+                             - cb.c[j])
+                            * ((CAST(q.embedding[CAST(cb.m * {PQ_DSUB} + j
+                                                      AS INT)] AS DOUBLE)
+                                - ct.c[CAST(cb.m * {PQ_DSUB} + j AS INT)])
+                               - cb.c[j]))), 6) AS td
+            FROM probe p
+            JOIN q USING (qid)
+            JOIN cents ct ON ct.cell = p.cell
+            CROSS JOIN cb
+        ),
+        adc AS (
+            SELECT t.qid, vc.vec_id, round(sum(t.td), 6) AS adc
+            FROM vcode vc
+            JOIN vcell vl USING (vec_id)
+            JOIN tab t ON t.cell = vl.cell AND t.m = vc.m
+                       AND t.code = vc.code
+            GROUP BY t.qid, vc.vec_id
+        ),
+        ra AS (SELECT qid, vec_id, adc,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adc, vec_id) AS rk
+               FROM adc),
+        ex AS (
+            SELECT q.qid, e.vec_id,
+                   round(list_sum(list_transform(range(1, 65),
+                       j -> (CAST(q.embedding[j] AS DOUBLE)
+                             - CAST(e.embedding[j] AS DOUBLE))
+                            * (CAST(q.embedding[j] AS DOUBLE)
+                               - CAST(e.embedding[j] AS DOUBLE)))), 6)
+                     AS exd
+            FROM q CROSS JOIN embeddings e
+        ),
+        re AS (SELECT qid, vec_id,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY exd, vec_id) AS rk
+               FROM ex),
+        hits AS (
+            SELECT ra.qid, count(*) AS h
+            FROM ra JOIN re ON re.qid = ra.qid
+                           AND re.vec_id = ra.vec_id
+                           AND re.rk <= {PQ_TOPK}
+            WHERE ra.rk <= {PQ_TOPK}
+            GROUP BY ra.qid
+        )
+        SELECT r.qid, ps.probed,
+               any_value(r.vec_id) FILTER (WHERE r.rk = 1) AS adc_top1,
+               round(any_value(r.adc) FILTER (WHERE r.rk = 1), 4)
+                 AS adc_d2,
+               round(coalesce(any_value(h.h), 0) / {PQ_TOPK}.0, 4)
+                 AS recall_at_k
+        FROM ra r JOIN probed_str ps USING (qid)
+        LEFT JOIN hits h USING (qid)
+        WHERE r.rk <= {PQ_TOPK}
+        GROUP BY r.qid, ps.probed ORDER BY r.qid
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on

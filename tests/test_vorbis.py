@@ -218,3 +218,41 @@ def test_mixed_window_tdac():
     last_rs = plan[-1][0] + window_shape(
         plan[-1][1], 256, plan[-1][2], plan[-1][3])[3]
     assert np.abs(recon[p0:last_rs] - sig[p0:last_rs]).max() < 1e-11
+
+
+def test_codebook_lookup_type1_lattice():
+    """White-box: a hand-built type-1 codebook bitstream decodes to
+    the spec's implicit lattice (entry digits in base lookup_values,
+    dim-major), including the sequence_p running sum."""
+    from ocracle_ray.core.vorbis import BitWriter, Codebook
+
+    def build(seq_p):
+        bw = BitWriter()
+        bw.write(0x564342, 24)
+        bw.write(2, 16)      # dims
+        bw.write(9, 24)      # entries = 3^2 -> lookup_values = 3
+        bw.write(0, 1)       # not ordered
+        bw.write(0, 1)       # not sparse
+        for _ in range(9):
+            bw.write(4 - 1, 5)   # all lengths 4
+        bw.write(1, 4)       # lookup type 1
+        from ocracle_ray.core.vorbis import float32_pack
+        bw.write(float32_pack(1.0), 32)   # min
+        bw.write(float32_pack(2.0), 32)   # delta
+        bw.write(3 - 1, 4)   # value_bits = 3
+        bw.write(seq_p, 1)
+        for m in (0, 1, 2):  # multiplicands
+            bw.write(m, 3)
+        from ocracle_ray.core.vorbis import BitReader
+        return Codebook.parse(BitReader(bw.bytes()))
+
+    cb = build(0)
+    # entry e: d0 digit = e % 3, d1 digit = (e // 3) % 3
+    for e in range(9):
+        want = [1.0 + 2.0 * (e % 3), 1.0 + 2.0 * ((e // 3) % 3)]
+        assert cb.vq[e].tolist() == want
+    cbs = build(1)
+    for e in range(9):
+        v0 = 1.0 + 2.0 * (e % 3)
+        v1 = v0 + 1.0 + 2.0 * ((e // 3) % 3)  # sequence_p running sum
+        assert cbs.vq[e].tolist() == [v0, v1]
