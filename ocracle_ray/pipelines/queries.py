@@ -1686,6 +1686,63 @@ def q_emb_pq_search(sf_dir: str):
     return adc_search(ds, cb, queries, k=PQ_TOPK)
 
 
+DIVISION_BRAND, DIVISION_SIZE_CAP = "Brand#4", 5
+DIVISOR_LIMIT = 100_000  # broadcast divisor guard
+
+
+def q_supplier_part_division(sf_dir: str):
+    """Relational DIVISION (universal quantification — "suppliers
+    that shipped EVERY small Brand#4 part"): the one classic SQL
+    semantic the surface lacked. Engine shape: the divisor part set
+    broadcasts (small by construction, loud-guarded); one filtered
+    scan emits per-batch distinct (supplier, part) pairs; the driver
+    fold dedups pairs (≤ suppliers x divisor, guarded) and ranks
+    coverage. The quotient is EMPTY at every sf (best coverage 6/10 —
+    measured), which both sides must derive identically; engineered
+    full-coverage fixtures pin the non-empty case in tests."""
+    import ray
+
+    part = pd.read_parquet(_p(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_size"])
+    div = part.loc[(part["p_brand"] == DIVISION_BRAND)
+                   & (part["p_size"] <= DIVISION_SIZE_CAP), "p_partkey"]
+    if len(div) > DIVISOR_LIMIT:
+        raise RuntimeError(
+            f"division: divisor has {len(div)} parts "
+            f"(> {DIVISOR_LIMIT}); broadcast no longer safe")
+    n_div = len(div)
+    div_set = pa.array(div.astype("int64"), pa.int64())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["l_partkey"], pa.int64()),
+                        value_set=div_set)
+        f = t.filter(keep)
+        g = pa.table({
+            "s": pc.cast(f["l_suppkey"], pa.int64()),
+            "p": pc.cast(f["l_partkey"], pa.int64()),
+        }).group_by(["s", "p"]).aggregate([])
+        return g.append_column("one", pa.array(
+            np.ones(g.num_rows, np.int64)))
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    agg = driver_grouped_agg(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        ["s", "p"], {"n": ("one", "sum")},
+    )
+    cov = (agg.groupby("s").size().rename("n_covered").reset_index()
+           if not agg.empty
+           else pd.DataFrame(columns=["s", "n_covered"]))
+    cov["n_covered"] = cov["n_covered"].astype("int64")
+    cov["s"] = cov["s"].astype("int64")
+    cov["full"] = (cov["n_covered"] == n_div).astype("int64")
+    out = cov.sort_values(["n_covered", "s"],
+                          ascending=[False, True]).head(10)
+    out = out.rename(columns={"s": "s_suppkey"})
+    out["n_divisor"] = np.int64(n_div)
+    return out[["s_suppkey", "n_covered", "n_divisor", "full"]
+               ].reset_index(drop=True)
+
+
 IVFPQ_ORACLE_DIR = "/tmp/ocracle_ivfpq_oracle"
 IVFPQ_CELLS, IVFPQ_PROBE = 8, 3
 
@@ -3675,6 +3732,7 @@ QUERIES = {
     "docs_blocklist": q_docs_blocklist,
     "events_streaks": q_events_streaks,
     "knn_ivfpq": q_knn_ivfpq,
+    "supplier_part_division": q_supplier_part_division,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -5254,6 +5312,28 @@ ORACLE_SQL = {
         LEFT JOIN hits h USING (qid)
         WHERE r.rk <= {PQ_TOPK}
         GROUP BY r.qid, ps.probed ORDER BY r.qid
+    """,
+    "supplier_part_division": f"""
+        -- relational division: coverage of the small-{DIVISION_BRAND}
+        -- divisor per supplier, top 10 by (coverage DESC, suppkey);
+        -- full = the universal-quantification flag
+        WITH divisor AS (
+            SELECT p_partkey FROM part
+            WHERE p_brand = '{DIVISION_BRAND}'
+              AND p_size <= {DIVISION_SIZE_CAP}
+        ),
+        nd AS (SELECT count(*) AS n_divisor FROM divisor),
+        cov AS (
+            SELECT l_suppkey AS s_suppkey,
+                   count(DISTINCT l_partkey) AS n_covered
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM divisor)
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, n_covered, nd.n_divisor,
+               CAST(n_covered = nd.n_divisor AS BIGINT) AS "full"
+        FROM cov CROSS JOIN nd
+        ORDER BY n_covered DESC, s_suppkey LIMIT 10
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
