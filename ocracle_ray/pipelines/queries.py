@@ -1686,6 +1686,99 @@ def q_emb_pq_search(sf_dir: str):
     return adc_search(ds, cb, queries, k=PQ_TOPK)
 
 
+EMBOUT_ORACLE_DIR = "/tmp/ocracle_embout_oracle"
+EMBOUT_CELLS, EMBOUT_MULT = 8, 1.1
+
+
+def q_emb_outliers(sf_dir: str):
+    """Embedding quality control: per k-means cell, how many vectors
+    sit beyond 1.1x the cell's mean squared distance to its centroid
+    (the sf embeddings are unit-normalized, so distances concentrate
+    hard in 64 dims — a 2x cut can never fire; 1.1x is the live tail) —
+    the mislabeled/garbage-vector screen a 100-TB embedding corpus
+    runs before indexing. Two zero-shuffle passes over the broadcast
+    centroids (assign+accumulate, then threshold-count); round-6 at
+    every decision (distance before argmin, mean before the
+    threshold). Trusted-training artifact oracle: SQL re-derives every
+    assignment, mean and outlier count from raw embeddings + the
+    written centroids."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray
+
+    from ..stages.ivfpq import _assign_cells
+    from ..stages.kmeans import lloyd_kmeans
+    from ..stages.pq import _stack64
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = lloyd_kmeans(ds, k=EMBOUT_CELLS, n_iters=PQ_ITERS)
+    out_dir = f"{EMBOUT_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    cc, jj = np.meshgrid(np.arange(EMBOUT_CELLS),
+                         np.arange(cents.shape[1]), indexing="ij")
+    _pq.write_table(pa.table({
+        "cell": pa.array(cc.reshape(-1).astype(np.int64)),
+        "j": pa.array(jj.reshape(-1).astype(np.int64)),
+        "value": pa.array(cents.reshape(-1), pa.float64()),
+    }), f"{out_dir}/part-0.parquet")
+    cents_ref = ray.put(cents)
+
+    from ..core.textstats import round_half_away
+
+    def pass1(t: pa.Table) -> pa.Table:
+        c = _cached_broadcast(cents_ref)
+        v = _stack64(t["embedding"])
+        d2 = round_half_away(
+            ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1), 6)
+        cell = np.argmin(d2, axis=1)
+        chosen = np.take_along_axis(d2, cell[:, None], 1)[:, 0]
+        g = pa.table({
+            "cell": pa.array(cell.astype(np.int64)),
+            "one": pa.array(np.ones(len(v), np.int64)),
+            "d2": pa.array(chosen, pa.float64()),
+        }).group_by(["cell"]).aggregate([("one", "sum"), ("d2", "sum")])
+        return g.rename_columns(["cell", "n", "d2_sum"])
+
+    agg = driver_grouped_agg(
+        ds.map_batches(pass1, batch_format="pyarrow"),
+        ["cell"], {"n": ("n", "sum"), "d2_sum": ("d2_sum", "sum")},
+    ).set_index("cell")
+    thr = {int(c): round(EMBOUT_MULT * float(agg.loc[c, "d2_sum"])
+                         / int(agg.loc[c, "n"]), 6)
+           for c in agg.index}
+    thr_ref = ray.put(thr)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        c = _cached_broadcast(cents_ref)
+        th = _cached_broadcast(thr_ref)
+        v = _stack64(t["embedding"])
+        d2 = round_half_away(
+            ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1), 6)
+        cell = np.argmin(d2, axis=1)
+        chosen = np.take_along_axis(d2, cell[:, None], 1)[:, 0]
+        lim = np.array([th[int(x)] for x in cell])
+        g = pa.table({
+            "cell": pa.array(cell.astype(np.int64)),
+            "out": pa.array((chosen > lim).astype(np.int64)),
+        }).group_by(["cell"]).aggregate([("out", "sum"), ("cell", "count")])
+        return g.rename_columns(["cell", "n_out", "n"])
+
+    agg2 = driver_grouped_agg(
+        ds.map_batches(pass2, batch_format="pyarrow"),
+        ["cell"], {"n_out": ("n_out", "sum"), "n": ("n", "sum")},
+    )
+    agg2["avg_d2"] = agg2["cell"].map(
+        lambda c: round(float(agg.loc[c, "d2_sum"])
+                        / int(agg.loc[c, "n"]), 4))
+    agg2["n_vecs"] = agg2["n"].astype("int64")
+    agg2["n_outliers"] = agg2["n_out"].astype("int64")
+    agg2["cell"] = agg2["cell"].astype("int64")
+    return (agg2[["cell", "n_vecs", "avg_d2", "n_outliers"]]
+            .sort_values("cell").reset_index(drop=True))
+
+
 DIVISION_BRAND, DIVISION_SIZE_CAP = "Brand#4", 5
 DIVISOR_LIMIT = 100_000  # broadcast divisor guard
 
@@ -3733,6 +3826,7 @@ QUERIES = {
     "events_streaks": q_events_streaks,
     "knn_ivfpq": q_knn_ivfpq,
     "supplier_part_division": q_supplier_part_division,
+    "emb_outliers": q_emb_outliers,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -5334,6 +5428,44 @@ ORACLE_SQL = {
                CAST(n_covered = nd.n_divisor AS BIGINT) AS "full"
         FROM cov CROSS JOIN nd
         ORDER BY n_covered DESC, s_suppkey LIMIT 10
+    """,
+    "emb_outliers": f"""
+        -- embedding QC, trusted-training oracle: assignments, per-cell
+        -- means and the 1.1x-mean outlier rule re-derived from raw
+        -- embeddings + the written centroids (round-6 parity at the
+        -- argmin, the mean and the threshold)
+        WITH cents AS (
+            SELECT cell, list(value ORDER BY j) AS c
+            FROM read_parquet('{EMBOUT_ORACLE_DIR}/current/*.parquet')
+            GROUP BY cell
+        ),
+        vd AS (
+            SELECT e.vec_id, ct.cell,
+                   round(list_sum(list_transform(range(1, 65),
+                       j -> (CAST(e.embedding[j] AS DOUBLE) - ct.c[j])
+                            * (CAST(e.embedding[j] AS DOUBLE)
+                               - ct.c[j]))), 6) AS d2
+            FROM embeddings e CROSS JOIN cents ct
+        ),
+        asg AS (
+            SELECT vec_id, cell, d2 FROM (
+                SELECT vec_id, cell, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, cell) AS rn
+                FROM vd
+            ) WHERE rn = 1
+        ),
+        stats AS (
+            SELECT cell, count(*) AS n_vecs,
+                   round(1.1 * sum(d2) / count(*), 6) AS thr,
+                   round(sum(d2) / count(*), 4) AS avg_d2
+            FROM asg GROUP BY cell
+        )
+        SELECT s.cell, s.n_vecs, s.avg_d2,
+               count(*) FILTER (WHERE a.d2 > s.thr) AS n_outliers
+        FROM asg a JOIN stats s USING (cell)
+        GROUP BY s.cell, s.n_vecs, s.avg_d2
+        ORDER BY s.cell
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
