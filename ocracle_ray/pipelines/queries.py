@@ -1686,6 +1686,84 @@ def q_emb_pq_search(sf_dir: str):
     return adc_search(ds, cb, queries, k=PQ_TOPK)
 
 
+def q_orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth in integer ppm — the KPI-table
+    window aggregate. Per-batch combiners -> a months-sized driver
+    fold; growth = (cur − prev)·10^6 // prev in PYTHON INTEGER cents
+    (exact, no float drift for the oracle's lag() to disagree with)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        ts = (t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        d = pd.to_datetime(ts, unit="us")
+        month = (d.year * 100 + d.month).astype(np.int64)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = pa.table({"month": pa.array(month),
+                      "c": pa.array(cents)}).group_by(["month"]).aggregate(
+            [("c", "sum")])
+        return g.rename_columns(["month", "c"])
+
+    agg = driver_grouped_agg(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        ["month"], {"revenue_cents": ("c", "sum")},
+    ).sort_values("month").reset_index(drop=True)
+    agg["month"] = agg["month"].astype("int64")
+    agg["revenue_cents"] = agg["revenue_cents"].astype("int64")
+    prev = agg["revenue_cents"].shift(1)
+    growth = []
+    for cur, pv in zip(agg["revenue_cents"], prev):
+        if pd.isna(pv):
+            growth.append(0)
+            continue
+        delta = (int(cur) - int(pv)) * 1_000_000
+        # DuckDB // truncates toward zero; Python // floors — match
+        # the oracle on negative months
+        growth.append(delta // int(pv) if delta >= 0
+                      else -((-delta) // int(pv)))
+    agg["growth_ppm"] = np.array(growth, np.int64)
+    return agg[["month", "revenue_cents", "growth_ppm"]]
+
+
+def q_events_dau_wau(sf_dir: str):
+    """Stickiness (DAU/WAU): per day, distinct active users that day
+    vs distinct users over the trailing 7 days, ratio in integer ppm.
+    One distinct-(user, day) combiner pass; the per-day fold is
+    days x users-per-day bounded... no: the trailing-7-day distinct
+    union cannot be pre-aggregated per day (distinct doesn't sum), so
+    the day-level resolve happens on the DEDUPED pair frame
+    (users x days rows, the retention bound), guarded by
+    driver_grouped_agg's 2M ceiling — the sf-scale census tool; at
+    100 TB the trailing distinct becomes per-day KMV sketch merges."""
+    from ..stages.retention import user_week_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    pairs = user_week_pairs(ds, week_us=DAY_US)  # (user_id, week)=day
+
+    dd = driver_grouped_agg(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["user_id", "week"], {"n": ("one", "sum")},
+    )
+    days = np.sort(dd["week"].unique()).astype(np.int64)
+    by_day = {int(d): set(g["user_id"])
+              for d, g in dd.groupby("week")}
+    rows = []
+    for d in days:
+        dau = len(by_day[int(d)])
+        wau_set = set()
+        for k in range(7):
+            wau_set |= by_day.get(int(d) - k, set())
+        wau = len(wau_set)
+        rows.append({"day": int(d), "dau": dau, "wau": wau,
+                     "stickiness_ppm": dau * 1_000_000 // wau})
+    return pd.DataFrame(rows)
+
+
 EMBOUT_ORACLE_DIR = "/tmp/ocracle_embout_oracle"
 EMBOUT_CELLS, EMBOUT_MULT = 8, 1.1
 
@@ -3827,6 +3905,8 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "supplier_part_division": q_supplier_part_division,
     "emb_outliers": q_emb_outliers,
+    "orders_monthly_growth": q_orders_monthly_growth,
+    "events_dau_wau": q_events_dau_wau,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -5466,6 +5546,42 @@ ORACLE_SQL = {
         FROM asg a JOIN stats s USING (cell)
         GROUP BY s.cell, s.n_vecs, s.avg_d2
         ORDER BY s.cell
+    """,
+    "orders_monthly_growth": """
+        -- MoM revenue growth, exact integer cents + ppm floor division
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS BIGINT) AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_cents,
+               CAST(coalesce(
+                   (revenue_cents - lag(revenue_cents)
+                                    OVER (ORDER BY month)) * 1000000
+                   // lag(revenue_cents) OVER (ORDER BY month), 0)
+                 AS BIGINT) AS growth_ppm
+        FROM m ORDER BY month
+    """,
+    "events_dau_wau": """
+        -- stickiness: distinct users per day vs the trailing-7-day
+        -- distinct union; integer-ppm ratio
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud)
+        SELECT d.day, count(DISTINCT u1.user_id) AS dau,
+               (SELECT count(DISTINCT u7.user_id) FROM ud u7
+                WHERE u7.day BETWEEN d.day - 6 AND d.day) AS wau,
+               CAST(count(DISTINCT u1.user_id) * 1000000
+                    // (SELECT count(DISTINCT u7.user_id) FROM ud u7
+                        WHERE u7.day BETWEEN d.day - 6 AND d.day)
+                 AS BIGINT) AS stickiness_ppm
+        FROM days d JOIN ud u1 ON u1.day = d.day
+        GROUP BY d.day ORDER BY d.day
     """,
     "docs_split": """
         -- train/valid/test holdout split: DOUBLE-round Knuth hash on
