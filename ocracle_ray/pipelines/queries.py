@@ -3797,6 +3797,199 @@ def q_salted_events_value(sf_dir: str):
     return out
 
 
+def q_parts_skyline(sf_dir: str):
+    """Skyline / Pareto frontier (Borzsony et al., ICDE 2001): the
+    parts no other part beats on BOTH (cheaper price, larger size) —
+    the multi-criteria shortlist no single ORDER BY can express.
+    Per-block local frontiers (dominance pruning is sound under any
+    block layout) fold on the driver behind a loud guard; one final
+    local pass is exact. Integer cents so the oracle's NOT EXISTS
+    compares identical values."""
+    from ..stages.skyline import skyline_2d
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        price = np.rint(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "price_cents": pa.array(price),
+            "p_size": t["p_size"].cast(pa.int64()),
+        })
+
+    sky = skyline_2d(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "price_cents", "p_size",
+    )
+    return (sky.to_pandas()
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_events_value_corr(sf_dir: str):
+    """Grouped Pearson correlation + OLS slope of value vs hour-of-day
+    per event type from ONE streaming pass of integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy² — all int64-exact cents x
+    hours), folded on the driver (groups = event types). The float
+    work happens ONCE on the exact integer sums with the identical
+    expression shape on both sides, so round-6 parity is exact. The
+    100-TB shape: partials are 6 numbers per (type, block) — values
+    never shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts % DAY_US) // 3_600_000_000
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.rint(v * 100.0)
+        if len(c) and not np.all(np.abs(v * 100.0 - c) <= 1e-4):
+            raise ValueError("events.value is not exact at cent scale")
+        c = c.astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": pa.array(hour.astype(np.int64)),
+            "y": pa.array(c),
+            "xy": pa.array(hour * c),
+            "xx": pa.array(hour * hour),
+            "yy": pa.array(c * c),
+        })
+
+    agg = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum"),
+         "syy": ("yy", "sum")},
+    ).sort_values("event_type").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.float64)
+    sy = agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx = agg["sxx"].to_numpy(np.float64)
+    syy = agg["syy"].to_numpy(np.float64)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "slope_cents_per_hour": np.round(cov_n / var_x, 6),
+        "pearson_r": np.round(cov_n / np.sqrt(var_x * var_y), 6),
+    })
+
+
+BRAND_PAIR_TOPK = 15
+
+
+def q_orders_brand_affinity(sf_dir: str):
+    """Market-basket association rules (Agrawal/Srikant's Apriori at
+    k=2) over order baskets: brand pairs co-purchased in one order,
+    with support, directional confidence and lift in INTEGER ppm
+    (floor division shared with SQL — no float in any ranked column).
+    Shape: part→brand map broadcast once (ray.put + cached_get);
+    per-batch DISTINCT (order, brand) combiners; the basket resolve
+    happens on the deduped pair frame (orders x brands-per-order,
+    guarded) — at 100 TB the in-batch distinct stays and the resolve
+    becomes ONE groupby(order) exchange."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        bmap = _cached_broadcast(brand_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        # vectorized map via pandas (25 brands; dict probe is C-level)
+        brand = pd.Series(pk).map(bmap).to_numpy()
+        df = pd.DataFrame({
+            "order": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "brand": brand,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ob = driver_grouped_agg(
+        ds.map_batches(to_pairs, batch_format="pyarrow"),
+        ["order", "brand"], {"n": ("brand", "count")},
+    )[["order", "brand"]]
+    n_orders = int(ob["order"].nunique())
+    marg = ob.groupby("brand").size()
+    pairs = ob.merge(ob, on="order")
+    pairs = pairs[pairs["brand_x"] < pairs["brand_y"]]
+    cnt = (pairs.groupby(["brand_x", "brand_y"]).size()
+           .reset_index(name="n_orders_both"))
+    rows = []
+    for a, b, nb in cnt.itertuples(index=False):
+        ca, cb = int(marg[a]), int(marg[b])
+        rows.append({
+            "brand_a": a, "brand_b": b,
+            "n_orders_both": int(nb),
+            "support_ppm": int(nb) * 1_000_000 // n_orders,
+            "conf_a_to_b_ppm": int(nb) * 1_000_000 // ca,
+            "lift_ppm": int(nb) * n_orders * 1_000_000 // (ca * cb),
+        })
+    out = pd.DataFrame(rows).sort_values(
+        ["lift_ppm", "brand_a", "brand_b"],
+        ascending=[False, True, True]).head(BRAND_PAIR_TOPK)
+    for c in out.columns[2:]:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation — the warehouse classic: per customer
+    (recency = last order day, frequency = order count, monetary =
+    lifetime cents), each ranked into quintiles by the EXACT integer
+    rule bucket = (rank-1)*5 // n over the (metric, custkey) total
+    order, then segment census. One combiner pass; the per-customer
+    fold is guarded (at 100 TB the rank becomes the global-prefix sort
+    — stages/prefix.py — over the customer aggregate)."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+               .to_numpy(zero_copy_only=False)) // DAY_US
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "cust": t["o_custkey"],
+            "day": pa.array(day),
+            "cents": pa.array(cents),
+        })
+
+    cust = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cust"],
+        {"last_day": ("day", "max"), "freq": ("day", "count"),
+         "monetary": ("cents", "sum")},
+    ).sort_values("cust").reset_index(drop=True)
+    n = len(cust)
+
+    def quintile(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((cust["cust"].to_numpy(np.int64), metric))
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        return rank * 5 // n
+
+    out = pd.DataFrame({
+        "r_bucket": quintile(cust["last_day"].to_numpy(np.int64)),
+        "f_bucket": quintile(cust["freq"].to_numpy(np.int64)),
+        "m_bucket": quintile(cust["monetary"].to_numpy(np.int64)),
+        "monetary": cust["monetary"].to_numpy(np.int64),
+    })
+    g = out.groupby(["r_bucket", "f_bucket", "m_bucket"], as_index=False)
+    res = g.agg(n_customers=("monetary", "size"),
+                monetary_cents=("monetary", "sum"))
+    for c in res.columns:
+        res[c] = res[c].astype("int64")
+    return res.sort_values(
+        ["r_bucket", "f_bucket", "m_bucket"]).reset_index(drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -3907,6 +4100,10 @@ QUERIES = {
     "emb_outliers": q_emb_outliers,
     "orders_monthly_growth": q_orders_monthly_growth,
     "events_dau_wau": q_events_dau_wau,
+    "parts_skyline": q_parts_skyline,
+    "events_value_corr": q_events_value_corr,
+    "orders_brand_affinity": q_orders_brand_affinity,
+    "customer_rfm": q_customer_rfm,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -6386,5 +6583,116 @@ ORACLE_SQL = {
                CAST(bit_xor(text_fingerprint) AS BIGINT) AS fp_xor
         FROM read_parquet('/tmp/ocracle_flagship_oracle/current/*.parquet')
         GROUP BY lang, branch ORDER BY lang, branch
+    """,
+    "parts_skyline": """
+        -- skyline / Pareto frontier: parts no other part dominates on
+        -- (price low, size high); ties on both axes survive
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT)
+                     AS price_cents,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part
+        )
+        SELECT p_partkey, price_cents, p_size
+        FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.price_cents <= a.price_cents
+              AND b.p_size >= a.p_size
+              AND (b.price_cents < a.price_cents
+                   OR b.p_size > a.p_size)
+        )
+        ORDER BY p_partkey
+    """,
+    "events_value_corr": """
+        -- grouped Pearson r + OLS slope from the SAME integer
+        -- sufficient statistics the engine folds (cents x hour), with
+        -- the identical float expression shape after the exact sums
+        WITH s AS (
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy,
+                   sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM (
+                SELECT event_type,
+                       (epoch_us(ts) % 86400000000) // 3600000000 AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            )
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6)
+                 AS slope_cents_per_hour,
+               round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                            * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+                 AS pearson_r
+        FROM s ORDER BY event_type
+    """,
+    "orders_brand_affinity": """
+        -- market-basket association rules at k=2: brand pairs
+        -- co-purchased in one order; support/confidence/lift in
+        -- integer ppm (floor division; every operand positive)
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS ord, p_brand AS brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n AS (SELECT count(DISTINCT ord) AS n_orders FROM ob),
+        marg AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   count(*) AS n_both
+            FROM ob a JOIN ob b
+              ON a.ord = b.ord AND a.brand < b.brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b,
+               CAST(n_both AS BIGINT) AS n_orders_both,
+               CAST(n_both * 1000000 // n_orders AS BIGINT)
+                 AS support_ppm,
+               CAST(n_both * 1000000 // ma.c AS BIGINT)
+                 AS conf_a_to_b_ppm,
+               CAST(n_both * n_orders * 1000000 // (ma.c * mb.c)
+                 AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN marg ma ON ma.brand = brand_a
+        JOIN marg mb ON mb.brand = brand_b
+        CROSS JOIN n
+        ORDER BY lift_ppm DESC, brand_a, brand_b
+        LIMIT 15
+    """,
+    "customer_rfm": """
+        -- RFM quintile segmentation: exact integer bucket rule
+        -- (rank-1)*5 // n over the (metric, custkey) total order
+        WITH c AS (
+            SELECT o_custkey AS cust,
+                   max(epoch_us(o_orderdate) // 86400000000)
+                     AS last_day,
+                   count(*) AS freq,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS monetary
+            FROM orders GROUP BY 1
+        ),
+        b AS (
+            SELECT monetary,
+                   (row_number() OVER (ORDER BY last_day, cust) - 1)
+                     * 5 // (SELECT count(*) FROM c) AS r_bucket,
+                   (row_number() OVER (ORDER BY freq, cust) - 1)
+                     * 5 // (SELECT count(*) FROM c) AS f_bucket,
+                   (row_number() OVER (ORDER BY monetary, cust) - 1)
+                     * 5 // (SELECT count(*) FROM c) AS m_bucket
+            FROM c
+        )
+        SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+               CAST(f_bucket AS BIGINT) AS f_bucket,
+               CAST(m_bucket AS BIGINT) AS m_bucket,
+               count(*) AS n_customers,
+               CAST(sum(monetary) AS BIGINT) AS monetary_cents
+        FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 }
