@@ -3990,6 +3990,129 @@ def q_customer_rfm(sf_dir: str):
         ["r_bucket", "f_bucket", "m_bucket"]).reset_index(drop=True)
 
 
+def q_events_dau_wau_hll(sf_dir: str):
+    """The sketch form of q_events_dau_wau — the 100-TB path that
+    query's docstring names: per-day HyperLogLog registers (4 KB per
+    day regardless of users), trailing-7-day WAU = the 7 sketches
+    MERGED (register max IS the union sketch — the whole point of
+    using a mergeable sketch for windowed distinct: no re-scan per
+    window, no users x days frame). Values never shuffle; the driver
+    folds one register row per (day, block). The DuckDB oracle
+    re-derives the splitmix64 hash, every per-day register, the
+    windowed register max and both estimator branches — the ESTIMATES
+    are oracled, not just plumbing."""
+    from functools import reduce
+
+    from ..core.sketch import HyperLogLog, hll_distinct_by
+    from ..core.textstats import round_half_away
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        return pa.table({"day": pa.array(day.astype(np.int64)),
+                         "user_id": t["user_id"]})
+
+    sketches = hll_distinct_by(
+        ds.map_batches(add_day, batch_format="pyarrow"), "day", "user_id")
+    rows = []
+    for d in sorted(sketches):
+        window = [sketches[d - k] for k in range(7)
+                  if (d - k) in sketches]
+        wau = reduce(lambda a, b: a.merge(b), window, HyperLogLog())
+        rows.append({
+            "day": int(d),
+            "dau_hll": float(round_half_away(sketches[d].estimate(), 6)),
+            "wau_hll": float(round_half_away(wau.estimate(), 6)),
+        })
+    return pd.DataFrame(rows)
+
+
+EMB_TRI_TAU = 0.3
+EMB_TRI_BROADCAST_LIMIT = 200_000
+EMB_TRI_NODE_LIMIT = 4_000
+EMB_TRI_EDGE_LIMIT = 2_000_000
+
+
+def q_emb_similarity_triangles(sf_dir: str):
+    """Triangle census of the embedding similarity graph (cosine ≥
+    0.3, round-6 before the threshold on BOTH sides so an ULP of
+    accumulation order can't flip an edge): n_nodes/n_edges/
+    n_triangles/n_wedges and the global clustering coefficient in
+    integer ppm — the transitivity QC a near-dup graph gets before
+    clustering ("are my similarity edges cliquey or hairball?").
+    Shape: corpus matrix broadcast once (ray.put, loud-guarded — at
+    100 TB edges come from the LSH bucket machinery instead), each
+    batch emits its rows' edges vs the full matrix (a < b exactly
+    once, one matmul per batch); the edge fold and the A@A*A triangle
+    count are driver-side behind node/edge guards (the scale path is
+    the node-iterator MapReduce algorithm — Suri/Vassilvitskii 2011)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = ds.to_pandas()
+    if len(full) > EMB_TRI_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"emb_similarity_triangles: {len(full)} vectors exceed the "
+            f"broadcast limit {EMB_TRI_BROADCAST_LIMIT}; derive edges "
+            f"from the LSH bucket machinery (stages/dedup.py) instead"
+        )
+    ids = full["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(v, np.float64) for v in full["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        all_ids, m = _cached_broadcast(ref)
+        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        av = np.stack([np.asarray(v, np.float64)
+                       for v in t["embedding"].to_pylist()])
+        av = av / np.linalg.norm(av, axis=1, keepdims=True)
+        cos = np.round(av @ m.T, 6)
+        keep = (cos >= EMB_TRI_TAU) & (a_ids[:, None] < all_ids[None, :])
+        ii, jj = np.nonzero(keep)
+        return pa.table({"a": pa.array(a_ids[ii]),
+                         "b": pa.array(all_ids[jj])})
+
+    parts, n = [], 0
+    for b in ds.map_batches(edges_of, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        n += b.num_rows
+        if n > EMB_TRI_EDGE_LIMIT:
+            raise RuntimeError(
+                f"emb_similarity_triangles: edge fold exceeded "
+                f"{EMB_TRI_EDGE_LIMIT}; lower tau or move the census to "
+                f"the node-iterator MapReduce form"
+            )
+        parts.append(b)
+    e = pa.concat_tables(parts)
+    a = e["a"].to_numpy(zero_copy_only=False)
+    b = e["b"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) > EMB_TRI_NODE_LIMIT:
+        raise RuntimeError(
+            f"emb_similarity_triangles: {len(nodes)} touched nodes "
+            f"exceed the dense-adjacency limit {EMB_TRI_NODE_LIMIT}; "
+            f"use the node-iterator MapReduce form"
+        )
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    adj = np.zeros((m, m), np.int32)
+    ai = np.fromiter((idx[int(v)] for v in a), np.int64, len(a))
+    bi = np.fromiter((idx[int(v)] for v in b), np.int64, len(b))
+    adj[ai, bi] = 1
+    adj[bi, ai] = 1
+    tri = int((adj @ adj * adj).sum()) // 6
+    deg = adj.sum(axis=1).astype(np.int64)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    return pd.DataFrame([{
+        "n_nodes": m, "n_edges": len(a), "n_triangles": tri,
+        "n_wedges": wedges,
+        "global_cc_ppm": 3 * tri * 1_000_000 // wedges if wedges else 0,
+    }]).astype("int64")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4104,6 +4227,8 @@ QUERIES = {
     "events_value_corr": q_events_value_corr,
     "orders_brand_affinity": q_orders_brand_affinity,
     "customer_rfm": q_customer_rfm,
+    "events_dau_wau_hll": q_events_dau_wau_hll,
+    "emb_similarity_triangles": q_emb_similarity_triangles,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4377,6 +4502,86 @@ def _hll_oracle_sql() -> str:
     SELECT f.event_type, exact.n_exact, round(f.e, 6) AS hll_est
     FROM fin f JOIN exact USING (event_type)
     ORDER BY f.event_type
+"""
+
+
+def _hll_window_oracle_sql() -> str:
+    """The windowed variant of ``_hll_oracle_sql`` for
+    q_events_dau_wau_hll: per-DAY registers re-derived from the same
+    splitmix64 chain, then the trailing-7-day WAU sketch re-built as
+    the register MAX over the window (the merge IS elementwise max),
+    and both estimator branches evaluated per day for DAU and WAU —
+    so the windowed-union property itself is what the oracle checks."""
+    from ..core.sketch import _SM64_C1, _SM64_C2, _HLL_W_BITS, HLL_M
+
+    m64 = 1 << 64
+    wb1 = _HLL_W_BITS + 1
+    wpow = 1 << _HLL_W_BITS
+    pow2 = ", ".join(f"({r}, {1 << (wb1 - r)})" for r in range(wb1 + 1))
+    alpha = f"0.7213/(1.0 + 1.079/{HLL_M}.0)"
+
+    def den_est(src: str) -> str:
+        return f"""(
+        SELECT r.day,
+               CASE WHEN e_raw <= 2.5 * {HLL_M}.0 AND v0 > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v0)
+                    ELSE e_raw END AS e
+        FROM (
+            SELECT day, v0,
+                   {alpha} * {HLL_M}.0 * {HLL_M}.0 * {1 << wb1}.0
+                     / denom::DOUBLE AS e_raw
+            FROM (
+                SELECT s.day,
+                       sum(p.v)::HUGEINT
+                         + ({HLL_M} - count(*))::HUGEINT
+                           * {1 << wb1}::HUGEINT AS denom,
+                       ({HLL_M} - count(*))::BIGINT AS v0
+                FROM {src} s JOIN (VALUES {pow2}) p(r, v) ON p.r = s.mr
+                GROUP BY s.day
+            )
+        ) r
+    )"""
+
+    return f"""
+    WITH keys AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        FROM events
+    ),
+    h0 AS (
+        SELECT day,
+               CASE WHEN user_id < 0
+                    THEN (user_id::HUGEINT + {m64}::HUGEINT)::UHUGEINT
+                    ELSE user_id::UHUGEINT END AS x
+        FROM keys
+    ),
+    s1 AS (SELECT day, xor(x, x // {1 << 30}) AS x FROM h0),
+    s2 AS (SELECT day,
+                  (x * {_SM64_C1}::UHUGEINT) % {m64}::UHUGEINT AS x FROM s1),
+    s3 AS (SELECT day, xor(x, x // {1 << 27}) AS x FROM s2),
+    s4 AS (SELECT day,
+                  (x * {_SM64_C2}::UHUGEINT) % {m64}::UHUGEINT AS x FROM s3),
+    s5 AS (SELECT day, xor(x, x // {1 << 31}) AS x FROM s4),
+    jw AS (SELECT day, (x // {wpow})::BIGINT AS j,
+                  (x % {wpow})::BIGINT AS w FROM s5),
+    rho AS (
+        SELECT day, j,
+               CASE WHEN w = 0 THEN {wb1}
+                    ELSE {wb1} - length(bin(w)) END AS r
+        FROM jw
+    ),
+    regs AS (SELECT day, j, max(r) AS mr FROM rho GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM keys),
+    wregs AS (
+        SELECT d.day, r.j, max(r.mr) AS mr
+        FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2
+    ),
+    fd AS {den_est('regs')},
+    fw AS {den_est('wregs')}
+    SELECT CAST(fd.day AS BIGINT) AS day,
+           round(fd.e, 6) AS dau_hll, round(fw.e, 6) AS wau_hll
+    FROM fd JOIN fw USING (day)
+    ORDER BY day
 """
 
 
@@ -6694,5 +6899,37 @@ ORACLE_SQL = {
                count(*) AS n_customers,
                CAST(sum(monetary) AS BIGINT) AS monetary_cents
         FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "events_dau_wau_hll": _hll_window_oracle_sql(),
+    "emb_similarity_triangles": """
+        -- triangle census of the cosine>=0.3 similarity graph;
+        -- round-6 BEFORE the threshold on both sides (ULP immunity)
+        WITH e AS (
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1
+            JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(e1.embedding AS DOUBLE[]),
+                      CAST(e2.embedding AS DOUBLE[])), 6) >= 0.3
+        ),
+        deg AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+            ) GROUP BY v
+        ),
+        tri AS (
+            SELECT count(*)::BIGINT AS t FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT count(*)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT t FROM tri) AS n_triangles,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+               CASE WHEN sum(d * (d - 1) // 2) > 0
+                    THEN CAST(3 * (SELECT t FROM tri) * 1000000
+                              // sum(d * (d - 1) // 2) AS BIGINT)
+                    ELSE 0 END AS global_cc_ppm
+        FROM deg
     """,
 }
