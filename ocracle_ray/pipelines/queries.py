@@ -4113,6 +4113,227 @@ def q_emb_similarity_triangles(sf_dir: str):
     }]).astype("int64")
 
 
+WS_N_SAMPLES = 20
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Probability-proportional-to-size (PPS) systematic sampling —
+    the weighted sampling a data-mixing pass runs ("sample docs
+    proportional to length/quality weight"), in EXACT integer
+    arithmetic: docs ordered by the shared Knuth hash (deterministic
+    shuffle), global inclusive prefix sum of the weights
+    (stages/prefix.py — one sort + O(blocks) carry), doc picked with
+    multiplicity cum//step − (cum−w)//step (a doc heavier than the
+    step gets >1 pick, the true PPS-with-replacement semantic; no
+    float, no rejection loop). Unlike the Efraimidis-Spirakis
+    exponential-key reservoir there is NO libm call anywhere, so the
+    oracle matches by exact integer equality."""
+    from ..stages.prefix import global_prefix_sum
+    from ..stages.watermark import knuth_arrival
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "w": t["n_chars"].cast(pa.int64()),
+            "h": pa.array(knuth_arrival(d).astype(np.int64)),
+        })
+
+    scanned, total = global_prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        order_cols=[("h", "ascending"), ("doc_id", "ascending")],
+        val_col="w", out_col="cum",
+    )
+    step = total // WS_N_SAMPLES
+    if step <= 0:
+        raise RuntimeError(
+            f"docs_weighted_sample: total weight {total} below "
+            f"{WS_N_SAMPLES} samples — corpus too small for PPS")
+
+    def pick(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        n_picks = cum // step - (cum - w) // step
+        keep = np.flatnonzero(n_picks >= 1)
+        out = t.take(pa.array(keep, pa.int64()))
+        return out.append_column(
+            "n_picks", pa.array(n_picks[keep], pa.int64()))
+
+    out = (scanned.map_batches(pick, batch_format="pyarrow")
+           .select_columns(["doc_id", "lang", "w", "n_picks"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_events_join_size_cms(sf_dir: str):
+    """Join-cardinality estimation by Count-Min inner product
+    (Cormode & Muthukrishnan 2005 §4.3 — the optimizer's sketch): the
+    size of the per-user click x purchase join is Σ_u f_click(u) ·
+    f_purchase(u); both frequency vectors compress to constant-size
+    CMS counters built in ONE streaming pass (values never shuffle),
+    and the estimate is min over hash rows of the row inner product —
+    never an underestimate. The row reports estimate vs exact; the
+    oracle re-derives both counter matrices, every row dot product and
+    the min (the generated-hash precedent), plus the exact join size
+    relationally."""
+    from ..core.sketch import CountMin
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        sides, iis, cols, cnts = [], [], [], []
+        for side in ("click", "purchase"):
+            sk = CountMin().add(u[et == side])
+            i, col = np.nonzero(sk.counters)
+            sides.append(np.full(len(i), side == "purchase"))
+            iis.append(i)
+            cols.append(col)
+            cnts.append(sk.counters[i, col])
+        return pa.table({
+            "s": pa.array(np.concatenate(sides)),
+            "i": pa.array(np.concatenate(iis).astype(np.int64)),
+            "col": pa.array(np.concatenate(cols).astype(np.int64)),
+            "cnt": pa.array(np.concatenate(cnts).astype(np.int64)),
+        })
+
+    from ..core.sketch import CountMin as _CM
+    acc = {False: _CM(), True: _CM()}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        s = b["s"].to_numpy(zero_copy_only=False)
+        i = b["i"].to_numpy(zero_copy_only=False)
+        col = b["col"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        for side in (False, True):
+            m = s == side
+            acc[side].counters[i[m], col[m]] += cnt[m]
+    # estimate: min over rows of the row inner product (int64 exact)
+    dots = (acc[False].counters.astype(object)
+            * acc[True].counters.astype(object)).sum(axis=1)
+    est = int(min(dots))
+
+    # exact: per-user (clicks, purchases) partials -> driver fold
+    def cpartial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "c": (et == "click").astype(np.int64),
+            "p": (et == "purchase").astype(np.int64),
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            c=("c", "sum"), p=("p", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = driver_grouped_agg(
+        ds.map_batches(cpartial, batch_format="pyarrow"),
+        ["user_id"], {"c": ("c", "sum"), "p": ("p", "sum")},
+    )
+    exact = int((per_user["c"].astype("int64")
+                 * per_user["p"].astype("int64")).sum())
+    return pd.DataFrame([{
+        "n_exact": exact, "n_cms_est": est,
+        "overest": est - exact,
+    }]).astype("int64")
+
+
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 serial correlation of the value stream per event type —
+    the time-series stationarity probe. One sort on (event_type, ts,
+    event_id) (a total order: event_id is unique), then per-block
+    consecutive-pair sufficient statistics (int64-exact cents) with
+    the O(blocks) SEAM pairs folded on the driver (the
+    consecutive_pairs boundary trick applied to regression stats —
+    no pair row ever materializes beyond the block edge rows). The
+    float expression shape matches q_events_value_corr's oracle rule."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id",
+                                  "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table({
+            "event_type": t["event_type"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    s = (ds.map_batches(prep, batch_format="pyarrow")
+         .sort(["event_type", "ts", "event_id"]).materialize())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        if len(g) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             **{k: pa.array([], pa.int64())
+                                for k in ("n", "sx", "sy", "sxy",
+                                          "sxx", "syy")}})
+        same = g[1:] == g[:-1]
+        x, y, gg = c[:-1][same], c[1:][same], g[:-1][same]
+        df = pd.DataFrame({"event_type": gg, "x": x, "y": y,
+                           "xy": x * y, "xx": x * x, "yy": y * y})
+        agg = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def seam(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "eid": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.string())})
+        idx = pa.array([0, t.num_rows - 1], pa.int64())
+        return pa.table({"g": t["event_type"].take(idx),
+                         "ts": t["ts"].take(idx),
+                         "eid": t["event_id"].take(idx),
+                         "c": t["c"].take(idx),
+                         "pos": pa.array(["first", "last"])})
+
+    parts = s.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    seams = (s.map_batches(seam, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+             .sort_values(["g", "ts", "eid", "pos"])
+             .reset_index(drop=True))
+    lasts = seams[seams["pos"] == "last"].reset_index(drop=True)
+    firsts = seams[seams["pos"] == "first"].reset_index(drop=True)
+    extra = []
+    for i in range(len(lasts) - 1):
+        if lasts.loc[i, "g"] == firsts.loc[i + 1, "g"]:
+            x, y = int(lasts.loc[i, "c"]), int(firsts.loc[i + 1, "c"])
+            extra.append({"event_type": lasts.loc[i, "g"], "n": 1,
+                          "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x, "syy": y * y})
+    if extra:
+        parts = pd.concat([parts, pd.DataFrame(extra)],
+                          ignore_index=True)
+    agg = (parts.sort_values(["event_type", "n", "sx", "sy"])
+           .groupby("event_type", as_index=False)
+           .agg({k: "sum" for k in ("n", "sx", "sy", "sxy",
+                                    "sxx", "syy")})
+           .sort_values("event_type").reset_index(drop=True))
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.float64)
+    sy = agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx = agg["sxx"].to_numpy(np.float64)
+    syy = agg["syy"].to_numpy(np.float64)
+    cov_n = n * sxy - sx * sy
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_pairs": agg["n"].astype("int64"),
+        "lag1_r": np.round(
+            cov_n / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6),
+    })
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4229,6 +4450,9 @@ QUERIES = {
     "customer_rfm": q_customer_rfm,
     "events_dau_wau_hll": q_events_dau_wau_hll,
     "emb_similarity_triangles": q_emb_similarity_triangles,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "events_join_size_cms": q_events_join_size_cms,
+    "events_autocorr": q_events_autocorr,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -4422,6 +4646,61 @@ def _cms_oracle_sql() -> str:
            (est.n_cms - top.n_exact)::BIGINT AS overest
     FROM top JOIN est USING (user_id)
     ORDER BY top.n_exact DESC, top.user_id
+    """
+
+
+def _cms_join_oracle_sql() -> str:
+    """q_events_join_size_cms mirror: BOTH Count-Min counter matrices
+    (click / purchase frequency vectors over user_id) re-derived from
+    the shared splitmix64 CTE chain, every per-row inner product
+    (missing rows coalesce to 0), the min-over-rows estimate, and the
+    exact join size Σ_u f_c(u)·f_p(u) — generated from the engine's
+    constants like the CMS/HLL oracles."""
+    from ..core.sketch import CMS_D, CMS_W
+
+    m64 = 1 << 64
+    wrap = (f"CASE WHEN user_id < 0 THEN (user_id::HUGEINT + "
+            f"{m64}::HUGEINT)::UHUGEINT ELSE user_id::UHUGEINT END")
+    a_ctes, a_end = _sm64_ctes("ja", "j0", ["side"])
+    b_ctes, b_end = _sm64_ctes("jb", "jmid", ["side", "a"])
+    return f"""
+    WITH j0 AS (
+        SELECT event_type AS side, {wrap} AS x FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    {a_ctes},
+    jmid AS (SELECT side, x AS a, x FROM {a_end}),
+    {b_ctes},
+    jh AS (SELECT side, a, x // 2 * 2 + 1 AS b FROM {b_end}),
+    cells AS (
+        SELECT side, i.range AS i,
+               (((a + i.range::UHUGEINT * b) % {m64}::UHUGEINT)
+                % {CMS_W}::UHUGEINT)::BIGINT AS col
+        FROM jh CROSS JOIN range({CMS_D}) i
+    ),
+    counters AS (SELECT side, i, col, count(*)::HUGEINT AS cnt
+                 FROM cells GROUP BY 1, 2, 3),
+    dots AS (
+        SELECT r.range AS i,
+               coalesce(sum(cc.cnt * cp.cnt), 0)::HUGEINT AS dot
+        FROM range({CMS_D}) r
+        LEFT JOIN counters cc ON cc.i = r.range AND cc.side = 'click'
+        LEFT JOIN counters cp ON cp.i = cc.i AND cp.col = cc.col
+                             AND cp.side = 'purchase'
+        GROUP BY r.range
+    ),
+    est AS (SELECT min(dot)::BIGINT AS n_cms_est FROM dots),
+    exact AS (
+        SELECT coalesce(sum(c * p), 0)::BIGINT AS n_exact FROM (
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS c,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS p
+            FROM events GROUP BY user_id
+        )
+    )
+    SELECT exact.n_exact, est.n_cms_est,
+           (est.n_cms_est - exact.n_exact)::BIGINT AS overest
+    FROM exact CROSS JOIN est
     """
 
 
@@ -6931,5 +7210,56 @@ ORACLE_SQL = {
                               // sum(d * (d - 1) // 2) AS BIGINT)
                     ELSE 0 END AS global_cc_ppm
         FROM deg
+    """,
+    "docs_weighted_sample": """
+        -- PPS systematic sample: Knuth-hash order, window cumsum,
+        -- pick multiplicity cum//step - (cum-w)//step — all integer
+        WITH d AS (
+            SELECT doc_id, lang, n_chars::BIGINT AS w,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296
+                     AS h
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, w,
+                   sum(w) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SELECT sum(w) // 20 FROM d) AS step
+            FROM d
+        )
+        SELECT doc_id, lang, w,
+               CAST(cum // step - (cum - w) // step AS BIGINT)
+                 AS n_picks
+        FROM c
+        WHERE cum // step - (cum - w) // step >= 1
+        ORDER BY doc_id
+    """,
+    "events_join_size_cms": _cms_join_oracle_sql(),
+    "events_autocorr": """
+        -- lag-1 serial correlation per event type: the identical
+        -- integer sufficient statistics over lag() pairs, then the
+        -- same float closed form as events_value_corr
+        WITH p AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS y,
+                   lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS x
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * y)::BIGINT AS sxy,
+                   sum(x * x)::BIGINT AS sxx,
+                   sum(y * y)::BIGINT AS syy
+            FROM p WHERE x IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n AS n_pairs,
+               round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                     / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                            * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+                 AS lag1_r
+        FROM s ORDER BY event_type
     """,
 }
