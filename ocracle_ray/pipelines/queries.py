@@ -4334,6 +4334,127 @@ def q_events_autocorr(sf_dir: str):
     })
 
 
+def q_events_user_gini(sf_dir: str):
+    """Gini coefficient of per-user spend — the Lorenz-curve skew
+    diagnostic ("how hot are my keys?") that decides whether a
+    pipeline needs the salted/hot-key machinery at all. EXACT integer
+    form: per-user cent totals (one combiner pass + guarded fold;
+    at 100 TB the rank is stages/prefix.py's sorted scan), rank-
+    weighted sum, G = (2·Σi·w − (n+1)·Σw)·10^6 // (n·Σw) — no float
+    anywhere, so the oracle matches by integer equality."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        return pa.table({"user_id": t["user_id"],
+                         "c": pa.array(c.astype(np.int64))})
+
+    per_user = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], {"w": ("c", "sum")},
+    )
+    w = per_user.sort_values(["w", "user_id"])["w"].to_numpy(np.int64)
+    n = len(w)
+    total = int(w.sum())
+    iw = int((np.arange(1, n + 1, dtype=np.int64) * w).sum())
+    gini_ppm = (2 * iw - (n + 1) * total) * 1_000_000 // (n * total)
+    return pd.DataFrame([{
+        "n_users": n, "total_cents": total, "gini_ppm": gini_ppm,
+    }]).astype("int64")
+
+
+def q_events_type_drift(sf_dir: str):
+    """Distribution-drift monitor: per day, KL(day's event-type mix ‖
+    the corpus-wide mix) — the canary a streaming ingest runs to catch
+    upstream behavior shifts. Counts come from ONE combiner pass
+    (days × types partial rows); the float KL happens once on the
+    driver over exact integer counts, terms summed in event_type order
+    (5 doubles — round-6 immune to the oracle's unpinned sum order)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        g = pa.table({"day": pa.array(day.astype(np.int64)),
+                      "event_type": t["event_type"]}).group_by(
+            ["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "n"])
+
+    cnt = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "event_type"], {"n": ("n", "sum")},
+    ).sort_values(["day", "event_type"]).reset_index(drop=True)
+    overall = cnt.groupby("event_type")["n"].sum()
+    big_n = int(overall.sum())
+    rows = []
+    for day, g in cnt.groupby("day"):
+        nd = int(g["n"].sum())
+        kl = 0.0
+        for _, r in g.iterrows():
+            c_dt, c_t = int(r["n"]), int(overall[r["event_type"]])
+            # float-product shape mirrors the SQL ::DOUBLE expression
+            kl += (c_dt / nd) * math.log(
+                (float(c_dt) * float(big_n))
+                / (float(nd) * float(c_t)))
+        rows.append({"day": int(day), "n_events": nd,
+                     "kl_nats": round(kl, 6)})
+    return pd.DataFrame(rows)
+
+
+DECAY_SCALE_BITS = 20
+
+
+def q_events_decayed_revenue(sf_dir: str):
+    """Exponentially-decayed revenue counters per event type (1-day
+    half-life) — the streaming freshness-weighted metric — made
+    INTEGER-EXACT by dyadic scaling: weight(age d days) = 2^(20−d)
+    (a left shift; ages past 20 days decay below the scale and
+    contribute exactly 0 — the documented truncation), so the decayed
+    sum is Σ cents·2^(20−d), an int64 both engines compute
+    identically — no pow(), no libm, none of the float-decay drift
+    real decayed counters fight. One combiner pass; (type × day)
+    partials fold on the driver; reference day = the corpus max."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "day": pa.array(day.astype(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+        }).group_by(["event_type", "day"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    cnt = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"], {"c": ("c", "sum")},
+    )
+    t_day = int(cnt["day"].max())
+    age = t_day - cnt["day"].to_numpy(np.int64)
+    c = cnt["c"].to_numpy(np.int64)
+    live = age <= DECAY_SCALE_BITS
+    shift = (DECAY_SCALE_BITS - age[live]).astype(np.int64)
+    scaled = c[live] * (np.int64(1) << shift)
+    df = pd.DataFrame({"event_type": cnt["event_type"].to_numpy()[live],
+                       "s": scaled})
+    out = (df.groupby("event_type", as_index=False)["s"].sum()
+           .rename(columns={"s": "decayed_scaled"})
+           .sort_values("event_type").reset_index(drop=True))
+    out["decayed_scaled"] = out["decayed_scaled"].astype("int64")
+    # half-AWAY rounding, not pandas' half-even: the scaled values are
+    # dyadic rationals, which CAN land exactly on a .00005 boundary
+    # (p ≡ 0 mod 2^15) — the one family where the usual measure-zero
+    # tie argument does not hold
+    from ..core.textstats import round_half_away
+    out["decayed_cents"] = [
+        float(round_half_away(v / float(1 << DECAY_SCALE_BITS), 4))
+        for v in out["decayed_scaled"]
+    ]
+    return out
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4453,6 +4574,9 @@ QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "events_join_size_cms": q_events_join_size_cms,
     "events_autocorr": q_events_autocorr,
+    "events_user_gini": q_events_user_gini,
+    "events_type_drift": q_events_type_drift,
+    "events_decayed_revenue": q_events_decayed_revenue,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -7235,6 +7359,66 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
     "events_join_size_cms": _cms_join_oracle_sql(),
+    "events_user_gini": """
+        -- Gini of per-user spend, exact integer rank-weighted form;
+        -- HUGEINT: 2·Σi·w · 10^6 overflows BIGINT at bench scale
+        WITH u AS (
+            SELECT user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS w
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT w, row_number() OVER (ORDER BY w, user_id) AS i
+            FROM u
+        ),
+        s AS (
+            SELECT count(*)::HUGEINT AS n, sum(w)::HUGEINT AS total,
+                   sum(i::HUGEINT * w::HUGEINT) AS iw
+            FROM r
+        )
+        SELECT n::BIGINT AS n_users, total::BIGINT AS total_cents,
+               CAST((2 * iw - (n + 1) * total) * 1000000
+                    // (n * total) AS BIGINT) AS gini_ppm
+        FROM s
+    """,
+    "events_type_drift": """
+        -- per-day KL(day mix || corpus mix) from exact integer counts
+        WITH c AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT event_type, sum(n)::BIGINT AS ct FROM c
+                GROUP BY 1),
+        bign AS (SELECT sum(n)::BIGINT AS bn FROM c),
+        d AS (SELECT day, sum(n)::BIGINT AS nd FROM c GROUP BY 1)
+        SELECT CAST(c.day AS BIGINT) AS day, d.nd AS n_events,
+               round(sum((c.n::DOUBLE / d.nd::DOUBLE)
+                         * ln(c.n::DOUBLE * bn::DOUBLE
+                              / (d.nd::DOUBLE * tot.ct::DOUBLE))), 6)
+                 AS kl_nats
+        FROM c JOIN d USING (day) JOIN tot USING (event_type)
+        CROSS JOIN bign
+        GROUP BY c.day, d.nd ORDER BY day
+    """,
+    "events_decayed_revenue": """
+        -- dyadic-exact decayed counters: weight(age d) = 2^(20-d) as
+        -- a BIGINT shift; ages > 20 days contribute exactly 0
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (SELECT max(day) AS td FROM c)
+        SELECT event_type,
+               sum(c * (1::BIGINT << (20 - (td - day))))::BIGINT
+                 AS decayed_scaled,
+               round(sum(c * (1::BIGINT << (20 - (td - day))))::DOUBLE
+                     / 1048576.0, 4) AS decayed_cents
+        FROM c CROSS JOIN t
+        WHERE td - day <= 20
+        GROUP BY event_type ORDER BY event_type
+    """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
         -- integer sufficient statistics over lag() pairs, then the
