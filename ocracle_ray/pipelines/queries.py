@@ -4455,6 +4455,152 @@ def q_events_decayed_revenue(sf_dir: str):
     return out
 
 
+TIMETRAVEL_ORACLE_DIR = "/tmp/ocracle_timetravel_oracle"
+_TT_V2_NOTE = b"<!-- recrawl v2 -->"
+_TT_V3_NOTE = b"<!-- recrawl v3 -->"
+
+
+def q_pages_time_travel(sf_dir: str):
+    """Time-travel read (the Delta/Iceberg ``AS OF`` semantic) over a
+    multi-version crawl history: three observation generations (base
+    crawl; urls ≡3 mod 7 re-observed at +30 d; urls ≡2 mod 5 at
+    +60 d — each generation stores ONLY its new observations, the CDC
+    storage shape), reconstructed at three as-of timestamps by
+    filter(ts ≤ T) → the flagship's bucketed keep-latest dedup. The
+    census per as-of pins which generation WINS per url (counts by
+    version + fingerprint XOR). Strong artifact oracle: the raw
+    version rows AND the as-of cut list are written; SQL re-derives
+    every reconstruction via row_number over (ts DESC, fp DESC) per
+    (as_of, url) and the full census — only the blake2b fingerprint is
+    trusted."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from ..sources.pages import PAGES_SCHEMA, gen_page, n_docs_for_sf, \
+        sf_of_dir
+    from ..stages.extract import dedup_keep_latest_records
+    from ..stages.snapshot import fingerprint_pages
+
+    sf = sf_of_dir(sf_dir)
+    n = min(1500, n_docs_for_sf(sf))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        if not ids:
+            return PAGES_SCHEMA.empty_table()
+        rows = [gen_page(i) for i in ids]
+        return pa.Table.from_pydict(
+            {
+                "url": [r["url"] for r in rows],
+                "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                    pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows],
+                                 pa.large_binary()),
+                "text": pa.array([r["text"] for r in rows],
+                                 pa.large_string()),
+                "lang": [r["lang"] for r in rows],
+            },
+            schema=PAGES_SCHEMA,
+        )
+
+    base = rd.range(n).map_batches(gen, batch_format="pyarrow",
+                                   batch_size=256)
+    # anchor: generations get CONSTANT absolute timestamps derived from
+    # the base crawl's max ts, so the as-of cuts separate cleanly no
+    # matter how wide the base ts spread is
+    max_ts = int(base.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(t["warc_ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False).max())] if t.num_rows else [],
+            pa.int64())}),
+        batch_format="pyarrow").max("m"))
+    d30 = 30 * DAY_US
+
+    def regen(mod: int, rem: int, note: bytes, ts_us: int):
+        def fn(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            keep = [i for i, u in enumerate(urls)
+                    if int(u[-6:]) % mod == rem]
+            s = t.take(pa.array(keep, pa.int64()))
+            html = [h + note for h in s["html"].to_pylist()]
+            return pa.table({
+                "url": s["url"],
+                "warc_ts": pa.array(
+                    np.full(s.num_rows, ts_us, np.int64)
+                    .astype("datetime64[us]"), pa.timestamp("us")),
+                "html": pa.array(html, pa.large_binary()),
+                "text": s["text"], "lang": s["lang"],
+            }, schema=PAGES_SCHEMA)
+        return fn
+
+    v2 = base.map_batches(regen(7, 3, _TT_V2_NOTE, max_ts + d30),
+                          batch_format="pyarrow")
+    v3 = base.map_batches(regen(5, 2, _TT_V3_NOTE, max_ts + 2 * d30),
+                          batch_format="pyarrow")
+    hist = (fingerprint_pages(base, "v1")
+            .union(fingerprint_pages(v2, "v2"))
+            .union(fingerprint_pages(v3, "v3"))).materialize()
+
+    out_dir = f"{TIMETRAVEL_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(f"{out_dir}/asof")
+    hist.map_batches(
+        lambda t: pa.table({
+            "side": t["side"], "url": t["url"],
+            "ts_us": t["warc_ts"].cast(pa.int64()),
+            "fp": t["text_fingerprint"],
+        }), batch_format="pyarrow",
+    ).write_parquet(f"{out_dir}/rows")
+    cuts = [("t0", max_ts), ("t1", max_ts + d30 + d30 // 2),
+            ("latest", max_ts + 3 * d30)]
+    _pq.write_table(
+        pa.table({"as_of": pa.array([c for c, _ in cuts]),
+                  "as_of_us": pa.array([t for _, t in cuts],
+                                       pa.int64())}),
+        f"{out_dir}/asof/part-0.parquet")
+
+    def census(t: pa.Table) -> pa.Table:
+        s = t["side"].to_numpy(zero_copy_only=False)
+        fp = t["text_fingerprint"].to_numpy(zero_copy_only=False)
+        fpx = (int(np.bitwise_xor.reduce(fp.astype(np.int64)
+                                         .view(np.uint64)))
+               if t.num_rows else 0)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "fpx": pa.array([int(np.int64(np.uint64(fpx)))], pa.int64()),
+            **{f"n_{v}": pa.array([int((s == v).sum())], pa.int64())
+               for v in ("v1", "v2", "v3")},
+        })
+
+    res = []
+    for label, t_us in cuts:
+        cut = hist.map_batches(
+            lambda t, _t=t_us: t.filter(
+                pc.less_equal(t["warc_ts"].cast(pa.int64()),
+                              pa.scalar(_t, pa.int64()))),
+            batch_format="pyarrow")
+        state = dedup_keep_latest_records(cut, n_buckets=16)
+        parts = state.map_batches(
+            census, batch_format="pyarrow", batch_size=None).to_pandas()
+        fpx = 0
+        for v in parts["fpx"]:
+            fpx ^= int(np.uint64(np.int64(v)))
+        res.append({
+            "as_of": label,
+            "n_urls": int(parts["n"].sum()),
+            "fp_xor": int(np.int64(np.uint64(fpx))),
+            "n_v1": int(parts["n_v1"].sum()),
+            "n_v2": int(parts["n_v2"].sum()),
+            "n_v3": int(parts["n_v3"].sum()),
+        })
+    out = pd.DataFrame(res).sort_values("as_of").reset_index(drop=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4577,6 +4723,7 @@ QUERIES = {
     "events_user_gini": q_events_user_gini,
     "events_type_drift": q_events_type_drift,
     "events_decayed_revenue": q_events_decayed_revenue,
+    "pages_time_travel": q_pages_time_travel,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -7418,6 +7565,36 @@ ORACLE_SQL = {
         FROM c CROSS JOIN t
         WHERE td - day <= 20
         GROUP BY event_type ORDER BY event_type
+    """,
+    "pages_time_travel": """
+        -- strong artifact oracle (snapshot_delta pattern): the raw
+        -- multi-version observation rows AND the as-of cut list are
+        -- written; SQL re-derives every reconstruction (keep-latest
+        -- per url at each cut, the engine's (ts DESC, fp DESC)
+        -- tie-break) and the per-generation census — only the blake2b
+        -- fingerprint is trusted from the artifact
+        WITH rows AS (
+            SELECT * FROM read_parquet(
+                '/tmp/ocracle_timetravel_oracle/current/rows/*.parquet')
+        ),
+        cuts AS (
+            SELECT * FROM read_parquet(
+                '/tmp/ocracle_timetravel_oracle/current/asof/*.parquet')
+        ),
+        ranked AS (
+            SELECT c.as_of, r.url, r.side, r.fp,
+                   row_number() OVER (
+                       PARTITION BY c.as_of, r.url
+                       ORDER BY r.ts_us DESC, r.fp DESC) AS rn
+            FROM cuts c JOIN rows r ON r.ts_us <= c.as_of_us
+        )
+        SELECT as_of, count(*) AS n_urls,
+               CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+               count(*) FILTER (WHERE side = 'v1') AS n_v1,
+               count(*) FILTER (WHERE side = 'v2') AS n_v2,
+               count(*) FILTER (WHERE side = 'v3') AS n_v3
+        FROM ranked WHERE rn = 1
+        GROUP BY as_of ORDER BY as_of
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
