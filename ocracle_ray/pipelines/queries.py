@@ -4601,6 +4601,80 @@ def q_pages_time_travel(sf_dir: str):
     return out
 
 
+def _user_domain(ds) -> int:
+    from ..stages.bitmap import BITMAP_DOMAIN_LIMIT
+
+    mx = int(ds.max("user_id"))
+    if mx + 1 > BITMAP_DOMAIN_LIMIT:
+        raise RuntimeError(
+            f"user_id domain {mx + 1} exceeds the single-bitmap limit "
+            f"{BITMAP_DOMAIN_LIMIT}; partition the key space into "
+            f"roaring-style ranges (stages/bitmap.py docstring)")
+    return mx + 1
+
+
+def q_events_audience_bitmap(sf_dir: str):
+    """Audience segmentation on a bitmap index (stages.bitmap — the
+    Druid/Pinot primitive): one distinct-pair pass builds a per-
+    event-type bitmap over the declared user domain, then every
+    boolean segment (engaged-and-converted, engaged-without-errors,
+    any-engagement) is whole-word AND/OR/ANDNOT + popcount — no
+    re-scan per segment, which is the entire point of the index."""
+    from ..stages.bitmap import Bitmap, build_bitmaps
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    domain = _user_domain(ds)
+    bms = build_bitmaps(ds, set_col="event_type", key_col="user_id",
+                        domain=domain)
+    empty = Bitmap(domain)
+    c = bms.get("click", empty)
+    p = bms.get("purchase", empty)
+    e = bms.get("error", empty)
+    s = bms.get("signup", empty)
+    segs = [
+        ("any_engaged", c.or_(p).or_(s).popcount()),
+        ("click_and_purchase", c.and_(p).popcount()),
+        ("click_not_error", c.andnot(e).popcount()),
+    ]
+    return pd.DataFrame(
+        {"segment": [k for k, _ in segs],
+         "n_users": pd.array([v for _, v in segs], dtype="int64")}
+    ).sort_values("segment").reset_index(drop=True)
+
+
+def q_events_audience_churn(sf_dir: str):
+    """Day-over-day audience churn from per-day bitmaps: for every
+    consecutive day pair, retained users = popcount(AND) and Jaccard
+    overlap in integer ppm — the cohort-stability monitor, each day
+    pair answered by two word-wise ops instead of a self-join."""
+    from ..stages.bitmap import build_bitmaps
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    domain = _user_domain(ds)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        return pa.table({"day": pa.array(day.astype(np.int64)),
+                         "user_id": t["user_id"]})
+
+    bms = build_bitmaps(ds.map_batches(add_day, batch_format="pyarrow"),
+                        set_col="day", key_col="user_id", domain=domain)
+    rows = []
+    for d in sorted(bms):
+        if (d - 1) not in bms:
+            continue
+        cur, prev = bms[d], bms[d - 1]
+        inter = cur.and_(prev).popcount()
+        union = cur.or_(prev).popcount()
+        rows.append({
+            "day": int(d), "n_prev": prev.popcount(),
+            "n_cur": cur.popcount(), "n_retained": inter,
+            "jaccard_ppm": inter * 1_000_000 // union,
+        })
+    return pd.DataFrame(rows).astype("int64")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4724,6 +4798,8 @@ QUERIES = {
     "events_type_drift": q_events_type_drift,
     "events_decayed_revenue": q_events_decayed_revenue,
     "pages_time_travel": q_pages_time_travel,
+    "events_audience_bitmap": q_events_audience_bitmap,
+    "events_audience_churn": q_events_audience_churn,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -7595,6 +7671,54 @@ ORACLE_SQL = {
                count(*) FILTER (WHERE side = 'v3') AS n_v3
         FROM ranked WHERE rn = 1
         GROUP BY as_of ORDER BY as_of
+    """,
+    "events_audience_bitmap": """
+        -- boolean audience segments re-derived as relational set
+        -- algebra over the identical distinct user sets
+        WITH c AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click'),
+        p AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase'),
+        e AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'error'),
+        s AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'signup')
+        SELECT 'any_engaged' AS segment,
+               (SELECT count(*) FROM (SELECT * FROM c UNION
+                                      SELECT * FROM p UNION
+                                      SELECT * FROM s))::BIGINT
+                 AS n_users
+        UNION ALL
+        SELECT 'click_and_purchase',
+               (SELECT count(*) FROM (SELECT * FROM c INTERSECT
+                                      SELECT * FROM p))::BIGINT
+        UNION ALL
+        SELECT 'click_not_error',
+               (SELECT count(*) FROM (SELECT * FROM c EXCEPT
+                                      SELECT * FROM e))::BIGINT
+        ORDER BY segment
+    """,
+    "events_audience_churn": """
+        -- consecutive-day retained users + Jaccard in integer ppm
+        WITH ud AS (
+            SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+            FROM events
+        ),
+        cnt AS (SELECT day, count(*)::BIGINT AS n FROM ud GROUP BY day),
+        ret AS (
+            SELECT a.day AS day, count(*)::BIGINT AS r
+            FROM ud a JOIN ud b ON b.user_id = a.user_id
+                              AND b.day = a.day - 1
+            GROUP BY a.day
+        )
+        SELECT CAST(c.day AS BIGINT) AS day, p.n AS n_prev,
+               c.n AS n_cur, coalesce(r.r, 0)::BIGINT AS n_retained,
+               CAST(coalesce(r.r, 0) * 1000000
+                    // (p.n + c.n - coalesce(r.r, 0)) AS BIGINT)
+                 AS jaccard_ppm
+        FROM cnt c JOIN cnt p ON p.day = c.day - 1
+        LEFT JOIN ret r ON r.day = c.day
+        ORDER BY c.day
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
