@@ -4675,6 +4675,85 @@ def q_events_audience_churn(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+PHRASE_INDEX_DIR = "/tmp/ocracle_pos_index"
+
+
+def q_docs_phrase_search(sf_dir: str):
+    """Exact phrase search on a POSITIONAL inverted index
+    (stages.invindex.build_positional_index — the Lucene model):
+    postings carry (term, doc, pos), so a phrase resolves by position
+    adjacency over ONLY the buckets its terms hash to, never a corpus
+    re-scan. The phrase is the corpus's top bigram (count desc, then
+    lexicographic — re-derived identically in SQL), so the query is
+    live at every sf. Returns the top-10 matching docs by match
+    count."""
+    from ..stages.invindex import build_positional_index, \
+        query_index_phrase
+    from ..stages.ngram_lm import BOS, SEP, bigram_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = bigram_counts(ds)
+    best = None
+    for k, n in zip(model["bg_keys"], model["bg_n"]):
+        w1, w2 = k.split(SEP, 1)
+        if w1 == BOS:
+            continue
+        cand = (-n, w1, w2)
+        if best is None or cand < best:
+            best = cand
+    w1, w2 = best[1], best[2]
+
+    idx_dir = f"{PHRASE_INDEX_DIR}/current"
+    build_positional_index(ds, idx_dir)
+    m = query_index_phrase(idx_dir, [w1, w2])
+    m["w1"], m["w2"] = w1, w2
+    out = (m.sort_values(["n_matches", "doc_id"],
+                         ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    return out[["w1", "w2", "doc_id", "n_matches"]]
+
+
+def q_events_audience_overlap_hll(sf_dir: str):
+    """Sketched audience overlap — HLL set algebra by inclusion-
+    exclusion: |click ∩ purchase| ≈ est(A) + est(B) − est(A∪B) with
+    the union sketch being the register MAX (no third scan, no key
+    exchange — the sketch-algebra sibling of the exact bitmap
+    intersection). The oracle re-derives ALL THREE register sets and
+    estimates plus the exact intersection, so the inclusion-exclusion
+    estimate itself is verified."""
+    from ..core.sketch import hll_distinct_by
+    from ..core.textstats import round_half_away
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    two = ds.map_batches(
+        lambda t: t.filter(pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["click", "purchase"]))),
+        batch_format="pyarrow")
+    sketches = hll_distinct_by(two, "event_type", "user_id")
+    a, b = sketches["click"], sketches["purchase"]
+    ea, eb = a.estimate(), b.estimate()
+    eu = a.merge(b).estimate()
+
+    # exact intersection: distinct-pair combiner + tiny driver fold
+    pairs = driver_grouped_agg(
+        two.map_batches(
+            lambda t: t.select(["user_id", "event_type"]).group_by(
+                ["user_id", "event_type"]).aggregate([]),
+            batch_format="pyarrow"),
+        ["user_id", "event_type"], {"n": ("event_type", "count")},
+    )
+    per_user = pairs.groupby("user_id")["event_type"].nunique()
+    n_exact = int((per_user == 2).sum())
+    return pd.DataFrame([{
+        "n_exact": n_exact,
+        "est_click": float(round_half_away(ea, 6)),
+        "est_purchase": float(round_half_away(eb, 6)),
+        "est_union": float(round_half_away(eu, 6)),
+        "est_inter": float(round_half_away(ea + eb - eu, 6)),
+    }])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4800,6 +4879,8 @@ QUERIES = {
     "pages_time_travel": q_pages_time_travel,
     "events_audience_bitmap": q_events_audience_bitmap,
     "events_audience_churn": q_events_audience_churn,
+    "docs_phrase_search": q_docs_phrase_search,
+    "events_audience_overlap_hll": q_events_audience_overlap_hll,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -5208,6 +5289,87 @@ def _hll_window_oracle_sql() -> str:
            round(fd.e, 6) AS dau_hll, round(fw.e, 6) AS wau_hll
     FROM fd JOIN fw USING (day)
     ORDER BY day
+"""
+
+
+def _hll_overlap_oracle_sql() -> str:
+    """q_events_audience_overlap_hll mirror: three register sets
+    (click, purchase, and the DISTINCT-union key set — whose registers
+    equal the engine's register-max merge by construction), three
+    estimates, the inclusion-exclusion difference, and the exact
+    intersection — all re-derived."""
+    from ..core.sketch import _HLL_W_BITS, HLL_M
+
+    m64 = 1 << 64
+    wb1 = _HLL_W_BITS + 1
+    wpow = 1 << _HLL_W_BITS
+    pow2 = ", ".join(f"({r}, {1 << (wb1 - r)})" for r in range(wb1 + 1))
+    alpha = f"0.7213/(1.0 + 1.079/{HLL_M}.0)"
+    sm, sm_end = _sm64_ctes("ov", "h0", ["side"])
+    return f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type AS side, user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    allk AS (
+        SELECT side, user_id FROM keys
+        UNION ALL
+        SELECT 'u' AS side, user_id
+        FROM (SELECT DISTINCT user_id FROM keys)
+    ),
+    h0 AS (
+        SELECT side,
+               CASE WHEN user_id < 0
+                    THEN (user_id::HUGEINT + {m64}::HUGEINT)::UHUGEINT
+                    ELSE user_id::UHUGEINT END AS x
+        FROM allk
+    ),
+    {sm},
+    jw AS (SELECT side, (x // {wpow})::BIGINT AS j,
+                  (x % {wpow})::BIGINT AS w FROM {sm_end}),
+    rho AS (
+        SELECT side, j,
+               CASE WHEN w = 0 THEN {wb1}
+                    ELSE {wb1} - length(bin(w)) END AS r
+        FROM jw
+    ),
+    regs AS (SELECT side, j, max(r) AS mr FROM rho GROUP BY 1, 2),
+    den AS (
+        SELECT regs.side,
+               sum(p.v)::HUGEINT
+                 + ({HLL_M} - count(*))::HUGEINT * {1 << wb1}::HUGEINT
+                 AS denom,
+               ({HLL_M} - count(*))::BIGINT AS v0
+        FROM regs JOIN (VALUES {pow2}) p(r, v) ON p.r = regs.mr
+        GROUP BY regs.side
+    ),
+    fin AS (
+        SELECT side,
+               CASE WHEN e_raw <= 2.5 * {HLL_M}.0 AND v0 > 0
+                    THEN {HLL_M}.0 * ln({HLL_M}.0 / v0)
+                    ELSE e_raw END AS e
+        FROM (
+            SELECT side, v0,
+                   {alpha} * {HLL_M}.0 * {HLL_M}.0 * {1 << wb1}.0
+                     / denom::DOUBLE AS e_raw
+            FROM den
+        )
+    ),
+    exact AS (
+        SELECT count(*)::BIGINT AS n_exact FROM (
+            SELECT user_id FROM keys
+            GROUP BY user_id HAVING count(DISTINCT side) = 2
+        )
+    )
+    SELECT exact.n_exact,
+           round(a.e, 6) AS est_click,
+           round(b.e, 6) AS est_purchase,
+           round(u.e, 6) AS est_union,
+           round(a.e + b.e - u.e, 6) AS est_inter
+    FROM exact
+    CROSS JOIN (SELECT e FROM fin WHERE side = 'click') a
+    CROSS JOIN (SELECT e FROM fin WHERE side = 'purchase') b
+    CROSS JOIN (SELECT e FROM fin WHERE side = 'u') u
 """
 
 
@@ -7720,6 +7882,41 @@ ORACLE_SQL = {
         LEFT JOIN ret r ON r.day = c.day
         ORDER BY c.day
     """,
+    "docs_phrase_search": """
+        -- positional phrase search: the corpus's top bigram (same
+        -- tie-break as the engine), matches via position adjacency
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs
+        ),
+        big AS (
+            SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+        ),
+        ph AS (SELECT w1, w2 FROM big ORDER BY n DESC, w1, w2 LIMIT 1),
+        m AS (
+            SELECT a.doc_id, count(*)::BIGINT AS n_matches
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            CROSS JOIN ph
+            WHERE a.tok = ph.w1 AND b.tok = ph.w2
+            GROUP BY a.doc_id
+        )
+        SELECT (SELECT w1 FROM ph) AS w1, (SELECT w2 FROM ph) AS w2,
+               doc_id, n_matches
+        FROM m ORDER BY n_matches DESC, doc_id LIMIT 10
+    """,
+    "events_audience_overlap_hll": _hll_overlap_oracle_sql(),
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
         -- integer sufficient statistics over lag() pairs, then the
