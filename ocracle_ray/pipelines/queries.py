@@ -4050,7 +4050,11 @@ def q_emb_similarity_triangles(sf_dir: str):
     the node-iterator MapReduce algorithm — Suri/Vassilvitskii 2011)."""
     import ray
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # materialize: the dataset feeds BOTH the broadcast gather and the
+    # edge pass — unmaterialized, the read lineage re-executes per
+    # consumer (measured 10.7 s -> 3.4 s at sf0.1)
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding"]).materialize()
     full = ds.to_pandas()
     if len(full) > EMB_TRI_BROADCAST_LIMIT:
         raise RuntimeError(
@@ -4096,15 +4100,27 @@ def q_emb_similarity_triangles(sf_dir: str):
             f"exceed the dense-adjacency limit {EMB_TRI_NODE_LIMIT}; "
             f"use the node-iterator MapReduce form"
         )
-    idx = {int(v): i for i, v in enumerate(nodes)}
     m = len(nodes)
-    adj = np.zeros((m, m), np.int32)
-    ai = np.fromiter((idx[int(v)] for v in a), np.int64, len(a))
-    bi = np.fromiter((idx[int(v)] for v in b), np.int64, len(b))
-    adj[ai, bi] = 1
-    adj[bi, ai] = 1
-    tri = int((adj @ adj * adj).sum()) // 6
-    deg = adj.sum(axis=1).astype(np.int64)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    # packed-bitset adjacency: per-edge triangle support is
+    # popcount(row[a] AND row[b]) — word ops, no O(n^3) integer
+    # matmul (int32 A@A has no BLAS kernel; it cost 20+ s at 5k nodes)
+    n_words = (m + 63) // 64
+    adjw = np.zeros((m, n_words), np.uint64)
+    for u, v in ((ai, bi), (bi, ai)):
+        np.bitwise_or.at(adjw, (u, v // 64),
+                         np.uint64(1) << (v % 64).astype(np.uint64))
+    common = 0
+    for lo in range(0, len(ai), 65536):
+        sl = slice(lo, lo + 65536)
+        both = adjw[ai[sl]] & adjw[bi[sl]]
+        common += int(np.unpackbits(both.view(np.uint8)).sum())
+    # every triangle contributes its third vertex to exactly 3 edges
+    tri = common // 3
+    deg = np.zeros(m, np.int64)
+    np.add.at(deg, ai, 1)
+    np.add.at(deg, bi, 1)
     wedges = int((deg * (deg - 1) // 2).sum())
     return pd.DataFrame([{
         "n_nodes": m, "n_edges": len(a), "n_triangles": tri,
