@@ -4035,30 +4035,19 @@ EMB_TRI_NODE_LIMIT = 4_000
 EMB_TRI_EDGE_LIMIT = 2_000_000
 
 
-def q_emb_similarity_triangles(sf_dir: str):
-    """Triangle census of the embedding similarity graph (cosine ≥
-    0.3, round-6 before the threshold on BOTH sides so an ULP of
-    accumulation order can't flip an edge): n_nodes/n_edges/
-    n_triangles/n_wedges and the global clustering coefficient in
-    integer ppm — the transitivity QC a near-dup graph gets before
-    clustering ("are my similarity edges cliquey or hairball?").
-    Shape: corpus matrix broadcast once (ray.put, loud-guarded — at
-    100 TB edges come from the LSH bucket machinery instead), each
-    batch emits its rows' edges vs the full matrix (a < b exactly
-    once, one matmul per batch); the edge fold and the A@A*A triangle
-    count are driver-side behind node/edge guards (the scale path is
-    the node-iterator MapReduce algorithm — Suri/Vassilvitskii 2011)."""
+def _emb_threshold_edges(sf_dir: str):
+    """Shared edge builder for the similarity-graph queries: all
+    (a < b) pairs with round-6 cosine ≥ EMB_TRI_TAU, via one matmul
+    pass per batch against the broadcast corpus matrix; returns
+    (a, b) int64 arrays folded on the driver behind the edge guard."""
     import ray
 
-    # materialize: the dataset feeds BOTH the broadcast gather and the
-    # edge pass — unmaterialized, the read lineage re-executes per
-    # consumer (measured 10.7 s -> 3.4 s at sf0.1)
     ds = _read(sf_dir, "embeddings",
                ["vec_id", "embedding"]).materialize()
     full = ds.to_pandas()
     if len(full) > EMB_TRI_BROADCAST_LIMIT:
         raise RuntimeError(
-            f"emb_similarity_triangles: {len(full)} vectors exceed the "
+            f"similarity edges: {len(full)} vectors exceed the "
             f"broadcast limit {EMB_TRI_BROADCAST_LIMIT}; derive edges "
             f"from the LSH bucket machinery (stages/dedup.py) instead"
         )
@@ -4085,14 +4074,33 @@ def q_emb_similarity_triangles(sf_dir: str):
         n += b.num_rows
         if n > EMB_TRI_EDGE_LIMIT:
             raise RuntimeError(
-                f"emb_similarity_triangles: edge fold exceeded "
+                f"similarity edges: edge fold exceeded "
                 f"{EMB_TRI_EDGE_LIMIT}; lower tau or move the census to "
                 f"the node-iterator MapReduce form"
             )
         parts.append(b)
     e = pa.concat_tables(parts)
-    a = e["a"].to_numpy(zero_copy_only=False)
-    b = e["b"].to_numpy(zero_copy_only=False)
+    return (e["a"].to_numpy(zero_copy_only=False),
+            e["b"].to_numpy(zero_copy_only=False))
+
+
+def q_emb_similarity_triangles(sf_dir: str):
+    """Triangle census of the embedding similarity graph (cosine ≥
+    0.3, round-6 before the threshold on BOTH sides so an ULP of
+    accumulation order can't flip an edge): n_nodes/n_edges/
+    n_triangles/n_wedges and the global clustering coefficient in
+    integer ppm — the transitivity QC a near-dup graph gets before
+    clustering ("are my similarity edges cliquey or hairball?").
+    Shape: corpus matrix broadcast once (ray.put, loud-guarded — at
+    100 TB edges come from the LSH bucket machinery instead), each
+    batch emits its rows' edges vs the full matrix (a < b exactly
+    once, one matmul per batch); the edge fold and the A@A*A triangle
+    count are driver-side behind node/edge guards (the scale path is
+    the node-iterator MapReduce algorithm — Suri/Vassilvitskii 2011).
+    Input materialized inside `_emb_threshold_edges` — unmaterialized,
+    the read lineage re-executed per consumer (10.7 s -> 3.4 s at
+    sf0.1)."""
+    a, b = _emb_threshold_edges(sf_dir)
     nodes = np.unique(np.concatenate([a, b]))
     if len(nodes) > EMB_TRI_NODE_LIMIT:
         raise RuntimeError(
@@ -4770,6 +4778,135 @@ def q_events_audience_overlap_hll(sf_dir: str):
     }])
 
 
+def q_events_funnel_delay(sf_dir: str):
+    """Time-to-convert distribution: per user, first signup → first
+    purchase AT OR AFTER it, delay quantiles as EXACT order statistics
+    (value at 1 + q·(n−1)//1000 in the (delay, user) total order — no
+    float interpolation to disagree on). Two broadcast passes, zero
+    shuffle: pass 1 folds min-signup-ts per user (guarded), pass 2
+    folds min qualifying purchase per user against the ray.put map."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": t["ts"].cast(pa.int64()),
+        })
+
+    p = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def signup_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "signup"))
+        return pa.table({"user_id": f["user_id"], "ts_us": f["ts_us"]})
+
+    signup = driver_grouped_agg(
+        p.map_batches(signup_partial, batch_format="pyarrow"),
+        ["user_id"], {"s_ts": ("ts_us", "min")},
+    )
+    s_map = dict(zip(signup["user_id"].astype(int),
+                     signup["s_ts"].astype(int)))
+    ref = ray.put(s_map)
+
+    def purchase_partial(t: pa.Table) -> pa.Table:
+        sm = _cached_broadcast(ref)
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        u = f["user_id"].to_numpy(zero_copy_only=False)
+        ts = f["ts_us"].to_numpy(zero_copy_only=False)
+        # sentinel 2^62: exactly float64-representable (int64 max is
+        # not — the map's fillna round-trips through float)
+        s = (pd.Series(u).map(sm)
+             .fillna(float(1 << 62)).to_numpy(np.int64))
+        keep = ts >= s
+        return pa.table({
+            "user_id": pa.array(u[keep]),
+            "d_us": pa.array(ts[keep] - s[keep]),
+        })
+
+    conv = driver_grouped_agg(
+        p.map_batches(purchase_partial, batch_format="pyarrow"),
+        ["user_id"], {"d_us": ("d_us", "min")},
+    )
+    d_min = (conv["d_us"].astype("int64") // 60_000_000).to_numpy(
+        np.int64)
+    order = np.lexsort((conv["user_id"].to_numpy(np.int64), d_min))
+    d_sorted = d_min[order]
+    n = len(d_sorted)
+
+    def q_at(q_pm: int) -> int:
+        return int(d_sorted[(q_pm * (n - 1)) // 1000])
+
+    return pd.DataFrame([{
+        "n_signup": len(signup), "n_converted": n,
+        "p50_delay_min": q_at(500),
+        "p90_delay_min": q_at(900),
+        "p99_delay_min": q_at(990),
+    }]).astype("int64")
+
+
+BFS_HOPS = 3
+
+
+def q_emb_graph_bfs(sf_dir: str):
+    """Hop-census BFS on the cosine≥0.3 similarity graph from its
+    max-degree node (tie: smallest vec_id) — the reachability probe
+    ("how much of the near-dup graph does one hub touch in k hops?").
+    Edges come from the shared `_emb_threshold_edges` distributed
+    pass; each BFS level is ONE packed-bitword OR/ANDNOT over the
+    frontier rows — no per-node Python. Oracle: seed + every level
+    re-derived relationally from the identical edge rule."""
+    a, b = _emb_threshold_edges(sf_dir)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) > EMB_TRI_NODE_LIMIT:
+        raise RuntimeError(
+            f"emb_graph_bfs: {len(nodes)} nodes exceed "
+            f"{EMB_TRI_NODE_LIMIT}; use a distributed frontier join")
+    m = len(nodes)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    deg = np.zeros(m, np.int64)
+    np.add.at(deg, ai, 1)
+    np.add.at(deg, bi, 1)
+    # seed: max degree, tie-break smallest vec_id (nodes is sorted)
+    seed = int(np.argmax(deg))
+    n_words = (m + 63) // 64
+    adjw = np.zeros((m, n_words), np.uint64)
+    for u, v in ((ai, bi), (bi, ai)):
+        np.bitwise_or.at(adjw, (u, v // 64),
+                         np.uint64(1) << (v % 64).astype(np.uint64))
+    visited = np.zeros(n_words, np.uint64)
+    frontier = np.zeros(n_words, np.uint64)
+    frontier[seed // 64] |= np.uint64(1) << np.uint64(seed % 64)
+    visited |= frontier
+    rows = []
+    for hop in range(1, BFS_HOPS + 1):
+        idx = np.flatnonzero(
+            np.unpackbits(frontier.view(np.uint8)).astype(bool))
+        # bit i of word w ↔ node w*64 + i; unpackbits is MSB-first per
+        # byte, so recover node ids via byte/bit arithmetic
+        byte_i = idx // 8
+        bit_i = 7 - (idx % 8)
+        node_ids = byte_i * 8 + bit_i
+        node_ids = node_ids[node_ids < m]
+        nxt = (np.bitwise_or.reduce(adjw[node_ids], axis=0)
+               if len(node_ids) else np.zeros(n_words, np.uint64))
+        frontier = nxt & ~visited
+        visited |= frontier
+        rows.append({
+            "hop": hop,
+            "n_new": int(np.unpackbits(
+                frontier.view(np.uint8)).sum()),
+            "n_reached": int(np.unpackbits(
+                visited.view(np.uint8)).sum()) - 1,  # minus the seed
+        })
+    out = pd.DataFrame(rows)
+    out["seed_vec_id"] = int(nodes[seed])
+    return out[["hop", "seed_vec_id", "n_new", "n_reached"]].astype(
+        "int64")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -4897,6 +5034,8 @@ QUERIES = {
     "events_audience_churn": q_events_audience_churn,
     "docs_phrase_search": q_docs_phrase_search,
     "events_audience_overlap_hll": q_events_audience_overlap_hll,
+    "events_funnel_delay": q_events_funnel_delay,
+    "emb_graph_bfs": q_emb_graph_bfs,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -7933,6 +8072,75 @@ ORACLE_SQL = {
         FROM m ORDER BY n_matches DESC, doc_id LIMIT 10
     """,
     "events_audience_overlap_hll": _hll_overlap_oracle_sql(),
+    "events_funnel_delay": """
+        -- signup -> first qualifying purchase; exact order-statistic
+        -- quantiles at 1 + q*(n-1)//1000 in the (delay, user) order
+        WITH s AS (
+            SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, min(epoch_us(e.ts) - s.s_ts) AS d_us
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= s.s_ts
+            GROUP BY 1
+        ),
+        d AS (SELECT user_id, d_us // 60000000 AS d_min FROM p),
+        r AS (
+            SELECT d_min,
+                   row_number() OVER (ORDER BY d_min, user_id) AS i,
+                   count(*) OVER () AS n
+            FROM d
+        )
+        SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+               (SELECT count(*) FROM d)::BIGINT AS n_converted,
+               max(CASE WHEN i = 1 + (500 * (n - 1)) // 1000
+                        THEN d_min END)::BIGINT AS p50_delay_min,
+               max(CASE WHEN i = 1 + (900 * (n - 1)) // 1000
+                        THEN d_min END)::BIGINT AS p90_delay_min,
+               max(CASE WHEN i = 1 + (990 * (n - 1)) // 1000
+                        THEN d_min END)::BIGINT AS p99_delay_min
+        FROM r
+    """,
+    "emb_graph_bfs": """
+        -- 3-hop BFS census from the max-degree node of the cosine
+        -- >= 0.3 graph; levels unrolled relationally
+        WITH e AS (
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1
+            JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(e1.embedding AS DOUBLE[]),
+                      CAST(e2.embedding AS DOUBLE[])), 6) >= 0.3
+        ),
+        u AS (SELECT a AS s, b AS t FROM e
+              UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT s AS v, count(*) AS d FROM u GROUP BY s),
+        seed AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),
+        r1 AS (SELECT DISTINCT u.t AS v FROM u
+               JOIN seed ON u.s = seed.v),
+        v1 AS (SELECT v FROM r1 UNION SELECT v FROM seed),
+        r2 AS (SELECT DISTINCT u.t AS v FROM u JOIN r1 ON u.s = r1.v
+               EXCEPT SELECT v FROM v1),
+        v2 AS (SELECT v FROM v1 UNION SELECT v FROM r2),
+        r3 AS (SELECT DISTINCT u.t AS v FROM u JOIN r2 ON u.s = r2.v
+               EXCEPT SELECT v FROM v2),
+        v3 AS (SELECT v FROM v2 UNION SELECT v FROM r3)
+        SELECT CAST(1 AS BIGINT) AS hop,
+               (SELECT v FROM seed) AS seed_vec_id,
+               (SELECT count(*) FROM r1)::BIGINT AS n_new,
+               (SELECT count(*) FROM v1)::BIGINT - 1 AS n_reached
+        UNION ALL
+        SELECT 2, (SELECT v FROM seed),
+               (SELECT count(*) FROM r2)::BIGINT,
+               (SELECT count(*) FROM v2)::BIGINT - 1
+        UNION ALL
+        SELECT 3, (SELECT v FROM seed),
+               (SELECT count(*) FROM r3)::BIGINT,
+               (SELECT count(*) FROM v3)::BIGINT - 1
+        ORDER BY hop
+    """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
         -- integer sufficient statistics over lag() pairs, then the
