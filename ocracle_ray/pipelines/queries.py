@@ -4907,6 +4907,91 @@ def q_emb_graph_bfs(sf_dir: str):
         "int64")
 
 
+def q_events_ab_test(sf_dir: str):
+    """Welch's t-test between two event cohorts (click vs view spend)
+    — the experimentation readout: ONE streaming pass of int64-exact
+    (n, Σc, Σc²) per cohort, then the t statistic computed once on
+    the driver with the identical ::DOUBLE expression shape as the
+    oracle (unequal variances, no pooled assumption)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "view"])))
+        c = np.rint(f["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        return pa.table({"event_type": f["event_type"],
+                         "c": pa.array(c),
+                         "cc": pa.array(c * c)})
+
+    agg = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": ("c", "count"), "s": ("c", "sum"), "q": ("cc", "sum")},
+    ).set_index("event_type")
+
+    def stats(g: str):
+        n = float(agg.loc[g, "n"])
+        s = float(agg.loc[g, "s"])
+        q = float(agg.loc[g, "q"])
+        mean = s / n
+        var = (q - s * s / n) / (n - 1.0)
+        return n, mean, var
+
+    na, ma, va = stats("click")
+    nb, mb, vb = stats("view")
+    t_stat = (ma - mb) / math.sqrt(va / na + vb / nb)
+    return pd.DataFrame([{
+        "n_click": int(na), "n_view": int(nb),
+        "mean_click": round(ma, 4), "mean_view": round(mb, 4),
+        "t_welch": round(t_stat, 6),
+    }])
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE grouping sets over (event_type, weekday) from ONE
+    finest-grain pass: every coarser set derives from the finest
+    RESULT (integer cents keep all four levels bit-exact — the rollup
+    trick extended to the full lattice), never a second scan.
+    Sentinels: '(all)' / -1 (no null keys exist by construction)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        g = pa.table({
+            "event_type": t["event_type"],
+            "weekday": pa.array((day % 7).astype(np.int64)),
+            "c": pa.array(c),
+        }).group_by(["event_type", "weekday"]).aggregate(
+            [("c", "sum"), ("c", "count")])
+        return g.rename_columns(["event_type", "weekday", "c", "n"])
+
+    fin = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "weekday"],
+        {"n": ("n", "sum"), "cents": ("c", "sum")},
+    )
+    fin["weekday"] = fin["weekday"].astype("int64")
+    levels = [fin]
+    by_t = fin.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    by_t["weekday"] = np.int64(-1)
+    by_w = fin.groupby("weekday", as_index=False)[["n", "cents"]].sum()
+    by_w["event_type"] = "(all)"
+    allr = pd.DataFrame([{
+        "event_type": "(all)", "weekday": np.int64(-1),
+        "n": fin["n"].sum(), "cents": fin["cents"].sum()}])
+    out = pd.concat(
+        [lv[["event_type", "weekday", "n", "cents"]]
+         for lv in (fin, by_t, by_w, allr)], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out.sort_values(["event_type", "weekday"]).reset_index(
+        drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5036,6 +5121,8 @@ QUERIES = {
     "events_audience_overlap_hll": q_events_audience_overlap_hll,
     "events_funnel_delay": q_events_funnel_delay,
     "emb_graph_bfs": q_emb_graph_bfs,
+    "events_ab_test": q_events_ab_test,
+    "events_cube": q_events_cube,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8140,6 +8227,50 @@ ORACLE_SQL = {
                (SELECT count(*) FROM r3)::BIGINT,
                (SELECT count(*) FROM v3)::BIGINT - 1
         ORDER BY hop
+    """,
+    "events_ab_test": """
+        -- Welch t from the identical integer sufficient statistics
+        WITH s AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS q
+            FROM (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events WHERE event_type IN ('click', 'view')
+            )
+            GROUP BY event_type
+        ),
+        a AS (SELECT * FROM s WHERE event_type = 'click'),
+        b AS (SELECT * FROM s WHERE event_type = 'view')
+        SELECT a.n AS n_click, b.n AS n_view,
+               round(a.s::DOUBLE / a.n::DOUBLE, 4) AS mean_click,
+               round(b.s::DOUBLE / b.n::DOUBLE, 4) AS mean_view,
+               round((a.s::DOUBLE / a.n::DOUBLE
+                      - b.s::DOUBLE / b.n::DOUBLE)
+                     / sqrt(((a.q::DOUBLE - a.s::DOUBLE * a.s::DOUBLE
+                                            / a.n::DOUBLE)
+                             / (a.n::DOUBLE - 1.0)) / a.n::DOUBLE
+                            + ((b.q::DOUBLE - b.s::DOUBLE * b.s::DOUBLE
+                                              / b.n::DOUBLE)
+                               / (b.n::DOUBLE - 1.0)) / b.n::DOUBLE),
+                     6) AS t_welch
+        FROM a CROSS JOIN b
+    """,
+    "events_cube": """
+        -- full 2-D CUBE with '(all)'/-1 sentinels (no null keys
+        -- exist, so COALESCE is unambiguous)
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(weekday, -1)::BIGINT AS weekday,
+               count(*)::BIGINT AS n,
+               sum(c)::BIGINT AS cents
+        FROM (
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) % 7 AS weekday,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        )
+        GROUP BY CUBE (event_type, weekday)
+        ORDER BY 1, 2
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
