@@ -4992,6 +4992,72 @@ def q_events_cube(sf_dir: str):
         drop=True)
 
 
+COVER_STEPS = 3
+
+
+def q_docs_greedy_cover(sf_dir: str):
+    """Greedy max-coverage data selection (the submodular coreset
+    pick: "which k docs add the most lexical diversity?") over the
+    BIGRAM universe (916 distinct bigrams here — unigrams are
+    degenerate: one doc covers all 31): one distinct-(doc, bigram)
+    combiner pass, driver-side packed bitmaps per doc
+    (stages.bitmap), then k greedy steps — each step ONE vectorized
+    popcount(doc_words AND NOT covered) over all docs, tie-break
+    (gain desc, doc_id asc). The classic 1−1/e-approximation
+    (Nemhauser et al. 1978); at 100 TB each step is one broadcast
+    re-scan of the doc-bigram pairs."""
+    from ..stages.bitmap import Bitmap
+    from ..stages.ngram_lm import BOS, SEP, _doc_token_stream
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parents, prev, tok = _doc_token_stream(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(prev, BOS)
+        key = pc.binary_join_element_wise(
+            prev.filter(keep), tok.filter(keep), SEP)
+        doc = pa.array(ids[parents[keep.to_numpy(zero_copy_only=False)]],
+                       pa.int64())
+        return pa.table({"doc_id": doc, "key": key}).group_by(
+            ["doc_id", "key"]).aggregate([])
+
+    pairs = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id", "key"], {"n": ("key", "count")},
+    )[["doc_id", "key"]]
+    vocab = {k: i for i, k in enumerate(sorted(pairs["key"].unique()))}
+    domain = len(vocab)
+    doc_ids = np.sort(pairs["doc_id"].unique()).astype(np.int64)
+    n_words = (domain + 63) // 64
+    W = np.zeros((len(doc_ids), n_words), np.uint64)
+    row_of = {int(d): i for i, d in enumerate(doc_ids)}
+    ki = pairs["key"].map(vocab).to_numpy(np.int64)
+    ri = pairs["doc_id"].map(row_of).to_numpy(np.int64)
+    np.bitwise_or.at(W, (ri, ki // 64),
+                     np.uint64(1) << (ki % 64).astype(np.uint64))
+
+    covered = np.zeros(n_words, np.uint64)
+    picked: list[int] = []
+    rows = []
+    alive = np.ones(len(doc_ids), bool)
+    for step in range(1, COVER_STEPS + 1):
+        gains = np.unpackbits(
+            (W & ~covered[None, :]).view(np.uint8), axis=1).sum(axis=1)
+        gains = np.where(alive, gains, -1)
+        best = int(np.argmax(gains))  # first max = smallest doc_id
+        covered |= W[best]
+        alive[best] = False
+        picked.append(int(doc_ids[best]))
+        rows.append({
+            "step": step, "doc_id": int(doc_ids[best]),
+            "n_new": int(gains[best]),
+            "n_covered": int(np.unpackbits(
+                covered.view(np.uint8)).sum()),
+        })
+    return pd.DataFrame(rows).astype("int64")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5123,6 +5189,7 @@ QUERIES = {
     "emb_graph_bfs": q_emb_graph_bfs,
     "events_ab_test": q_events_ab_test,
     "events_cube": q_events_cube,
+    "docs_greedy_cover": q_docs_greedy_cover,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8271,6 +8338,67 @@ ORACLE_SQL = {
         )
         GROUP BY CUBE (event_type, weekday)
         ORDER BY 1, 2
+    """,
+    "docs_greedy_cover": """
+        -- greedy max-coverage over the bigram universe, 3 unrolled
+        -- steps; zero-gain docs stay candidates (count FILTER), tie
+        -- (gain desc, doc_id asc)
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs
+        ),
+        db AS (
+            SELECT DISTINCT a.doc_id, a.tok AS w1, b.tok AS w2
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        c1 AS (SELECT doc_id, count(*) AS g FROM db GROUP BY doc_id),
+        p1 AS (SELECT doc_id, g FROM c1 ORDER BY g DESC, doc_id
+               LIMIT 1),
+        cov1 AS (SELECT DISTINCT w1, w2 FROM db JOIN p1
+                 USING (doc_id)),
+        c2 AS (
+            SELECT d.doc_id, count(*) FILTER (WHERE c.w1 IS NULL) AS g
+            FROM db d LEFT JOIN cov1 c
+              ON c.w1 = d.w1 AND c.w2 = d.w2
+            WHERE d.doc_id != (SELECT doc_id FROM p1)
+            GROUP BY d.doc_id
+        ),
+        p2 AS (SELECT doc_id, g FROM c2 ORDER BY g DESC, doc_id
+               LIMIT 1),
+        cov2 AS (SELECT w1, w2 FROM cov1
+                 UNION SELECT w1, w2 FROM db JOIN p2 USING (doc_id)),
+        c3 AS (
+            SELECT d.doc_id, count(*) FILTER (WHERE c.w1 IS NULL) AS g
+            FROM db d LEFT JOIN cov2 c
+              ON c.w1 = d.w1 AND c.w2 = d.w2
+            WHERE d.doc_id NOT IN ((SELECT doc_id FROM p1),
+                                   (SELECT doc_id FROM p2))
+            GROUP BY d.doc_id
+        ),
+        p3 AS (SELECT doc_id, g FROM c3 ORDER BY g DESC, doc_id
+               LIMIT 1),
+        cov3 AS (SELECT w1, w2 FROM cov2
+                 UNION SELECT w1, w2 FROM db JOIN p3 USING (doc_id))
+        SELECT CAST(1 AS BIGINT) AS step,
+               (SELECT doc_id FROM p1) AS doc_id,
+               (SELECT g FROM p1)::BIGINT AS n_new,
+               (SELECT count(*) FROM cov1)::BIGINT AS n_covered
+        UNION ALL
+        SELECT 2, (SELECT doc_id FROM p2), (SELECT g FROM p2)::BIGINT,
+               (SELECT count(*) FROM cov2)::BIGINT
+        UNION ALL
+        SELECT 3, (SELECT doc_id FROM p3), (SELECT g FROM p3)::BIGINT,
+               (SELECT count(*) FROM cov3)::BIGINT
+        ORDER BY step
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
