@@ -5058,6 +5058,51 @@ def q_docs_greedy_cover(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_events_trimmed_mean(sf_dir: str):
+    """Rank-windowed robust statistics: the exact 10–90% trimmed mean
+    per event type — ranks, not value cuts, so boundary TIES are
+    handled by arithmetic (overlap of each value's rank span with the
+    window), never by row order. One combiner pass folds the
+    (type, cents) histogram (bounded value domain — the guard names
+    the two-pass histogram refinement as the unbounded-domain path);
+    every sum is int64 cents, the one float division mirrors SQL."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "c": pa.array(c)}).group_by(
+            ["event_type", "c"]).aggregate([("c", "count")])
+        return g.rename_columns(["event_type", "c", "n"])
+
+    hist = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "c"], {"n": ("n", "sum")},
+    ).sort_values(["event_type", "c"]).reset_index(drop=True)
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        c = g["c"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        lo = (100 * (n - 1)) // 1000
+        hi = (900 * (n - 1)) // 1000
+        ends = np.cumsum(cnt)            # exclusive end rank per value
+        starts = ends - cnt              # start rank per value
+        inc = np.minimum(ends - 1, hi) - np.maximum(starts, lo) + 1
+        inc = np.maximum(inc, 0)
+        s_trim = int((inc * c).sum())
+        n_trim = hi - lo + 1
+        rows.append({
+            "event_type": et, "n_trim": n_trim,
+            "sum_trim_cents": s_trim,
+            "trimmed_mean": round(
+                float(s_trim) / float(n_trim) / 100.0, 4),
+        })
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(
+        drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5190,6 +5235,7 @@ QUERIES = {
     "events_ab_test": q_events_ab_test,
     "events_cube": q_events_cube,
     "docs_greedy_cover": q_docs_greedy_cover,
+    "events_trimmed_mean": q_events_trimmed_mean,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8399,6 +8445,31 @@ ORACLE_SQL = {
         SELECT 3, (SELECT doc_id FROM p3), (SELECT g FROM p3)::BIGINT,
                (SELECT count(*) FROM cov3)::BIGINT
         ORDER BY step
+    """,
+    "events_trimmed_mean": """
+        -- exact 10-90% trimmed mean per type, RANK-windowed (ties at
+        -- the window boundary resolved by rank arithmetic, so the
+        -- tie-break column cannot change the sum)
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c, event_id
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c, event_id) - 1 AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        )
+        SELECT event_type, count(*)::BIGINT AS n_trim,
+               sum(c)::BIGINT AS sum_trim_cents,
+               round(sum(c)::DOUBLE / count(*)::DOUBLE / 100.0, 4)
+                 AS trimmed_mean
+        FROM r
+        WHERE rk BETWEEN (100 * (n - 1)) // 1000
+                     AND (900 * (n - 1)) // 1000
+        GROUP BY event_type ORDER BY event_type
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
