@@ -73,6 +73,8 @@ def _format_of(path: str) -> str:
         return "warc"
     if ext == "orc":
         return "orc"
+    if ext == "avro":
+        return "avro"
     return "parquet"  # directories / extension-less: the canonical format
 
 
@@ -100,6 +102,10 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
         return read_pages_warc(paths, **kwargs)
     if fmt == "orc":
         return read_pages_orc(path_list, **kwargs)
+    if fmt == "avro":
+        from .avro import read_pages_avro
+
+        return read_pages_avro(path_list, **kwargs)
     if fmt == "json":
         ds = rd.read_json(paths, **kwargs)
     else:  # csv
