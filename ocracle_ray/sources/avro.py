@@ -145,14 +145,21 @@ def parse_avro(data: bytes) -> pa.Table:
         for _ in range(n):
             k = r.lstr().decode("utf-8")
             meta[k] = r.lstr()
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"avro: unsupported codec {codec!r}")
-    if schema.get("type") != "record":
-        raise ValueError("avro: top-level schema must be a record")
-    fields = [(f["name"], *_norm_type(f["type"]))
-              for f in schema["fields"]]
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    try:
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"avro: unsupported codec {codec!r}")
+        if not isinstance(schema, dict) or schema.get("type") != "record":
+            raise ValueError("avro: top-level schema must be a record")
+        fields = [(f["name"], *_norm_type(f["type"]))
+                  for f in schema["fields"]]
+    except (KeyError, TypeError, AttributeError) as exc:
+        # hostile-bytes contract: a corrupted schema JSON must surface
+        # as ValueError, never a KeyError/TypeError mid-parse
+        raise ValueError(f"avro: malformed schema metadata: {exc!r}")
     sync = r.read(16)
 
     cols: dict[str, list] = {name: [] for name, _, _ in fields}
@@ -161,7 +168,10 @@ def parse_avro(data: bytes) -> pa.Table:
         n_bytes = r.long()
         payload = r.read(n_bytes)
         if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
+            try:
+                payload = zlib.decompress(payload, wbits=-15)
+            except zlib.error as exc:  # hostile-bytes contract:
+                raise ValueError(f"avro: bad deflate block: {exc}")
         br = _Reader(payload)
         for _ in range(n_rec):
             for name, base, nullable in fields:

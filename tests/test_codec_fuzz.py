@@ -57,7 +57,24 @@ def _valid_files():
         "warc": encode_warc(
             [("http://t.test/a", "2024-01-01T00:00:00Z", b"<p>x</p>")]
         ),
+        "avro": _avro_bytes(),
     }
+
+
+def _avro_bytes():
+    import os
+    import tempfile
+
+    from ocracle_ray.sources.avro import PAGES_AVRO_SCHEMA, write_avro
+
+    rows = [{"url": f"http://t.test/{i}", "warc_ts": 1000 + i,
+             "html": b"<p>x</p>" * (i + 1), "lang": "nb"}
+            for i in range(4)]
+    with tempfile.TemporaryDirectory() as d:
+        p = write_avro(os.path.join(d, "f.avro"), PAGES_AVRO_SCHEMA,
+                       rows, codec="deflate", block_records=2)
+        with open(p, "rb") as f:
+            return f.read()
 
 
 def _decoder(name):
@@ -76,6 +93,9 @@ def _decoder(name):
         "ogg": vorbis.decode_vorbis,
         "jpeg": jpeg.decode_jpeg,
         "warc": warc.warc_pages_table,
+        "avro": __import__(
+            "ocracle_ray.sources.avro", fromlist=["parse_avro"]
+        ).parse_avro,
     }[name]
 
 
