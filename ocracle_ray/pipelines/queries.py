@@ -5103,6 +5103,55 @@ def q_events_trimmed_mean(sf_dir: str):
         drop=True)
 
 
+def q_events_value_emd(sf_dir: str):
+    """Distribution drift as EXACT optimal transport: Wasserstein-1
+    (earth-mover) distance between the first-week and last-week value
+    distributions — EMD_1 in 1-D is the area between CDFs, computed
+    EXACTLY in integers on the common denominator n_a·n_b:
+    Σ_v |cumA(v)·n_b − cumB(v)·n_a| · gap(v), then ONE floor division
+    to millicents. The KL drift monitor's metric sibling: KL needs
+    shared support, EMD doesn't. One (day, cents) combiner pass
+    (30 days × bounded cents domain; an unbounded domain needs the
+    two-pass histogram refinement — same note as trimmed-mean)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        g = pa.table({"day": pa.array(day.astype(np.int64)),
+                      "c": pa.array(c)}).group_by(
+            ["day", "c"]).aggregate([("c", "count")])
+        return g.rename_columns(["day", "c", "n"])
+
+    hist = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "c"], {"n": ("n", "sum")},
+    )
+    d0, d1 = int(hist["day"].min()), int(hist["day"].max())
+    a = (hist[hist["day"] < d0 + 7].groupby("c")["n"].sum()
+         .sort_index())
+    b = (hist[hist["day"] > d1 - 7].groupby("c")["n"].sum()
+         .sort_index())
+    merged = pd.DataFrame({"na": a, "nb": b}).fillna(0).sort_index()
+    vals = merged.index.to_numpy(np.int64)
+    ta = int(merged["na"].sum())
+    tb = int(merged["nb"].sum())
+    ca = merged["na"].cumsum().to_numpy(np.int64)
+    cb = merged["nb"].cumsum().to_numpy(np.int64)
+    gaps = np.diff(vals)
+    # Python-int fold: |ca·tb − cb·ta|·gap overflows int64 at scale
+    emd_scaled = sum(
+        abs(int(ca[i]) * tb - int(cb[i]) * ta) * int(gaps[i])
+        for i in range(len(gaps))
+    )
+    return pd.DataFrame([{
+        "n_first": ta, "n_last": tb,
+        "emd_millicents": emd_scaled * 1000 // (ta * tb),
+    }]).astype("int64")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5236,6 +5285,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "docs_greedy_cover": q_docs_greedy_cover,
     "events_trimmed_mean": q_events_trimmed_mean,
+    "events_value_emd": q_events_value_emd,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8470,6 +8520,45 @@ ORACLE_SQL = {
         WHERE rk BETWEEN (100 * (n - 1)) // 1000
                      AND (900 * (n - 1)) // 1000
         GROUP BY event_type ORDER BY event_type
+    """,
+    "events_value_emd": """
+        -- exact 1-D Wasserstein-1 between first/last-week value
+        -- histograms: area between CDFs on the n_a*n_b common
+        -- denominator, one floor division at the end (HUGEINT)
+        WITH e AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        a AS (SELECT c, count(*)::BIGINT AS na FROM e, bounds
+              WHERE day < d0 + 7 GROUP BY c),
+        b AS (SELECT c, count(*)::BIGINT AS nb FROM e, bounds
+              WHERE day > d1 - 7 GROUP BY c),
+        v AS (SELECT c FROM a UNION SELECT c FROM b),
+        j AS (
+            SELECT v.c, coalesce(a.na, 0) AS na,
+                   coalesce(b.nb, 0) AS nb
+            FROM v LEFT JOIN a USING (c) LEFT JOIN b USING (c)
+        ),
+        cum AS (
+            SELECT c,
+                   sum(na) OVER (ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS ca,
+                   sum(nb) OVER (ORDER BY c
+                                 ROWS UNBOUNDED PRECEDING) AS cb,
+                   lead(c) OVER (ORDER BY c) AS nxt
+            FROM j
+        ),
+        tot AS (SELECT sum(na)::HUGEINT AS ta, sum(nb)::HUGEINT AS tb
+                FROM j)
+        SELECT ta::BIGINT AS n_first, tb::BIGINT AS n_last,
+               CAST(sum(abs(ca::HUGEINT * tb - cb::HUGEINT * ta)
+                        * (nxt - c)::HUGEINT) * 1000
+                    // (ta * tb) AS BIGINT) AS emd_millicents
+        FROM cum CROSS JOIN tot
+        WHERE nxt IS NOT NULL
+        GROUP BY ta, tb
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
