@@ -5152,6 +5152,42 @@ def q_events_value_emd(sf_dir: str):
     }]).astype("int64")
 
 
+def q_orders_benford(sf_dir: str):
+    """Benford first-digit audit of order totals — the fraud/synthetic
+    -data forensic: observed leading-digit counts vs Benford's law
+    n·log10(1+1/d), with per-digit chi² contributions. Digit
+    extraction is EXACT integer repeated-division (no log10 floor at
+    power-of-ten boundaries); one 9-cell combiner pass; the float
+    expectation/chi² mirror the SQL expression shape."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        c = c[c > 0]
+        while np.any(c >= 10):  # ≤ 9 vectorized passes for int64
+            big = c >= 10
+            c[big] //= 10
+        dig, cnt = np.unique(c, return_counts=True)
+        return pa.table({"digit": pa.array(dig),
+                         "n_obs": pa.array(cnt.astype(np.int64))})
+
+    agg = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], {"n_obs": ("n_obs", "sum")},
+    ).sort_values("digit").reset_index(drop=True)
+    n = int(agg["n_obs"].sum())
+    digit = agg["digit"].to_numpy(np.int64)
+    obs = agg["n_obs"].to_numpy(np.int64).astype(np.float64)
+    exp = float(n) * np.log10(1.0 + 1.0 / digit.astype(np.float64))
+    return pd.DataFrame({
+        "digit": agg["digit"].astype("int64"),
+        "n_obs": agg["n_obs"].astype("int64"),
+        "expected_n": np.round(exp, 4),
+        "chi2_contrib": np.round((obs - exp) * (obs - exp) / exp, 6),
+    })
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5286,6 +5322,7 @@ QUERIES = {
     "docs_greedy_cover": q_docs_greedy_cover,
     "events_trimmed_mean": q_events_trimmed_mean,
     "events_value_emd": q_events_value_emd,
+    "orders_benford": q_orders_benford,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8559,6 +8596,34 @@ ORACLE_SQL = {
         FROM cum CROSS JOIN tot
         WHERE nxt IS NOT NULL
         GROUP BY ta, tb
+    """,
+    "orders_benford": """
+        -- Benford first-digit audit: exact string leading digit,
+        -- n·log10(1+1/d) expectation, per-digit chi² contribution
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        ),
+        d AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit
+            FROM c
+        ),
+        o AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d
+              GROUP BY digit),
+        t AS (SELECT sum(n_obs)::BIGINT AS n FROM o)
+        SELECT digit, n_obs,
+               round(n::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE), 4)
+                 AS expected_n,
+               round((n_obs::DOUBLE
+                      - n::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+                     * (n_obs::DOUBLE
+                        - n::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE))
+                     / (n::DOUBLE * log10(1.0 + 1.0 / digit::DOUBLE)),
+                     6) AS chi2_contrib
+        FROM o CROSS JOIN t
+        ORDER BY digit
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
