@@ -5188,6 +5188,33 @@ def q_orders_benford(sf_dir: str):
     })
 
 
+def q_events_value_mode(sf_dir: str):
+    """Exact grouped MODE (most frequent cents value per event type,
+    tie-break smallest value) — the one central-tendency statistic
+    mean/median machinery can't derive; same (type, cents) histogram
+    combiner as trimmed-mean/EMD, argmax on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        g = pa.table({"event_type": t["event_type"],
+                      "c": pa.array(c)}).group_by(
+            ["event_type", "c"]).aggregate([("c", "count")])
+        return g.rename_columns(["event_type", "c", "n"])
+
+    hist = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "c"], {"n": ("n", "sum")},
+    ).sort_values(["event_type", "n", "c"],
+                  ascending=[True, False, True])
+    top = hist.groupby("event_type", as_index=False).first()
+    top["mode_cents"] = top["c"].astype("int64")
+    top["n_mode"] = top["n"].astype("int64")
+    return (top[["event_type", "mode_cents", "n_mode"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5323,6 +5350,7 @@ QUERIES = {
     "events_trimmed_mean": q_events_trimmed_mean,
     "events_value_emd": q_events_value_emd,
     "orders_benford": q_orders_benford,
+    "events_value_mode": q_events_value_mode,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8624,6 +8652,23 @@ ORACLE_SQL = {
                      6) AS chi2_contrib
         FROM o CROSS JOIN t
         ORDER BY digit
+    """,
+    "events_value_mode": """
+        -- exact grouped mode, tie-break smallest value
+        WITH h AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, c, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, c) AS rk
+            FROM h
+        )
+        SELECT event_type, c AS mode_cents, n AS n_mode
+        FROM r WHERE rk = 1 ORDER BY event_type
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
