@@ -5215,6 +5215,28 @@ def q_events_value_mode(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_events_top_trigrams(sf_dir: str):
+    """Top behavioral paths: the 10 most common per-user event-type
+    TRIGRAMS — sequence mining one order above the Markov pair
+    builder, on stages/ngrams_seq.py's k-row boundary carry (a window
+    can span three tiny blocks, so blocks with ≤ 2(n−1) rows are
+    carried whole; the pair seam's single-edge stitch can't express
+    that). Tie-break (count desc, then lexicographic path)."""
+    from ..stages.ngrams_seq import SEP, consecutive_ngram_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    counts = consecutive_ngram_counts(
+        ds, group_col="user_id", order_cols=["ts", "event_id"],
+        item_col="event_type", n=3)
+    top = counts.head(10).copy()
+    split = top["gram"].str.split(SEP, expand=True)
+    top["t0"], top["t1"], top["t2"] = split[0], split[1], split[2]
+    top["n_occurrences"] = top["cnt"].astype("int64")
+    return top[["t0", "t1", "t2", "n_occurrences"]].reset_index(
+        drop=True)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5351,6 +5373,7 @@ QUERIES = {
     "events_value_emd": q_events_value_emd,
     "orders_benford": q_orders_benford,
     "events_value_mode": q_events_value_mode,
+    "events_top_trigrams": q_events_top_trigrams,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8669,6 +8692,22 @@ ORACLE_SQL = {
         )
         SELECT event_type, c AS mode_cents, n AS n_mode
         FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+    "events_top_trigrams": """
+        -- per-user event-type trigrams over the (ts, event_id) total
+        -- order; top 10 by (count desc, path)
+        WITH s AS (
+            SELECT user_id, event_type AS t2,
+                   lag(event_type, 1) OVER w AS t1,
+                   lag(event_type, 2) OVER w AS t0
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t0, t1, t2, count(*)::BIGINT AS n_occurrences
+        FROM s WHERE t0 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_occurrences DESC, t0, t1, t2
+        LIMIT 10
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical

@@ -146,3 +146,35 @@ def test_autocorr_seam_layout_invariant(ray_session, monkeypatch, tmp_path):
                      "lag1_r": round(r, 6)})
     want = pd.DataFrame(rows)
     pd.testing.assert_frame_equal(got, want, atol=1e-6, check_dtype=False)
+
+
+def test_ngram_seam_layout_invariant(ray_session):
+    """consecutive_ngram_counts must be exact under every block
+    layout, including single-row blocks (a trigram spanning THREE
+    blocks — the case the whole-tiny-block carry exists for)."""
+    import ray.data as rd
+
+    from ocracle_ray.stages.ngrams_seq import SEP, \
+        consecutive_ngram_counts
+
+    rng = np.random.RandomState(17)
+    n = 120
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 5, n), pa.int64()),
+        "o": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+    })
+    # brute force
+    df = t.to_pandas().sort_values(["u", "o"])
+    want: dict[str, int] = {}
+    for _, g in df.groupby("u"):
+        xs = g["x"].tolist()
+        for i in range(len(xs) - 2):
+            key = SEP.join(xs[i:i + 3])
+            want[key] = want.get(key, 0) + 1
+    for parts in (1, 3, 16, 60):  # 60 -> 2-row blocks
+        ds = rd.from_arrow(t).repartition(parts)
+        got = consecutive_ngram_counts(
+            ds, group_col="u", order_cols=["o"], item_col="x", n=3)
+        gd = dict(zip(got["gram"], got["cnt"]))
+        assert gd == want, f"partitions={parts}"
