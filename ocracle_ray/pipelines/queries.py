@@ -5237,6 +5237,36 @@ def q_events_top_trigrams(sf_dir: str):
         drop=True)
 
 
+def q_events_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of daily activity across
+    event types (Simpson's index) — Gini's concentration sibling and
+    the mix-collapse alarm ("did one event type swallow the day?").
+    INTEGER-EXACT: hhi_ppm = Σ n_t² · 10^6 // n² per day, from the
+    same (day, type) combiner pass as the KL drift monitor."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        g = pa.table({"day": pa.array(day.astype(np.int64)),
+                      "event_type": t["event_type"]}).group_by(
+            ["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "n"])
+
+    cnt = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "event_type"], {"n": ("n", "sum")},
+    )
+    rows = []
+    for day, g in cnt.groupby("day"):
+        n = int(g["n"].sum())
+        ssq = int((g["n"].astype("int64") ** 2).sum())
+        rows.append({"day": int(day), "n_events": n,
+                     "hhi_ppm": ssq * 1_000_000 // (n * n)})
+    return (pd.DataFrame(rows).astype("int64")
+            .sort_values("day").reset_index(drop=True))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5374,6 +5404,7 @@ QUERIES = {
     "orders_benford": q_orders_benford,
     "events_value_mode": q_events_value_mode,
     "events_top_trigrams": q_events_top_trigrams,
+    "events_hhi": q_events_hhi,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8708,6 +8739,19 @@ ORACLE_SQL = {
         GROUP BY 1, 2, 3
         ORDER BY n_occurrences DESC, t0, t1, t2
         LIMIT 10
+    """,
+    "events_hhi": """
+        -- Herfindahl concentration per day, integer ppm
+        WITH c AS (
+            SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               sum(n)::BIGINT AS n_events,
+               CAST(sum(n * n) * 1000000 // (sum(n) * sum(n))
+                 AS BIGINT) AS hhi_ppm
+        FROM c GROUP BY day ORDER BY day
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
