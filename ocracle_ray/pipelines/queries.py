@@ -5267,6 +5267,88 @@ def q_events_hhi(sf_dir: str):
             .sort_values("day").reset_index(drop=True))
 
 
+def q_events_burstiness(sf_dir: str):
+    """Inter-arrival burstiness per event type (Goh & Barabási 2008:
+    B = (σ−μ)/(σ+μ) of the gap distribution; −1 periodic, 0 Poisson,
+    →1 bursty) — the temporal-structure probe behind rate-limiter and
+    capacity sizing. Gaps are INTEGER SECONDS of the consecutive-pair
+    differences over the (type, ts, event_id) total order (floor of
+    the DIFFERENCE, mirrored in SQL); per-block gap sufficient stats +
+    the O(blocks) seam pairs — the autocorr machinery with the pair
+    collapsed to its difference."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    s = (ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "ts": t["ts"], "event_id": t["event_id"],
+                            "us": t["ts"].cast(pa.int64())}),
+        batch_format="pyarrow")
+        .sort(["event_type", "ts", "event_id"]).materialize())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        if len(g) < 2:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             **{k: pa.array([], pa.int64())
+                                for k in ("n", "sg", "sgg")}})
+        same = g[1:] == g[:-1]
+        gap = (us[1:] - us[:-1])[same] // 1_000_000
+        gg = g[:-1][same]
+        df = pd.DataFrame({"event_type": gg, "gap": gap,
+                           "gap2": gap * gap})
+        agg = df.groupby("event_type", as_index=False).agg(
+            n=("gap", "size"), sg=("gap", "sum"), sgg=("gap2", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def seam(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "eid": pa.array([], pa.int64()),
+                             "us": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.string())})
+        idx = pa.array([0, t.num_rows - 1], pa.int64())
+        return pa.table({"g": t["event_type"].take(idx),
+                         "ts": t["ts"].take(idx),
+                         "eid": t["event_id"].take(idx),
+                         "us": t["us"].take(idx),
+                         "pos": pa.array(["first", "last"])})
+
+    parts = s.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    seams = (s.map_batches(seam, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+             .sort_values(["g", "ts", "eid", "pos"])
+             .reset_index(drop=True))
+    lasts = seams[seams["pos"] == "last"].reset_index(drop=True)
+    firsts = seams[seams["pos"] == "first"].reset_index(drop=True)
+    extra = []
+    for i in range(len(lasts) - 1):
+        if lasts.loc[i, "g"] == firsts.loc[i + 1, "g"]:
+            gap = (int(firsts.loc[i + 1, "us"])
+                   - int(lasts.loc[i, "us"])) // 1_000_000
+            extra.append({"event_type": lasts.loc[i, "g"],
+                          "n": 1, "sg": gap, "sgg": gap * gap})
+    if extra:
+        parts = pd.concat([parts, pd.DataFrame(extra)],
+                          ignore_index=True)
+    agg = (parts.groupby("event_type", as_index=False)
+           [["n", "sg", "sgg"]].sum()
+           .sort_values("event_type").reset_index(drop=True))
+    n = agg["n"].to_numpy(np.float64)
+    sg = agg["sg"].to_numpy(np.float64)
+    sgg = agg["sgg"].to_numpy(np.float64)
+    mu = sg / n
+    sigma = np.sqrt(n * sgg - sg * sg) / n
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_gaps": agg["n"].astype("int64"),
+        "mean_gap_s": np.round(mu, 4),
+        "burstiness": np.round((sigma - mu) / (sigma + mu), 6),
+    })
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5405,6 +5487,7 @@ QUERIES = {
     "events_value_mode": q_events_value_mode,
     "events_top_trigrams": q_events_top_trigrams,
     "events_hhi": q_events_hhi,
+    "events_burstiness": q_events_burstiness,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8752,6 +8835,32 @@ ORACLE_SQL = {
                CAST(sum(n * n) * 1000000 // (sum(n) * sum(n))
                  AS BIGINT) AS hhi_ppm
         FROM c GROUP BY day ORDER BY day
+    """,
+    "events_burstiness": """
+        -- Goh-Barabási burstiness of inter-arrival gaps (integer
+        -- seconds, floor of the DIFFERENCE) per event type
+        WITH p AS (
+            SELECT event_type,
+                   (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY event_type
+                        ORDER BY ts, event_id)) // 1000000 AS gap
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(gap)::BIGINT AS sg,
+                   sum(gap * gap)::BIGINT AS sgg
+            FROM p WHERE gap IS NOT NULL GROUP BY event_type
+        )
+        SELECT event_type, n AS n_gaps,
+               round(sg::DOUBLE / n::DOUBLE, 4) AS mean_gap_s,
+               round((sqrt(n::DOUBLE * sgg - sg::DOUBLE * sg)
+                          / n::DOUBLE
+                      - sg::DOUBLE / n::DOUBLE)
+                     / (sqrt(n::DOUBLE * sgg - sg::DOUBLE * sg)
+                            / n::DOUBLE
+                        + sg::DOUBLE / n::DOUBLE), 6) AS burstiness
+        FROM s ORDER BY event_type
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
