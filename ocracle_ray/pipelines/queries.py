@@ -5349,6 +5349,76 @@ def q_events_burstiness(sf_dir: str):
     })
 
 
+MERKLE_BUCKETS = 16
+
+
+def q_docs_merkle_manifest(sf_dir: str):
+    """Integrity manifest for replica/re-run comparison: per-bucket
+    ORDER-FREE leaf = XOR of the 128-bit md5 of every (doc_id, text)
+    record, plus a Merkle-style root over the bucket leaves — two
+    stores compare O(buckets) and a corrupted bucket localizes without
+    re-reading the other side. XOR leaves are mergeable under any
+    block layout / arrival order (why XOR and not a hash chain); at
+    100 TB buckets become file-range leaves and the root a log-depth
+    tree. Leaves ride as two int64 halves (Arrow has no int128);
+    DuckDB's bit_xor lives in SIGNED HUGEINT space, mirrored here."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        bucket = ids % MERKLE_BUCKETS
+        lo = np.zeros(MERKLE_BUCKETS, np.uint64)
+        hi = np.zeros(MERKLE_BUCKETS, np.uint64)
+        cnt = np.zeros(MERKLE_BUCKETS, np.int64)
+        for i, (d, x) in enumerate(zip(ids, texts)):
+            h = int.from_bytes(
+                hashlib.md5(f"{d}:{x}".encode()).digest(), "little")
+            b = int(bucket[i])
+            lo[b] ^= np.uint64(h & 0xFFFFFFFFFFFFFFFF)
+            hi[b] ^= np.uint64(h >> 64)
+            cnt[b] += 1
+        keep = cnt > 0
+        return pa.table({
+            "bucket": pa.array(np.arange(MERKLE_BUCKETS)[keep]),
+            "lo": pa.array(lo[keep].view(np.int64)),
+            "hi": pa.array(hi[keep].view(np.int64)),
+            "n": pa.array(cnt[keep]),
+        })
+
+    acc_lo = [0] * MERKLE_BUCKETS
+    acc_hi = [0] * MERKLE_BUCKETS
+    acc_n = [0] * MERKLE_BUCKETS
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for bk, lo, hi, n in zip(b["bucket"].to_pylist(),
+                                 b["lo"].to_pylist(),
+                                 b["hi"].to_pylist(),
+                                 b["n"].to_pylist()):
+            acc_lo[bk] ^= lo & 0xFFFFFFFFFFFFFFFF
+            acc_hi[bk] ^= hi & 0xFFFFFFFFFFFFFFFF
+            acc_n[bk] += n
+    leaves, rows = [], []
+    for bk in range(MERKLE_BUCKETS):
+        if acc_n[bk] == 0:
+            continue
+        v = ((acc_hi[bk] & 0xFFFFFFFFFFFFFFFF) << 64) | (
+            acc_lo[bk] & 0xFFFFFFFFFFFFFFFF)
+        if v >= 1 << 127:  # DuckDB bit_xor is signed HUGEINT
+            v -= 1 << 128
+        leaves.append(str(v))
+        rows.append({"bucket": bk, "n_docs": acc_n[bk],
+                     "leaf": str(v)})
+    root = hashlib.md5("|".join(leaves).encode()).hexdigest()
+    out = pd.DataFrame(rows)
+    out["root"] = root
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5488,6 +5558,7 @@ QUERIES = {
     "events_top_trigrams": q_events_top_trigrams,
     "events_hhi": q_events_hhi,
     "events_burstiness": q_events_burstiness,
+    "docs_merkle_manifest": q_docs_merkle_manifest,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8861,6 +8932,26 @@ ORACLE_SQL = {
                             / n::DOUBLE
                         + sg::DOUBLE / n::DOUBLE), 6) AS burstiness
         FROM s ORDER BY event_type
+    """,
+    "docs_merkle_manifest": """
+        -- order-free XOR leaves per bucket + md5 root over leaves;
+        -- bit_xor works in SIGNED HUGEINT space (engine mirrors)
+        WITH d AS (
+            SELECT doc_id % 16 AS bucket,
+                   md5_number(CAST(doc_id AS VARCHAR) || ':' || text)
+                     AS h
+            FROM documents
+        ),
+        l AS (
+            SELECT bucket, count(*)::BIGINT AS n_docs,
+                   CAST(bit_xor(h) AS VARCHAR) AS leaf
+            FROM d GROUP BY bucket
+        ),
+        r AS (SELECT md5(string_agg(leaf, '|' ORDER BY bucket))
+                AS root FROM l)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, leaf,
+               (SELECT root FROM r) AS root
+        FROM l ORDER BY bucket
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
