@@ -5419,6 +5419,97 @@ def q_docs_merkle_manifest(sf_dir: str):
     return out
 
 
+HOUR_US = 3_600_000_000
+
+
+def q_events_interval_overlap(sf_dir: str):
+    """Interval x interval OVERLAP join with duration arithmetic —
+    the join shape range_join (point-in-interval) can't express:
+    per-(user, day) activity intervals [min ts, max ts] overlap-joined
+    against the corpus's busy hours (hourly count strictly above the
+    hourly mean — integer cross-multiplication, no float threshold).
+    Shape: intervals stay a DATASET (one distributed (user, day)
+    min/max groupby); busy hours broadcast (≤ hours-in-range); each
+    batch explodes its intervals over the ≤ 25 hours they span
+    (bounded by construction — intervals live inside one calendar
+    day), filters to busy hours and emits per-hour (pairs,
+    overlap_us) partials. Zero exchange beyond the one groupby."""
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array((us // DAY_US).astype(np.int64)),
+            "us": pa.array(us),
+        })
+
+    p = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    # busy hours: count per hour folded on the driver (≤ hours in
+    # range), busy ⟺ n_h · n_hours > total (strictly above mean)
+    hourly = driver_grouped_agg(
+        p.map_batches(
+            lambda t: pa.table(
+                {"hour": pc.divide(t["us"], HOUR_US)}).group_by(
+                ["hour"]).aggregate([([], "count_all")])
+            .rename_columns(["hour", "n"]),
+            batch_format="pyarrow"),
+        ["hour"], {"n": ("n", "sum")},
+    )
+    total = int(hourly["n"].sum())
+    nh = len(hourly)
+    busy = np.sort(hourly[hourly["n"].astype(int) * nh > total]
+                   ["hour"].to_numpy(np.int64))
+    busy_ref = ray.put(busy)
+
+    def cmb(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("us", "min"), ("us", "max")])
+        return g.rename_columns(["user_id", "day", "s", "e"])
+
+    iv = (p.map_batches(cmb, batch_format="pyarrow")
+          .groupby(["user_id", "day"])
+          .aggregate(Min("s", alias_name="s"),
+                     Max("e", alias_name="e")))
+
+    def overlap(t: pa.Table) -> pa.Table:
+        bz = _cached_broadcast(busy_ref)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        h0 = s // HOUR_US
+        h1 = e // HOUR_US
+        span = (h1 - h0 + 1).astype(np.int64)
+        row = np.repeat(np.arange(len(s)), span)
+        hour = (np.repeat(h0, span)
+                + (np.arange(len(row))
+                   - np.repeat(np.cumsum(span) - span, span)))
+        keep = np.isin(hour, bz)
+        row, hour = row[keep], hour[keep]
+        hs, he = hour * HOUR_US, (hour + 1) * HOUR_US
+        ov = np.minimum(e[row], he) - np.maximum(s[row], hs)
+        m = (s[row] < he) & (e[row] >= hs)
+        df = pd.DataFrame({"hour": hour[m], "ov": ov[m]})
+        agg = df.groupby("hour", as_index=False).agg(
+            n_pairs=("ov", "size"), ov_us=("ov", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = driver_grouped_agg(
+        iv.map_batches(overlap, batch_format="pyarrow"),
+        ["hour"], {"n_pairs": ("n_pairs", "sum"),
+                   "ov_us": ("ov_us", "sum")},
+    ).sort_values("hour").reset_index(drop=True)
+    out["hour"] = out["hour"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out["overlap_s"] = (out["ov_us"].astype("int64")
+                        // 1_000_000).astype("int64")
+    return out[["hour", "n_pairs", "overlap_s"]]
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5559,6 +5650,7 @@ QUERIES = {
     "events_hhi": q_events_hhi,
     "events_burstiness": q_events_burstiness,
     "docs_merkle_manifest": q_docs_merkle_manifest,
+    "events_interval_overlap": q_events_interval_overlap,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -8952,6 +9044,33 @@ ORACLE_SQL = {
         SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, leaf,
                (SELECT root FROM r) AS root
         FROM l ORDER BY bucket
+    """,
+    "events_interval_overlap": """
+        -- interval x interval overlap join: per-(user, day) activity
+        -- intervals vs busy hours (count strictly above hourly mean);
+        -- duration via LEAST/GREATEST, all integer µs
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        h AS (SELECT us // 3600000000 AS hour, count(*)::BIGINT AS n
+              FROM e GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS nh
+              FROM h),
+        busy AS (SELECT hour FROM h CROSS JOIN t
+                 WHERE n * nh > total),
+        iv AS (SELECT user_id, us // 86400000000 AS day,
+                      min(us) AS s, max(us) AS e
+               FROM e GROUP BY 1, 2),
+        p AS (
+            SELECT b.hour,
+                   LEAST(iv.e, (b.hour + 1) * 3600000000)
+                     - GREATEST(iv.s, b.hour * 3600000000) AS ov
+            FROM iv JOIN busy b
+              ON iv.s < (b.hour + 1) * 3600000000
+             AND iv.e >= b.hour * 3600000000
+        )
+        SELECT CAST(hour AS BIGINT) AS hour,
+               count(*)::BIGINT AS n_pairs,
+               CAST(sum(ov) // 1000000 AS BIGINT) AS overlap_s
+        FROM p GROUP BY hour ORDER BY hour
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
