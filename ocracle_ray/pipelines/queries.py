@@ -5510,6 +5510,91 @@ def q_events_interval_overlap(sf_dir: str):
     return out[["hour", "n_pairs", "overlap_s"]]
 
 
+KCENTER_K = 5
+
+
+def q_emb_kcenter(sf_dir: str):
+    """k-center greedy diverse selection (Gonzalez 1985 max-min — the
+    2-approximation): pick 5 vectors, each maximizing its cosine
+    DISTANCE to the nearest already-picked center — the
+    diversity-coreset op a curation pipeline runs where greedy-cover
+    maximizes coverage. Each step is ONE streaming pass: per-batch
+    distance to the broadcast picked set (matmul), round-6 BEFORE the
+    argmax (ULP immunity), per-batch top-1 candidates, tiny driver
+    resolve with (dist desc, vec_id) tie-break. Seed = min vec_id
+    (dist 0 by convention)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding"]).materialize()
+
+    picked_ids: list[int] = []
+    rows = []
+    seed = int(ds.min("vec_id"))
+    picked_ids.append(seed)
+    rows.append({"step": 1, "vec_id": seed, "dist": 0.0})
+    full = ds.to_pandas().set_index("vec_id")
+    for step in range(2, KCENTER_K + 1):
+        pm = np.stack([np.asarray(full.loc[i, "embedding"], np.float64)
+                       for i in picked_ids])
+        pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+        ref = ray.put((np.array(picked_ids, np.int64), pm))
+
+        def cand(t: pa.Table) -> pa.Table:
+            pids, m = _cached_broadcast(ref)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            av = np.stack([np.asarray(v, np.float64)
+                           for v in t["embedding"].to_pylist()])
+            av = av / np.linalg.norm(av, axis=1, keepdims=True)
+            d = np.round(1.0 - (av @ m.T).max(axis=1), 6)
+            keep = ~np.isin(ids, pids)
+            out = pa.table({"vec_id": pa.array(ids[keep]),
+                            "dist": pa.array(d[keep])})
+            return _topk_batch(out, [("dist", "descending"),
+                                     ("vec_id", "ascending")], 1)
+
+        c = (ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+             .sort_values(["dist", "vec_id"],
+                          ascending=[False, True]))
+        best = c.iloc[0]
+        picked_ids.append(int(best["vec_id"]))
+        rows.append({"step": step, "vec_id": int(best["vec_id"]),
+                     "dist": float(best["dist"])})
+    out = pd.DataFrame(rows)
+    out["step"] = out["step"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+def _kcenter_oracle_sql() -> str:
+    """Generated k-step-unrolled Gonzalez mirror (the kmeans/BPE
+    precedent): every step's argmax of round-6 min-distance with the
+    identical (dist desc, vec_id) tie-break, re-derived from raw
+    embeddings."""
+    steps = ["p1 AS (SELECT min(vec_id) AS v FROM embeddings)"]
+    sel = ["SELECT CAST(1 AS BIGINT) AS step, (SELECT v FROM p1) "
+           "AS vec_id, 0.0 AS dist"]
+    for k in range(2, KCENTER_K + 1):
+        prev = ", ".join(f"(SELECT v FROM p{j})" for j in range(1, k))
+        coss = ", ".join(
+            f"""list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                 WHERE vec_id = (SELECT v FROM p{j})))"""
+            for j in range(1, k))
+        greatest = coss if k == 2 else f"GREATEST({coss})"
+        steps.append(f"""d{k} AS (
+            SELECT e.vec_id, round(1.0 - {greatest}, 6) AS dist
+            FROM embeddings e
+            WHERE e.vec_id NOT IN ({prev})
+        ),
+        p{k} AS (SELECT vec_id AS v, dist FROM d{k}
+                 ORDER BY dist DESC, vec_id LIMIT 1)""")
+        sel.append(f"SELECT {k}, (SELECT v FROM p{k}), "
+                   f"(SELECT dist FROM p{k})")
+    return ("WITH " + ",\n".join(steps) + "\n"
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -5651,6 +5736,7 @@ QUERIES = {
     "events_burstiness": q_events_burstiness,
     "docs_merkle_manifest": q_docs_merkle_manifest,
     "events_interval_overlap": q_events_interval_overlap,
+    "emb_kcenter": q_emb_kcenter,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9072,6 +9158,7 @@ ORACLE_SQL = {
                CAST(sum(ov) // 1000000 AS BIGINT) AS overlap_s
         FROM p GROUP BY hour ORDER BY hour
     """,
+    "emb_kcenter": _kcenter_oracle_sql(),
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
         -- integer sufficient statistics over lag() pairs, then the
