@@ -5566,6 +5566,38 @@ def q_emb_kcenter(sf_dir: str):
     return out
 
 
+def q_events_entropy_rate(sf_dir: str):
+    """Entropy rate of the per-user behavior chain: H = −Σ_i π(i)
+    Σ_j p(j|i)·ln p(j|i) over the observed first-order transitions
+    (π = empirical prev-state marginal) — the predictability ceiling
+    of the event stream, the information-theory sibling of the KL
+    drift monitor. Counts come from the Markov machinery's one
+    exact-pair pass; the float entropy happens once on the driver
+    with the nested-sum shape mirrored in SQL (round 6)."""
+    from ..stages.markov import transition_matrix
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    tm = transition_matrix(ds, group_col="user_id",
+                           order_cols=["ts", "event_id"],
+                           item_col="event_type")
+    total = int(tm["n_trans"].sum())
+    h = 0.0
+    for prev, g in tm.sort_values(
+            ["prev_state", "next_state"]).groupby("prev_state"):
+        n_i = int(g["n_trans"].sum())
+        h_i = 0.0
+        for n_ij in g["n_trans"]:
+            p = float(int(n_ij)) / float(n_i)
+            h_i += p * math.log(p)
+        h -= (float(n_i) / float(total)) * h_i
+    return pd.DataFrame([{
+        "n_transitions": total,
+        "n_states": int(tm["prev_state"].nunique()),
+        "entropy_rate_nats": round(h, 6),
+    }])
+
+
 def _kcenter_oracle_sql() -> str:
     """Generated k-step-unrolled Gonzalez mirror (the kmeans/BPE
     precedent): every step's argmax of round-6 min-distance with the
@@ -5737,6 +5769,7 @@ QUERIES = {
     "docs_merkle_manifest": q_docs_merkle_manifest,
     "events_interval_overlap": q_events_interval_overlap,
     "emb_kcenter": q_emb_kcenter,
+    "events_entropy_rate": q_events_entropy_rate,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9159,6 +9192,41 @@ ORACLE_SQL = {
         FROM p GROUP BY hour ORDER BY hour
     """,
     "emb_kcenter": _kcenter_oracle_sql(),
+    "events_entropy_rate": """
+        -- entropy rate of the per-user first-order behavior chain:
+        -- H = −Σ_i π(i) Σ_j p(j|i)·ln p(j|i) with π the empirical
+        -- prev-state marginal; transition counts re-derived from raw
+        -- rows via the lag() mirror of the engine's sort+seam pass.
+        -- O(1) states → round-6 double summation is ULP-safe.
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        tr AS (
+            SELECT prev AS prev_state, event_type AS next_state,
+                   count(*)::BIGINT AS n_trans
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT prev_state, sum(n_trans)::BIGINT AS n_i
+            FROM tr GROUP BY prev_state
+        ),
+        hi AS (
+            SELECT t.prev_state, p.n_i,
+                   sum((t.n_trans::DOUBLE / p.n_i)
+                       * ln(t.n_trans::DOUBLE / p.n_i)) AS h_i
+            FROM tr t JOIN per p USING (prev_state)
+            GROUP BY t.prev_state, p.n_i
+        ),
+        tot AS (SELECT sum(n_i)::BIGINT AS total FROM per)
+        SELECT (SELECT total FROM tot) AS n_transitions,
+               count(*)::BIGINT AS n_states,
+               round(-sum((h.n_i::DOUBLE / (SELECT total FROM tot))
+                          * h.h_i), 6) AS entropy_rate_nats
+        FROM hi h
+    """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
         -- integer sufficient statistics over lag() pairs, then the
