@@ -93,7 +93,23 @@ def run_bench() -> dict:
         from ocracle_ray.stages.dedup import minhash_lsh_pairs
 
         REPL = int(os.environ.get("GRAFT_DEDUP_REPL", "16"))
-        assert REPL <= 68, "replica shifts repeat past the 68-char alphabet"
+        # past 68 replicas the pure rotation scheme would repeat, so
+        # higher replicas COMPOSE a seeded Fisher-Yates permutation
+        # (keyed by r // 68) with the rotation by r % 68. Any bijection
+        # of this whitespace-free alphabet preserves tokenization and
+        # shingle EQUALITY exactly (normalize_for_fingerprint is only
+        # lower + whitespace collapse; the alphabet is lowercase-closed
+        # and space maps to itself), so within-replica near-dup
+        # structure is byte-for-byte isomorphic to the base corpus for
+        # EVERY replica. Cross-replica identity would need the relative
+        # permutation between two replicas to fix every char of >=80%
+        # of a doc's shingles — rotations pairwise fix NOTHING, and the
+        # seeded permutations make it astronomically unlikely; rather
+        # than argue, the x2 warm run's pair count feeds an EXACT
+        # linearity assert below (pairs_full * 2 == REPL * pairs_warm),
+        # which any cross-replica contamination or structure change
+        # breaks loudly.
+        assert REPL <= 68 * 68, "replica maps repeat past 68*68"
         base = _pq.read_table(
             os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
         )
@@ -103,17 +119,44 @@ def run_bench() -> dict:
         base_texts = [t.lower() for t in base["text"].to_pylist()]
         alphabet = [c for c in range(33, 127) if not (65 <= c <= 90)]
 
-        def replica(r: int) -> "_pa.Table":
+        def _fy_perm(q: int) -> list[int]:
+            # deterministic Fisher-Yates over the alphabet, keyed by q
+            # via blake2b (no Python hash salt, no RNG state)
+            import hashlib
+
+            idx = list(range(len(alphabet)))
+            for i in range(len(idx) - 1, 0, -1):
+                h = hashlib.blake2b(
+                    f"ocracle-dedup-repl-{q}-{i}".encode(), digest_size=8
+                ).digest()
+                j = int.from_bytes(h, "big") % (i + 1)
+                idx[i], idx[j] = idx[j], idx[i]
+            return idx
+
+        def replica(r: int, seen: set) -> "_pa.Table":
             ids = _pa.array([x + r * 100_000_000 for x in base_ids], _pa.int64())
             if r == 0:
                 texts = base_texts
             else:
                 n = len(alphabet)
-                rot = {c: alphabet[(i + r) % n] for i, c in enumerate(alphabet)}
-                texts = [t.translate(rot) for t in base_texts]
+                s, q = r % n, r // n
+                perm = _fy_perm(q) if q else list(range(n))
+                tbl = {
+                    c: alphabet[(perm[i] + s) % n]
+                    for i, c in enumerate(alphabet)
+                }
+                key = tuple(sorted(tbl.items()))
+                assert key not in seen, f"replica map repeats at r={r}"
+                seen.add(key)
+                texts = [t.translate(tbl) for t in base_texts]
             return _pa.table({"doc_id": ids, "text": _pa.array(texts, _pa.string())})
 
-        corpus = _pa.concat_tables([replica(r) for r in range(REPL)])
+        def build_corpus(n_repl: int) -> "_pa.Table":
+            seen: set = set()
+            return _pa.concat_tables(
+                [replica(r, seen) for r in range(n_repl)])
+
+        corpus = build_corpus(REPL)
 
         # verify dispatch: "auto" (default) is the PRODUCT path — since
         # round 4 the gather lane scores pairs DISTRIBUTED over
@@ -146,12 +189,19 @@ def run_bench() -> dict:
                 ds, "doc_id", "text", threshold=0.8, verify_mode=verify_mode
             )
 
-        run_once(prep(_pa.concat_tables(
-            [replica(r) for r in range(min(REPL, 2))])))  # warm
+        warm_repl = min(REPL, 2)
+        warm_pairs = run_once(prep(build_corpus(warm_repl)))  # warm
         corpus_ds = prep(corpus)
         t0 = time.perf_counter()
         pairs = run_once(corpus_ds)
         results["docs_minhash_neardup"] = round(time.perf_counter() - t0, 3)
+        # EXACT pair-volume linearity vs the x2 warm corpus: any
+        # cross-replica contamination or per-replica structure drift
+        # from the substitution scheme fails loudly here
+        assert len(pairs) * warm_repl == REPL * len(warm_pairs), (
+            f"dedup workload not linear: {len(pairs)} pairs at x{REPL} "
+            f"vs {len(warm_pairs)} at x{warm_repl}"
+        )
         # deterministic order-free checksum (builtin hash() is
         # PYTHONHASHSEED-randomized across the fresh processes)
         chk = 0
