@@ -195,12 +195,21 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         pairs = run_once(corpus_ds)
         results["docs_minhash_neardup"] = round(time.perf_counter() - t0, 3)
-        # EXACT pair-volume linearity vs the x2 warm corpus: any
-        # cross-replica contamination or per-replica structure drift
-        # from the substitution scheme fails loudly here
-        assert len(pairs) * warm_repl == REPL * len(warm_pairs), (
+        # pair-volume linearity vs the x2 warm corpus: cross-replica
+        # contamination (quadratic blowup) or structure drift fails
+        # loudly here. NOT exact — each replica's substitution changes
+        # shingle BYTES, so its 128 minhash draws are independent and
+        # LSH banding misses each borderline-jaccard pair with a small
+        # per-replica probability (measured ~1.7e-4 at sf0.1: 65525 of
+        # 65536 at x256; exact verify can't recover a never-banded
+        # candidate). Same-corpus determinism stays EXACT and is
+        # asserted across CPU levels by --scaling's checksum compare;
+        # here only sub-0.1%-and-downward deviation is tolerated.
+        expected = REPL * len(warm_pairs) // warm_repl
+        deviation = expected - len(pairs)
+        assert 0 <= deviation <= max(16, expected // 1000), (
             f"dedup workload not linear: {len(pairs)} pairs at x{REPL} "
-            f"vs {len(warm_pairs)} at x{warm_repl}"
+            f"vs {len(warm_pairs)} at x{warm_repl} (expected {expected})"
         )
         # deterministic order-free checksum (builtin hash() is
         # PYTHONHASHSEED-randomized across the fresh processes)
@@ -217,6 +226,7 @@ def run_bench() -> dict:
             "sf": sf,
             "num_cpus": NUM_CPUS,
             "dedup_pairs": int(len(pairs)),
+            "dedup_pairs_expected_linear": int(expected),
             "dedup_docs": REPL * len(base_ids),
             "dedup_repl": REPL,
             "dedup_checksum": chk,
