@@ -5591,11 +5591,431 @@ def q_events_entropy_rate(sf_dir: str):
             p = float(int(n_ij)) / float(n_i)
             h_i += p * math.log(p)
         h -= (float(n_i) / float(total)) * h_i
+    from ..core.textstats import round_half_away
+
     return pd.DataFrame([{
         "n_transitions": total,
         "n_states": int(tm["prev_state"].nunique()),
-        "entropy_rate_nats": round(h, 6),
+        "entropy_rate_nats": float(round_half_away(h, 6)),
     }])
+
+
+ZORDER_N_FILES = 16
+ZORDER_PROBE_UB = 7
+
+
+def q_events_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data layout vs time-linear layout — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` storage op, measured by the
+    zone-map statistics it exists to improve: rows get a 16-bit Morton
+    code interleaving user-bucket (user_id % 256) and hour-bucket
+    (epoch_us//3600e6 % 256) bits, are ranked in each layout's total
+    order by the distributed prefix-scan primitive (one sort +
+    O(blocks) carry — no driver rank loop), split into 16 equal files,
+    and each file reports min/max zone maps for BOTH dimensions plus
+    whether a point probe on user-bucket 7 must scan it. The z-order
+    layout prunes files the time-sorted layout cannot — that delta is
+    the query's point. Exact integer arithmetic throughout; file
+    assignment ``(rank-1)*F // n`` mirrored verbatim in SQL."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages.prefix import global_prefix_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ub = (t["user_id"].to_numpy(zero_copy_only=False)
+              .astype(np.int64) % 256)
+        tb = (us // 3_600_000_000) % 256
+        z = np.zeros(len(ub), np.int64)
+        for i in range(8):
+            z |= ((ub >> i) & 1) << (2 * i)
+            z |= ((tb >> i) & 1) << (2 * i + 1)
+        return pa.table({
+            "event_id": t["event_id"], "us": pa.array(us, pa.int64()),
+            "ub": pa.array(ub, pa.int64()), "tb": pa.array(tb, pa.int64()),
+            "zv": pa.array(z, pa.int64()),
+            "one": pa.array(np.ones(len(ub), np.int64)),
+        })
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
+
+    def layout_stats(order_cols) -> pd.DataFrame:
+        ranked, total = global_prefix_sum(
+            keyed, order_cols=order_cols, val_col="one", out_col="rk")
+
+        def add_file(t: pa.Table) -> pa.Table:
+            rk = t["rk"].to_numpy(zero_copy_only=False)
+            f = (rk - 1) * ZORDER_N_FILES // total
+            return t.append_column("file", pa.array(f, pa.int64()))
+
+        return (
+            ranked.map_batches(add_file, batch_format="pyarrow")
+            .groupby("file")
+            .aggregate(Count(alias_name="n_rows"),
+                       Min("ub", alias_name="ub_min"),
+                       Max("ub", alias_name="ub_max"),
+                       Min("tb", alias_name="tb_min"),
+                       Max("tb", alias_name="tb_max"))
+            .to_pandas()
+        )
+
+    zo = layout_stats([("zv", "ascending"), ("us", "ascending"),
+                       ("event_id", "ascending")])
+    zo.insert(0, "layout", "zorder")
+    li = layout_stats([("tb", "ascending"), ("us", "ascending"),
+                       ("event_id", "ascending")])
+    li.insert(0, "layout", "linear")
+    out = pd.concat([li, zo], ignore_index=True)
+    out["scan_ub7"] = ((out["ub_min"] <= ZORDER_PROBE_UB)
+                       & (out["ub_max"] >= ZORDER_PROBE_UB))
+    for c in ("file", "n_rows", "ub_min", "ub_max", "tb_min", "tb_max"):
+        out[c] = out[c].astype("int64")
+    return (out[["layout", "file", "n_rows", "ub_min", "ub_max",
+                 "tb_min", "tb_max", "scan_ub7"]]
+            .sort_values(["layout", "file"]).reset_index(drop=True))
+
+
+LPA_ROUNDS = 2
+
+
+def q_emb_label_propagation(sf_dir: str):
+    """Semi-supervised label propagation (Zhu/Ghahramani; the
+    community-detection LPA with seed clamping) over the cosine ≥ 0.3
+    similarity graph: every 5th vector keeps its true label as a seed,
+    everything else starts unlabeled; two SYNCHRONOUS rounds where
+    each non-seed takes the mode of its neighbors' current labels
+    (unlabeled neighbors abstain, ties break to the smallest label,
+    no labeled neighbor ⇒ stays −1). Edges come from the shared
+    `_emb_threshold_edges` distributed builder (broadcast matmul per
+    batch, loud-guarded fold — at 100 TB the rounds become the
+    groupby-mode form over an LSH-derived edge Dataset). Rounds are
+    numpy run-length modes over the guarded edge arrays; the oracle
+    unrolls both rounds relationally."""
+    a, b = _emb_threshold_edges(sf_dir)
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "label"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    vids = emb["vec_id"].to_numpy(np.int64)
+    labs = emb["label"].to_numpy(np.int64)
+    seed = (vids % 5) == 0
+    cur = _lpa_propagate(vids, np.where(seed, labs, np.int64(-1)),
+                         seed, a, b, LPA_ROUNDS)
+    lab_u, lab_n = np.unique(cur, return_counts=True)
+    return pd.DataFrame({"label": lab_u.astype("int64"),
+                         "n_nodes": lab_n.astype("int64")})
+
+
+def _lpa_propagate(vids, init_labels, seed_mask, a, b,
+                   rounds: int) -> np.ndarray:
+    """Synchronous seed-clamped LPA rounds over undirected edges
+    (a, b) between the sorted-unique node ids ``vids``: each round a
+    non-seed takes the mode of its neighbors' current labels
+    (unlabeled −1 neighbors abstain, ties break to the smallest
+    label, no labeled neighbor ⇒ −1). Factored out so engineered
+    tie/chain fixtures can pin the vote semantics directly."""
+    n = len(vids)
+    cur = np.asarray(init_labels, np.int64).copy()
+    seed = np.asarray(seed_mask, bool)
+    si = np.concatenate([np.searchsorted(vids, a),
+                         np.searchsorted(vids, b)])
+    ti = np.concatenate([np.searchsorted(vids, b),
+                         np.searchsorted(vids, a)])
+    for _ in range(rounds):
+        sl = cur[si]
+        m = sl != -1
+        tt, ll = ti[m], sl[m]
+        upd = np.full(n, -1, np.int64)
+        if len(tt):
+            o = np.lexsort((ll, tt))
+            tt, ll = tt[o], ll[o]
+            run = np.ones(len(tt), bool)
+            run[1:] = (tt[1:] != tt[:-1]) | (ll[1:] != ll[:-1])
+            starts = np.flatnonzero(run)
+            counts = np.diff(np.append(starts, len(tt)))
+            rt, rl = tt[starts], ll[starts]
+            o2 = np.lexsort((rl, -counts, rt))
+            rt2, rl2 = rt[o2], rl[o2]
+            first = np.ones(len(rt2), bool)
+            first[1:] = rt2[1:] != rt2[:-1]
+            upd[rt2[first]] = rl2[first]
+        nxt = cur.copy()
+        nxt[~seed] = upd[~seed]
+        cur = nxt
+    return cur
+
+
+ZIPF_TOP_K = 100
+
+
+def _batch_bigram_rows(t: pa.Table) -> tuple:
+    """(grams, doc_ids) Arrow arrays of consecutive-token bigrams per
+    document — stages/bm25.py tokenization, gram key joined with \\x01
+    (the stages/substring_dedup.py key idiom). Bigrams, not unigrams:
+    this corpus's unigram vocabulary is 31 tokens (the
+    docs_greedy_cover finding), which saturates any vocabulary curve
+    instantly."""
+    texts = t["text"].combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), r"[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat, parents = flat.filter(mask), parents.filter(mask)
+    m = len(flat)
+    if m < 2:
+        return (pa.array([], pa.string()), pa.array([], pa.int64()))
+    a, b = flat.slice(0, m - 1), flat.slice(1)
+    same = pc.equal(parents.slice(0, m - 1), parents.slice(1))
+    grams = pc.binary_join_element_wise(a, b, "\x01").filter(same)
+    rows = parents.slice(0, m - 1).filter(same)
+    dids = t["doc_id"].combine_chunks().take(rows)
+    return (grams, dids.cast(pa.int64()))
+
+
+def q_docs_zipf_slope(sf_dir: str):
+    """Zipf's-law exponent of the corpus BIGRAM distribution: OLS
+    slope of ln(freq) on ln(rank) over the top-100 bigrams — the
+    vocabulary health probe a tokenizer-training pass runs (natural
+    text ≈ −1; templated/spam corpora flatten). Bigrams because the
+    synthetic corpus's unigram vocabulary is 31 tokens (the
+    docs_greedy_cover precedent). Counts via the per-batch Arrow
+    group_by combiner → one distributed groupby(gram).sum (the only
+    exchange; shuffle volume is distinct-grams-per-batch), then the
+    established per-batch top-k candidate fold; the 100-point
+    regression happens once on the driver with the identical closed
+    form in SQL. Tokenization is stages/bm25.py TOKEN_SPLIT_RE,
+    shared verbatim with the oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..core.textstats import round_half_away
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_counts(t: pa.Table) -> pa.Table:
+        grams, _ = _batch_bigram_rows(t)
+        g = pa.table({"gram": grams}).group_by("gram").aggregate(
+            [("gram", "count")])
+        return pa.table({"gram": g["gram"],
+                         "n": g["gram_count"].cast(pa.int64())})
+
+    counts = (ds.map_batches(gram_counts, batch_format="pyarrow")
+              .groupby("gram").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    n_distinct = counts.count()
+    cand = (counts.map_batches(
+        lambda t: _topk_batch(t, [("n", "descending"),
+                                  ("gram", "ascending")], ZIPF_TOP_K),
+        batch_format="pyarrow").to_pandas())
+    top = (cand.sort_values(["n", "gram"], ascending=[False, True])
+           .head(ZIPF_TOP_K).reset_index(drop=True))
+    k = float(len(top))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    slope = ((k * float((x * y).sum()) - float(x.sum()) * float(y.sum()))
+             / (k * float((x * x).sum()) - float(x.sum()) ** 2))
+    return pd.DataFrame([{
+        "n_distinct_bigrams": int(n_distinct),
+        "top_k": int(len(top)),
+        "zipf_slope": float(round_half_away(slope, 6)),
+    }])
+
+
+HEAPS_CUTS = (20, 40, 60, 80, 100)
+
+
+def q_docs_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct-BIGRAM count after the
+    first 20/40/60/80/100 % of documents (by doc_id order) — the
+    "is my corpus still adding vocabulary?" curve a data-mixing pass
+    reads before adding another shard (bigrams per the
+    docs_greedy_cover finding: the unigram vocabulary saturates at 31
+    tokens). ONE exchange: per-batch (gram, min doc_id) Arrow
+    combiner → groupby(gram).min — a gram's first document decides
+    every cut it counts toward — then a 5-counter per-batch fold (no
+    gram list ever reaches the driver). Cut thresholds are exact
+    order statistics of the distinct doc_id set (k = n·pct//100-th
+    smallest; the doc_id pull is the one driver fold, loud-guarded —
+    the quantile stage is the 100 TB form)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    doc_ids = np.unique(_read(sf_dir, "documents", ["doc_id"])
+                        .to_pandas()["doc_id"].to_numpy(np.int64))
+    if len(doc_ids) > 10_000_000:
+        raise RuntimeError(
+            "heaps_law: distinct doc_id pull exceeds 10M — compute the "
+            "cut thresholds with stages/quantile.py instead")
+    n = len(doc_ids)
+    cuts = [(p, int(n * p) // 100) for p in HEAPS_CUTS]
+    thrs = np.array([doc_ids[k - 1] for _, k in cuts], np.int64)
+
+    def gram_first(t: pa.Table) -> pa.Table:
+        grams, dids = _batch_bigram_rows(t)
+        g = (pa.table({"gram": grams, "doc_id": dids})
+             .group_by("gram").aggregate([("doc_id", "min")]))
+        return pa.table({"gram": g["gram"],
+                         "first_doc": g["doc_id_min"].cast(pa.int64())})
+
+    first = (ds.map_batches(gram_first, batch_format="pyarrow")
+             .groupby("gram").aggregate(Min("first_doc",
+                                            alias_name="first_doc")))
+
+    def cut_counts(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ci": pa.array(np.arange(len(thrs)), pa.int64()),
+            "v": pa.array([(fd <= th).sum() for th in thrs], pa.int64()),
+        })
+
+    vocab = np.zeros(len(thrs), np.int64)
+    for blk in (first.map_batches(cut_counts, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow", batch_size=None)):
+        np.add.at(vocab, blk["ci"].to_numpy(zero_copy_only=False),
+                  blk["v"].to_numpy(zero_copy_only=False))
+    return pd.DataFrame({
+        "cut_pct": pd.array([p for p, _ in cuts], "int64"),
+        "n_docs_cut": pd.array([k for _, k in cuts], "int64"),
+        "vocab_size": pd.array(vocab, "int64"),
+    })
+
+
+RRF_K = 60
+RRF_LEG_K = 20
+RRF_N_BUCKETS = 64
+
+
+def _rrf_bucket(tok: str) -> int:
+    """Feature-hash bucket: 60-bit md5 prefix mod 64 — the
+    stages/simjoin.py md5 idiom, mirrored in SQL as
+    ``('0x' || substr(md5(tok), 1, 15))::BIGINT % 64``."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15],
+               16) % RRF_N_BUCKETS
+
+
+def q_docs_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009 — the BM25 ⊕ dense fusion every modern RAG/retrieval stack
+    runs): the lexical leg is the existing BM25 two-pass streaming
+    ranker (top-20), the dense leg is a 64-bucket hashed-TF cosine
+    against the query's hashed vector (one streaming pass: per-batch
+    dictionary-encode → md5-bucket the DISTINCT tokens only → bincount
+    weights → integer dot/v² partials, per-batch top-k candidates),
+    and RRF = Σ 1/(60+rank) over the legs a doc appears in. Cosine is
+    round-6 BEFORE ranking on both sides (the ULP-immunity rule);
+    dot/v²/q² are exact int64 so only the final division is float.
+    No shuffle anywhere — two passes over a materialized input plus
+    driver fusion of ≤40 rows."""
+    from ..core.textstats import round_half_away
+    from ..stages.bm25 import bm25_topk, corpus_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    stats = corpus_stats(ds, BM25_TERMS)
+    lex = bm25_topk(ds, BM25_TERMS, stats, k=RRF_LEG_K)
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+
+    qv = np.zeros(RRF_N_BUCKETS, np.int64)
+    for term in BM25_TERMS:
+        qv[_rrf_bucket(term)] += 1
+    q2 = int((qv * qv).sum())
+
+    def dense_partials(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                      r"[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat, parents = flat.filter(mask), parents.filter(mask)
+        dd = flat.dictionary_encode()
+        vocab = dd.dictionary.to_pylist()
+        n = len(texts)
+        if vocab:
+            bks = np.array([_rrf_bucket(v) for v in vocab], np.int64)
+            bkt = bks[dd.indices.to_numpy(zero_copy_only=False)]
+            p = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+            w = np.bincount(p * RRF_N_BUCKETS + bkt,
+                            minlength=n * RRF_N_BUCKETS
+                            ).reshape(n, RRF_N_BUCKETS)
+        else:
+            w = np.zeros((n, RRF_N_BUCKETS), np.int64)
+        dot = (w * qv).sum(1)
+        v2 = (w * w).sum(1)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = dot > 0
+        cos = round_half_away(
+            dot[keep] / np.sqrt((v2[keep] * q2).astype(np.float64)), 6)
+        out = pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                        "cos": pa.array(cos, pa.float64())})
+        return _topk_batch(out, [("cos", "descending"),
+                                 ("doc_id", "ascending")], RRF_LEG_K)
+
+    dense = (ds.map_batches(dense_partials, batch_format="pyarrow")
+             .to_pandas()
+             .sort_values(["cos", "doc_id"], ascending=[False, True])
+             .head(RRF_LEG_K).reset_index(drop=True))
+    dense_rank = {int(d): i + 1 for i, d in enumerate(dense["doc_id"])}
+
+    rows = []
+    for d in sorted(set(lex_rank) | set(dense_rank)):
+        rb = lex_rank.get(d, 0)
+        rd = dense_rank.get(d, 0)
+        rrf = ((1.0 / (RRF_K + rb) if rb else 0.0)
+               + (1.0 / (RRF_K + rd) if rd else 0.0))
+        rows.append((d, rb, rd, rrf))
+    out = pd.DataFrame(rows, columns=["doc_id", "bm25_rank",
+                                      "dense_rank", "rrf_score"])
+    out = (out.sort_values(["rrf_score", "doc_id"],
+                           ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    out["rrf_score"] = round_half_away(out["rrf_score"].to_numpy(), 6)
+    for c in ("doc_id", "bm25_rank", "dense_rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _zorder_oracle_sql() -> str:
+    """Generated mirror of q_events_zorder_layout: the 16-bit Morton
+    interleave is emitted as an explicit fully-parenthesized bit
+    expression (the kmeans/kcenter generated-SQL precedent); rank →
+    file uses the identical (rn-1)*F // n integer rule."""
+    bits = " | ".join(
+        f"((((ub >> {i}) & 1) << {2 * i}) | "
+        f"(((tb >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(8))
+    return f"""
+        -- z-order vs time-linear layout zone maps; Morton interleave
+        -- generated bit-by-bit; file = (rank-1)*{ZORDER_N_FILES} // n
+        WITH base AS (
+            SELECT event_id, epoch_us(ts) AS us,
+                   user_id % 256 AS ub,
+                   (epoch_us(ts) // 3600000000) % 256 AS tb
+            FROM events
+        ),
+        z AS (SELECT *, ({bits}) AS zv FROM base),
+        n AS (SELECT count(*)::BIGINT AS c FROM base),
+        zr AS (SELECT ub, tb,
+                      ((row_number() OVER (ORDER BY zv, us, event_id)
+                        - 1) * {ZORDER_N_FILES}) // (SELECT c FROM n)
+                        AS file
+               FROM z),
+        lr AS (SELECT ub, tb,
+                      ((row_number() OVER (ORDER BY tb, us, event_id)
+                        - 1) * {ZORDER_N_FILES}) // (SELECT c FROM n)
+                        AS file
+               FROM z),
+        u AS (SELECT 'zorder' AS layout, * FROM zr
+              UNION ALL SELECT 'linear', * FROM lr)
+        SELECT layout, CAST(file AS BIGINT) AS file,
+               count(*)::BIGINT AS n_rows,
+               min(ub)::BIGINT AS ub_min, max(ub)::BIGINT AS ub_max,
+               min(tb)::BIGINT AS tb_min, max(tb)::BIGINT AS tb_max,
+               (min(ub) <= {ZORDER_PROBE_UB}
+                AND max(ub) >= {ZORDER_PROBE_UB}) AS scan_ub7
+        FROM u GROUP BY layout, file ORDER BY layout, file
+    """
 
 
 def _kcenter_oracle_sql() -> str:
@@ -5770,6 +6190,11 @@ QUERIES = {
     "events_interval_overlap": q_events_interval_overlap,
     "emb_kcenter": q_emb_kcenter,
     "events_entropy_rate": q_events_entropy_rate,
+    "events_zorder_layout": q_events_zorder_layout,
+    "emb_label_propagation": q_emb_label_propagation,
+    "docs_zipf_slope": q_docs_zipf_slope,
+    "docs_heaps_law": q_docs_heaps_law,
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9192,6 +9617,212 @@ ORACLE_SQL = {
         FROM p GROUP BY hour ORDER BY hour
     """,
     "emb_kcenter": _kcenter_oracle_sql(),
+    "events_zorder_layout": _zorder_oracle_sql(),
+    "emb_label_propagation": """
+        -- 2-round seed-clamped synchronous LPA over the cosine >= 0.3
+        -- graph, unrolled relationally; vote = mode of labeled
+        -- neighbors' current labels, tie -> smallest label, no labeled
+        -- neighbor -> -1; seeds (vec_id % 5 = 0) never change
+        WITH e AS (
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1
+            JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(e1.embedding AS DOUBLE[]),
+                      CAST(e2.embedding AS DOUBLE[])), 6) >= 0.3
+        ),
+        u AS (SELECT a AS s, b AS t FROM e
+              UNION ALL SELECT b, a FROM e),
+        l0 AS (SELECT vec_id AS v,
+                      CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT)
+                           ELSE -1 END AS lab,
+                      (vec_id % 5 = 0) AS seed
+               FROM embeddings),
+        v1 AS (SELECT u.t, l0.lab, count(*)::BIGINT AS c
+               FROM u JOIN l0 ON u.s = l0.v
+               WHERE l0.lab <> -1 GROUP BY u.t, l0.lab),
+        w1 AS (SELECT t, lab FROM (
+                 SELECT t, lab, row_number() OVER (
+                     PARTITION BY t ORDER BY c DESC, lab) AS rn FROM v1)
+               WHERE rn = 1),
+        l1 AS (SELECT l0.v,
+                      CASE WHEN l0.seed THEN l0.lab
+                           ELSE coalesce(w1.lab, -1) END AS lab,
+                      l0.seed
+               FROM l0 LEFT JOIN w1 ON l0.v = w1.t),
+        v2 AS (SELECT u.t, l1.lab, count(*)::BIGINT AS c
+               FROM u JOIN l1 ON u.s = l1.v
+               WHERE l1.lab <> -1 GROUP BY u.t, l1.lab),
+        w2 AS (SELECT t, lab FROM (
+                 SELECT t, lab, row_number() OVER (
+                     PARTITION BY t ORDER BY c DESC, lab) AS rn FROM v2)
+               WHERE rn = 1),
+        l2 AS (SELECT l1.v,
+                      CASE WHEN l1.seed THEN l1.lab
+                           ELSE coalesce(w2.lab, -1) END AS lab
+               FROM l1 LEFT JOIN w2 ON l1.v = w2.t)
+        SELECT lab AS label, count(*)::BIGINT AS n_nodes
+        FROM l2 GROUP BY lab ORDER BY lab
+    """,
+    "docs_zipf_slope": """
+        -- Zipf exponent: OLS slope of ln(freq) on ln(rank) over the
+        -- top-100 BIGRAMS (freq DESC, gram ASC); tokens are the
+        -- stages/bm25.py lowercase [a-z0-9]+ rule, gram key = prev ||
+        -- chr(1) || tok (the substring_dedup idiom), shared verbatim
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        grams AS (
+            SELECT prev || chr(1) || tok AS gram FROM (
+                SELECT tok, lag(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS prev
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        c AS (SELECT gram, count(*)::BIGINT AS n
+              FROM grams GROUP BY gram),
+        top AS (SELECT n, row_number() OVER (ORDER BY n DESC, gram)
+                  AS rk
+                FROM c ORDER BY n DESC, gram LIMIT 100),
+        s AS (SELECT count(*)::BIGINT AS k,
+                     sum(ln(rk)) AS sx, sum(ln(n)) AS sy,
+                     sum(ln(rk) * ln(n)) AS sxy,
+                     sum(ln(rk) * ln(rk)) AS sxx
+              FROM top)
+        SELECT (SELECT count(*) FROM c)::BIGINT AS n_distinct_bigrams,
+               k AS top_k,
+               round((k::DOUBLE * sxy - sx * sy)
+                     / (k::DOUBLE * sxx - sx * sx), 6) AS zipf_slope
+        FROM s
+    """,
+    "docs_heaps_law": """
+        -- Heaps'-law vocabulary growth: distinct BIGRAMS among the
+        -- first n*pct//100 documents by doc_id order; a gram counts
+        -- toward every cut at or past its first document
+        WITH docs AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        grams AS (
+            SELECT doc_id, prev || chr(1) || tok AS gram FROM (
+                SELECT doc_id, tok,
+                       lag(tok) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS prev
+                FROM toks)
+            WHERE prev IS NOT NULL
+        ),
+        f AS (SELECT gram, min(doc_id) AS fd FROM grams GROUP BY gram),
+        d AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+              FROM (SELECT DISTINCT doc_id FROM documents)),
+        n AS (SELECT count(*)::BIGINT AS nd FROM d),
+        cuts AS (SELECT * FROM (VALUES (20), (40), (60), (80), (100))
+                 AS v(p)),
+        thr AS (SELECT c.p, (c.p * n.nd) // 100 AS k
+                FROM cuts c CROSS JOIN n),
+        t2 AS (SELECT p, k,
+                      (SELECT max(doc_id) FROM d WHERE d.rn <= thr.k)
+                        AS th
+               FROM thr)
+        SELECT CAST(p AS BIGINT) AS cut_pct,
+               CAST(k AS BIGINT) AS n_docs_cut,
+               (SELECT count(*) FROM f
+                WHERE f.fd <= t2.th)::BIGINT AS vocab_size
+        FROM t2 ORDER BY p
+    """,
+    "docs_hybrid_rrf": """
+        -- reciprocal-rank fusion of BM25 top-20 and 64-bucket
+        -- hashed-TF cosine top-20; bucket = 60-bit md5 prefix % 64
+        -- (the simjoin idiom); cosine round-6 BEFORE ranking on both
+        -- sides; rrf = sum of 1/(60+rank) over present legs, rank 0
+        -- recorded when a doc misses a leg
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+               FROM tok2 GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                     / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        terms AS (SELECT * FROM (VALUES ('dup'), ('vector'), ('merge'),
+                                        ('window')) t(term)),
+        tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+               FROM tok2 WHERE tok IN (SELECT term FROM terms)
+               GROUP BY doc_id, tok),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) )
+                     AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        ),
+        brank AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rnk
+                  FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+        dv AS (SELECT doc_id,
+                      ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+                      count(*)::BIGINT AS w
+               FROM tok2 GROUP BY doc_id, b),
+        qv AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT % 64
+                        AS b,
+                      count(*)::BIGINT AS w
+               FROM terms GROUP BY 1),
+        dots AS (SELECT dv.doc_id, sum(dv.w * qv.w)::BIGINT AS dot
+                 FROM dv JOIN qv USING (b) GROUP BY dv.doc_id),
+        vnorm AS (SELECT doc_id, sum(w * w)::BIGINT AS v2
+                  FROM dv GROUP BY doc_id),
+        qnorm AS (SELECT sum(w * w)::BIGINT AS q2 FROM qv),
+        dcos AS (SELECT d.doc_id,
+                        round(d.dot::DOUBLE
+                              / sqrt((v.v2 * (SELECT q2 FROM qnorm))
+                                     ::DOUBLE), 6) AS cos
+                 FROM dots d JOIN vnorm v USING (doc_id)
+                 WHERE d.dot > 0),
+        drank AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY cos DESC, doc_id)
+                           AS rnk
+                  FROM dcos ORDER BY cos DESC, doc_id LIMIT 20),
+        fused AS (
+            SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                   coalesce(b.rnk, 0) AS bm25_rank,
+                   coalesce(d.rnk, 0) AS dense_rank,
+                   coalesce(1.0 / (60 + b.rnk), 0)
+                     + coalesce(1.0 / (60 + d.rnk), 0) AS rrf
+            FROM brank b FULL OUTER JOIN drank d
+              ON b.doc_id = d.doc_id
+        )
+        SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(dense_rank AS BIGINT) AS dense_rank,
+               round(rrf, 6) AS rrf_score
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
     "events_entropy_rate": """
         -- entropy rate of the per-user first-order behavior chain:
         -- H = −Σ_i π(i) Σ_j p(j|i)·ln p(j|i) with π the empirical
