@@ -5880,6 +5880,47 @@ def q_docs_heaps_law(sf_dir: str):
     })
 
 
+def q_events_value_auc(sf_dir: str):
+    """Exact tie-aware ROC-AUC (Mann-Whitney U) of spend value as a
+    purchase-vs-click classifier — the ranking-metric readout a
+    quality-scoring pass gets before its threshold is trusted. The
+    midrank/trapezoid form over the value HISTOGRAM: AUC·2PN =
+    Σ_c pos_c·(2·neg_below_c + neg_c), every term integer — the same
+    bounded-cents-domain combiner pass as the quantile/mode family
+    (unbounded domain → the two-pass histogram refinement), cumsum +
+    fold on the driver in PYTHON ints (the EMD precedent: the
+    products overflow int64 at 100 TB), ONE floor division to ppm.
+    Ties contribute exactly ½ via the 2× scaling — no float
+    anywhere."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["purchase", "click"])))
+        c = np.rint(f["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        pos = pc.equal(f["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"c": pa.array(c), "p": pa.array(pos),
+                         "g": pa.array(1 - pos)})
+
+    h = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c"], {"np": ("p", "sum"), "nn": ("g", "sum")},
+    ).sort_values("c").reset_index(drop=True)
+    npos = int(h["np"].sum())
+    nneg = int(h["nn"].sum())
+    num2 = 0
+    neg_below = 0
+    for p_c, n_c in zip(h["np"], h["nn"]):
+        num2 += int(p_c) * (2 * neg_below + int(n_c))
+        neg_below += int(n_c)
+    return pd.DataFrame([{
+        "n_pos": npos, "n_neg": nneg,
+        "auc_ppm": num2 * 1_000_000 // (2 * npos * nneg),
+    }]).astype("int64")
+
+
 RRF_K = 60
 RRF_LEG_K = 20
 RRF_N_BUCKETS = 64
@@ -6195,6 +6236,7 @@ QUERIES = {
     "docs_zipf_slope": q_docs_zipf_slope,
     "docs_heaps_law": q_docs_heaps_law,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
+    "events_value_auc": q_events_value_auc,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9745,6 +9787,32 @@ ORACLE_SQL = {
                (SELECT count(*) FROM f
                 WHERE f.fd <= t2.th)::BIGINT AS vocab_size
         FROM t2 ORDER BY p
+    """,
+    "events_value_auc": """
+        -- exact tie-aware ROC-AUC via the histogram Mann-Whitney
+        -- form: AUC·2PN = Σ_c pos_c·(2·neg_below + neg_c), HUGEINT
+        -- throughout, one floor division to ppm
+        WITH p AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        h AS (SELECT c, sum(pos)::BIGINT AS np,
+                     (count(*) - sum(pos))::BIGINT AS nn
+              FROM p GROUP BY c),
+        s AS (SELECT c, np, nn,
+                     coalesce(sum(nn) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS nlt
+              FROM h),
+        t AS (SELECT sum(np)::BIGINT AS p_tot, sum(nn)::BIGINT AS n_tot,
+                     sum(np * (2 * nlt + nn)) AS num2
+              FROM s)
+        SELECT p_tot AS n_pos, n_tot AS n_neg,
+               CAST((num2 * 1000000) // (2 * p_tot * n_tot) AS BIGINT)
+                 AS auc_ppm
+        FROM t
     """,
     "docs_hybrid_rrf": """
         -- reciprocal-rank fusion of BM25 top-20 and 64-bucket
