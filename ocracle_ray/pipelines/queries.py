@@ -5908,17 +5908,26 @@ def q_events_value_auc(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"),
         ["c"], {"np": ("p", "sum"), "nn": ("g", "sum")},
     ).sort_values("c").reset_index(drop=True)
-    npos = int(h["np"].sum())
-    nneg = int(h["nn"].sum())
+    npos, nneg, auc_ppm = _auc_ppm_from_hist(h["np"], h["nn"])
+    return pd.DataFrame([{
+        "n_pos": npos, "n_neg": nneg, "auc_ppm": auc_ppm,
+    }]).astype("int64")
+
+
+def _auc_ppm_from_hist(pos_counts, neg_counts) -> tuple[int, int, int]:
+    """(P, N, auc_ppm) from per-score histogram rows ORDERED BY
+    ascending score: AUC·2PN = Σ_c pos_c·(2·neg_below + neg_c) —
+    Python-int fold so the products never overflow. Factored out for
+    the brute-force property test (tie handling is the classic AUC
+    bug)."""
+    npos = sum(int(x) for x in pos_counts)
+    nneg = sum(int(x) for x in neg_counts)
     num2 = 0
     neg_below = 0
-    for p_c, n_c in zip(h["np"], h["nn"]):
+    for p_c, n_c in zip(pos_counts, neg_counts):
         num2 += int(p_c) * (2 * neg_below + int(n_c))
         neg_below += int(n_c)
-    return pd.DataFrame([{
-        "n_pos": npos, "n_neg": nneg,
-        "auc_ppm": num2 * 1_000_000 // (2 * npos * nneg),
-    }]).astype("int64")
+    return npos, nneg, num2 * 1_000_000 // (2 * npos * nneg)
 
 
 RRF_K = 60

@@ -131,3 +131,47 @@ class TestMortonInterleave:
         # z-order locality: equal user-buckets stay nearer in z than
         # the full tb spread (the zone-map pruning premise)
         assert morton(7, 0) < morton(8, 0) < morton(7, 255)
+
+
+class TestAucFromHist:
+    def _brute_ppm(self, pos_scores, neg_scores):
+        # pairwise Mann-Whitney with half credit for ties, x2-scaled
+        num2 = 0
+        for p in pos_scores:
+            for n in neg_scores:
+                if p > n:
+                    num2 += 2
+                elif p == n:
+                    num2 += 1
+        return num2 * 1_000_000 // (2 * len(pos_scores) * len(neg_scores))
+
+    def _hist_ppm(self, pos_scores, neg_scores):
+        from ocracle_ray.pipelines.queries import _auc_ppm_from_hist
+
+        scores = sorted(set(pos_scores) | set(neg_scores))
+        np_c = [sum(1 for s in pos_scores if s == c) for c in scores]
+        nn_c = [sum(1 for s in neg_scores if s == c) for c in scores]
+        P, N, ppm = _auc_ppm_from_hist(np_c, nn_c)
+        assert (P, N) == (len(pos_scores), len(neg_scores))
+        return ppm
+
+    def test_perfect_separation(self):
+        assert self._hist_ppm([10, 11], [1, 2]) == 1_000_000
+
+    def test_all_tied_is_half(self):
+        assert self._hist_ppm([5, 5, 5], [5, 5]) == 500_000
+
+    def test_inverted(self):
+        assert self._hist_ppm([1, 2], [10, 11]) == 0
+
+    def test_property_matches_bruteforce(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.integers(0, 6), min_size=1, max_size=20),
+               st.lists(st.integers(0, 6), min_size=1, max_size=20))
+        def check(pos, neg):
+            assert self._hist_ppm(pos, neg) == self._brute_ppm(pos, neg)
+
+        check()
