@@ -663,6 +663,25 @@ def q_docs_perplexity(sf_dir: str):
     return perplexity_by_lang(ds, model, k=0.5)
 
 
+def q_docs_perplexity_pruned(sf_dir: str):
+    """Min-count-pruned bigram perplexity — the COUNT-SHUFFLE training
+    path that `bigram_counts` documents as the different-op escape
+    hatch for vocabularies past MAX_VOCAB_BIGRAMS (closing that gate):
+    per-batch combiner partials → ONE groupby(key).sum exchange →
+    count>=2 pruning INSIDE the cluster, so the driver folds only the
+    survivors plus O(vocab) context rows (stages.ngram_lm
+    .bigram_counts_pruned). Standard KenLM-style count pruning: pruned
+    numerators score as unseen (+k mass), denominators keep the FULL
+    counts. Scoring reuses PerplexityScorer unchanged. The oracle
+    re-derives the pruned model and every score from the same
+    tokenization (HAVING n >= 2 + LEFT JOIN for the pruned probes)."""
+    from ..stages.ngram_lm import bigram_counts_pruned, perplexity_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    model = bigram_counts_pruned(ds, min_count=2)
+    return perplexity_by_lang(ds, model, k=0.5)
+
+
 def q_docs_repetition(sf_dir: str):
     """Gopher-style repetition quality signals per lang
     (stages.gopher): top-bigram char coverage + duplicate-5-gram
@@ -6246,6 +6265,7 @@ QUERIES = {
     "docs_heaps_law": q_docs_heaps_law,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "events_value_auc": q_events_value_auc,
+    "docs_perplexity_pruned": q_docs_perplexity_pruned,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9934,6 +9954,50 @@ ORACLE_SQL = {
                round(-sum((h.n_i::DOUBLE / (SELECT total FROM tot))
                           * h.h_i), 6) AS entropy_rate_nats
         FROM hi h
+    """,
+    "docs_perplexity_pruned": """
+        -- count-pruned (min_count=2) bigram perplexity: same
+        -- tokenization/model algebra as docs_perplexity, but pruned
+        -- bigrams score as unseen (LEFT JOIN, coalesce 0) while
+        -- context denominators and the vocabulary keep FULL counts
+        -- (standard KenLM-style count pruning)
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, lang, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS pos
+            FROM docs WHERE len(arr) > 0
+        ),
+        pairs AS (
+            SELECT doc_id, lang, tok, pos,
+                   coalesce(lag(tok) OVER (PARTITION BY doc_id
+                                           ORDER BY pos), chr(2)) AS prev
+            FROM toks
+        ),
+        bg_all AS (SELECT prev, tok, count(*)::DOUBLE AS n
+                   FROM pairs GROUP BY prev, tok),
+        bg AS (SELECT * FROM bg_all WHERE n >= 2),
+        ctx AS (SELECT prev, sum(n) AS cn FROM bg_all GROUP BY prev),
+        vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM bg_all),
+        scored AS (
+            SELECT p.doc_id, any_value(p.lang) AS lang,
+                   count(*)::DOUBLE AS n_tok,
+                   sum(ln((coalesce(bg.n, 0) + 0.5)
+                          / (ctx.cn + 0.5 * (vocab.v + 1)))) AS logp
+            FROM pairs p
+            LEFT JOIN bg ON bg.prev = p.prev AND bg.tok = p.tok
+            JOIN ctx ON ctx.prev = p.prev
+            CROSS JOIN vocab
+            GROUP BY p.doc_id
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
+        FROM scored GROUP BY lang ORDER BY lang
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical

@@ -128,6 +128,97 @@ def bigram_counts(ds, *, text_col: str = "text") -> dict:
     }
 
 
+PRUNED_BG_LIMIT = 5_000_000  # pruned survivors must still broadcast
+CTX_FOLD_LIMIT = 2_000_000  # contexts ≈ vocab+1 — broadcast payload too
+
+
+def bigram_counts_pruned(ds, *, min_count: int = 2,
+                         text_col: str = "text") -> dict:
+    """The distributed training pass ``bigram_counts`` documents as the
+    escape hatch for vocabularies past ``MAX_VOCAB_BIGRAMS``: ONE
+    count-shuffle — per-batch partial bigram counts (Arrow ``group_by``
+    combiner, so the exchange carries distinct-per-batch rows, never
+    tokens) → ``groupby(key).sum`` → min-count pruning INSIDE the
+    cluster (``filter(expr=...)`` over the aggregated blocks). Only the
+    pruned survivors (guarded loud at ``PRUNED_BG_LIMIT``) and the
+    context/vocab aggregates (O(vocab) rows, guarded at
+    ``CTX_FOLD_LIMIT``) ever reach the driver.
+
+    Standard count-pruning semantics (Katz/KenLM ``--prune``): pruned
+    numerators fall into the ``+k`` unseen mass, while context
+    denominators keep the FULL counts — the model stays a proper
+    smoothed distribution over the true token totals. The returned
+    dict is ``PerplexityScorer``'s model shape, so scoring is
+    unchanged; a pruned (prev, tok) simply misses the ``index_in``
+    probe and scores as unseen."""
+    from ray.data.aggregate import Sum
+
+    def keyed(t: pa.Table) -> pa.Table:
+        g = _batch_bigrams(t[text_col])
+        key = pc.binary_join_element_wise(g["prev"], g["tok"], SEP)
+        return pa.table({"key": key, "n": g["n"]})
+
+    full = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # three consumers below — don't re-run the shuffle
+    )
+
+    bg_keys: list[str] = []
+    bg_n: list[int] = []
+    for bt in full.filter(expr=f"n >= {int(min_count)}").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        bg_keys.extend(bt["key"].to_pylist())
+        bg_n.extend(int(v) for v in bt["n"].to_pylist())
+        if len(bg_keys) > PRUNED_BG_LIMIT:
+            raise ValueError(
+                f"bigram_counts_pruned: survivors exceed PRUNED_BG_LIMIT="
+                f"{PRUNED_BG_LIMIT} at min_count={min_count} — raise "
+                "min_count; the model must fit one broadcast payload"
+            )
+
+    def ctx_rows(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"], SEP, max_splits=1)
+        return pa.table({"prev": pc.list_element(parts, 0), "n": t["n"]})
+
+    ctx_keys: list[str] = []
+    ctx_n: list[int] = []
+    for bt in (
+        full.map_batches(ctx_rows, batch_format="pyarrow")
+        .groupby("prev")
+        .aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        ctx_keys.extend(bt["prev"].to_pylist())
+        ctx_n.extend(int(v) for v in bt["n"].to_pylist())
+        if len(ctx_keys) > CTX_FOLD_LIMIT:
+            raise ValueError(
+                f"bigram_counts_pruned: contexts exceed CTX_FOLD_LIMIT="
+                f"{CTX_FOLD_LIMIT} — vocabulary too large to broadcast"
+            )
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"], SEP, max_splits=1)
+        return pa.table({"tok": pc.list_element(parts, 1)})
+
+    vocab_size = (
+        full.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("tok")
+        .count()
+        .count()
+    )
+
+    return {
+        "bg_keys": bg_keys,
+        "bg_n": bg_n,
+        "ctx_keys": ctx_keys,
+        "ctx_n": ctx_n,
+        "vocab_size": int(vocab_size),
+    }
+
+
 def _lookup(keys: pa.Array, value_set: pa.Array, counts: np.ndarray):
     """Hash-probe ``keys`` in ``value_set`` -> float64 counts (0 for
     misses). All C kernels — no Python per key."""

@@ -99,3 +99,61 @@ def test_model_size_guard(ray_session, monkeypatch):
     )
     with pytest.raises(ValueError, match="MAX_VOCAB_BIGRAMS"):
         bigram_counts(ds)
+
+
+def test_pruned_trainer_min_count_1_equals_driver_fold(ray_session):
+    """min_count=1 prunes nothing — the shuffle path must produce the
+    SAME model (as a set; block order differs) and identical scores."""
+    import ray.data as rd
+
+    from ocracle_ray.stages.ngram_lm import bigram_counts_pruned
+
+    langs, texts = _docs()
+    ds = rd.from_arrow(
+        pa.table({"lang": langs, "text": texts})
+    ).repartition(4)
+    base = bigram_counts(ds)
+    pruned = bigram_counts_pruned(ds, min_count=1)
+    assert dict(zip(pruned["bg_keys"], pruned["bg_n"])) == dict(
+        zip(base["bg_keys"], base["bg_n"])
+    )
+    assert dict(zip(pruned["ctx_keys"], pruned["ctx_n"])) == dict(
+        zip(base["ctx_keys"], base["ctx_n"])
+    )
+    assert pruned["vocab_size"] == base["vocab_size"]
+    a = perplexity_by_lang(ds, base)
+    b = perplexity_by_lang(ds, pruned)
+    assert a.equals(b)
+
+
+def test_pruned_trainer_semantics(ray_session):
+    """Hand corpus: pruning drops count-1 bigrams from the numerator
+    set but keeps FULL context/vocab counts."""
+    import ray.data as rd
+
+    from ocracle_ray.stages.ngram_lm import bigram_counts_pruned
+
+    ds = rd.from_items(
+        [
+            {"lang": "en", "text": "a b a b"},
+            {"lang": "en", "text": "a c"},
+        ]
+    ).repartition(2)
+    m = bigram_counts_pruned(ds, min_count=2)
+    got = dict(zip(m["bg_keys"], m["bg_n"]))
+    # full counts: (BOS,a)=2 (a,b)=2 (b,a)=1 (a,c)=1 -> pruned keeps 2s
+    assert got == {BOS + "\x01a": 2, "a\x01b": 2}
+    ctx = dict(zip(m["ctx_keys"], m["ctx_n"]))
+    assert ctx == {BOS: 2, "a": 3, "b": 1}  # FULL totals survive pruning
+    assert m["vocab_size"] == 3  # {a, b, c} — c counted though pruned
+
+
+def test_pruned_survivor_guard(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from ocracle_ray.stages import ngram_lm as mod
+
+    monkeypatch.setattr(mod, "PRUNED_BG_LIMIT", 2)
+    ds = rd.from_items([{"lang": "en", "text": "a b c d e a b c d e"}])
+    with pytest.raises(ValueError, match="PRUNED_BG_LIMIT"):
+        mod.bigram_counts_pruned(ds, min_count=1)
