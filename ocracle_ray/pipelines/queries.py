@@ -3898,6 +3898,47 @@ def q_events_value_corr(sf_dir: str):
     })
 
 
+def q_events_spearman(sf_dir: str):
+    """Grouped Spearman rank correlation of value vs hour-of-day — the
+    monotone-association probe next to q_events_value_corr's Pearson
+    (which assumes linearity). Values are near-continuous so the ranks
+    are computed DISTRIBUTED (stages.spearman): ONE sort exchange +
+    O(blocks) edge-run corrections give every row its tie-aware doubled
+    average rank (2·minrank + cnt − 1, the AUC doubling trick — .5 tie
+    ranks stay integer); hour ranks derive from per-(type, hour)
+    counts. Sufficient statistics fold in Python ints (Σ(2R)² ~ n³);
+    ρ is scale-invariant so doubled ranks feed the Pearson closed form
+    unchanged, one float division, round 6. The rank-sum invariant
+    Σ2R = n(n+1) is asserted per group in-engine. The oracle re-derives
+    both doubled ranks via rank()/count() windows and the identical
+    closed form."""
+    from ..stages.spearman import grouped_spearman_stats, spearman_rho
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts % DAY_US) // 3_600_000_000
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.rint(v * 100.0)
+        if len(c) and not np.all(np.abs(v * 100.0 - c) <= 1e-4):
+            raise ValueError("events.value is not exact at cent scale")
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": pa.array(c.astype(np.int64)),
+            "h": pa.array(hour.astype(np.int64)),
+            "event_id": t["event_id"],
+        })
+
+    stats = grouped_spearman_stats(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="event_type", val_col="c", x_col="h",
+        uid_col="event_id",
+    )
+    rows = spearman_rho(stats)
+    return pd.DataFrame(rows, columns=["event_type", "n", "spearman_rho"])
+
+
 BRAND_PAIR_TOPK = 15
 
 
@@ -6266,6 +6307,7 @@ QUERIES = {
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "events_value_auc": q_events_value_auc,
     "docs_perplexity_pruned": q_docs_perplexity_pruned,
+    "events_spearman": q_events_spearman,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -9998,6 +10040,40 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "events_spearman": """
+        -- grouped Spearman: tie-aware DOUBLED average ranks
+        -- (2·minrank + cnt − 1 keeps .5 tie ranks integer) for value
+        -- cents and hour-of-day, HUGEINT sufficient statistics, the
+        -- Pearson closed form (ρ is scale-invariant), round 6
+        WITH p AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   date_part('hour', ts)::BIGINT AS h
+            FROM events
+        ),
+        r AS (
+            SELECT event_type,
+                   2 * rank() OVER (PARTITION BY event_type ORDER BY c)
+                     + count(*) OVER (PARTITION BY event_type, c) - 1
+                     AS a,
+                   2 * rank() OVER (PARTITION BY event_type ORDER BY h)
+                     + count(*) OVER (PARTITION BY event_type, h) - 1
+                     AS b
+            FROM p
+        ),
+        s AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+                   sum(a * a) AS saa, sum(b * b) AS sbb
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sab - sa * sb)::DOUBLE
+                     / sqrt((n * saa - sa * sa)::DOUBLE
+                            * (n * sbb - sb * sb)::DOUBLE), 6)
+                 AS spearman_rho
+        FROM s ORDER BY event_type
     """,
     "events_autocorr": """
         -- lag-1 serial correlation per event type: the identical
