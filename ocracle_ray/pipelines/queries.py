@@ -3998,6 +3998,49 @@ def q_orders_brand_affinity(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_events_cusum(sf_dir: str):
+    """CUSUM change-point detection on the daily purchase-revenue
+    series — the level-shift alarm of a pipeline-health monitor (the
+    KL drift monitor's sibling for a single metric). EXACT integer
+    form: against the global mean, the cumulative deviation at day t
+    scaled by T is S'_t = T·Σ_{i≤t} cents_i − t·total (the mean never
+    becomes a float); the change point is the earliest day maximizing
+    |S'_t|. Scale shape: the day series is bounded by the CALENDAR, so
+    per-(day) cent totals fold via the combiner pass and the CUSUM
+    walk is an O(days) Python-int driver fold (the products overflow
+    int64 at 100 TB). The oracle re-derives S' via a window cumsum in
+    HUGEINT and the identical (|S'| desc, day) pick."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["event_type"], "purchase"))
+        day = (f["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // DAY_US)
+        c = np.rint(f["value"].to_numpy(zero_copy_only=False) * 100.0
+                    ).astype(np.int64)
+        return pa.table({"day": pa.array(day), "c": pa.array(c)})
+
+    agg = driver_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"], {"cents": ("c", "sum")},
+    ).sort_values("day").reset_index(drop=True)
+    days = [int(d) for d in agg["day"]]
+    cents = [int(c) for c in agg["cents"]]
+    T = len(days)
+    total = sum(cents)
+    cum = 0
+    best_day, best_dev = None, -1
+    for t_, (d, c) in enumerate(zip(days, cents), start=1):
+        cum += c
+        dev = abs(T * cum - t_ * total)
+        if dev > best_dev:
+            best_day, best_dev = d, dev
+    return pd.DataFrame([{
+        "n_days": T, "total_cents": total,
+        "cp_day": best_day, "max_abs_dev_scaled": best_dev,
+    }]).astype("int64")
+
+
 def q_customer_rfm(sf_dir: str):
     """RFM segmentation — the warehouse classic: per customer
     (recency = last order day, frequency = order count, monetary =
@@ -6308,6 +6351,7 @@ QUERIES = {
     "events_value_auc": q_events_value_auc,
     "docs_perplexity_pruned": q_docs_perplexity_pruned,
     "events_spearman": q_events_spearman,
+    "events_cusum": q_events_cusum,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10040,6 +10084,31 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "events_cusum": """
+        -- exact integer CUSUM: S'_t = T·cum_t − t·total (mean scaled
+        -- away), earliest day maximizing |S'_t|; HUGEINT throughout
+        WITH d AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                     AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        t AS (SELECT count(*)::BIGINT AS nd, sum(cents)::BIGINT AS tot
+              FROM d),
+        c AS (
+            SELECT day,
+                   (SELECT nd FROM t)
+                     * sum(cents) OVER (ORDER BY day)
+                     - row_number() OVER (ORDER BY day)
+                       * (SELECT tot FROM t) AS s
+            FROM d
+        )
+        SELECT (SELECT nd FROM t) AS n_days,
+               (SELECT tot FROM t) AS total_cents,
+               CAST(day AS BIGINT) AS cp_day,
+               CAST(abs(s) AS BIGINT) AS max_abs_dev_scaled
+        FROM c ORDER BY abs(s) DESC, day LIMIT 1
     """,
     "events_spearman": """
         -- grouped Spearman: tie-aware DOUBLED average ranks
