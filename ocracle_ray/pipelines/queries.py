@@ -3898,6 +3898,53 @@ def q_events_value_corr(sf_dir: str):
     })
 
 
+def q_docs_ndcg(sf_dir: str):
+    """NDCG@10 of the BM25 ranking against graded relevance — the
+    ranking-quality readout (Järvelin & Kekäläinen 2002) a retrieval
+    stack reports next to the ranking itself (the AUC precedent, for
+    rankers). Gold relevance is DEFINED as the total query-term
+    occurrence count per doc (integer, fully SQL-re-derivable);
+    ideal ranking = (rel desc, doc_id). One extra streaming pass: per
+    batch, rel for the 10 BM25-ranked docs (closure-captured, ≤10 ids)
+    plus local top-10 rel candidates — the driver resolves both DCG
+    legs from ≤20 rows per batch. log2 discounts on exact integer
+    gains, round 6. The oracle re-derives the full BM25 ranking, the
+    gains and both DCG sums."""
+    from ..stages.bm25 import _term_hits, bm25_topk, corpus_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    stats = corpus_stats(ds, BM25_TERMS)
+    lex = bm25_topk(ds, BM25_TERMS, stats, k=10)
+    ranked = [int(d) for d in lex["doc_id"]]
+    ranked_arr = np.array(ranked, np.int64)
+
+    def rel_batch(t: pa.Table) -> pa.Table:
+        _dl, tf = _term_hits(t["text"], BM25_TERMS)
+        rel = tf.sum(axis=1).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, ranked_arr)
+        hit = np.flatnonzero(rel > 0)
+        top = hit[np.lexsort((ids[hit], -rel[hit]))[:10]]
+        sel = np.union1d(np.flatnonzero(keep), top)
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "rel": pa.array(rel[sel])})
+
+    cand = ds.map_batches(rel_batch, batch_format="pyarrow").to_pandas()
+    rel_map = dict(zip(cand["doc_id"].astype(int), cand["rel"].astype(int)))
+    gold = cand[cand["rel"] > 0].sort_values(
+        ["rel", "doc_id"], ascending=[False, True]).head(10)
+    dcg = sum(rel_map[d] / np.log2(r + 2.0)
+              for r, d in enumerate(ranked))
+    idcg = sum(int(g) / np.log2(r + 2.0)
+               for r, g in enumerate(gold["rel"]))
+    return pd.DataFrame([{
+        "k": 10,
+        "dcg": round(float(dcg), 6),
+        "idcg": round(float(idcg), 6),
+        "ndcg": round(float(dcg / idcg), 6),
+    }]).astype({"k": "int64"})
+
+
 def q_events_spearman(sf_dir: str):
     """Grouped Spearman rank correlation of value vs hour-of-day — the
     monotone-association probe next to q_events_value_corr's Pearson
@@ -6352,6 +6399,7 @@ QUERIES = {
     "docs_perplexity_pruned": q_docs_perplexity_pruned,
     "events_spearman": q_events_spearman,
     "events_cusum": q_events_cusum,
+    "docs_ndcg": q_docs_ndcg,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10084,6 +10132,61 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "docs_ndcg": """
+        -- NDCG@10 of the BM25 ranking (identical scoring CTE to
+        -- docs_hybrid_rrf's lexical leg) against graded relevance =
+        -- total query-term occurrences; ideal order (rel desc,
+        -- doc_id); discounts log2(rank+1); round 6
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS tok
+            FROM documents
+        ),
+        tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+               FROM tok2 GROUP BY doc_id),
+        stats AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl)
+                     / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        terms AS (SELECT * FROM (VALUES ('dup'), ('vector'), ('merge'),
+                                        ('window')) t(term)),
+        tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+               FROM tok2 WHERE tok IN (SELECT term FROM terms)
+               GROUP BY doc_id, tok),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT tf.doc_id,
+                   sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) )
+                     AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        ),
+        brank AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rnk
+                  FROM scored ORDER BY score DESC, doc_id LIMIT 10),
+        rel AS (SELECT doc_id, sum(tf)::BIGINT AS rel
+                FROM tf GROUP BY doc_id),
+        gold AS (SELECT rel,
+                        row_number() OVER (ORDER BY rel DESC, doc_id)
+                          AS rnk
+                 FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+        d AS (SELECT sum(r.rel::DOUBLE / log2(b.rnk + 1)) AS dcg
+              FROM brank b JOIN rel r USING (doc_id)),
+        i AS (SELECT sum(rel::DOUBLE / log2(rnk + 1)) AS idcg
+              FROM gold)
+        SELECT CAST(10 AS BIGINT) AS k,
+               round(d.dcg, 6) AS dcg,
+               round(i.idcg, 6) AS idcg,
+               round(d.dcg / i.idcg, 6) AS ndcg
+        FROM d, i
     """,
     "events_cusum": """
         -- exact integer CUSUM: S'_t = T·cum_t − t·total (mean scaled

@@ -54,3 +54,24 @@ class TestCusumFold:
         i, dev = self._fold(cents)
         assert i == int(np.argmax(np.round(s * T)))
         assert dev == int(round(float(s[i]) * T))
+
+
+class TestNdcgArithmetic:
+    """Pure-fold NDCG semantics (the query's driver resolve): known
+    gains, both DCG legs, and the perfect-ranking anchor."""
+
+    @staticmethod
+    def _dcg(gains):
+        return sum(g / np.log2(r + 2.0) for r, g in enumerate(gains))
+
+    def test_perfect_ranking_is_1(self):
+        gains = [9, 7, 7, 3, 1]
+        assert self._dcg(gains) / self._dcg(sorted(gains, reverse=True)) == 1.0
+
+    def test_worst_vs_best_ordering(self):
+        worst, best = [1, 3, 9], [9, 3, 1]
+        n = self._dcg(worst) / self._dcg(best)
+        assert 0 < n < 1
+        # hand value: (1 + 3/log2(3) + 9/2) / (9 + 3/log2(3) + 1/2)
+        hand = (1 + 3 / np.log2(3) + 4.5) / (9 + 3 / np.log2(3) + 0.5)
+        assert n == hand
