@@ -3898,6 +3898,46 @@ def q_events_value_corr(sf_dir: str):
     })
 
 
+def q_customer_fuzzy_join(sf_dir: str):
+    """Edit-distance-1 record-linkage self-join over customer names
+    (stages.editjoin — FastSS/SymSpell deletion neighborhoods): the
+    data-cleaning op the token-set joins can't express (a one-char typo
+    changes every shingle). Variants emit via POSITION-vectorized Arrow
+    kernels (L+1 passes per batch, the algorithm's documented O(L)
+    blow-up), candidates from ONE groupby(variant) exchange with a
+    loud hot-bucket guard, pair-distinct via a second keyed groupby,
+    exact ed ≤ 1 verification on padded numpy byte matrices. The
+    result set is pinned compactly: pair count + ORDER-FREE XOR of
+    60-bit md5 pair keys (the merkle idiom — one wrong/missing pair
+    flips the XOR); at 100 TB the XOR partials tree-fold. Oracle:
+    brute-force levenshtein()=1 over the name cross join + identical
+    bit_xor."""
+    import hashlib
+    from functools import reduce
+    from operator import xor
+
+    from ..stages.editjoin import ed1_self_join
+
+    ds = _read(sf_dir, "customer", ["c_name"])
+    pairs = ed1_self_join(ds, name_col="c_name")
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = 0
+        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            x ^= int(hashlib.md5(
+                f"{a}\x01{b}".encode()).hexdigest()[:15], 16)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "x": pa.array([x], pa.int64())})
+
+    parts = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_names = _read(sf_dir, "customer", ["c_custkey"]).count()
+    return pd.DataFrame([{
+        "n_names": int(n_names),
+        "n_pairs_d1": int(parts["n"].sum()),
+        "pair_xor": int(reduce(xor, (int(v) for v in parts["x"]), 0)),
+    }]).astype("int64")
+
+
 def q_docs_ndcg(sf_dir: str):
     """NDCG@10 of the BM25 ranking against graded relevance — the
     ranking-quality readout (Järvelin & Kekäläinen 2002) a retrieval
@@ -6400,6 +6440,7 @@ QUERIES = {
     "events_spearman": q_events_spearman,
     "events_cusum": q_events_cusum,
     "docs_ndcg": q_docs_ndcg,
+    "customer_fuzzy_join": q_customer_fuzzy_join,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10132,6 +10173,24 @@ ORACLE_SQL = {
         SELECT lang, count(*) AS n_docs,
                round(avg(exp(-logp / n_tok)), 4) AS avg_ppl
         FROM scored GROUP BY lang ORDER BY lang
+    """,
+    "customer_fuzzy_join": """
+        -- brute-force re-derivation of the deletion-neighborhood
+        -- join: every unordered name pair at levenshtein distance
+        -- exactly 1, pinned by count + order-free bit_xor of 60-bit
+        -- md5 pair keys (chr(1)-joined, the engine's key)
+        WITH p AS (
+            SELECT a.c_name AS na, b.c_name AS nb
+            FROM customer a JOIN customer b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) = 1
+        )
+        SELECT (SELECT count(*) FROM customer)::BIGINT AS n_names,
+               count(*)::BIGINT AS n_pairs_d1,
+               coalesce(bit_xor(('0x' || substr(md5(na || chr(1) || nb),
+                                                1, 15))::BIGINT),
+                        0) AS pair_xor
+        FROM p
     """,
     "docs_ndcg": """
         -- NDCG@10 of the BM25 ranking (identical scoring CTE to
