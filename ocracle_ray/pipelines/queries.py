@@ -6287,6 +6287,20 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+def q_docs_char_entropy(sf_dir: str):
+    """Character-entropy quality gate (stages.entropy): per-doc
+    Shannon codepoint entropy — the exact core of the zlib
+    compression-ratio corpus filter — aggregated per lang in INTEGER
+    micro-nats (one documented half-away rounding point, so both
+    aggregate columns match the DuckDB oracle by integer equality).
+    One streaming pass, zero shuffle; the kernel is one np.unique over
+    packed (doc, codepoint) keys per batch."""
+    from ..stages.entropy import char_entropy_by_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return char_entropy_by_lang(ds)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "order_priority_count": q_order_priority_count,
@@ -6441,6 +6455,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "docs_ndcg": q_docs_ndcg,
     "customer_fuzzy_join": q_customer_fuzzy_join,
+    "docs_char_entropy": q_docs_char_entropy,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10332,5 +10347,36 @@ ORACLE_SQL = {
                             * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
                  AS lag1_r
         FROM s ORDER BY event_type
+    """,
+    "docs_char_entropy": """
+        -- per-doc Shannon codepoint entropy H = ln L - sum(c ln c)/L,
+        -- rounded half-away to integer micro-nats at exactly one
+        -- point (the engine's stages/entropy.py rule), then EXACT
+        -- int64 per-lang aggregates; empty docs are 0 and still count
+        WITH chars AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+            FROM documents WHERE length(text) > 0
+        ),
+        cc AS (
+            SELECT doc_id, ch, count(*)::BIGINT AS c
+            FROM chars GROUP BY doc_id, ch
+        ),
+        ent AS (
+            SELECT doc_id,
+                   ln(sum(c)::DOUBLE)
+                     - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE
+                     AS h
+            FROM cc GROUP BY doc_id
+        ),
+        per AS (
+            SELECT d.lang,
+                   CAST(floor(coalesce(e.h, 0.0) * 1000000 + 0.5)
+                        AS BIGINT) AS em
+            FROM documents d LEFT JOIN ent e USING (doc_id)
+        )
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(em)::BIGINT AS sum_ent_micro,
+               sum(em)::BIGINT // count(*)::BIGINT AS mean_ent_micro
+        FROM per GROUP BY lang ORDER BY lang
     """,
 }
