@@ -6287,6 +6287,22 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+def q_docs_setsim_join(sf_dir: str):
+    """Exact set-similarity self-join (stages.setsim): every doc pair
+    with Jaccard ≥ 0.5 over distinct word-bigram sets, via All-Pairs /
+    PPJoin prefix filtering (Bayardo WWW'07, Xiao WWW'08) — the EXACT
+    sibling of the MinHash-LSH path (no banding recall loss). Global
+    rare-first rank map broadcast once; map-only prefix emission; ONE
+    groupby(rank) exchange with the PPJoin length filter; distinct
+    pairs stay a Dataset; verify is a zero-exchange broadcast-map
+    pass. Integer-ppm Jaccard end to end; the DuckDB oracle re-derives
+    the FULL pair set by brute-force all-pairs list_intersect."""
+    from ..stages.setsim import setsim_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(ds)
+
+
 def q_docs_char_entropy(sf_dir: str):
     """Character-entropy quality gate (stages.entropy): per-doc
     Shannon codepoint entropy — the exact core of the zlib
@@ -6456,6 +6472,7 @@ QUERIES = {
     "docs_ndcg": q_docs_ndcg,
     "customer_fuzzy_join": q_customer_fuzzy_join,
     "docs_char_entropy": q_docs_char_entropy,
+    "docs_setsim_join": q_docs_setsim_join,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10378,5 +10395,45 @@ ORACLE_SQL = {
                sum(em)::BIGINT AS sum_ent_micro,
                sum(em)::BIGINT // count(*)::BIGINT AS mean_ent_micro
         FROM per GROUP BY lang ORDER BY lang
+    """,
+    "docs_setsim_join": """
+        -- brute-force all-pairs Jaccard >= 0.5 over per-doc DISTINCT
+        -- word-3-gram sets (tokenization = the shared lowercase
+        -- [a-z0-9]+ rule; gram keys chr(1)-joined like the engine's
+        -- SEP) — verifying the prefix filter's exactness externally;
+        -- integer-ppm gate and floor division, no float thresholds
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS p
+            FROM toks WHERE len(arr) >= 3
+        ),
+        big AS (
+            SELECT doc_id,
+                   lag(tok, 2) OVER w || chr(1)
+                     || lag(tok, 1) OVER w || chr(1) || tok AS g
+            FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        sets AS (
+            SELECT doc_id, count(DISTINCT g)::BIGINT AS sz,
+                   list(DISTINCT g) AS s
+            FROM big WHERE g IS NOT NULL GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s))::BIGINT AS i,
+                   (a.sz + b.sz
+                    - len(list_intersect(a.s, b.s)))::BIGINT AS u
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
+        FROM pairs WHERE i * 1000000 >= 500000 * u
+        ORDER BY doc_a, doc_b
     """,
 }

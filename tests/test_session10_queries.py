@@ -49,3 +49,67 @@ class TestCharEntropy:
 
         assert char_entropy_micro([]).tolist() == []
         assert char_entropy_micro(["", ""]).tolist() == [0, 0]
+
+
+class TestPrefixFilterTheorem:
+    """The prefix-filter completeness claim stages/setsim.py rests on:
+    under ANY single global total order, two sets with Jaccard >= tau
+    share at least one token among the first |s| - ceil(tau|s|) + 1
+    elements of BOTH sets — swept against brute force over random
+    skewed universes, plus the PPJoin length filter."""
+
+    @staticmethod
+    def _candidates(sets, tau_ppm):
+        from ocracle_ray.stages.setsim import _ceil_ppm
+
+        # global rare-first order (df asc, token asc), like the engine
+        df = {}
+        for s in sets:
+            for x in s:
+                df[x] = df.get(x, 0) + 1
+        rank = {x: i for i, x in
+                enumerate(sorted(df, key=lambda x: (df[x], x)))}
+        buckets = {}
+        sizes = [len(s) for s in sets]
+        for di, s in enumerate(sets):
+            rs = sorted(rank[x] for x in s)
+            plen = int(len(rs) - _ceil_ppm(np.array([len(rs)]),
+                                           tau_ppm)[0] + 1)
+            for r in rs[:plen]:
+                buckets.setdefault(r, []).append(di)
+        cands = set()
+        for docs in buckets.values():
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a, b = sorted((docs[i], docs[j]))
+                    if (min(sizes[a], sizes[b]) * 1_000_000
+                            >= tau_ppm * max(sizes[a], sizes[b])):
+                        cands.add((a, b))
+        return cands
+
+    def test_covers_every_qualifying_pair(self):
+        rng = np.random.RandomState(7)
+        for tau_ppm in (300_000, 500_000, 800_000):
+            for trial in range(20):
+                # skewed universe: token t appears with prob ~ 1/(t+2)
+                uni = np.arange(40)
+                sets = []
+                for _ in range(30):
+                    p = 1.0 / (uni + 2.0)
+                    mask = rng.rand(len(uni)) < p * rng.uniform(1, 6)
+                    s = frozenset(uni[mask].tolist())
+                    if s:
+                        sets.append(s)
+                cands = self._candidates(sets, tau_ppm)
+                for i in range(len(sets)):
+                    for j in range(i + 1, len(sets)):
+                        inter = len(sets[i] & sets[j])
+                        union = len(sets[i] | sets[j])
+                        if inter * 1_000_000 >= tau_ppm * union:
+                            assert (i, j) in cands, (
+                                tau_ppm, trial, sets[i], sets[j])
+
+    def test_singleton_sets_emit_their_token(self):
+        cands = self._candidates([frozenset({1}), frozenset({1})],
+                                 1_000_000)
+        assert (0, 1) in cands
