@@ -6287,6 +6287,42 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+HITS_ROUNDS = 2
+
+
+def q_orders_hits(sf_dir: str):
+    """HITS hubs & authorities (stages.hits, Kleinberg 1999) over the
+    bipartite customer→part purchase graph: customers are hubs, parts
+    authorities, mutually reinforcing h = W·a, a = Wᵀ·h. Edges from a
+    both-sides-large hash join + ONE groupby; every half-iteration is
+    one zero-shuffle edges pass against a broadcast score vector
+    (the pagerank machinery on a bipartite structure). Int64 fixed
+    point with max-normalization (L2 needs a sqrt; ranking fixed point
+    is the same) — the generated unrolled oracle matches by exact
+    integer equality."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.hits import hits
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        g = t.select(["o_custkey", "l_partkey"]).group_by(
+            ["o_custkey", "l_partkey"]).aggregate([("l_partkey", "count")])
+        return g.rename_columns(["c", "p", "w"])
+
+    edges = (joined.map_batches(combine, batch_format="pyarrow")
+             .groupby(["c", "p"]).aggregate(Sum("w", alias_name="w")))
+    return hits(edges, n_rounds=HITS_ROUNDS, k=10)
+
+
 def q_docs_setsim_join(sf_dir: str):
     """Exact set-similarity self-join (stages.setsim): every doc pair
     with Jaccard ≥ 0.5 over distinct word-bigram sets, via All-Pairs /
@@ -6473,6 +6509,7 @@ QUERIES = {
     "customer_fuzzy_join": q_customer_fuzzy_join,
     "docs_char_entropy": q_docs_char_entropy,
     "docs_setsim_join": q_docs_setsim_join,
+    "orders_hits": q_orders_hits,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10436,4 +10473,12 @@ ORACLE_SQL = {
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
     """,
+    "orders_hits": __import__(
+        "ocracle_ray.stages.hits", fromlist=["hits_oracle_sql"]
+    ).hits_oracle_sql(
+        """SELECT o.o_custkey AS c, l.l_partkey AS p,
+                  count(*)::BIGINT AS w
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2""",
+        n_rounds=2, k=10),
 }

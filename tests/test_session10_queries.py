@@ -113,3 +113,70 @@ class TestPrefixFilterTheorem:
         cands = self._candidates([frozenset({1}), frozenset({1})],
                                  1_000_000)
         assert (0, 1) in cands
+
+
+class TestHits:
+    """stages.hits on engineered bipartite graphs vs a numpy
+    reference of the exact integer fixed-point rule."""
+
+    @staticmethod
+    def _ref(edges, n_rounds=2):
+        # edges: list of (c, p, w)
+        cs = sorted({c for c, _, _ in edges})
+        ps = sorted({p for _, p, _ in edges})
+        ci = {c: i for i, c in enumerate(cs)}
+        pi = {p: i for i, p in enumerate(ps)}
+        W = np.zeros((len(cs), len(ps)), np.int64)
+        for c, p, w in edges:
+            W[ci[c], pi[p]] += w
+        SCALE = 1_000_000
+
+        def norm(x):
+            m = x.max()
+            return (x * SCALE) // m if m else x
+
+        a = np.full(len(ps), SCALE, np.int64)
+        for _ in range(n_rounds):
+            h = norm(W @ a)
+            a = norm(W.T @ h)
+        return cs, ps, h, a
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from ocracle_ray.stages.hits import hits
+
+        edges = [(1, 10, 3), (1, 11, 1), (2, 10, 1), (2, 12, 5),
+                 (3, 12, 1), (3, 13, 2), (4, 13, 2)]
+        ds = rd.from_arrow(pa.table({
+            "c": pa.array([e[0] for e in edges], pa.int64()),
+            "p": pa.array([e[1] for e in edges], pa.int64()),
+            "w": pa.array([e[2] for e in edges], pa.int64()),
+        }))
+        out = hits(ds, n_rounds=2, k=10)
+        cs, ps, h, a = self._ref(edges)
+        hub = out[out["kind"] == "hub"]
+        auth = out[out["kind"] == "authority"]
+        got_h = dict(zip(hub["node"], hub["score_fp"]))
+        got_a = dict(zip(auth["node"], auth["score_fp"]))
+        assert got_h == {c: int(h[i]) for i, c in enumerate(cs)}
+        assert got_a == {p: int(a[i]) for i, p in enumerate(ps)}
+        # rank tie-break: (score desc, node asc)
+        assert hub["score_fp"].is_monotonic_decreasing
+        assert auth["score_fp"].is_monotonic_decreasing
+
+    def test_max_normalized_winner_is_scale(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from ocracle_ray.stages.hits import hits
+
+        ds = rd.from_arrow(pa.table({
+            "c": pa.array([1, 2], pa.int64()),
+            "p": pa.array([10, 10], pa.int64()),
+            "w": pa.array([2, 1], pa.int64()),
+        }))
+        out = hits(ds, n_rounds=2, k=10)
+        top = out[out["rk"] == 1]
+        assert set(top["score_fp"]) == {1_000_000}
