@@ -6287,6 +6287,23 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+def q_events_attribution(sf_dir: str):
+    """Multi-touch revenue attribution (stages.attribution): every
+    purchase's cents split EXACTLY (largest-remainder in integer
+    cents, (ts, event_id) order) across the user's click/view touches
+    in the trailing hour — linear attribution, the ad-tech sibling of
+    the as-of (last-touch) join. Range-join co-partitioning (touches
+    replicate to 2 buckets, ONE groupby exchange); only (kind, cents,
+    n) integer partials leave each group. attributed + unattributed
+    == total purchase cents by construction; the oracle re-derives
+    every share via window functions."""
+    from ..stages.attribution import attribution_by_type
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return attribution_by_type(ds)
+
+
 HITS_ROUNDS = 2
 
 
@@ -6510,6 +6527,7 @@ QUERIES = {
     "docs_char_entropy": q_docs_char_entropy,
     "docs_setsim_join": q_docs_setsim_join,
     "orders_hits": q_orders_hits,
+    "events_attribution": q_events_attribution,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10472,6 +10490,49 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
+    """,
+    "events_attribution": """
+        -- linear multi-touch attribution, exact integer cents:
+        -- share = cents//k + 1 for the first cents%k touches in
+        -- (ts, event_id) order; window = trailing hour, touch
+        -- STRICTLY before the purchase; purchases with no touches
+        -- report whole as 'unattributed'
+        WITH p AS (
+            SELECT event_id AS pid, user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT event_id AS tid, user_id, ts AS tts, event_type
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        pairs AS (
+            SELECT p.pid, p.cents, t.event_type,
+                   row_number() OVER (PARTITION BY p.pid
+                                      ORDER BY t.tts, t.tid) AS rk,
+                   count(*) OVER (PARTITION BY p.pid) AS k
+            FROM p JOIN t ON p.user_id = t.user_id
+             AND t.tts >= p.ts - INTERVAL 1 HOUR AND t.tts < p.ts
+        ),
+        shares AS (
+            SELECT event_type,
+                   cents // k
+                     + CASE WHEN rk <= cents % k THEN 1 ELSE 0 END
+                     AS share
+            FROM pairs
+        ),
+        unatt AS (
+            SELECT count(*)::BIGINT AS n,
+                   coalesce(sum(cents), 0)::BIGINT AS cents
+            FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM pairs)
+        )
+        SELECT kind, cents, n FROM (
+            SELECT event_type AS kind, sum(share)::BIGINT AS cents,
+                   count(*)::BIGINT AS n
+            FROM shares GROUP BY event_type
+            UNION ALL
+            SELECT 'unattributed', cents, n FROM unatt
+        ) ORDER BY kind
     """,
     "orders_hits": __import__(
         "ocracle_ray.stages.hits", fromlist=["hits_oracle_sql"]

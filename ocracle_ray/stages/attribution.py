@@ -1,0 +1,130 @@
+"""Multi-touch revenue attribution (linear, exact integer cents) —
+the ad-tech/analytics op on top of the range-join co-partitioning:
+every purchase's value is split across the same user's click/view
+touches in the trailing window ``[p.ts − W, p.ts)``, equally, with the
+LARGEST-REMAINDER rule making the split exact in integer cents (the
+first ``cents mod k`` touches in (ts, event_id) order get the extra
+cent) — so attributed + unattributed cents reconstruct total purchase
+revenue EXACTLY, an invariant asserted per group in-engine and
+re-derived by the oracle.
+
+Scale shape = stages/range_join.py verbatim (bucket width == window;
+purchases route once to their own bucket, touches replicate to
+bucket and bucket+1 — each (purchase, touch) pair co-locates in
+exactly ONE (user, bucket) group): ONE groupby exchange of ~2× the
+filtered input. Inside a group the per-purchase touch lists come from
+two searchsorted cuts on the (ts, id)-sorted touch arrays; only
+per-type integer partials (kind, cents, n) leave the group — the
+driver folds O(groups × 3) rows, never pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOUCH_TYPES = ("click", "view")
+
+
+def attribution_by_type(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    window: pd.Timedelta = pd.Timedelta(hours=1),
+) -> pd.DataFrame:
+    """(kind, cents, n) — attributed cents + assignment counts per
+    touch type, plus an 'unattributed' row (purchases with zero
+    touches in window: their full cents, n = purchase count)."""
+    w_us = np.int64(window.value // 1000)
+    if w_us <= 0:
+        raise ValueError("window must be positive")
+    kinds = list(TOUCH_TYPES)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        if t[ts_col].null_count:
+            raise ValueError(
+                f"attribution: {ts_col} contains null timestamp(s)")
+        ts_us = (t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        users = t[user_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        pm = ty == purchase_type
+        tm = np.isin(ty, kinds)
+        cents = np.zeros(len(ty), np.int64)
+        cents[pm] = np.floor(vals[pm] * 100 + 0.5).astype(np.int64)
+        if (cents[pm] < 0).any():
+            raise ValueError("attribution: negative purchase cents — "
+                             "the remainder rule assumes cents >= 0")
+        b_p = ts_us[pm] // w_us
+        b_t = ts_us[tm] // w_us
+        # touch type as a small int code so the group kernel is numeric
+        tcode = np.searchsorted(np.array(kinds, object), ty[tm])
+        return pa.table({
+            user_col: np.concatenate([users[pm], users[tm], users[tm]]),
+            "bucket": np.concatenate([b_p, b_t, b_t + 1]),
+            "ts_us": np.concatenate([ts_us[pm], ts_us[tm], ts_us[tm]]),
+            "eid": np.concatenate([ids[pm], ids[tm], ids[tm]]),
+            "cents": np.concatenate(
+                [cents[pm],
+                 np.zeros(2 * int(tm.sum()), np.int64)]),
+            "code": np.concatenate(
+                [np.full(int(pm.sum()), -1, np.int64),
+                 tcode, tcode]).astype(np.int64),
+        })
+
+    n_kinds = len(kinds)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        code = g["code"].to_numpy()
+        pmask = code == -1
+        out_cents = np.zeros(n_kinds + 1, np.int64)  # [-1] unattributed
+        out_n = np.zeros(n_kinds + 1, np.int64)
+        if pmask.any():
+            pts = g["ts_us"].to_numpy()[pmask]
+            pcents = g["cents"].to_numpy()[pmask]
+            tts = g["ts_us"].to_numpy()[~pmask]
+            tid = g["eid"].to_numpy()[~pmask]
+            tcode = code[~pmask]
+            order = np.lexsort((tid, tts))
+            tts, tcode = tts[order], tcode[order]
+            lo = np.searchsorted(tts, pts - w_us, side="left")
+            hi = np.searchsorted(tts, pts, side="left")
+            for j in range(len(pts)):
+                k = int(hi[j] - lo[j])
+                c = int(pcents[j])
+                if k == 0:
+                    out_cents[-1] += c
+                    out_n[-1] += 1
+                    continue
+                base, rem = divmod(c, k)
+                codes = tcode[lo[j]:hi[j]]
+                np.add.at(out_cents, codes, base)
+                np.add.at(out_cents, codes[:rem], 1)
+                np.add.at(out_n, codes, 1)
+                # exactness invariant: shares reconstruct the cents
+                assert base * k + rem == c
+        return pd.DataFrame({
+            "kind": kinds + ["unattributed"],
+            "cents": out_cents[list(range(n_kinds)) + [-1]],
+            "n": out_n[list(range(n_kinds)) + [-1]],
+        })
+
+    parts = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([user_col, "bucket"])
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("kind", as_index=False).agg(
+        cents=("cents", "sum"), n=("n", "sum"))
+    out["cents"] = out["cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)

@@ -180,3 +180,90 @@ class TestHits:
         out = hits(ds, n_rounds=2, k=10)
         top = out[out["rk"] == 1]
         assert set(top["score_fp"]) == {1_000_000}
+
+
+class TestAttribution:
+    """Largest-remainder and window-edge semantics on engineered
+    streams (the sf corpus can't isolate an exact boundary)."""
+
+    @staticmethod
+    def _events(rows):
+        import pyarrow as pa
+
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    def test_remainder_goes_to_earliest_touches(self, ray_session):
+        import ray.data as rd
+
+        from ocracle_ray.stages.attribution import attribution_by_type
+
+        base = 1_700_000_000_000_000  # us epoch, mid-bucket
+        rows = [
+            (1, base + 100, 7, "click", 0.0),
+            (2, base + 200, 7, "view", 0.0),
+            (3, base + 300, 7, "click", 0.0),
+            (4, base + 400, 7, "purchase", 0.07),  # 7 cents, k=3
+        ]
+        out = attribution_by_type(rd.from_arrow(self._events(rows)))
+        got = dict(zip(out["kind"], out["cents"]))
+        # base 2 each; remainder 1 goes to the EARLIEST touch (click)
+        assert got == {"click": 5, "view": 2, "unattributed": 0}
+        assert int(out[out["kind"] == "click"]["n"].iloc[0]) == 2
+
+    def test_window_edges(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from ocracle_ray.stages.attribution import attribution_by_type
+
+        hour = 3_600_000_000
+        base = 1_700_000_000_000_000
+        rows = [
+            (1, base - hour, 5, "click", 0.0),      # exactly ts-W: IN
+            (2, base - hour - 1, 5, "view", 0.0),   # just outside
+            (3, base, 5, "view", 0.0),              # == purchase ts: OUT
+            (4, base, 5, "purchase", 1.0),
+            (5, base + 50, 6, "purchase", 0.25),    # no touches
+        ]
+        out = attribution_by_type(rd.from_arrow(self._events(rows)))
+        got = {k: (c, n) for k, c, n in
+               zip(out["kind"], out["cents"], out["n"])}
+        assert got["click"] == (100, 1)
+        assert got["view"] == (0, 0)
+        assert got["unattributed"] == (25, 1)
+
+    def test_total_cents_conserved(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from ocracle_ray.stages.attribution import attribution_by_type
+
+        rng = np.random.RandomState(11)
+        base = 1_700_000_000_000_000
+        rows = []
+        eid = 0
+        total = 0
+        for u in range(8):
+            t = base + u * 10**9
+            for i in range(rng.randint(0, 12)):
+                eid += 1
+                ty = ["click", "view", "purchase"][rng.randint(3)]
+                val = float(rng.randint(0, 10_000)) / 100.0
+                if ty == "purchase":
+                    total += int(round(val * 100))
+                else:
+                    val = 0.0
+                t += int(rng.randint(1, 3_000_000_000))
+                rows.append((eid, t, u, ty, val))
+        if not any(r[3] == "purchase" for r in rows):
+            rows.append((eid + 1, base, 99, "purchase", 1.0))
+            total += 100
+        out = attribution_by_type(rd.from_arrow(self._events(rows)))
+        assert int(out["cents"].sum()) == total
