@@ -6287,6 +6287,50 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+def q_docs_canonical(sf_dir: str):
+    """Canonical-document selection — the step AFTER near-dup
+    clustering in a corpus release: each cluster keeps its best member
+    (quality DESC, doc_id ASC; quality is the shared RE2 kernel whose
+    0.25-step values are float-exact, so the argmax is tie-safe).
+    Composition of the engine's own primitives: MinHash-LSH pairs →
+    distributed connected components → ONE is_in-filtered quality pass
+    over only member docs (no second corpus scan). The oracle
+    re-derives clusters via the recursive-CTE walk AND every quality
+    score, then the same row_number pick."""
+    from ..core.textstats import quality_scores_vec
+    from ..stages.dedup import minhash_lsh_pairs, neardup_clusters_from_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8,
+                              n_bands=32)
+    members = neardup_clusters_from_pairs(pairs).rename(
+        columns={"key": "doc_id"})
+    member_ids = pa.array(
+        sorted(int(x) for x in members["doc_id"]), pa.int64())
+
+    def qual(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=member_ids))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.float64())})
+        return pa.table({"doc_id": t["doc_id"],
+                         "q": pa.array(quality_scores_vec(t["text"]),
+                                       pa.float64())})
+
+    qmap = (ds.map_batches(qual, batch_format="pyarrow")
+            .to_pandas().set_index("doc_id")["q"])
+    df = members.copy()
+    df["q"] = df["doc_id"].map(qmap)
+    df = df.sort_values(["cluster_id", "q", "doc_id"],
+                        ascending=[True, False, True])
+    heads = df.groupby("cluster_id", as_index=False).agg(
+        canonical_doc=("doc_id", "first"), n_members=("doc_id", "count"))
+    heads["cluster_id"] = heads["cluster_id"].astype("int64")
+    heads["canonical_doc"] = heads["canonical_doc"].astype("int64")
+    heads["n_members"] = heads["n_members"].astype("int64")
+    return heads.sort_values("cluster_id").reset_index(drop=True)
+
+
 def q_events_attribution(sf_dir: str):
     """Multi-touch revenue attribution (stages.attribution): every
     purchase's cents split EXACTLY (largest-remainder in integer
@@ -6528,6 +6572,7 @@ QUERIES = {
     "docs_setsim_join": q_docs_setsim_join,
     "orders_hits": q_orders_hits,
     "events_attribution": q_events_attribution,
+    "docs_canonical": q_docs_canonical,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10490,6 +10535,65 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
+    """,
+    "docs_canonical": f"""
+        -- canonical per near-dup cluster: clusters re-derived via the
+        -- recursive walk over the same shingle-jaccard >= 0.8 pair
+        -- set the engine's MinHash-LSH verifies against; quality =
+        -- the docs_quality expression per doc (0.25-step values are
+        -- float-exact, tie-safe); pick row_number() = 1 over
+        -- (q DESC, doc_id)
+        WITH RECURSIVE pairs AS ({_SHINGLE_JACCARD_SQL}),
+        nodes AS (SELECT DISTINCT x AS node FROM
+                  (SELECT a AS x FROM pairs
+                   UNION SELECT b AS x FROM pairs)),
+        edges AS (SELECT a, b FROM pairs
+                  UNION SELECT b AS a, a AS b FROM pairs),
+        walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.b AS node, w.label FROM walk w
+            JOIN edges e ON e.a = w.node
+            WHERE w.label < e.b
+        ),
+        comp AS (SELECT CAST(node AS BIGINT) AS doc_id,
+                        CAST(min(label) AS BIGINT) AS cluster_id
+                 FROM walk GROUP BY node),
+        q AS (
+            SELECT doc_id,
+                 (CASE WHEN length(text) BETWEEN 50 AND 10000
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words > 0 AND (sum_wl * 1.0 / n_words)
+                            BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END)
+               + (CASE WHEN length(text) = 0
+                       OR (n_punct * 1.0 / length(text)) < 0.2
+                       THEN 0.25 ELSE 0 END)
+               + (CASE WHEN n_words >= 10 THEN 0.25 ELSE 0 END) AS q
+            FROM (
+                SELECT doc_id, text,
+                       len(list_filter(regexp_split_to_array(text,
+                           '\\s+'), x -> x <> '')) AS n_words,
+                       coalesce(list_sum(list_transform(
+                           list_filter(regexp_split_to_array(text,
+                               '\\s+'), x -> x <> ''),
+                           x -> length(x))), 0) AS sum_wl,
+                       length(regexp_extract_all(text,
+                           '[!-/:-@\\[-`{{-~]')) AS n_punct
+                FROM documents
+            )
+        ),
+        ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.q DESC, c.doc_id)
+                     AS rn,
+                   count(*) OVER (PARTITION BY c.cluster_id)
+                     AS n_members
+            FROM comp c JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS canonical_doc,
+               n_members::BIGINT AS n_members
+        FROM ranked WHERE rn = 1 ORDER BY cluster_id
     """,
     "events_attribution": """
         -- linear multi-touch attribution, exact integer cents:
