@@ -1,5 +1,5 @@
 """Format-sniffing pages readers: Parquet (canonical), JSONL, CSV,
-WARC, ORC.
+WARC, ORC, Avro, Arrow IPC/Feather.
 
 The engine's canonical input is the Parquet pages table
 (BASELINE.json input_hint), read column-pruned by
@@ -75,6 +75,8 @@ def _format_of(path: str) -> str:
         return "orc"
     if ext == "avro":
         return "avro"
+    if ext in ("arrow", "feather", "ipc"):
+        return "ipc"
     return "parquet"  # directories / extension-less: the canonical format
 
 
@@ -106,6 +108,8 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
         from .avro import read_pages_avro
 
         return read_pages_avro(path_list, **kwargs)
+    if fmt == "ipc":
+        return read_pages_ipc(path_list, **kwargs)
     if fmt == "json":
         ds = rd.read_json(paths, **kwargs)
     else:  # csv
@@ -138,6 +142,34 @@ def read_pages_orc(paths: Sequence[str], **kwargs):
             _normalize_pages(
                 paorc.ORCFile(io.BytesIO(b.as_py())).read(
                     columns=PAGES_COLUMNS)
+            )
+            for b in t["bytes"]
+        ]
+        return (pa.concat_tables(tables) if tables
+                else _PAGES_ARROW_SCHEMA.empty_table())
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_pages_ipc(paths: Sequence[str], **kwargs):
+    """Arrow IPC file / Feather-V2 pages (.arrow/.feather/.ipc) — the
+    zero-copy interchange dumps Arrow-native producers hand off. Same
+    per-FILE decode-task shape as ORC; column pruning IS pushed down
+    (the IPC file footer indexes record batches, and only the pages
+    columns materialize from the buffers)."""
+    import io
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(list(paths), **kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        from pyarrow import feather
+
+        tables = [
+            _normalize_pages(
+                feather.read_table(io.BytesIO(b.as_py()),
+                                   columns=PAGES_COLUMNS)
             )
             for b in t["bytes"]
         ]

@@ -185,3 +185,32 @@ def test_orc_schema_identical(tmp_path):
     assert {f for f in a.names} == {f for f in b.names}
     got = read_pages_any(orc_path).to_pandas()
     assert len(got) == 4 and got["html"].map(bytes).str.len().gt(0).all()
+
+
+def test_ipc_matches_parquet(tmp_path):
+    from pyarrow import feather
+
+    pq_path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages_table(0, 25), pq_path)
+    for ext in ("arrow", "feather"):
+        ipc_path = str(tmp_path / f"pages.{ext}")
+        feather.write_feather(pages_table(0, 25), ipc_path,
+                              compression="uncompressed")
+        want = _fps(read_pages_any(pq_path))
+        got = _fps(read_pages_any(ipc_path))
+        pd.testing.assert_frame_equal(want, got)
+
+
+def test_ipc_schema_identical_and_pruned(tmp_path):
+    import pyarrow as pa
+    from pyarrow import feather
+
+    # an extra column must be pruned by the read, not carried through
+    t = pages_table(0, 4).append_column(
+        "extra", pa.array([b"x" * 10_000] * 4, pa.large_binary()))
+    ipc_path = str(tmp_path / "p.arrow")
+    feather.write_feather(t, ipc_path, compression="uncompressed")
+    got = read_pages_any(ipc_path)
+    assert "extra" not in got.schema().names
+    df = got.to_pandas()
+    assert len(df) == 4 and df["html"].map(bytes).str.len().gt(0).all()
