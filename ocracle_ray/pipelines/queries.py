@@ -6287,6 +6287,24 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+def q_events_expectations(sf_dir: str):
+    """Declarative data-quality expectations (stages.expect, the
+    Deequ/Great-Expectations CI gate): seven declared checks over the
+    events table — uniqueness, domain membership, timestamp range,
+    referential integrity vs customer, value bounds/sign/null-rate —
+    with exact-integer observed metrics and pass/fail verdicts. All
+    row-local checks share ONE combiner pass; referential is a
+    broadcast is_in in that same pass; uniqueness is the single
+    genuine exchange (groupby count). The oracle re-derives every
+    metric and verdict by integer equality."""
+    from ..stages.expect import events_expectations
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return events_expectations(ev, cust)
+
+
 def q_docs_canonical(sf_dir: str):
     """Canonical-document selection — the step AFTER near-dup
     clustering in a corpus release: each cluster keeps its best member
@@ -6573,6 +6591,7 @@ QUERIES = {
     "orders_hits": q_orders_hits,
     "events_attribution": q_events_attribution,
     "docs_canonical": q_docs_canonical,
+    "events_expectations": q_events_expectations,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10535,6 +10554,53 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
+    """,
+    "events_expectations": """
+        -- the declared suite re-derived: every observed metric is an
+        -- exact integer (counts; null rate by ppm floor division),
+        -- cents = half-away CAST(round(v*100) AS BIGINT), verdicts
+        -- observed <= threshold
+        WITH m AS (
+            SELECT count(*)::BIGINT AS n,
+                   (count(*) - count(DISTINCT event_id))::BIGINT
+                     AS dup_keys,
+                   sum(CASE WHEN event_type NOT IN
+                       ('click','error','purchase','signup','view')
+                       THEN 1 ELSE 0 END)::BIGINT AS bad_type,
+                   sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                       OR ts >= TIMESTAMP '2030-01-01'
+                       THEN 1 ELSE 0 END)::BIGINT AS n_ts_out,
+                   sum(CASE WHEN user_id NOT IN
+                       (SELECT c_custkey FROM customer)
+                       THEN 1 ELSE 0 END)::BIGINT AS orphan,
+                   sum(CASE WHEN value IS NOT NULL
+                       AND CAST(round(value * 100) AS BIGINT)
+                           > 10000000
+                       THEN 1 ELSE 0 END)::BIGINT AS n_val_big,
+                   sum(CASE WHEN value IS NOT NULL
+                       AND CAST(round(value * 100) AS BIGINT) < 0
+                       THEN 1 ELSE 0 END)::BIGINT AS n_val_neg,
+                   (sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                        END)::BIGINT * 1000000 // count(*))::BIGINT
+                     AS null_rate_ppm
+            FROM events
+        )
+        SELECT "check", observed, threshold,
+               CASE WHEN observed <= threshold THEN 1 ELSE 0
+               END::BIGINT AS passed
+        FROM (
+            SELECT 'event_id_unique' AS "check", dup_keys AS observed,
+                   0::BIGINT AS threshold FROM m
+            UNION ALL SELECT 'event_type_in_domain', bad_type, 0 FROM m
+            UNION ALL SELECT 'ts_in_range', n_ts_out, 0 FROM m
+            UNION ALL SELECT 'user_id_references_customer', orphan, 0
+                      FROM m
+            UNION ALL SELECT 'value_cents_at_most_max', n_val_big, 0
+                      FROM m
+            UNION ALL SELECT 'value_non_negative', n_val_neg, 0 FROM m
+            UNION ALL SELECT 'value_null_rate_ppm', null_rate_ppm,
+                      10000 FROM m
+        ) ORDER BY "check"
     """,
     "docs_canonical": f"""
         -- canonical per near-dup cluster: clusters re-derived via the

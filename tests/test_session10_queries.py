@@ -267,3 +267,42 @@ class TestAttribution:
             total += 100
         out = attribution_by_type(rd.from_arrow(self._events(rows)))
         assert int(out["cents"].sum()) == total
+
+
+class TestExpectations:
+    """Planted violations: the sf corpus is clean, so every FAIL path
+    needs an engineered stream."""
+
+    def test_each_check_fails_on_its_violation(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ocracle_ray.stages.expect import events_expectations
+
+        base = 1_700_000_000_000_000
+        ev = pa.table({
+            "event_id": pa.array([1, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array(
+                [base] * 7 + [631152000000000],  # 1989: out of range
+                pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 999, 1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "WAT", "view", "view", "view",
+                 "purchase", "view"], pa.string()),
+            "value": pa.array(
+                [0.0, 0.0, 0.0, 0.0, -1.0, 200_000.0, None, 0.0],
+                pa.float64()),
+        })
+        cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64())})
+        out = events_expectations(rd.from_arrow(ev),
+                                  rd.from_arrow(cust))
+        got = {c: (o, p) for c, o, p in
+               zip(out["check"], out["observed"], out["passed"])}
+        assert got["event_id_unique"] == (1, 0)
+        assert got["event_type_in_domain"] == (1, 0)
+        assert got["ts_in_range"] == (1, 0)
+        assert got["user_id_references_customer"] == (1, 0)
+        assert got["value_non_negative"] == (1, 0)
+        assert got["value_cents_at_most_max"] == (1, 0)
+        # 1 null of 8 rows = 125000 ppm > 10000 ppm limit
+        assert got["value_null_rate_ppm"] == (125_000, 0)
