@@ -6287,6 +6287,59 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+K_ANON_K = 10
+
+
+def q_customer_k_anonymity(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002) — the privacy gate a release
+    runs before publishing quasi-identifiable rows: group customers by
+    the quasi-identifier (nation, market segment, acctbal rounded down
+    to $5000 bands) and report how many equivalence classes — and how
+    many ROWS — fall below k=10 (re-identification risk). One
+    low-cardinality grouped aggregate (driver-fold combiner; the class
+    count is bounded by the quasi-id domain, not by rows) + an O(classes)
+    census. Band arithmetic is integer cents with TRUNCATING division
+    (DuckDB ``//`` truncates toward zero; Python floors — the
+    orders_monthly_growth lesson), so negative balances band
+    identically on both sides. At sf0.001 the 150-customer table
+    fragments completely (every class below k — the honest small-
+    corpus answer); the census is mixed from sf0.01 up, and the mixed
+    semantics are pinned by an engineered fixture in tests."""
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def qid(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64)
+        band = np.sign(cents) * (np.abs(cents) // 500_000)
+        return pa.table({
+            "nat": t["c_nationkey"].cast(pa.int64()),
+            "seg": t["c_mktsegment"],
+            "band": pa.array(band, pa.int64()),
+        })
+
+    g = driver_grouped_agg(
+        ds.map_batches(qid, batch_format="pyarrow"),
+        ["nat", "seg", "band"], {"n": ("nat", "count")})
+    sizes = g["n"].to_numpy().astype(np.int64)
+    n_rows = int(sizes.sum())
+    below = sizes < K_ANON_K
+    out = pd.DataFrame([{
+        "k": K_ANON_K,
+        "n_rows": n_rows,
+        "n_classes": int(len(sizes)),
+        "min_class_size": int(sizes.min()) if len(sizes) else 0,
+        "classes_below_k": int(below.sum()),
+        "rows_at_risk": int(sizes[below].sum()),
+        "risk_ppm": int(sizes[below].sum()) * 1_000_000 // n_rows
+                    if n_rows else 0,
+    }])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_expectations(sf_dir: str):
     """Declarative data-quality expectations (stages.expect, the
     Deequ/Great-Expectations CI gate): seven declared checks over the
@@ -6592,6 +6645,7 @@ QUERIES = {
     "events_attribution": q_events_attribution,
     "docs_canonical": q_docs_canonical,
     "events_expectations": q_events_expectations,
+    "customer_k_anonymity": q_customer_k_anonymity,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10554,6 +10608,32 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
+    """,
+    "customer_k_anonymity": """
+        -- quasi-id = (nation, segment, $5000 acctbal band); cents by
+        -- half-away rounding, band by TRUNCATING division (DuckDB //
+        -- truncates toward zero — matched in-engine); k = 10
+        WITH q AS (
+            SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                   CAST(round(c_acctbal * 100) AS BIGINT) // 500000
+                     AS band
+            FROM customer
+        ),
+        cls AS (
+            SELECT nat, seg, band, count(*)::BIGINT AS n
+            FROM q GROUP BY nat, seg, band
+        )
+        SELECT 10::BIGINT AS k,
+               sum(n)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_classes,
+               min(n)::BIGINT AS min_class_size,
+               sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT
+                 AS classes_below_k,
+               coalesce(sum(CASE WHEN n < 10 THEN n END), 0)::BIGINT
+                 AS rows_at_risk,
+               (coalesce(sum(CASE WHEN n < 10 THEN n END), 0)::BIGINT
+                * 1000000 // sum(n)::BIGINT)::BIGINT AS risk_ppm
+        FROM cls
     """,
     "events_expectations": """
         -- the declared suite re-derived: every observed metric is an

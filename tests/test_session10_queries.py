@@ -306,3 +306,26 @@ class TestExpectations:
         assert got["value_cents_at_most_max"] == (1, 0)
         # 1 null of 8 rows = 125000 ppm > 10000 ppm limit
         assert got["value_null_rate_ppm"] == (125_000, 0)
+
+
+class TestKAnonymityBanding:
+    """The quasi-id banding arithmetic on signed balances — DuckDB //
+    truncates toward zero, so -4999.99 dollars must band to 0 and
+    -5000.01 to -1 on BOTH sides (the monthly_growth lesson)."""
+
+    def test_signed_bands_truncate(self):
+        import numpy as np
+
+        v = np.array([-5000.01, -4999.99, -0.004, 0.004, 4999.99,
+                      5000.01, 10000.0])
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64)
+        band = np.sign(cents) * (np.abs(cents) // 500_000)
+        assert band.tolist() == [-1, 0, 0, 0, 0, 1, 2]
+        import duckdb
+
+        got = duckdb.connect().execute(
+            "SELECT list_transform($1::DOUBLE[], x -> "
+            "CAST(round(x * 100) AS BIGINT) // 500000)",
+            [list(map(float, v))]).fetchone()[0]
+        assert got == band.tolist()
