@@ -6287,6 +6287,219 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+INCREX_ORACLE_DIR = "/tmp/ocracle_increx_oracle"
+INCREX_MOD = 3  # new corpus = doc_id % 3 == 0, old = the rest
+INCREX_FP_LIMIT = 50_000_000  # old-fp broadcast guard (verify lane)
+
+
+def q_docs_incremental_exact(sf_dir: str):
+    """Bloom-prefiltered incremental exact dedup — the op
+    core.sketch.BloomFilter exists FOR, driver-pinned end to end: an
+    existing corpus (doc_id % 3 != 0) is summarized once into a Bloom
+    filter over text fingerprints; the incoming corpus (doc_id % 3
+    == 0) then drops provably-unseen keys with ONE map pass (a
+    negative lookup is a proof — no false negatives), and only
+    Bloom-positive keys (true dups + ~fp_rate false positives) need
+    the exact verify. At 100 TB the verify is a semi-join of just the
+    Bloom-positive slice; here the old-fp set broadcasts behind a loud
+    guard. Census: sizes, provably-new, true dups, and the OBSERVED
+    false-positive count/rate.
+
+    STRONG artifact oracle: per-doc (side, fp) rows AND the filter's
+    words/params are written; DuckDB re-derives h1/h2 (the
+    splitmix64 chain incl. the golden-gamma add, mirrored from
+    core.dedup._splitmix64), all k Kirsch-Mitzenmacher positions, every
+    word-bit lookup, every membership verdict, AND the true-dup count
+    independently from RAW text (normalized-text semi-join — no hash
+    trust), so a single false negative or a wrong fp count breaks the
+    row. Only the FNV fingerprint map itself is trusted (collision-free
+    at these scales; a collision would show as a true-dup mismatch)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..broadcast import cached_get
+    from ..core.textstats import fingerprint
+    from ..stages.dedup import build_hash_bloom
+
+    base = f"{INCREX_ORACLE_DIR}/current"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fps = np.array(
+            [fingerprint(x if x is not None else "")
+             for x in t["text"].to_pylist()], np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "side": pa.array(
+                np.where(ids % INCREX_MOD == 0, "new", "old"),
+                pa.string()),
+            "fp": pa.array(fps, pa.int64()),
+        })
+
+    fps = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    fps.write_parquet(f"{base}/fps")
+
+    # old-fp set: gathered ONCE for both capacity sizing and the
+    # verify broadcast (the 100-TB note above); loud-guarded
+    old_list = []
+    n_old = 0
+    for b in fps.iter_batches(batch_size=None, batch_format="pyarrow"):
+        m = pc.equal(b["side"], "old")
+        vals = b["fp"].filter(m).to_numpy(zero_copy_only=False)
+        n_old += len(vals)
+        old_list.append(vals)
+        if n_old > INCREX_FP_LIMIT:
+            raise ValueError(
+                f"incremental_exact: > {INCREX_FP_LIMIT} old fps — "
+                "verify via the bloom-positive semi-join lane instead "
+                "of the broadcast")
+    old_fps = np.unique(np.concatenate(old_list)) if old_list else \
+        np.array([], np.int64)
+
+    def old_side(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["side"], "old")).select(["fp"])
+
+    bloom = build_hash_bloom(
+        fps.map_batches(old_side, batch_format="pyarrow"), "fp",
+        capacity=max(1024, n_old), fp_rate=0.01)
+    pq.write_table(pa.table({
+        "i": pa.array(np.arange(len(bloom.words)), pa.int64()),
+        "w": pa.array(bloom.words.view(np.int64), pa.int64()),
+    }), f"{base}/bloom_words.parquet")
+    pq.write_table(pa.table({
+        "m": pa.array([bloom.m], pa.int64()),
+        "k": pa.array([bloom.k], pa.int64()),
+    }), f"{base}/bloom_params.parquet")
+
+    bloom_ref = ray.put(bloom)
+    old_ref = ray.put(pa.array(old_fps, pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["side"], "new"))
+        f = t["fp"].to_numpy(zero_copy_only=False)
+        bl = cached_get(bloom_ref)
+        pos = bl.contains_hashes(f.astype(np.uint64))
+        dup = pc.is_in(pa.array(f[pos], pa.int64()),
+                       value_set=cached_get(old_ref)).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_new": pa.array([len(f)], pa.int64()),
+            "n_pos": pa.array([int(pos.sum())], pa.int64()),
+            "n_dup": pa.array([int(dup.sum())], pa.int64()),
+        })
+
+    tot = {"n_new": 0, "n_pos": 0, "n_dup": 0}
+    for b in fps.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for k in tot:
+            tot[k] += int(pc.sum(b[k]).as_py() or 0)
+
+    n_actually_new = tot["n_new"] - tot["n_dup"]
+    out = pd.DataFrame([{
+        "n_old": n_old,
+        "n_new": tot["n_new"],
+        "n_bloom_pos": tot["n_pos"],
+        "n_provably_new": tot["n_new"] - tot["n_pos"],
+        "n_true_dup": tot["n_dup"],
+        "n_bloom_fp": tot["n_pos"] - tot["n_dup"],
+        "bloom_fp_ppm": ((tot["n_pos"] - tot["n_dup"]) * 1_000_000
+                         // n_actually_new) if n_actually_new else 0,
+    }])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _increx_oracle_sql() -> str:
+    """Generated mirror of the Bloom membership decision
+    (core.sketch.BloomFilter._positions over core.dedup._splitmix64,
+    golden-gamma add included) + an independent raw-text true-dup
+    count; every constant comes from the same hex literals."""
+    gamma = 0x9E3779B97F4A7C15
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    h2x = 0xA076_1D64_78BD_642F
+    m64 = "(1::UHUGEINT << 64)"
+    base = f"{INCREX_ORACLE_DIR}/current"
+    return f"""
+        WITH params AS (
+            SELECT m::UHUGEINT AS m, k
+            FROM read_parquet('{base}/bloom_params.parquet')),
+        words AS (
+            SELECT i, CASE WHEN w < 0
+                 THEN (w::HUGEINT + (1::HUGEINT << 64))::UHUGEINT
+                 ELSE w::UHUGEINT END AS uw
+            FROM read_parquet('{base}/bloom_words.parquet')),
+        fps AS (SELECT doc_id, side, fp
+                FROM read_parquet('{base}/fps/*.parquet')),
+        newfp AS (SELECT doc_id, fp::UHUGEINT AS u FROM fps
+                  WHERE side = 'new'),
+        a0 AS (SELECT doc_id, u,
+                      (u + {gamma}::UHUGEINT) % {m64} AS x FROM newfp),
+        a1 AS (SELECT doc_id, u,
+                      (xor(x, x >> 30) * {c1}::UHUGEINT) % {m64} AS x
+               FROM a0),
+        a2 AS (SELECT doc_id, u,
+                      (xor(x, x >> 27) * {c2}::UHUGEINT) % {m64} AS x
+               FROM a1),
+        h1t AS (SELECT doc_id, u, xor(x, x >> 31) AS h1 FROM a2),
+        b0 AS (SELECT doc_id, h1,
+                      (xor(u, {h2x}::UHUGEINT) + {gamma}::UHUGEINT)
+                        % {m64} AS x FROM h1t),
+        b1 AS (SELECT doc_id, h1,
+                      (xor(x, x >> 30) * {c1}::UHUGEINT) % {m64} AS x
+               FROM b0),
+        b2 AS (SELECT doc_id, h1,
+                      (xor(x, x >> 27) * {c2}::UHUGEINT) % {m64} AS x
+               FROM b1),
+        h2t AS (SELECT doc_id, h1,
+                       xor(x, x >> 31) // 2 * 2 + 1 AS h2 FROM b2),
+        ks AS (SELECT unnest(range(0,
+                   (SELECT k FROM params))) AS i),
+        posn AS (
+            SELECT doc_id,
+                   ((h1 + ks.i::UHUGEINT * h2) % {m64})
+                     % (SELECT m FROM params) AS pos
+            FROM h2t CROSS JOIN ks
+        ),
+        hits AS (
+            SELECT p.doc_id,
+                   min(CASE WHEN
+                       (w.uw // (1::UHUGEINT << (p.pos % 64)))
+                            % 2 = 1 THEN 1 ELSE 0 END) AS hit
+            FROM posn p JOIN words w ON w.i = (p.pos // 64)::BIGINT
+            GROUP BY p.doc_id
+        ),
+        old_t AS (SELECT DISTINCT {_TNORM} AS tn FROM documents
+                  WHERE doc_id % {INCREX_MOD} <> 0),
+        dupn AS (SELECT count(*)::BIGINT AS n FROM documents
+                 WHERE doc_id % {INCREX_MOD} = 0
+                   AND {_TNORM} IN (SELECT tn FROM old_t)),
+        c AS (
+            SELECT (SELECT count(*) FROM fps
+                    WHERE side = 'old')::BIGINT AS n_old,
+                   (SELECT count(*) FROM newfp)::BIGINT AS n_new,
+                   (SELECT coalesce(sum(hit), 0) FROM hits)::BIGINT
+                     AS n_bloom_pos,
+                   (SELECT n FROM dupn) AS n_true_dup
+        )
+        SELECT n_old, n_new, n_bloom_pos,
+               n_new - n_bloom_pos AS n_provably_new, n_true_dup,
+               n_bloom_pos - n_true_dup AS n_bloom_fp,
+               CASE WHEN n_new - n_true_dup > 0
+                    THEN (n_bloom_pos - n_true_dup) * 1000000
+                         // (n_new - n_true_dup)
+                    ELSE 0 END AS bloom_fp_ppm
+        FROM c
+    """
+
+
 K_ANON_K = 10
 
 
@@ -6646,6 +6859,7 @@ QUERIES = {
     "docs_canonical": q_docs_canonical,
     "events_expectations": q_events_expectations,
     "customer_k_anonymity": q_customer_k_anonymity,
+    "docs_incremental_exact": q_docs_incremental_exact,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10609,6 +10823,7 @@ ORACLE_SQL = {
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
     """,
+    "docs_incremental_exact": _increx_oracle_sql(),
     "customer_k_anonymity": """
         -- quasi-id = (nation, segment, $5000 acctbal band); cents by
         -- half-away rounding, band by TRUNCATING division (DuckDB //

@@ -308,6 +308,42 @@ class TestExpectations:
         assert got["value_null_rate_ppm"] == (125_000, 0)
 
 
+class TestIncrementalExact:
+    """Planted cross-side duplicates (whitespace/case variants — equal
+    normalized text, equal fingerprint) must be Bloom-positive AND
+    counted as true dups; the census partitions n_new exactly."""
+
+    def test_planted_dups(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocracle_ray.pipelines.queries import q_docs_incremental_exact
+
+        rows = []
+        for i in range(30):
+            rows.append((i, f"unique doc number {i} with words"))
+        # doc 9 (new side: 9 % 3 == 0) duplicates doc 1 (old side)
+        rows[9] = (9, "UNIQUE   doc\tnumber 1  with words".lower())
+        rows[9] = (9, "unique Doc  number 1 with\twords")
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = q_docs_incremental_exact(str(tmp_path)).iloc[0]
+        assert out["n_old"] == 20 and out["n_new"] == 10
+        assert out["n_true_dup"] == 1
+        # partition: provably_new + bloom_pos == n_new,
+        # and the dup can never be bloom-negative
+        assert out["n_provably_new"] + out["n_bloom_pos"] == 10
+        assert out["n_bloom_pos"] >= out["n_true_dup"]
+        assert out["n_bloom_fp"] == out["n_bloom_pos"] - 1
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
