@@ -1114,6 +1114,38 @@ def q_orders_basket_rank(sf_dir: str):
     return out.rename(columns={"node": "part_key"})
 
 
+PPR_SEED_BRAND = "Brand#1"
+
+
+def q_orders_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (stages.pagerank seed mode) — the
+    recommender form: random walk with restart to the seed set (all
+    parts of one brand), ranking parts by proximity to that brand in
+    the basket co-purchase graph ("customers who buy this brand also
+    buy…"). Same zero-shuffle broadcast-vector iterations as
+    orders_basket_rank; teleport mass lands only on seeds (base and r0
+    seed-gated, unnormalized — rescaling the teleport vector rescales
+    every score identically, so the ranking is the classic
+    |S|-normalized one). Generated unrolled oracle, exact integer
+    equality."""
+    from ..stages.pagerank import consecutive_pair_edges, pagerank
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey"])
+    edges = consecutive_pair_edges(
+        ds, group_col="l_orderkey", order_col="l_linenumber",
+        item_col="l_partkey")
+    seeds = driver_grouped_agg(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], PPR_SEED_BRAND))
+                       .select(["p_partkey"]),
+            batch_format="pyarrow"),
+        ["p_partkey"], {"_n": ("p_partkey", "count")})
+    out = pagerank(edges, n_iters=PAGERANK_ITERS, k=10,
+                   seed_nodes=seeds["p_partkey"].to_numpy())
+    return out.rename(columns={"node": "part_key"})
+
+
 def q_pages_boilerplate(sf_dir: str):
     """CCNet-style frequent-block suppression (stages.boiler): blocks
     whose normalized-text hash repeats ≥5 times corpus-wide are
@@ -6860,6 +6892,7 @@ QUERIES = {
     "events_expectations": q_events_expectations,
     "customer_k_anonymity": q_customer_k_anonymity,
     "docs_incremental_exact": q_docs_incremental_exact,
+    "orders_ppr": q_orders_ppr,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10823,6 +10856,20 @@ ORACLE_SQL = {
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
     """,
+    "orders_ppr": __import__(
+        "ocracle_ray.stages.pagerank", fromlist=["ppr_oracle_sql"]
+    ).ppr_oracle_sql(
+        """li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         l_partkey AS pk FROM lineitem),
+        nxt AS (SELECT ok, pk,
+                       lag(pk) OVER (PARTITION BY ok
+                                     ORDER BY ln, pk) AS prev
+                FROM li),
+        cp AS (SELECT least(prev, pk) AS a, greatest(prev, pk) AS b
+               FROM nxt WHERE prev IS NOT NULL AND prev <> pk),
+        ew AS (SELECT a, b, count(*)::BIGINT AS w FROM cp GROUP BY a, b)""",
+        "SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#1'",
+        PAGERANK_ITERS, 10, node_alias="part_key"),
     "docs_incremental_exact": _increx_oracle_sql(),
     "customer_k_anonymity": """
         -- quasi-id = (nation, segment, $5000 acctbal band); cents by

@@ -146,9 +146,18 @@ def consecutive_pair_edges(ds, *, group_col: str, order_col: str,
     )
 
 
-def pagerank(edges_ds, *, n_iters: int = 8, k: int = 10) -> pd.DataFrame:
+def pagerank(edges_ds, *, n_iters: int = 8, k: int = 10,
+             seed_nodes=None) -> pd.DataFrame:
     """Top-k nodes by fixed-point PageRank over undirected canonical
-    (a, b, w) edges. Returns (rk, node, score_fp)."""
+    (a, b, w) edges. Returns (rk, node, score_fp).
+
+    ``seed_nodes``: PERSONALIZED PageRank (the recommender form —
+    "random walk with restart to this seed set"): the teleport mass
+    lands only on the seeds (base = BASE·1[v ∈ S], r₀ = SCALE·1[v ∈
+    S], both unnormalized — a positive scalar on the teleport vector
+    rescales every score identically under this linear update, so the
+    RANKING is the |S|-normalized classic one). None = uniform
+    teleport (classic PageRank, unchanged)."""
     import ray
 
     def direct(t: pa.Table) -> pa.Table:
@@ -178,7 +187,16 @@ def pagerank(edges_ds, *, n_iters: int = 8, k: int = 10) -> pd.DataFrame:
     nodes_ref = ray.put(nodes)
     wu_ref = ray.put(wu)
 
-    r = np.full(len(nodes), SCALE, np.int64)
+    if seed_nodes is None:
+        base_vec = np.full(len(nodes), BASE, np.int64)
+        r = np.full(len(nodes), SCALE, np.int64)
+    else:
+        sm = np.isin(nodes, np.asarray(seed_nodes, np.int64))
+        if not sm.any():
+            raise ValueError("pagerank: no seed node appears in the "
+                             "edge set")
+        base_vec = np.where(sm, BASE, 0).astype(np.int64)
+        r = np.where(sm, SCALE, 0).astype(np.int64)
     for _ in range(n_iters):
         r_ref = ray.put(r)
 
@@ -202,7 +220,7 @@ def pagerank(edges_ds, *, n_iters: int = 8, k: int = 10) -> pd.DataFrame:
         ).iter_batches(batch_size=None, batch_format="pyarrow"):
             i = block["i"].to_numpy(zero_copy_only=False)
             acc[i] += block["s"].to_numpy(zero_copy_only=False)
-        r = BASE + (D_NUM * acc) // D_DEN
+        r = base_vec + (D_NUM * acc) // D_DEN
 
     order = np.lexsort((nodes, -r))[:k]
     out = pd.DataFrame({
@@ -239,6 +257,52 @@ def pagerank_oracle_sql(edge_cte: str, n_iters: int = 8,
         deg AS (SELECT src AS node, sum(w)::BIGINT AS wu
                 FROM edges GROUP BY src),
         r0 AS (SELECT node, {SCALE}::BIGINT AS r FROM deg),
+        {",".join(iters)},
+        ranked AS (
+            SELECT node, r AS score_fp,
+                   row_number() OVER (ORDER BY r DESC, node) AS rk
+            FROM r{n_iters}
+        )
+        SELECT rk, node AS {node_alias}, score_fp FROM ranked
+        WHERE rk <= {k} ORDER BY rk
+    """
+
+
+def ppr_oracle_sql(edge_cte: str, seeds_cte: str, n_iters: int = 8,
+                   k: int = 10, node_alias: str = "node") -> str:
+    """Generated unrolled mirror of PERSONALIZED PageRank: the caller
+    supplies the edge CTE (canonical undirected (a, b, w) rows, named
+    ``ew``) and a ``seeds`` CTE body yielding one ``node`` column;
+    base and r0 are seed-gated exactly like the engine."""
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+        r{i} AS (
+            SELECT e.dst AS node,
+                   (CASE WHEN s.node IS NOT NULL THEN {BASE}
+                         ELSE 0 END
+                    + ({D_NUM} * sum((e.w * r.r) // d.wu))
+                      // {D_DEN})::BIGINT AS r
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN deg d ON d.node = e.src
+            LEFT JOIN seeds s ON s.node = e.dst
+            GROUP BY e.dst, s.node
+        )""")
+    return f"""
+        WITH {edge_cte},
+        edges AS (
+            SELECT a AS src, b AS dst, w FROM ew
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM ew
+        ),
+        deg AS (SELECT src AS node, sum(w)::BIGINT AS wu
+                FROM edges GROUP BY src),
+        seeds AS ({seeds_cte}),
+        r0 AS (SELECT d.node,
+                      (CASE WHEN s.node IS NOT NULL THEN {SCALE}
+                            ELSE 0 END)::BIGINT AS r
+               FROM deg d LEFT JOIN seeds s ON s.node = d.node),
         {",".join(iters)},
         ranked AS (
             SELECT node, r AS score_fp,
