@@ -6319,6 +6319,80 @@ def _kcenter_oracle_sql() -> str:
             + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
 
 
+LTV_MAX_OFFSET = 3
+
+
+def q_orders_cohort_ltv(sf_dir: str):
+    """Cohort LTV curves — the revenue-weighted sibling of
+    events_retention: customers cohorted by FIRST-order month, each
+    cohort's cumulative order revenue (exact integer cents) at month
+    offsets 0..3. One guarded driver-fold groupby for the per-customer
+    first month (broadcast as a sorted-key array), then ONE streaming
+    orders pass emitting per-(cohort, offset) integer partials — no
+    join, no second exchange. Month arithmetic is integer
+    year·12+month on both sides."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+    first = driver_grouped_agg(
+        orders, ["o_custkey"], {"first_dt": ("o_orderdate", "min")})
+    fd = pd.to_datetime(first["first_dt"])
+    cust = first["o_custkey"].to_numpy().astype(np.int64)
+    ym = (fd.dt.year * 12 + (fd.dt.month - 1)).to_numpy().astype(np.int64)
+    order_c = np.argsort(cust)
+    cust, ym = cust[order_c], ym[order_c]
+    cohort_sizes = pd.Series(ym).value_counts().sort_index()
+    cust_ref = ray.put(cust)
+    ym_ref = ray.put(ym)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cu = cached_get(cust_ref)
+        yv = cached_get(ym_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cu, ck)
+        oy = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        om = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        md = (oy * 12 + (om - 1)) - yv[idx]
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64)
+        keep = md <= LTV_MAX_OFFSET
+        g = pa.table({
+            "cym": pa.array(yv[idx][keep], pa.int64()),
+            "md": pa.array(md[keep], pa.int64()),
+            "cents": pa.array(cents[keep], pa.int64()),
+        }).group_by(["cym", "md"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["cym", "md", "cents"])
+
+    acc: dict[tuple[int, int], int] = {}
+    for b in orders.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for cym, md, c in zip(b["cym"].to_pylist(), b["md"].to_pylist(),
+                              b["cents"].to_pylist()):
+            acc[(cym, md)] = acc.get((cym, md), 0) + c
+
+    rows = []
+    for cym in sorted(cohort_sizes.index):
+        cum, cells = 0, {}
+        for k in range(LTV_MAX_OFFSET + 1):
+            cum += acc.get((cym, k), 0)
+            cells[f"m{k}_cents"] = cum
+        rows.append({
+            "cohort_month": f"{cym // 12:04d}-{cym % 12 + 1:02d}",
+            "n_customers": int(cohort_sizes[cym]),
+            **cells,
+        })
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "cohort_month":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("cohort_month").reset_index(drop=True)
+
+
 INCREX_ORACLE_DIR = "/tmp/ocracle_increx_oracle"
 INCREX_MOD = 3  # new corpus = doc_id % 3 == 0, old = the rest
 INCREX_FP_LIMIT = 50_000_000  # old-fp broadcast guard (verify lane)
@@ -6893,6 +6967,7 @@ QUERIES = {
     "customer_k_anonymity": q_customer_k_anonymity,
     "docs_incremental_exact": q_docs_incremental_exact,
     "orders_ppr": q_orders_ppr,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -10855,6 +10930,39 @@ ORACLE_SQL = {
         SELECT doc_a, doc_b, i * 1000000 // u AS jaccard_ppm
         FROM pairs WHERE i * 1000000 >= 500000 * u
         ORDER BY doc_a, doc_b
+    """,
+    "orders_cohort_ltv": """
+        -- cohort = first-order month (integer y*12+m-1 arithmetic on
+        -- both sides); cumulative cents per offset via FILTER sums;
+        -- half-away cents
+        WITH f AS (
+            SELECT o_custkey,
+                   min(date_part('year', o_orderdate) * 12
+                       + date_part('month', o_orderdate) - 1)::BIGINT
+                     AS cym
+            FROM orders GROUP BY o_custkey
+        ),
+        o AS (
+            SELECT f.cym,
+                   (date_part('year', o.o_orderdate) * 12
+                    + date_part('month', o.o_orderdate) - 1)::BIGINT
+                     - f.cym AS md,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+            FROM orders o JOIN f USING (o_custkey)
+        )
+        SELECT printf('%04d-%02d', cym // 12, cym % 12 + 1)
+                 AS cohort_month,
+               (SELECT count(*) FROM f f2
+                WHERE f2.cym = o.cym)::BIGINT AS n_customers,
+               coalesce(sum(c) FILTER (WHERE md <= 0), 0)::BIGINT
+                 AS m0_cents,
+               coalesce(sum(c) FILTER (WHERE md <= 1), 0)::BIGINT
+                 AS m1_cents,
+               coalesce(sum(c) FILTER (WHERE md <= 2), 0)::BIGINT
+                 AS m2_cents,
+               coalesce(sum(c) FILTER (WHERE md <= 3), 0)::BIGINT
+                 AS m3_cents
+        FROM o GROUP BY cym ORDER BY cohort_month
     """,
     "orders_ppr": __import__(
         "ocracle_ray.stages.pagerank", fromlist=["ppr_oracle_sql"]
