@@ -6790,6 +6790,22 @@ def q_docs_setsim_join(sf_dir: str):
     return setsim_join(ds)
 
 
+def q_docs_containment_join(sf_dir: str):
+    """Exact containment self-join (stages.setsim.containment_join):
+    ordered pairs where ≥80% of doc a's word-3-gram set lies inside
+    doc b's — the template/wrapper detector symmetric Jaccard hides
+    when the container is much larger. Probe-prefix × full-index
+    shape (the index side posts every token — the documented cost of
+    an asymmetric predicate), one groupby(rank) exchange, the one
+    valid length filter (|Sb| ≥ τ|Sa|), zero-exchange broadcast-map
+    verify. Integer-ppm end to end; the oracle re-derives the FULL
+    ordered pair set by brute force."""
+    from ..stages.setsim import containment_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return containment_join(ds)
+
+
 def q_docs_char_entropy(sf_dir: str):
     """Character-entropy quality gate (stages.entropy): per-doc
     Shannon codepoint entropy — the exact core of the zlib
@@ -6968,6 +6984,7 @@ QUERIES = {
     "docs_incremental_exact": q_docs_incremental_exact,
     "orders_ppr": q_orders_ppr,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "docs_containment_join": q_docs_containment_join,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11153,6 +11170,44 @@ ORACLE_SQL = {
             UNION ALL
             SELECT 'unattributed', cents, n FROM unatt
         ) ORDER BY kind
+    """,
+    "docs_containment_join": """
+        -- brute-force ordered containment pairs over per-doc DISTINCT
+        -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;
+        -- integer-ppm gate and floor division, same tokenization as
+        -- docs_setsim_join
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                                                     '[^a-z0-9]+'),
+                               x -> x <> '') AS arr
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(arr) AS tok,
+                   unnest(range(1, len(arr) + 1)) AS p
+            FROM toks WHERE len(arr) >= 3
+        ),
+        big AS (
+            SELECT doc_id,
+                   lag(tok, 2) OVER w || chr(1)
+                     || lag(tok, 1) OVER w || chr(1) || tok AS g
+            FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        sets AS (
+            SELECT doc_id, count(DISTINCT g)::BIGINT AS sz,
+                   list(DISTINCT g) AS s
+            FROM big WHERE g IS NOT NULL GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.s, b.s))::BIGINT AS i,
+                   a.sz AS sz_a
+            FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+        )
+        SELECT doc_a, doc_b, i * 1000000 // sz_a AS containment_ppm
+        FROM pairs WHERE i * 1000000 >= 800000 * sz_a
+        ORDER BY doc_a, doc_b
     """,
     "orders_hits": __import__(
         "ocracle_ray.stages.hits", fromlist=["hits_oracle_sql"]

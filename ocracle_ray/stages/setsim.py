@@ -285,3 +285,170 @@ def setsim_join(ds, *, text_col: str = "text", doc_col: str = "doc_id",
     out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     return (out.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True).astype("int64"))
+
+
+def containment_join(ds, *, text_col: str = "text",
+                     doc_col: str = "doc_id",
+                     tau_ppm: int = 800_000):
+    """Exact CONTAINMENT self-join: ordered pairs (a, b) with
+    |Sa ∩ Sb| / |Sa| ≥ τ over distinct word-3-gram sets — the
+    template/wrapper detector (a page whose content is a near-subset
+    of another's) that symmetric Jaccard hides when the container is
+    much larger. Classic probe-prefix × full-index shape (Chaudhuri
+    SSJoin): the INDEX side posts every token (the documented cost of
+    an asymmetric predicate — no length upper bound can exist on the
+    container), the PROBE side posts only its |Sa| − ceil(τ|Sa|) + 1
+    rare-first prefix; the pigeonhole theorem holds per side under any
+    single global order (property-swept in tests). One groupby(rank)
+    exchange with the one VALID length filter (|Sb| ≥ τ|Sa|, in exact
+    ppm integers) + hot-bucket guard; distinct ordered pairs stay a
+    Dataset; verify is the same zero-exchange broadcast-map pass.
+    containment_ppm = inter·1e6 // |Sa| (floor), gate
+    inter·1e6 ≥ τ·|Sa| — the DuckDB oracle re-derives the FULL ordered
+    pair set by brute force."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    vocab = gram_rank_map(ds, text_col=text_col)
+    vocab_ref = ray.put(vocab)
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("rank", pa.int64()), ("doc", pa.int64()),
+                           ("sz", pa.int64()),
+                           ("probe", pa.int8())]).empty_table()
+        d, g = _doc_distinct_grams(t[text_col])
+        if len(d) == 0:
+            return empty
+        vocab_l = cached_get(vocab_ref)
+        rr = pc.index_in(g, value_set=vocab_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = np.unique((d.astype(np.int64) << 32) | rr)
+        dd = (u >> 32).astype(np.int64)
+        rank = (u & 0xFFFFFFFF).astype(np.int64)
+        sizes = np.bincount(dd, minlength=t.num_rows).astype(np.int64)
+        plen = np.where(sizes > 0,
+                        sizes - _ceil_ppm(sizes, tau_ppm) + 1, 0)
+        cum = np.concatenate([[0], np.cumsum(sizes)])
+        pos = np.arange(len(u), dtype=np.int64) - cum[dd]
+        probe = pos < plen[dd]
+        doc_ids = t[doc_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rank": pa.array(np.concatenate([rank, rank[probe]]),
+                             pa.int64()),
+            "doc": pa.array(np.concatenate(
+                [doc_ids[dd], doc_ids[dd[probe]]]), pa.int64()),
+            "sz": pa.array(np.concatenate(
+                [sizes[dd], sizes[dd[probe]]]), pa.int64()),
+            "probe": pa.array(np.concatenate(
+                [np.zeros(len(u), np.int8),
+                 np.ones(int(probe.sum()), np.int8)]), pa.int8()),
+        })
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        pm = g["probe"].to_numpy(zero_copy_only=False) == 1
+        docs = g["doc"].to_numpy(zero_copy_only=False)
+        szs = g["sz"].to_numpy(zero_copy_only=False)
+        pa_d, pa_s = docs[pm], szs[pm]
+        ix_d, ix_s = docs[~pm], szs[~pm]
+        n_pairs = len(pa_d) * len(ix_d)
+        if n_pairs > MAX_PREFIX_BUCKET:
+            raise ValueError(
+                f"containment_join: prefix bucket would emit {n_pairs}"
+                f" candidates (> {MAX_PREFIX_BUCKET}) — degenerate hot"
+                " token; lower tau or pre-prune the vocabulary")
+        ii, jj = np.meshgrid(np.arange(len(pa_d)),
+                             np.arange(len(ix_d)), indexing="ij")
+        a, b = pa_d[ii.ravel()], ix_d[jj.ravel()]
+        sa, sb = pa_s[ii.ravel()], ix_s[jj.ravel()]
+        keep = (a != b) & (sb * 1_000_000 >= tau_ppm * sa)
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+        })
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _safe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return t.select(["a", "b"])
+
+    cand = (ds.map_batches(emit, batch_format="pyarrow")
+            .groupby("rank")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(_safe, batch_format="pyarrow")
+            .materialize())
+
+    cand_ids: set[int] = set()
+    for block in cand.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+        cand_ids.update(block["a"].to_pylist())
+        cand_ids.update(block["b"].to_pylist())
+        if len(cand_ids) > CAND_DOC_LIMIT:
+            raise ValueError(
+                f"containment_join: > {CAND_DOC_LIMIT} candidate docs"
+                " — switch verify to the Dataset lane")
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("containment_ppm", pa.int64())])
+    if not cand_ids:
+        import pandas as pd
+
+        return out_schema.empty_table().to_pandas()
+
+    ids_arr = pa.array(sorted(cand_ids), pa.int64())
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[doc_col], value_set=ids_arr))
+        d, g = _doc_distinct_grams(t[text_col])
+        vocab_l = cached_get(vocab_ref)
+        rr = pc.index_in(g, value_set=vocab_l).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u = np.unique((d.astype(np.int64) << 32) | rr)
+        doc_ids = t[doc_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc": pa.array(doc_ids[(u >> 32)], pa.int64()),
+            "rank": pa.array(u & 0xFFFFFFFF, pa.int64()),
+        })
+
+    sets: dict[int, list[int]] = {}
+    total = 0
+    for block in ds.map_batches(
+            set_rows, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for doc, rank in zip(block["doc"].to_pylist(),
+                             block["rank"].to_pylist()):
+            sets.setdefault(doc, []).append(rank)
+            total += 1
+            if total > GATHER_SET_LIMIT:
+                raise ValueError("containment_join: gather guard hit —"
+                                 " switch verify to the Dataset lane")
+    set_map = {k: np.array(sorted(v), np.int64) for k, v in sets.items()}
+    map_ref = ray.put(set_map)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return out_schema.empty_table()
+        m = cached_get(map_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        n = len(a)
+        inter = np.zeros(n, np.int64)
+        sz_a = np.zeros(n, np.int64)
+        for i in range(n):
+            s_a, s_b = m[int(a[i])], m[int(b[i])]
+            inter[i] = len(np.intersect1d(s_a, s_b, assume_unique=True))
+            sz_a[i] = len(s_a)
+        keep = inter * 1_000_000 >= tau_ppm * sz_a
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "containment_ppm": pa.array(
+                inter[keep] * 1_000_000 // sz_a[keep], pa.int64()),
+        })
+
+    out = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True).astype("int64"))

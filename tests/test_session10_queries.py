@@ -115,6 +115,69 @@ class TestPrefixFilterTheorem:
         assert (0, 1) in cands
 
 
+class TestContainmentPrefixTheorem:
+    """Probe-prefix × full-index completeness: C(a,b) >= tau implies
+    a's rare-first prefix intersects b — swept vs brute force,
+    including the asymmetric subset case Jaccard hides."""
+
+    @staticmethod
+    def _candidates(sets, tau_ppm):
+        from ocracle_ray.stages.setsim import _ceil_ppm
+
+        df = {}
+        for s in sets:
+            for x in s:
+                df[x] = df.get(x, 0) + 1
+        rank = {x: i for i, x in
+                enumerate(sorted(df, key=lambda x: (df[x], x)))}
+        index, probes = {}, {}
+        for di, s in enumerate(sets):
+            rs = sorted(rank[x] for x in s)
+            for r in rs:
+                index.setdefault(r, []).append(di)
+            plen = int(len(rs) - _ceil_ppm(np.array([len(rs)]),
+                                           tau_ppm)[0] + 1)
+            for r in rs[:plen]:
+                probes.setdefault(r, []).append(di)
+        cands = set()
+        for r, ps in probes.items():
+            for a in ps:
+                for b in index.get(r, ()):
+                    if a != b and (len(sets[b]) * 1_000_000
+                                   >= tau_ppm * len(sets[a])):
+                        cands.add((a, b))
+        return cands
+
+    def test_covers_every_qualifying_ordered_pair(self):
+        rng = np.random.RandomState(13)
+        for tau_ppm in (600_000, 800_000, 1_000_000):
+            for _ in range(15):
+                uni = np.arange(30)
+                sets = []
+                for _ in range(25):
+                    p = 1.0 / (uni + 2.0)
+                    mask = rng.rand(len(uni)) < p * rng.uniform(1, 8)
+                    s = frozenset(uni[mask].tolist())
+                    if s:
+                        sets.append(s)
+                cands = self._candidates(sets, tau_ppm)
+                for a in range(len(sets)):
+                    for b in range(len(sets)):
+                        if a == b:
+                            continue
+                        inter = len(sets[a] & sets[b])
+                        if inter * 1_000_000 >= tau_ppm * len(sets[a]):
+                            assert (a, b) in cands
+
+    def test_asymmetric_subset(self):
+        # a is a strict subset of a much larger b: containment(a→b)=1,
+        # jaccard low; the ordered pair (a, b) must be found, (b, a) not
+        a = frozenset(range(4))
+        b = frozenset(range(40))
+        cands = self._candidates([a, b], 800_000)
+        assert (0, 1) in cands and (1, 0) not in cands
+
+
 class TestHits:
     """stages.hits on engineered bipartite graphs vs a numpy
     reference of the exact integer fixed-point rule."""
