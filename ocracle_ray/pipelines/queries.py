@@ -6790,6 +6790,116 @@ def q_docs_setsim_join(sf_dir: str):
     return setsim_join(ds)
 
 
+PHASH_ORACLE_DIR = "/tmp/ocracle_phash_oracle"
+PHASH_HAMMING = 10
+
+
+def q_media_phash_dedup(sf_dir: str):
+    """Perceptual image near-dup detection (stages.multimodal
+    ImageDHash) — the image side of corpus dedup: dHash survives
+    re-encoding (PNG vs JPEG q85) and small pixel noise that byte
+    hashing can't see. Fixtures: deterministic smoothed-noise bases,
+    each shipped as PNG (exact), JPEG (lossy twin) and noisy BMP —
+    every pair inside a base family must land under the hamming
+    threshold, cross-family pairs far above (asserted in tests).
+    Actor-pool decode+hash; pairs here fold on the driver behind the
+    corpus size (at scale: the simhash pigeonhole banding path).
+    STRONG artifact oracle: per-image 72 luma samples are written;
+    SQL re-derives all 64 comparison bits, the packed signed hash,
+    and every hamming pair — only the codec decode is trusted."""
+    import shutil
+
+    from ray.data import from_arrow
+
+    from ..core.bmp import encode_bmp
+    from ..core.jpeg import encode_jpeg
+    from ..core.png import encode_png
+    from ..sources.pages import sf_of_dir
+    from ..stages.multimodal import ImageDHash
+
+    n_base = max(8, min(60, int(600 * sf_of_dir(sf_dir))))
+    ids, payloads = [], []
+    for b in range(n_base):
+        rng = np.random.RandomState(90_000 + b)
+        raw = rng.randint(0, 256, (34, 34)).astype(np.int64)
+        # 3x3 integer box smooth -> structure dHash can key on
+        g = np.zeros((32, 32), np.int64)
+        for dy in range(3):
+            for dx in range(3):
+                g += raw[dy:dy + 32, dx:dx + 32]
+        g = (g // 9).astype(np.uint8)
+        noise = (np.random.RandomState(91_000 + b)
+                 .randint(-2, 3, (32, 32)))
+        noisy = np.clip(g.astype(np.int64) + noise, 0, 255).astype(
+            np.uint8)
+        for v, payload in ((0, encode_png(g)),
+                           (1, encode_jpeg(g, quality=85)),
+                           (2, encode_bmp(np.stack([noisy] * 3,
+                                                   axis=2)))):
+            ids.append(b * 10 + v)
+            payloads.append(payload)
+
+    ds = from_arrow(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    }))
+    hashed = ds.map_batches(
+        ImageDHash, batch_format="pyarrow", batch_size=16,
+        concurrency=2).materialize()
+
+    out_dir = f"{PHASH_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    hashed.write_parquet(out_dir)
+
+    hp = hashed.select_columns(["media_id", "dhash"]).to_pandas()
+    mid = hp["media_id"].to_numpy().astype(np.int64)
+    dh = hp["dhash"].to_numpy().astype(np.int64).astype(np.uint64)
+    order = np.argsort(mid)
+    mid, dh = mid[order], dh[order]
+    ii, jj = np.triu_indices(len(mid), k=1)
+    x = dh[ii] ^ dh[jj]
+    ham = np.zeros(len(x), np.int64)
+    for k in range(64):
+        ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+    keep = ham <= PHASH_HAMMING
+    out = pd.DataFrame({
+        "a": mid[ii[keep]], "b": mid[jj[keep]],
+        "hamming": ham[keep],
+    }).sort_values(["a", "b"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _phash_oracle_sql() -> str:
+    """Generated mirror: the 64 dHash comparison bits from the written
+    luma samples (row-major 8×9, 1-based list indexing), MSB-first
+    packing, signed-int64 wrap, then every hamming pair."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 9 + c + 1
+            shift = 63 - (r * 8 + c)
+            terms.append(
+                f"CASE WHEN gray[{i}] < gray[{i + 1}] THEN "
+                f"(1::HUGEINT << {shift}) ELSE 0::HUGEINT END")
+    hsum = " + ".join(terms)
+    return f"""
+        WITH calc AS (
+            SELECT media_id,
+                   (CASE WHEN ({hsum}) >= (1::HUGEINT << 63)
+                         THEN ({hsum}) - (1::HUGEINT << 64)
+                         ELSE ({hsum}) END)::BIGINT AS dh
+            FROM read_parquet('{PHASH_ORACLE_DIR}/current/*.parquet')
+        )
+        SELECT a.media_id AS a, b.media_id AS b,
+               CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        FROM calc a JOIN calc b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dh, b.dh)) <= {PHASH_HAMMING}
+        ORDER BY a, b
+    """
+
+
 def q_docs_containment_join(sf_dir: str):
     """Exact containment self-join (stages.setsim.containment_join):
     ordered pairs where ≥80% of doc a's word-3-gram set lies inside
@@ -6985,6 +7095,7 @@ QUERIES = {
     "orders_ppr": q_orders_ppr,
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "docs_containment_join": q_docs_containment_join,
+    "media_phash_dedup": q_media_phash_dedup,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11171,6 +11282,7 @@ ORACLE_SQL = {
             SELECT 'unattributed', cents, n FROM unatt
         ) ORDER BY kind
     """,
+    "media_phash_dedup": _phash_oracle_sql(),
     "docs_containment_join": """
         -- brute-force ordered containment pairs over per-doc DISTINCT
         -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;

@@ -365,3 +365,65 @@ def media_pipeline(ds, *, batch_size: int = 32, concurrency=2):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageDHash:
+    """Actor-pool perceptual image hashing — dHash (difference hash),
+    the image-side near-dup key a multimodal corpus dedups on (the
+    text side's simhash analogue): decode → integer luma → 9×8
+    nearest-neighbour downsample (the Resize index rule,
+    ``(i·src)//dst``) → 64 adjacent-column comparisons packed MSB-first
+    into a signed int64. Integer end to end after the decode, so a
+    written (media_id, gray[72]) artifact lets SQL re-derive every
+    bit, the packed hash, and every hamming pair independently — only
+    the codec decode is trusted (unit-tested separately).
+
+    Returns one row per DECODABLE image: (media_id, dhash,
+    gray list<int64> of the 72 luma samples, row-major 8×9).
+    Malformed payloads of known containers skip (the stage contract).
+    """
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._decoder = _ImageDecoder()
+
+    @staticmethod
+    def _dhash_gray(px: np.ndarray) -> tuple[int, np.ndarray]:
+        if px.ndim == 3 and px.shape[2] >= 3:
+            p = px[:, :, :3].astype(np.int64)
+            # integer Rec.601 luma — exact, floor division
+            g = (299 * p[:, :, 0] + 587 * p[:, :, 1]
+                 + 114 * p[:, :, 2]) // 1000
+        elif px.ndim == 3:  # (h, w, 1) single-channel decode
+            g = px[:, :, 0].astype(np.int64)
+        else:
+            g = px.astype(np.int64)
+        h, w = g.shape
+        ri = (np.arange(8, dtype=np.int64) * h) // 8
+        ci = (np.arange(9, dtype=np.int64) * w) // 9
+        small = g[np.ix_(ri, ci)]  # (8, 9)
+        bits = (small[:, :8] < small[:, 1:]).reshape(64)
+        packed = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        if packed >= 1 << 63:
+            packed -= 1 << 64
+        return packed, small.reshape(72)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, hashes, grays = [], [], []
+        for mid, payload in zip(t[self.id_col].to_pylist(),
+                                t[self.payload_col].to_pylist()):
+            px = self._decoder.decode(payload)
+            if px is None:
+                continue
+            _w, _h, arr = px
+            dh, gray = self._dhash_gray(arr)
+            ids.append(mid)
+            hashes.append(dh)
+            grays.append(gray.tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(hashes, pa.int64()),
+            "gray": pa.array(grays, pa.list_(pa.int64())),
+        })

@@ -407,6 +407,68 @@ class TestIncrementalExact:
         assert out["n_bloom_fp"] == out["n_bloom_pos"] - 1
 
 
+class TestImageDHash:
+    """dHash arithmetic against a pure-Python reference + the
+    invariance claims the query rests on."""
+
+    @staticmethod
+    def _ref(g):
+        h, w = g.shape
+        small = [[int(g[(r * h) // 8][(c * w) // 9]) for c in range(9)]
+                 for r in range(8)]
+        packed = 0
+        for r in range(8):
+            for c in range(8):
+                if small[r][c] < small[r][c + 1]:
+                    packed |= 1 << (63 - (r * 8 + c))
+        if packed >= 1 << 63:
+            packed -= 1 << 64
+        return packed, [v for row in small for v in row]
+
+    def test_matches_reference(self):
+        from ocracle_ray.stages.multimodal import ImageDHash
+
+        rng = np.random.RandomState(5)
+        for shape in ((32, 32), (17, 23), (9, 9), (64, 48)):
+            g = rng.randint(0, 256, shape).astype(np.uint8)
+            dh, gray = ImageDHash._dhash_gray(g)
+            rdh, rgray = self._ref(g.astype(np.int64))
+            assert dh == rdh and gray.tolist() == rgray
+
+    def test_luma_of_equal_channels_is_identity(self):
+        from ocracle_ray.stages.multimodal import ImageDHash
+
+        g = np.random.RandomState(6).randint(
+            0, 256, (16, 16)).astype(np.uint8)
+        rgb = np.stack([g] * 3, axis=2)
+        assert ImageDHash._dhash_gray(rgb)[0] == \
+            ImageDHash._dhash_gray(g)[0]
+
+    def test_small_noise_small_hamming(self):
+        from ocracle_ray.stages.multimodal import ImageDHash
+
+        rng = np.random.RandomState(7)
+        raw = rng.randint(0, 256, (34, 34)).astype(np.int64)
+        g = np.zeros((32, 32), np.int64)
+        for dy in range(3):
+            for dx in range(3):
+                g += raw[dy:dy + 32, dx:dx + 32]
+        g = (g // 9).astype(np.uint8)
+        noisy = np.clip(
+            g.astype(np.int64) + rng.randint(-2, 3, (32, 32)),
+            0, 255).astype(np.uint8)
+        other = rng.randint(0, 256, (32, 32)).astype(np.uint8)
+        a = ImageDHash._dhash_gray(g)[0]
+        b = ImageDHash._dhash_gray(noisy)[0]
+        c = ImageDHash._dhash_gray(other)[0]
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert ham(a, b) <= 10
+        assert ham(a, c) > 15
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
