@@ -6900,6 +6900,154 @@ def _phash_oracle_sql() -> str:
     """
 
 
+AFP_ORACLE_DIR = "/tmp/ocracle_afp_oracle"
+AFP_HAMMING = 12
+
+
+def q_media_audio_fingerprint(sf_dir: str):
+    """Spectral audio near-dup detection (stages.multimodal
+    AudioFingerprint) — the Haitsma–Kalker fingerprint next to
+    ImageDHash: the key survives lossless re-encode EXACTLY (FLAC ≡
+    PCM, asserted hamming 0 in tests), G.711 mu-law companding and
+    small additive noise, where byte hashing sees four unrelated
+    files. Fixtures: per-family 9-band sinusoid mixes with random
+    per-segment amplitudes, pre-quantized to the grid where WAV
+    (×32767 encode) and FLAC (×32768 encode) round-trip to identical
+    ints (|q| < 16384 — the two scale factors agree there); shipped
+    as PCM WAV, FLAC twin, mu-law WAV and noisy WAV. Measured
+    separation: within-family hamming ≤ 1, cross-family ≥ 52 of 128.
+    Actor-pool decode+fingerprint; pairs fold on the driver behind
+    the corpus size (at scale: the simhash pigeonhole banding path
+    over the two packed words).
+    STRONG artifact oracle: the per-clip 17×9 int64 energy matrix is
+    written; SQL re-derives all 128 time×band second-difference sign
+    bits, both packed signed words, and every hamming pair — only the
+    codec decode + rfft are trusted (codecs unit-tested)."""
+    import shutil
+
+    from ray.data import from_arrow
+
+    from ..core.flac import encode_flac
+    from ..core.wav import encode_wav, encode_wav_g711
+    from ..sources.pages import sf_of_dir
+    from ..stages.multimodal import AudioFingerprint
+
+    n_seg, n_bands, seg_len = (AudioFingerprint.N_SEG,
+                               AudioFingerprint.N_BANDS, 360)
+    rate, n = 8000, n_seg * 360
+    per = (seg_len // 2) // n_bands
+    t = np.arange(seg_len)
+    n_base = max(6, min(40, int(400 * sf_of_dir(sf_dir))))
+    ids, payloads = [], []
+    for b in range(n_base):
+        amps = np.random.RandomState(95_000 + b).uniform(
+            0.02, 0.045, (n_seg, n_bands))
+        sig = np.zeros(n)
+        for seg in range(n_seg):
+            s = np.zeros(seg_len)
+            for band in range(n_bands):
+                kbin = 1 + band * per + per // 2
+                s += amps[seg, band] * np.sin(2 * np.pi * kbin * t
+                                              / seg_len)
+            sig[seg * seg_len:(seg + 1) * seg_len] = s
+        # shared-grid quantization: round(q*32767/32768) == q and
+        # round(q*32768/32768) == q for |q| < 16384, so the WAV and
+        # FLAC payloads decode to IDENTICAL float64 samples
+        q = np.round(sig * 32767.0)
+        assert np.abs(q).max() < 16384
+        x = q / 32768.0
+        noisy = np.clip(
+            x + np.random.RandomState(96_000 + b)
+                  .randint(-16, 17, n) / 32768.0, -0.5, 0.5)
+        for v, payload in ((0, encode_wav(x, rate)),
+                           (1, encode_flac(x, rate)),
+                           (2, encode_wav_g711(x, rate, law="mu")),
+                           (3, encode_wav(noisy, rate))):
+            ids.append(b * 10 + v)
+            payloads.append(payload)
+
+    ds = from_arrow(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    }))
+    hashed = ds.map_batches(
+        AudioFingerprint, batch_format="pyarrow", batch_size=16,
+        concurrency=2).materialize()
+
+    out_dir = f"{AFP_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    hashed.write_parquet(out_dir)
+
+    hp = hashed.select_columns(
+        ["media_id", "hash_hi", "hash_lo"]).to_pandas()
+    mid = hp["media_id"].to_numpy().astype(np.int64)
+    order = np.argsort(mid)
+    mid = mid[order]
+    hi = hp["hash_hi"].to_numpy().astype(np.int64)[order].astype(
+        np.uint64)
+    lo = hp["hash_lo"].to_numpy().astype(np.int64)[order].astype(
+        np.uint64)
+    ii, jj = np.triu_indices(len(mid), k=1)
+    ham = np.zeros(len(ii), np.int64)
+    for x in (hi[ii] ^ hi[jj], lo[ii] ^ lo[jj]):
+        for k in range(64):
+            ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(
+                np.int64)
+    keep = ham <= AFP_HAMMING
+    out = pd.DataFrame({
+        "a": mid[ii[keep]], "b": mid[jj[keep]],
+        "hamming": ham[keep],
+    }).sort_values(["a", "b"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _afp_oracle_sql() -> str:
+    """Generated mirror: the 128 sign bits of the time×band second
+    difference from the written 17×9 energy matrix (row-major,
+    1-based list indexing: e[t*9+b+1]), MSB-first packing into two
+    signed words, then every hamming pair."""
+    hi_terms, lo_terms = [], []
+    for tt in range(16):
+        for c in range(8):
+            i0, i1 = tt * 9 + c + 1, (tt + 1) * 9 + c + 1
+            k = tt * 8 + c
+            cond = (f"(e[{i1}] - e[{i0}]) > (e[{i1 + 1}] - e[{i0 + 1}])")
+            if k < 64:
+                hi_terms.append(
+                    f"CASE WHEN {cond} THEN (1::HUGEINT << {63 - k}) "
+                    f"ELSE 0::HUGEINT END")
+            else:
+                lo_terms.append(
+                    f"CASE WHEN {cond} THEN (1::HUGEINT << {127 - k}) "
+                    f"ELSE 0::HUGEINT END")
+    hi_sum = " + ".join(hi_terms)
+    lo_sum = " + ".join(lo_terms)
+    return f"""
+        WITH raw AS (
+            SELECT media_id, ({hi_sum}) AS hraw, ({lo_sum}) AS lraw
+            FROM read_parquet('{AFP_ORACLE_DIR}/current/*.parquet')
+        ), calc AS (
+            SELECT media_id,
+                   (CASE WHEN hraw >= (1::HUGEINT << 63)
+                         THEN hraw - (1::HUGEINT << 64)
+                         ELSE hraw END)::BIGINT AS hi,
+                   (CASE WHEN lraw >= (1::HUGEINT << 63)
+                         THEN lraw - (1::HUGEINT << 64)
+                         ELSE lraw END)::BIGINT AS lo
+            FROM raw
+        )
+        SELECT a.media_id AS a, b.media_id AS b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM calc a JOIN calc b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) <= {AFP_HAMMING}
+        ORDER BY a, b
+    """
+
+
 def q_docs_containment_join(sf_dir: str):
     """Exact containment self-join (stages.setsim.containment_join):
     ordered pairs where ≥80% of doc a's word-3-gram set lies inside
@@ -7096,6 +7244,7 @@ QUERIES = {
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "docs_containment_join": q_docs_containment_join,
     "media_phash_dedup": q_media_phash_dedup,
+    "media_audio_fingerprint": q_media_audio_fingerprint,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11283,6 +11432,7 @@ ORACLE_SQL = {
         ) ORDER BY kind
     """,
     "media_phash_dedup": _phash_oracle_sql(),
+    "media_audio_fingerprint": _afp_oracle_sql(),
     "docs_containment_join": """
         -- brute-force ordered containment pairs over per-doc DISTINCT
         -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;

@@ -427,3 +427,89 @@ class ImageDHash:
             "dhash": pa.array(hashes, pa.int64()),
             "gray": pa.array(grays, pa.list_(pa.int64())),
         })
+
+
+class AudioFingerprint:
+    """Actor-pool spectral audio fingerprinting — the Haitsma–Kalker
+    (2002) scheme, the audio-side near-dup key next to ImageDHash:
+    decode → mono mean → 17 equal segments → per-segment rfft band
+    energies (9 equal bins-1..K bands, rounded to int64 milli-units) →
+    128 sign bits of the time×band second difference
+    (ΔE[t,b] − ΔE[t,b+1] > 0), packed MSB-first into two signed
+    int64s. The energy matrix is the written artifact, so SQL
+    re-derives every bit, both packed halves and every hamming pair —
+    only the decode + rfft are trusted (codecs unit-tested; the bit
+    rule is integer on both sides).
+
+    Clips shorter than 17·64 mono samples skip (the stage contract);
+    the fingerprint survives lossless re-encoding exactly (FLAC ≡
+    PCM), G.711 companding and small additive noise (asserted by the
+    query's fixture families)."""
+
+    N_SEG = 17
+    N_BANDS = 9
+
+    def __init__(self, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        from ..core.flac import decode_flac, is_flac
+        from ..core.vorbis import decode_vorbis, is_ogg
+        from ..core.wav import decode_wav, is_wav
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._codecs = ((is_wav, decode_wav), (is_flac, decode_flac),
+                        (is_ogg, decode_vorbis))
+
+    @classmethod
+    def _energies(cls, mono: np.ndarray) -> np.ndarray | None:
+        L = len(mono) // cls.N_SEG
+        if L < 64:
+            return None
+        segs = mono[: L * cls.N_SEG].reshape(cls.N_SEG, L)
+        mag2 = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+        K = L // 2  # bins 1..K (DC excluded)
+        per = K // cls.N_BANDS
+        e = np.zeros((cls.N_SEG, cls.N_BANDS), np.float64)
+        for b in range(cls.N_BANDS):
+            e[:, b] = mag2[:, 1 + b * per: 1 + (b + 1) * per].sum(axis=1)
+        return np.floor(e * 1000.0 + 0.5).astype(np.int64)
+
+    @classmethod
+    def _pack_bits(cls, ei: np.ndarray) -> tuple[int, int]:
+        d = ei[1:, :] - ei[:-1, :]             # (16, 9)
+        bits = (d[:, :-1] - d[:, 1:]) > 0      # (16, 8)
+        flat = bits.reshape(128)
+        raw = int.from_bytes(np.packbits(flat).tobytes(), "big")
+        hi, lo = raw >> 64, raw & ((1 << 64) - 1)
+        return (hi - (1 << 64) if hi >= 1 << 63 else hi,
+                lo - (1 << 64) if lo >= 1 << 63 else lo)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, his, los, es = [], [], [], []
+        for mid, payload in zip(t[self.id_col].to_pylist(),
+                                t[self.payload_col].to_pylist()):
+            samples = None
+            for sniff, dec in self._codecs:
+                if sniff(payload):
+                    try:
+                        _rate, _ch, samples = dec(payload)
+                    except (NotImplementedError, ValueError):
+                        samples = None
+                    break
+            if samples is None:
+                continue
+            mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+            ei = self._energies(np.asarray(mono, np.float64))
+            if ei is None:
+                continue
+            hi, lo = self._pack_bits(ei)
+            ids.append(mid)
+            his.append(hi)
+            los.append(lo)
+            es.append(ei.reshape(-1).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "hash_hi": pa.array(his, pa.int64()),
+            "hash_lo": pa.array(los, pa.int64()),
+            "e": pa.array(es, pa.list_(pa.int64())),
+        })

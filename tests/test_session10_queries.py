@@ -469,6 +469,127 @@ class TestImageDHash:
         assert ham(a, c) > 15
 
 
+class TestAudioFingerprint:
+    """Haitsma–Kalker bit arithmetic vs a pure-Python reference + the
+    invariance claims q_media_audio_fingerprint rests on (FLAC twin
+    EXACT, companding/noise small, cross-family far above)."""
+
+    @staticmethod
+    def _ref_bits(ei):
+        # ei: (17, 9) ints -> (hi, lo) signed int64s
+        raw = 0
+        for t in range(16):
+            for c in range(8):
+                d0 = ei[t + 1][c] - ei[t][c]
+                d1 = ei[t + 1][c + 1] - ei[t][c + 1]
+                if d0 - d1 > 0:
+                    raw |= 1 << (127 - (t * 8 + c))
+        hi, lo = raw >> 64, raw & ((1 << 64) - 1)
+        return (hi - (1 << 64) if hi >= 1 << 63 else hi,
+                lo - (1 << 64) if lo >= 1 << 63 else lo)
+
+    def test_pack_bits_matches_reference(self):
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        rng = np.random.RandomState(17)
+        for _ in range(20):
+            ei = rng.randint(0, 2000, (17, 9)).astype(np.int64)
+            assert AudioFingerprint._pack_bits(ei) == self._ref_bits(
+                ei.tolist())
+
+    @staticmethod
+    def _signal(seed):
+        n_seg, n_bands, L = 17, 9, 360
+        per = (L // 2) // n_bands
+        t = np.arange(L)
+        amps = np.random.RandomState(seed).uniform(
+            0.02, 0.045, (n_seg, n_bands))
+        sig = np.zeros(n_seg * L)
+        for seg in range(n_seg):
+            s = np.zeros(L)
+            for band in range(n_bands):
+                kbin = 1 + band * per + per // 2
+                s += amps[seg, band] * np.sin(2 * np.pi * kbin * t / L)
+            sig[seg * L:(seg + 1) * L] = s
+        q = np.round(sig * 32767.0)
+        assert np.abs(q).max() < 16384
+        return q / 32768.0
+
+    @staticmethod
+    def _fp(payload):
+        from ocracle_ray.core.flac import decode_flac, is_flac
+        from ocracle_ray.core.wav import decode_wav
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        dec = decode_flac if is_flac(payload) else decode_wav
+        _r, _c, s = dec(payload)
+        mono = s.mean(axis=1) if s.ndim == 2 else s
+        ei = AudioFingerprint._energies(np.asarray(mono, np.float64))
+        return AudioFingerprint._pack_bits(ei)
+
+    @staticmethod
+    def _ham(p, q):
+        return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                   for x, y in zip(p, q))
+
+    def test_invariance_and_separation(self):
+        from ocracle_ray.core.flac import encode_flac
+        from ocracle_ray.core.wav import encode_wav, encode_wav_g711
+
+        fps = []
+        for b in range(4):
+            x = self._signal(95_000 + b)
+            noisy = np.clip(
+                x + np.random.RandomState(96_000 + b)
+                      .randint(-16, 17, len(x)) / 32768.0, -0.5, 0.5)
+            fps.append([self._fp(p) for p in (
+                encode_wav(x, 8000), encode_flac(x, 8000),
+                encode_wav_g711(x, 8000, law="mu"),
+                encode_wav(noisy, 8000))])
+        for fam in fps:
+            # lossless re-encode: EXACT (shared-grid quantization)
+            assert self._ham(fam[0], fam[1]) == 0
+            assert self._ham(fam[0], fam[2]) <= 6   # mu-law
+            assert self._ham(fam[0], fam[3]) <= 6   # noise
+        for a in range(len(fps)):
+            for b in range(a + 1, len(fps)):
+                assert self._ham(fps[a][0], fps[b][0]) > 30
+
+    def test_short_clip_skips(self):
+        import pyarrow as pa
+
+        from ocracle_ray.core.wav import encode_wav
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        short = encode_wav(np.zeros(17 * 63), 8000)  # < 17*64 mono
+        ok = encode_wav(self._signal(95_000), 8000)
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([short, ok], pa.large_binary()),
+        })
+        out = AudioFingerprint()(t)
+        assert out["media_id"].to_pylist() == [2]
+        assert len(out["e"][0].as_py()) == 17 * 9
+
+    def test_stereo_mono_mean(self):
+        import pyarrow as pa
+
+        from ocracle_ray.core.wav import encode_wav
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        x = self._signal(95_007)
+        stereo = np.stack([x, x], axis=1)
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_wav(x, 8000),
+                                 encode_wav(stereo, 8000)],
+                                pa.large_binary()),
+        })
+        out = AudioFingerprint()(t)
+        assert out["hash_hi"][0].as_py() == out["hash_hi"][1].as_py()
+        assert out["hash_lo"][0].as_py() == out["hash_lo"][1].as_py()
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
