@@ -7048,6 +7048,132 @@ def _afp_oracle_sql() -> str:
     """
 
 
+VFH_ORACLE_DIR = "/tmp/ocracle_vfh_oracle"
+VFH_HAMMING_TOTAL = 40
+
+
+def q_media_video_neardup(sf_dir: str):
+    """Video near-dup detection (stages.multimodal.VideoFrameHash) —
+    completes the near-dup key trio (image dHash / audio fingerprint /
+    this): sampled-frame dHash sequences over the repo's two REAL
+    animation branches. Fixtures: per-family 8-frame grayscale
+    smoothed-noise animations with luma kept in [30, 220], shipped as
+    (0) indexed GIF, (1) animated lossless WebP of the SAME canvases
+    (exact twin — both codecs round-trip grayscale exactly, total
+    hamming 0), (2) ±2-noise GIF (small hamming), (3) +10-brightness
+    GIF (hamming 0 EXACTLY — dHash compares adjacent samples, so a
+    uniform unclipped shift preserves every bit; the luma range is
+    chosen so no pixel clips). Videos pair on common sampled frame
+    indices; total hamming ≤ {VFH_HAMMING_TOTAL} over 4 sampled
+    frames (cross-family ≈ 128).
+    STRONG artifact oracle: per-(video, frame) 72 luma samples are
+    written; SQL re-derives all 64 bits per frame, every frame hash,
+    the frame-aligned pair join and both aggregate columns — only the
+    codec decode is trusted."""
+    import shutil
+
+    from ray.data import from_arrow
+
+    from ..core.gif import encode_gif
+    from ..core.webp import encode_webp_animated
+    from ..sources.pages import sf_of_dir
+    from ..stages.multimodal import VideoFrameHash
+
+    n_base = max(6, min(30, int(300 * sf_of_dir(sf_dir))))
+    gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    ids, payloads = [], []
+    for b in range(n_base):
+        frames = []
+        for f in range(8):
+            raw = np.random.RandomState(97_000 + b * 100 + f).randint(
+                0, 256, (26, 26)).astype(np.int64)
+            g = np.zeros((24, 24), np.int64)
+            for dy in range(3):
+                for dx in range(3):
+                    g += raw[dy:dy + 24, dx:dx + 24]
+            # 3x3 box smooth, then squeeze into [30, 220] so the
+            # +10 brightness variant can never clip
+            frames.append((30 + (g // 9) * 190 // 255).astype(np.uint8))
+        noisy = [np.clip(fr.astype(np.int64)
+                         + np.random.RandomState(98_000 + b * 100 + i)
+                             .randint(-2, 3, fr.shape), 0, 255)
+                 .astype(np.uint8) for i, fr in enumerate(frames)]
+        bright = [(fr + 10).astype(np.uint8) for fr in frames]
+        rgb = [np.stack([fr] * 3, axis=2) for fr in frames]
+        for v, payload in ((0, encode_gif(frames, gray_pal)),
+                           (1, encode_webp_animated(rgb)),
+                           (2, encode_gif(noisy, gray_pal)),
+                           (3, encode_gif(bright, gray_pal))):
+            ids.append(b * 10 + v)
+            payloads.append(payload)
+
+    ds = from_arrow(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    }))
+    hashed = ds.map_batches(
+        VideoFrameHash, batch_format="pyarrow", batch_size=16,
+        concurrency=2).materialize()
+
+    out_dir = f"{VFH_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    hashed.write_parquet(out_dir)
+
+    hp = hashed.select_columns(
+        ["media_id", "frame_index", "dhash"]).to_pandas()
+    m = hp.merge(hp, on="frame_index", suffixes=("_a", "_b"))
+    m = m[m["media_id_a"] < m["media_id_b"]]
+    x = (m["dhash_a"].to_numpy().astype(np.int64).astype(np.uint64)
+         ^ m["dhash_b"].to_numpy().astype(np.int64).astype(np.uint64))
+    ham = np.zeros(len(x), np.int64)
+    for k in range(64):
+        ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+    m = pd.DataFrame({"a": m["media_id_a"].to_numpy(),
+                      "b": m["media_id_b"].to_numpy(),
+                      "h": ham})
+    g = m.groupby(["a", "b"], as_index=False).agg(
+        n_frames=("h", "size"), hamming=("h", "sum"))
+    out = g[g["hamming"] <= VFH_HAMMING_TOTAL].sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _vfh_oracle_sql() -> str:
+    """Generated mirror: per-frame dHash bits from the written luma
+    samples (the phash rule), then the frame-aligned pair join and
+    the total-hamming gate."""
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 9 + c + 1
+            shift = 63 - (r * 8 + c)
+            terms.append(
+                f"CASE WHEN gray[{i}] < gray[{i + 1}] THEN "
+                f"(1::HUGEINT << {shift}) ELSE 0::HUGEINT END")
+    hsum = " + ".join(terms)
+    return f"""
+        WITH calc AS (
+            SELECT media_id, frame_index,
+                   (CASE WHEN ({hsum}) >= (1::HUGEINT << 63)
+                         THEN ({hsum}) - (1::HUGEINT << 64)
+                         ELSE ({hsum}) END)::BIGINT AS dh
+            FROM read_parquet('{VFH_ORACLE_DIR}/current/*.parquet')
+        )
+        SELECT a.media_id AS a, b.media_id AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(bit_count(xor(a.dh, b.dh))) AS BIGINT)
+                   AS hamming
+        FROM calc a JOIN calc b
+          ON a.media_id < b.media_id
+         AND a.frame_index = b.frame_index
+        GROUP BY a.media_id, b.media_id
+        HAVING SUM(bit_count(xor(a.dh, b.dh))) <= {VFH_HAMMING_TOTAL}
+        ORDER BY a, b
+    """
+
+
 def q_docs_containment_join(sf_dir: str):
     """Exact containment self-join (stages.setsim.containment_join):
     ordered pairs where ≥80% of doc a's word-3-gram set lies inside
@@ -7245,6 +7371,7 @@ QUERIES = {
     "docs_containment_join": q_docs_containment_join,
     "media_phash_dedup": q_media_phash_dedup,
     "media_audio_fingerprint": q_media_audio_fingerprint,
+    "media_video_neardup": q_media_video_neardup,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11433,6 +11560,7 @@ ORACLE_SQL = {
     """,
     "media_phash_dedup": _phash_oracle_sql(),
     "media_audio_fingerprint": _afp_oracle_sql(),
+    "media_video_neardup": _vfh_oracle_sql(),
     "docs_containment_join": """
         -- brute-force ordered containment pairs over per-doc DISTINCT
         -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;

@@ -429,6 +429,61 @@ class ImageDHash:
         })
 
 
+class VideoFrameHash:
+    """Actor-pool video perceptual hashing — the video member of the
+    near-dup key trio (ImageDHash / AudioFingerprint / this): decode
+    the animation (animated GIF or animated lossless WebP — the repo's
+    two real video branches), sample every k-th composited canvas
+    (FrameSample's rule), dHash each sampled frame. A video's
+    fingerprint is the ORDERED frame-hash sequence; two videos match
+    when the total hamming over their common sampled frame indices is
+    small. Per-frame luma samples are the written artifact, so SQL
+    re-derives every frame hash and every pair — only the codec
+    decode is trusted.
+
+    Returns one row per (decodable video, sampled frame):
+    (media_id, frame_index, dhash, gray[72]). Undecodable or
+    non-animation payloads skip (the stage contract)."""
+
+    def __init__(self, every: int = 2, payload_col: str = "payload",
+                 id_col: str = "media_id"):
+        from ..core.gif import decode_gif_frames, is_gif
+        from ..core.webp import decode_webp_frames, is_webp
+
+        self.every = every
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self._gif = (is_gif, decode_gif_frames)
+        self._webp = (is_webp, decode_webp_frames)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, hashes, grays = [], [], [], []
+        for mid, payload in zip(t[self.id_col].to_pylist(),
+                                t[self.payload_col].to_pylist()):
+            canvases = None
+            for sniff, dec in (self._gif, self._webp):
+                if sniff(payload):
+                    try:
+                        _w, _h, canvases = dec(payload)
+                    except (NotImplementedError, ValueError):
+                        canvases = None
+                    break
+            if not canvases:
+                continue
+            for f in range(0, len(canvases), self.every):
+                dh, gray = ImageDHash._dhash_gray(canvases[f])
+                ids.append(mid)
+                fidx.append(f)
+                hashes.append(dh)
+                grays.append(gray.tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "dhash": pa.array(hashes, pa.int64()),
+            "gray": pa.array(grays, pa.list_(pa.int64())),
+        })
+
+
 class AudioFingerprint:
     """Actor-pool spectral audio fingerprinting — the Haitsma–Kalker
     (2002) scheme, the audio-side near-dup key next to ImageDHash:

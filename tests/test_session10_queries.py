@@ -590,6 +590,88 @@ class TestAudioFingerprint:
         assert out["hash_lo"][0].as_py() == out["hash_lo"][1].as_py()
 
 
+class TestVideoFrameHash:
+    """The invariance claims q_media_video_neardup rests on: GIF and
+    lossless-WebP twins hash IDENTICALLY, an unclipped uniform
+    brightness shift preserves every dHash bit, noise stays small,
+    cross-family far above."""
+
+    @staticmethod
+    def _frames(seed):
+        frames = []
+        for f in range(8):
+            raw = np.random.RandomState(seed + f).randint(
+                0, 256, (26, 26)).astype(np.int64)
+            g = np.zeros((24, 24), np.int64)
+            for dy in range(3):
+                for dx in range(3):
+                    g += raw[dy:dy + 24, dx:dx + 24]
+            frames.append((30 + (g // 9) * 190 // 255).astype(np.uint8))
+        return frames
+
+    @staticmethod
+    def _hashes(payload):
+        import pyarrow as pa
+
+        from ocracle_ray.stages.multimodal import VideoFrameHash
+
+        t = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([payload], pa.large_binary()),
+        })
+        out = VideoFrameHash()(t)
+        return out["dhash"].to_pylist()
+
+    @staticmethod
+    def _tot_ham(ha, hb):
+        return sum(bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                   for x, y in zip(ha, hb))
+
+    def test_codec_twins_and_brightness_exact(self):
+        from ocracle_ray.core.gif import encode_gif
+        from ocracle_ray.core.webp import encode_webp_animated
+
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        frames = self._frames(97_000)
+        gif = self._hashes(encode_gif(frames, pal))
+        webp = self._hashes(encode_webp_animated(
+            [np.stack([fr] * 3, axis=2) for fr in frames]))
+        bright = self._hashes(encode_gif(
+            [(fr + 10).astype(np.uint8) for fr in frames], pal))
+        assert len(gif) == 4  # every=2 over 8 frames
+        assert gif == webp
+        assert gif == bright
+
+    def test_noise_small_cross_large(self):
+        from ocracle_ray.core.gif import encode_gif
+
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        a = self._frames(97_000)
+        noisy = [np.clip(fr.astype(np.int64)
+                         + np.random.RandomState(98_000 + i)
+                             .randint(-2, 3, fr.shape), 0, 255)
+                 .astype(np.uint8) for i, fr in enumerate(a)]
+        other = self._frames(97_500)
+        ha = self._hashes(encode_gif(a, pal))
+        hn = self._hashes(encode_gif(noisy, pal))
+        ho = self._hashes(encode_gif(other, pal))
+        assert self._tot_ham(ha, hn) <= 40
+        assert self._tot_ham(ha, ho) > 80
+
+    def test_non_animation_payloads_skip(self):
+        import pyarrow as pa
+
+        from ocracle_ray.core.png import encode_png
+        from ocracle_ray.stages.multimodal import VideoFrameHash
+
+        png = encode_png(np.zeros((8, 8), np.uint8))
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([png, b"garbage"], pa.large_binary()),
+        })
+        assert VideoFrameHash()(t).num_rows == 0
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
