@@ -7174,6 +7174,105 @@ def _vfh_oracle_sql() -> str:
     """
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 24
+
+
+def q_emb_kcore(sf_dir: str):
+    """k-core decomposition of the embedding similarity graph
+    (cosine ≥ 0.3, round-6 — the triangles/BFS/LPA edge rule): the
+    degeneracy peel a similarity graph gets before clustering —
+    each round simultaneously removes every node whose degree AMONG
+    SURVIVORS is < KCORE_K=3, until fixpoint. Output is the full
+    peeling trajectory: one census row per round 0..KCORE_ROUNDS
+    (n_alive + XOR of surviving vec_ids, so membership — not just
+    counts — is pinned per round). The engine asserts fixpoint by
+    round KCORE_ROUNDS=24 (loud failure otherwise; measured
+    convergence is ≤ 11 rounds at sf0.001/0.01/0.1), and rounds past
+    convergence are no-ops on BOTH sides, so the fixed unroll is
+    exact (the textrank/HITS generated-oracle precedent applied to
+    an iterate-to-fixpoint).
+    Shape: edges from the shared `_emb_threshold_edges` distributed
+    builder (broadcast matmul per batch); the peel itself is a
+    driver fold behind the node/edge guards — the 100-TB path is
+    the same rule as distributed degree-filter iterations
+    (groupby(node).count → is_in filter per round)."""
+    a, b = _emb_threshold_edges(sf_dir)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) > EMB_TRI_NODE_LIMIT:
+        raise RuntimeError(
+            f"emb_kcore: {len(nodes)} touched nodes exceed "
+            f"{EMB_TRI_NODE_LIMIT}; run the distributed "
+            f"degree-filter form"
+        )
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    alive = np.ones(len(nodes), bool)
+
+    def census(rnd, mask):
+        ids = nodes[mask]
+        x = int(np.bitwise_xor.reduce(ids)) if len(ids) else 0
+        return {"rnd": rnd, "n_alive": int(mask.sum()), "id_xor": x}
+
+    rows = [census(0, alive)]
+    for r in range(1, KCORE_ROUNDS + 1):
+        keep = alive[ai] & alive[bi]
+        deg = np.zeros(len(nodes), np.int64)
+        np.add.at(deg, ai[keep], 1)
+        np.add.at(deg, bi[keep], 1)
+        new_alive = alive & (deg >= KCORE_K)
+        rows.append(census(r, new_alive))
+        converged = bool((new_alive == alive).all())
+        alive = new_alive
+    if not converged:
+        raise RuntimeError(
+            f"emb_kcore: peeling did not converge within "
+            f"{KCORE_ROUNDS} rounds — raise KCORE_ROUNDS (the oracle "
+            f"unroll must grow with it)"
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+def _kcore_oracle_sql() -> str:
+    """Generated mirror: the cosine-threshold edge rule (shared with
+    triangles/BFS/LPA), then KCORE_ROUNDS unrolled simultaneous-peel
+    rounds, each a degree-among-survivors HAVING filter. The edge
+    CTEs are MATERIALIZED — an inlined `u` re-scans the embeddings
+    parquet in every round and exhausts the process fd budget."""
+    parts = ["""
+        WITH e AS MATERIALIZED (
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1
+            JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(e1.embedding AS DOUBLE[]),
+                      CAST(e2.embedding AS DOUBLE[])), 6) >= 0.3
+        ),
+        u AS MATERIALIZED (SELECT a AS s, b AS t FROM e
+              UNION ALL SELECT b, a FROM e),
+        a0 AS (SELECT DISTINCT s AS v FROM u)"""]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        # each round CTE is referenced twice by the next round — left
+        # non-materialized, CTE inlining doubles the plan per round
+        # (2^ROUNDS blowup)
+        parts.append(f""",
+        a{r} AS MATERIALIZED (
+            SELECT u.s AS v FROM u
+            JOIN a{p} x ON u.s = x.v
+            JOIN a{p} y ON u.t = y.v
+            GROUP BY u.s HAVING count(*) >= {KCORE_K}
+        )""")
+    sel = []
+    for r in range(KCORE_ROUNDS + 1):
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS rnd, "
+            f"count(*)::BIGINT AS n_alive, "
+            f"coalesce(bit_xor(v), 0)::BIGINT AS id_xor FROM a{r}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel) \
+        + "\nORDER BY rnd"
+
+
 def q_docs_containment_join(sf_dir: str):
     """Exact containment self-join (stages.setsim.containment_join):
     ordered pairs where ≥80% of doc a's word-3-gram set lies inside
@@ -7372,6 +7471,7 @@ QUERIES = {
     "media_phash_dedup": q_media_phash_dedup,
     "media_audio_fingerprint": q_media_audio_fingerprint,
     "media_video_neardup": q_media_video_neardup,
+    "emb_kcore": q_emb_kcore,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11561,6 +11661,7 @@ ORACLE_SQL = {
     "media_phash_dedup": _phash_oracle_sql(),
     "media_audio_fingerprint": _afp_oracle_sql(),
     "media_video_neardup": _vfh_oracle_sql(),
+    "emb_kcore": _kcore_oracle_sql(),
     "docs_containment_join": """
         -- brute-force ordered containment pairs over per-doc DISTINCT
         -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;
