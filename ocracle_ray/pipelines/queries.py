@@ -7273,6 +7273,29 @@ def _kcore_oracle_sql() -> str:
         + "\nORDER BY rnd"
 
 
+def q_customer_record_linkage(sf_dir: str):
+    """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
+    1969): the entity-resolution op beside the ed-1 fuzzy join — a
+    deterministically-dirtied registry twin of the customer table
+    (every custkey % 3 != 2 record re-enters; % 3 == 0 names get one
+    mid-digit typo) is linked back by blocked multi-field scoring:
+    sorted-neighborhood blocks (nation × custkey//1000 ordinal
+    bucket, ONE groupby exchange), per-block vectorized comparison
+    (codepoint Levenshtein DP across the pair axis, market-segment
+    equality, $2000 truncating acctbal bands), declared integer
+    agreement weights, match/possible/non-match thresholds. Only the
+    per-class census partial leaves each block (class, n, score_sum,
+    XOR of a·1000003+b pair keys — membership pinned, pairs never
+    ride the wire). The oracle re-derives the dirty side, every
+    block, every levenshtein, every score and the census in SQL."""
+    from ..stages.linkage import record_linkage
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment"])
+    return record_linkage(ds)
+
+
 def q_docs_containment_join(sf_dir: str):
     """Exact containment self-join (stages.setsim.containment_join):
     ordered pairs where ≥80% of doc a's word-3-gram set lies inside
@@ -7472,6 +7495,7 @@ QUERIES = {
     "media_audio_fingerprint": q_media_audio_fingerprint,
     "media_video_neardup": q_media_video_neardup,
     "emb_kcore": q_emb_kcore,
+    "customer_record_linkage": q_customer_record_linkage,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11662,6 +11686,48 @@ ORACLE_SQL = {
     "media_audio_fingerprint": _afp_oracle_sql(),
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
+    "customer_record_linkage": """
+        -- Fellegi–Sunter blocked linkage census: dirty side re-derived
+        -- from customer by the same deterministic rule, blocked on
+        -- (nation, custkey//1000), scored with the declared integer
+        -- weights; same class thresholds; pair XOR pins membership
+        WITH dirty AS (
+            SELECT c_custkey + 1000000 AS rid, c_custkey AS src_key,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN substr(c_name, 1, 11) || 'X'
+                             || substr(c_name, 13)
+                        ELSE c_name END AS name,
+                   c_nationkey AS nation, c_mktsegment AS segment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey % 3 != 2
+        ),
+        cand AS (
+            SELECT c.c_custkey AS a, d.rid AS b,
+                   levenshtein(c.c_name, d.name) AS lev,
+                   (c.c_mktsegment = d.segment) AS seg_eq,
+                   (CAST(round(c.c_acctbal * 100) AS BIGINT) // 200000
+                    = d.cents // 200000) AS band_eq
+            FROM customer c JOIN dirty d
+              ON c.c_nationkey = d.nation
+             AND c.c_custkey // 1000 = d.src_key // 1000
+        ),
+        scored AS (
+            SELECT a, b,
+                   (CASE WHEN lev = 0 THEN 40
+                         WHEN lev <= 2 THEN 25 ELSE -30 END
+                    + CASE WHEN seg_eq THEN 15 ELSE -10 END
+                    + CASE WHEN band_eq THEN 10 ELSE -5 END) AS score
+            FROM cand
+        )
+        SELECT CASE WHEN score >= 50 THEN 'match'
+                    WHEN score >= 20 THEN 'possible'
+                    ELSE 'non_match' END AS class,
+               count(*)::BIGINT AS n_pairs,
+               sum(score)::BIGINT AS score_sum,
+               bit_xor(a * 1000003 + b)::BIGINT AS pair_xor
+        FROM scored
+        GROUP BY 1 ORDER BY class
+    """,
     "docs_containment_join": """
         -- brute-force ordered containment pairs over per-doc DISTINCT
         -- word-3-gram sets: |Sa ∩ Sb| / |Sa| >= 0.8, a <> b;

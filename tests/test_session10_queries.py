@@ -672,6 +672,70 @@ class TestVideoFrameHash:
         assert VideoFrameHash()(t).num_rows == 0
 
 
+class TestBatchLevenshtein:
+    """The vectorized pair-axis DP vs a scalar reference, including
+    the shift hazard that makes hamming prefilters unsound."""
+
+    @staticmethod
+    def _ref(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, lb + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev = dp[j]
+                dp[j] = cur
+        return dp[lb]
+
+    def test_random_sweep(self):
+        from ocracle_ray.stages.linkage import batch_levenshtein
+
+        rng = np.random.RandomState(23)
+        pairs = []
+        for _ in range(300):
+            la, lb = rng.randint(0, 12, 2)
+            a = "".join(chr(97 + c) for c in rng.randint(0, 4, la))
+            b = "".join(chr(97 + c) for c in rng.randint(0, 4, lb))
+            pairs.append((a, b))
+        got = batch_levenshtein([p[0] for p in pairs],
+                                [p[1] for p in pairs])
+        assert got.tolist() == [self._ref(a, b) for a, b in pairs]
+
+    def test_shift_pair_is_close(self):
+        from ocracle_ray.stages.linkage import _lev_class
+
+        # hamming 6, levenshtein 2 — a hamming prefilter would
+        # misclassify this as far
+        cls = _lev_class(["ababab", "ababab", "ababab"],
+                         ["bababa", "ababab", "zzzzzz"])
+        assert cls.tolist() == [1, 0, 2]
+
+    def test_unicode_codepoint_level(self):
+        from ocracle_ray.stages.linkage import batch_levenshtein
+
+        # one codepoint substitution, regardless of utf-8 byte width
+        assert batch_levenshtein(["naïve"], ["naive"]).tolist() == [1]
+
+    def test_fs_scoring_weights(self):
+        from ocracle_ray.stages.linkage import classify, score_pairs
+
+        s = score_pairs(
+            ["Customer#000000042"] * 3 + ["Customer#000000042"],
+            ["Customer#000000042", "Customer#0X0000042",
+             "Nobody#00000000000", "Customer#0X0000042"],
+            ["A", "A", "A", "B"], ["A", "A", "A", "C"],
+            np.array([1000, 1000, 1000, 1000]),
+            np.array([1000, 1000, 1000, 900_000]))
+        # exact+seg+band / close+seg+band / far+seg+band /
+        # close+segNE+bandNE
+        assert s.tolist() == [65, 50, -5, 10]
+        assert classify(s).tolist() == [
+            "match", "match", "non_match", "non_match"]
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
