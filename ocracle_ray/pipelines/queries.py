@@ -6659,6 +6659,59 @@ def q_customer_k_anonymity(sf_dir: str):
     return out
 
 
+L_DIV_L = 3
+
+
+def q_customer_l_diversity(sf_dir: str):
+    """Distinct l-diversity audit (Machanavajjhala 2007) — the
+    homogeneity gate k-anonymity misses: a class can be large yet
+    leak the sensitive value when every member shares it. Quasi-id =
+    (nation, $5000 truncating acctbal band) — the k-anonymity rule
+    minus the segment — with c_mktsegment as the SENSITIVE attribute;
+    a class fails when it holds fewer than l=3 distinct segments.
+    One low-cardinality grouped count over (nat, band, seg) (combiner
+    + driver fold, bounded by the quasi-id × segment domain, not by
+    rows), then an O(classes) census: classes/rows below l, the
+    minimum diversity, and risk ppm. All integer; same truncating
+    band arithmetic as customer_k_anonymity."""
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def qid(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64)
+        band = np.sign(cents) * (np.abs(cents) // 500_000)
+        return pa.table({
+            "nat": t["c_nationkey"].cast(pa.int64()),
+            "band": pa.array(band, pa.int64()),
+            "seg": t["c_mktsegment"],
+        })
+
+    g = driver_grouped_agg(
+        ds.map_batches(qid, batch_format="pyarrow"),
+        ["nat", "band", "seg"], {"n": ("nat", "count")})
+    cls = g.groupby(["nat", "band"], as_index=False).agg(
+        diversity=("seg", "size"), size=("n", "sum"))
+    n_rows = int(cls["size"].sum())
+    div = cls["diversity"].to_numpy().astype(np.int64)
+    size = cls["size"].to_numpy().astype(np.int64)
+    below = div < L_DIV_L
+    out = pd.DataFrame([{
+        "l": L_DIV_L,
+        "n_rows": n_rows,
+        "n_classes": int(len(cls)),
+        "min_diversity": int(div.min()) if len(div) else 0,
+        "classes_below_l": int(below.sum()),
+        "rows_at_risk": int(size[below].sum()),
+        "risk_ppm": int(size[below].sum()) * 1_000_000 // n_rows
+                    if n_rows else 0,
+    }])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_expectations(sf_dir: str):
     """Declarative data-quality expectations (stages.expect, the
     Deequ/Great-Expectations CI gate): seven declared checks over the
@@ -7496,6 +7549,7 @@ QUERIES = {
     "media_video_neardup": q_media_video_neardup,
     "emb_kcore": q_emb_kcore,
     "customer_record_linkage": q_customer_record_linkage,
+    "customer_l_diversity": q_customer_l_diversity,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11686,6 +11740,29 @@ ORACLE_SQL = {
     "media_audio_fingerprint": _afp_oracle_sql(),
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
+    "customer_l_diversity": """
+        -- distinct l-diversity census over (nation, $5000 band)
+        -- classes with c_mktsegment sensitive; truncating band
+        WITH cls AS (
+            SELECT c_nationkey AS nat,
+                   CAST(round(c_acctbal * 100) AS BIGINT) // 500000
+                       AS band,
+                   count(DISTINCT c_mktsegment)::BIGINT AS diversity,
+                   count(*)::BIGINT AS sz
+            FROM customer GROUP BY 1, 2
+        )
+        SELECT CAST(3 AS BIGINT) AS l,
+               sum(sz)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_classes,
+               min(diversity)::BIGINT AS min_diversity,
+               sum(CASE WHEN diversity < 3 THEN 1 ELSE 0 END)::BIGINT
+                   AS classes_below_l,
+               sum(CASE WHEN diversity < 3 THEN sz ELSE 0 END)::BIGINT
+                   AS rows_at_risk,
+               (sum(CASE WHEN diversity < 3 THEN sz ELSE 0 END)
+                * 1000000 // sum(sz))::BIGINT AS risk_ppm
+        FROM cls
+    """,
     "customer_record_linkage": """
         -- Fellegi–Sunter blocked linkage census: dirty side re-derived
         -- from customer by the same deterministic rule, blocked on

@@ -736,6 +736,38 @@ class TestBatchLevenshtein:
             "match", "match", "non_match", "non_match"]
 
 
+class TestLDiversity:
+    """Engineered homogeneous class: large (k-anonymous) yet
+    single-segment — exactly what l-diversity exists to flag."""
+
+    def test_homogeneous_class_flagged(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocracle_ray.pipelines.queries import q_customer_l_diversity
+
+        rows = []
+        for i in range(10):   # nation 0: 10 rows, ALL one segment
+            rows.append((i, 0, "BUILDING", 100.0))
+        for i, seg in enumerate(["AUTOMOBILE", "HOUSEHOLD",
+                                 "MACHINERY"]):  # nation 1: diverse
+            rows.append((100 + i, 1, seg, 100.0))
+        t = pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([f"Customer#{r[0]:09d}" for r in rows]),
+            "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+            "c_mktsegment": pa.array([r[2] for r in rows]),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        pq.write_table(t, str(tmp_path / "customer.parquet"))
+        out = q_customer_l_diversity(str(tmp_path)).iloc[0]
+        assert out["n_classes"] == 2
+        assert out["min_diversity"] == 1
+        assert out["classes_below_l"] == 1
+        assert out["rows_at_risk"] == 10
+        assert out["risk_ppm"] == 10 * 1_000_000 // 13
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
