@@ -7326,6 +7326,128 @@ def _kcore_oracle_sql() -> str:
         + "\nORDER BY rnd"
 
 
+PCA_SCALE_Q = 1_000_000     # embedding quantization (micro-units)
+PCA_SCALE_V = 10_000        # iterate fixed point
+PCA_ROUNDS = 40
+
+
+def q_emb_pca_power(sf_dir: str):
+    """Dominant principal component of the embedding corpus via
+    EXACT INTEGER power iteration — the drift/QC direction a corpus
+    release monitors ("which way does this batch of embeddings
+    point?"). Entirely shuffle-free: embeddings quantize to micro-unit
+    int64 (sign·floor(|x|·1e6 + 0.5), the shared half-away rule over
+    the f32→DOUBLE cast), each batch emits ONE partial row holding its
+    64×64 Gram contribution (q·qᵀ summed — permutation-invariant, so
+    no ordering or exchange anywhere; the 4097-int partial is the
+    mergeable sufficient statistic, tree-merged at 100 TB); the driver
+    folds O(n_batches) partials and runs PCA_ROUNDS max-normalized
+    power-iteration rounds in int64 with TRUNCATING division at the
+    two documented points (Gram mean-scaling, iterate rescale), so the
+    generated round-unrolled oracle matches every component by exact
+    integer equality (the HITS/textrank precedent applied to PCA).
+    Overflow discipline (asserted loud): |q| ≤ 1e6 ⇒ Gram-mean entries
+    ≤ 1e12 ⇒ matvec ≤ 64·1e12·SCALE_V = 6.4e17 < 2^63.
+    Convergence honesty: the output IS the exact 40-round iterate;
+    its alignment with the true top eigenvector is bounded by the
+    corpus eigengap, and the synthetic embeddings are nearly
+    isotropic (measured λ2/λ1 = 0.984 at sf0.01 ⇒ cos 0.92 vs
+    numpy.eigh after 40 rounds; 6 rounds gave 0.52) — weak
+    identification here is itself the QC finding ("no dominant drift
+    direction"), while the distributed machinery (one-pass mergeable
+    Gram, integer matvec rounds) is what the oracle pins exactly."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        m = np.array([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])
+        q = (np.sign(m) * np.floor(np.abs(m) * PCA_SCALE_Q + 0.5)) \
+            .astype(np.int64)
+        c = q.T @ q  # (64, 64) int64 — exact (|terms| ≤ 1e12·rows)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "c": pa.array([c.reshape(-1).tolist()],
+                          pa.list_(pa.int64())),
+        })
+
+    n_rows, c = 0, np.zeros(64 * 64, np.int64)
+    for b in ds.map_batches(gram_partial,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow"):
+        n_rows += int(b["n"].to_numpy(zero_copy_only=False).sum())
+        for row in b["c"].to_pylist():
+            c += np.asarray(row, np.int64)
+    if n_rows <= 0:
+        raise RuntimeError("emb_pca_power: empty embeddings table")
+    if n_rows > 4_000_000:
+        raise RuntimeError(
+            f"emb_pca_power: {n_rows} rows exceed the int64 Gram "
+            f"bound (rows·1e12 must stay < 2^62); raise the "
+            f"quantization to a wider accumulator first")
+    c = c.reshape(64, 64)
+
+    def tdiv(x, d):
+        return np.sign(x) * (np.abs(x) // d)
+
+    cn = tdiv(c, n_rows)
+    v = np.full(64, PCA_SCALE_V, np.int64)
+    for _ in range(PCA_ROUNDS):
+        w = cn @ v
+        m = int(np.abs(w).max())
+        v = tdiv(w, (m // PCA_SCALE_V) + 1)
+    return pd.DataFrame({
+        "dim": np.arange(64, dtype=np.int64),
+        "v": v.astype(np.int64),
+    })
+
+
+def _pca_oracle_sql() -> str:
+    """Generated mirror: quantize, Gram via the per-vector dim×dim
+    self-join, mean-scale with truncating //, then PCA_ROUNDS
+    unrolled max-normalized matvec rounds (CTEs MATERIALIZED — the
+    kcore lesson)."""
+    parts = [f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id, i.i AS dim,
+                   CAST(sign(emb[i.i + 1])
+                        * floor(abs(emb[i.i + 1]) * {PCA_SCALE_Q}
+                                + 0.5) AS BIGINT) AS qv
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings)
+            CROSS JOIN (SELECT unnest(range(64)) AS i) i
+        ),
+        cn AS MATERIALIZED (
+            SELECT a.dim AS da, b.dim AS db,
+                   CAST(sum(a.qv * b.qv)
+                        // (SELECT count(*) FROM embeddings)
+                        AS BIGINT) AS cnv
+            FROM q a JOIN q b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        ),
+        v0 AS (SELECT unnest(range(64)) AS dim,
+                      CAST({PCA_SCALE_V} AS BIGINT) AS v)"""]
+    for r in range(1, PCA_ROUNDS + 1):
+        p = r - 1
+        parts.append(f""",
+        w{r} AS MATERIALIZED (
+            SELECT cn.da AS dim,
+                   CAST(sum(cn.cnv * v.v) AS BIGINT) AS w
+            FROM cn JOIN v{p} v ON cn.db = v.dim
+            GROUP BY 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT dim, CAST(w // ((SELECT max(abs(w)) FROM w{r})
+                                   // {PCA_SCALE_V} + 1)
+                             AS BIGINT) AS v
+            FROM w{r}
+        )""")
+    parts.append(f"""
+        SELECT dim::BIGINT AS dim, v::BIGINT AS v
+        FROM v{PCA_ROUNDS} ORDER BY dim
+    """)
+    return "".join(parts)
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -7550,6 +7672,7 @@ QUERIES = {
     "emb_kcore": q_emb_kcore,
     "customer_record_linkage": q_customer_record_linkage,
     "customer_l_diversity": q_customer_l_diversity,
+    "emb_pca_power": q_emb_pca_power,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11740,6 +11863,7 @@ ORACLE_SQL = {
     "media_audio_fingerprint": _afp_oracle_sql(),
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
+    "emb_pca_power": _pca_oracle_sql(),
     "customer_l_diversity": """
         -- distinct l-diversity census over (nation, $5000 band)
         -- classes with c_mktsegment sensitive; truncating band
