@@ -7448,6 +7448,136 @@ def _pca_oracle_sql() -> str:
     return "".join(parts)
 
 
+LINKS_ORACLE_DIR = "/tmp/ocracle_links_oracle"
+LINK_TARGET_LIMIT = 100_000
+LINK_TOP_K = 15
+
+
+def _extract_links_partial(t: pa.Table) -> pa.Table:
+    """Per-batch href extraction + census combiner for
+    q_pages_link_census (module-level so tests can drive the hazard
+    strings through the REAL kernel). Semantics == non-overlapping
+    left-to-right scan of href="([^"]*)" — the vectorized split path
+    covers terminated hrefs; any page with an unterminated href
+    (prefix capture fails past position 0) routes through python-re,
+    which has the scan semantics natively."""
+    import re as _re
+
+    sp = pc.split_pattern(t["html"], 'href="')
+    lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(sp)
+    ex = pc.extract_regex(flat, '^(?P<t>[^"]*)"')
+    valid = np.zeros(len(flat), bool)
+    valid[: len(flat)] = np.asarray(ex.is_valid())
+    targets = pc.struct_field(ex, "t").to_pylist()
+    starts = np.cumsum(np.concatenate([[0], lens[:-1]])).astype(np.int64)
+    pos_ok = np.ones(int(lens.sum()), bool)
+    pos_ok[starts[lens > 0]] = False
+    row_idx = np.repeat(np.arange(len(lens)), lens)
+    # unterminated piece past position 0 → exact python-re fallback
+    # for THAT page (non-overlapping scan semantics)
+    bad_rows = np.unique(row_idx[pos_ok & ~valid])
+    keep = pos_ok & valid
+    if len(bad_rows):
+        keep &= ~np.isin(row_idx, bad_rows)
+    urls = t["url"].to_pylist()
+    tss = t["ts_us"].to_numpy(zero_copy_only=False)
+    recs_u, recs_t, recs_g = [], [], []
+    for i in np.nonzero(keep)[0]:
+        r = int(row_idx[i])
+        recs_u.append(urls[r])
+        recs_t.append(int(tss[r]))
+        recs_g.append(targets[i])
+    htmls = None
+    for r in bad_rows:
+        if htmls is None:
+            htmls = t["html"].to_pylist()
+        for g in _re.findall(r'href="([^"]*)"', htmls[int(r)]):
+            recs_u.append(urls[int(r)])
+            recs_t.append(int(tss[int(r)]))
+            recs_g.append(g)
+    df = pd.DataFrame({"u": recs_u, "s": recs_t, "g": recs_g})
+    n_links = df.groupby("g").size()
+    n_docs = df.drop_duplicates().groupby("g").size()
+    return pa.table({
+        "target": pa.array(n_links.index.tolist(), pa.string()),
+        "n_links": pa.array(n_links.to_numpy(), pa.int64()),
+        "n_docs": pa.array(
+            n_docs.reindex(n_links.index).to_numpy(), pa.int64()),
+    })
+
+
+def q_pages_link_census(sf_dir: str):
+    """Outlink extraction + link-target census over the crawl pages —
+    the web-graph construction step of a crawl pipeline: every
+    href=\"...\" target across the HTML pages, ranked by total link
+    count with per-target document reach. Extraction is vectorized
+    Arrow (literal split on 'href=\"' → list-flatten →
+    ^([^\"]*)\" prefix capture; the first piece per page is masked
+    out — it precedes any href and a stray quote there would
+    fabricate a link). One documented edge: an UNTERMINATED href (no
+    closing quote before the next 'href=\"') makes a left-to-right
+    regex scan consume the next separator; pieces that fail the
+    prefix capture route those (rare) pages through a python-re
+    fallback with byte-identical non-overlapping-scan semantics, so
+    the engine matches regexp_extract_all exactly on ANY input.
+    Shape: per-batch combiner partials (in-batch (url, ts, target)
+    dedup — a page row lives in exactly one batch, so doc-reach
+    partials sum exactly) → ONE groupby(target) exchange → guarded
+    driver top-k.
+    STRONG artifact oracle: the raw (url, ts_us, html) page rows are
+    written; SQL re-derives the ENTIRE extraction with
+    regexp_extract_all plus the same dedup/census/top-k — only
+    written-equals-read is trusted."""
+    import shutil
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, \
+        sf_of_dir
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    pages = generate_pages_dataset(n)
+
+    def html_rows(t: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        ts_col = t["warc_ts"].cast(pa.int64()).to_pylist()
+        for u, ts, h in zip(t["url"].to_pylist(), ts_col,
+                            t["html"].to_pylist()):
+            if h.startswith(b"%PDF"):
+                continue
+            urls.append(u)
+            tss.append(-1 if ts is None else int(ts))
+            htmls.append(h.decode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "ts_us": pa.array(tss, pa.int64()),
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    hp = pages.map_batches(html_rows,
+                           batch_format="pyarrow").materialize()
+    out_dir = f"{LINKS_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    hp.write_parquet(out_dir)
+
+    agg = hp.map_batches(_extract_links_partial, batch_format="pyarrow") \
+        .groupby("target").aggregate(Sum("n_links", alias_name="n_links"),
+                                     Sum("n_docs", alias_name="n_docs"))
+    if agg.count() > LINK_TARGET_LIMIT:
+        raise RuntimeError(
+            f"pages_link_census: >{LINK_TARGET_LIMIT} distinct targets"
+            f" — switch the top-k to per-batch candidate folding")
+    g = agg.to_pandas()
+    g = g.sort_values(["n_links", "target"],
+                      ascending=[False, True]).head(LINK_TOP_K)
+    out = g.reset_index(drop=True)
+    for c in ("n_links", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return out[["target", "n_links", "n_docs"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -7673,6 +7803,7 @@ QUERIES = {
     "customer_record_linkage": q_customer_record_linkage,
     "customer_l_diversity": q_customer_l_diversity,
     "emb_pca_power": q_emb_pca_power,
+    "pages_link_census": q_pages_link_census,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11864,6 +11995,30 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "pages_link_census": f"""
+        -- outlink census re-derived ENTIRELY in SQL from the written
+        -- raw page rows: regexp_extract_all == the engine's
+        -- split+prefix-capture (w/ python-re fallback) by construction
+        WITH links AS (
+            SELECT url, ts_us,
+                   unnest(regexp_extract_all(html,
+                          'href="([^"]*)"', 1)) AS target
+            FROM read_parquet('{LINKS_ORACLE_DIR}/current/*.parquet')
+        ),
+        agg AS (
+            SELECT target, count(*)::BIGINT AS n_links
+            FROM links GROUP BY 1
+        ),
+        docs AS (
+            SELECT target, count(*)::BIGINT AS n_docs
+            FROM (SELECT DISTINCT url, ts_us, target FROM links)
+            GROUP BY 1
+        )
+        SELECT a.target, a.n_links, d.n_docs
+        FROM agg a JOIN docs d USING (target)
+        ORDER BY a.n_links DESC, a.target
+        LIMIT {LINK_TOP_K}
+    """,
     "customer_l_diversity": """
         -- distinct l-diversity census over (nation, $5000 band)
         -- classes with c_mktsegment sensitive; truncating band

@@ -768,6 +768,72 @@ class TestLDiversity:
         assert out["risk_ppm"] == 10 * 1_000_000 // 13
 
 
+class TestLinkCensusExtraction:
+    """The REAL per-batch href kernel (_extract_links_partial) vs
+    DuckDB's regexp_extract_all on engineered hazard strings —
+    quoted prefixes (a stray quote before any href must not fabricate
+    a link) and unterminated hrefs (a left-to-right scan consumes the
+    NEXT 'href=\"' separator inside the capture; those pages route
+    through the python-re fallback)."""
+
+    HTMLS = [
+        '<a href="/x">a</a> <a href="/y">b</a> <a href="/x">c</a>',
+        'prefix "quote" then href="/z">ok',
+        'href="unterminated then href="/w">',
+        'no links at all',
+        'href="a href="b" href="c"',
+        '',
+    ]
+
+    def _kernel_census(self):
+        import pyarrow as pa
+
+        from ocracle_ray.pipelines.queries import _extract_links_partial
+
+        t = pa.table({
+            "url": pa.array([f"u{i}" for i in range(len(self.HTMLS))]),
+            "ts_us": pa.array(list(range(len(self.HTMLS))), pa.int64()),
+            "html": pa.array(self.HTMLS, pa.string()),
+        })
+        out = _extract_links_partial(t)
+        return {g: (n, d) for g, n, d in
+                zip(out["target"].to_pylist(),
+                    out["n_links"].to_pylist(),
+                    out["n_docs"].to_pylist())}
+
+    def test_kernel_matches_duckdb_scan(self):
+        import os
+        import tempfile
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "url": pa.array([f"u{i}" for i in range(len(self.HTMLS))]),
+            "ts_us": pa.array(list(range(len(self.HTMLS))), pa.int64()),
+            "html": pa.array(self.HTMLS, pa.string()),
+        })
+        con = duckdb.connect()
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "p.parquet"))
+            sql = con.sql(f"""
+                WITH links AS (
+                    SELECT url, ts_us,
+                           unnest(regexp_extract_all(html,
+                                  'href="([^"]*)"', 1)) AS g
+                    FROM read_parquet('{d}/p.parquet'))
+                SELECT g, count(*)::BIGINT AS n,
+                       count(DISTINCT (url, ts_us))::BIGINT AS nd
+                FROM links GROUP BY 1 ORDER BY g
+            """).df()
+        want = {g: (int(n), int(d)) for g, n, d in
+                zip(sql["g"], sql["n"], sql["nd"])}
+        assert self._kernel_census() == want
+        # the hazard row's capture really does swallow the separator
+        assert "unterminated then href=" in want
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
