@@ -7578,6 +7578,84 @@ def q_pages_link_census(sf_dir: str):
     return out[["target", "n_links", "n_docs"]]
 
 
+SOLE_LATE_US = 60 * 86_400 * 1_000_000  # ship > orderdate + 60 days
+
+
+def q_supplier_sole_late(sf_dir: str):
+    """TPC-H Q21 shape — the hardest classic join pattern (correlated
+    EXISTS + NOT EXISTS), adapted to this schema's columns: suppliers
+    who were the SOLE late shipper (l_shipdate > o_orderdate + 60
+    days) on a multi-supplier order, top 10 by such orders. The
+    correlated subqueries become distributed aggregates: lineitem ⋈
+    orders hash join (partitions clamped, CPU reservation pinned),
+    groupby(order, supplier) max(late) — the per-supplier EXISTS —
+    then groupby(order) count/sum — the ≥2-suppliers and
+    exactly-one-late-supplier conditions — with the sole supplier
+    recovered as sum(supplier·late) (exact when the late count is 1).
+    Materialize boundaries sit between the join and each groupby (the
+    round-4 lesson: fusing chained sort-groupbys + hash joins into
+    one lazy DAG thrashed the streaming scheduler 5×). Driver sees
+    only the per-winner counts (bounded by the supplier table)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..pool import clamp_join_partitions, pin_join_cpu_reservation
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    n_parts = clamp_join_partitions(8, n_joins=1)
+    j = li.join(orders, join_type="inner", num_partitions=n_parts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = pin_join_cpu_reservation(j, n_parts, n_joins=1)
+
+    def late_flag(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        od = t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "okey": t["l_orderkey"].cast(pa.int64()),
+            "skey": t["l_suppkey"].cast(pa.int64()),
+            "late": pa.array((ship > od + SOLE_LATE_US).astype(
+                np.int64), pa.int64()),
+        })
+
+    flagged = j.map_batches(late_flag,
+                            batch_format="pyarrow").materialize()
+    lo = flagged.groupby(["okey", "skey"]).aggregate(
+        Max("late", alias_name="late")).materialize()
+
+    def weight(t: pa.Table) -> pa.Table:
+        skey = t["skey"].to_numpy(zero_copy_only=False)
+        late = t["late"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t["okey"],
+            "late": t["late"],
+            "w": pa.array(skey * late, pa.int64()),
+        })
+
+    po = lo.map_batches(weight, batch_format="pyarrow") \
+        .groupby("okey").aggregate(
+            Count(alias_name="n_supp"),
+            Sum("late", alias_name="n_late"),
+            Sum("w", alias_name="w")).materialize()
+
+    def winners(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["n_supp"], pa.scalar(2)),
+                       pc.equal(t["n_late"], pa.scalar(1)))
+        return pa.table({"s_suppkey": t.filter(keep)["w"]})
+
+    per_supp = po.map_batches(winners, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Count(alias_name="n_orders")) \
+        .to_pandas()  # bounded by the supplier table
+    out = per_supp.sort_values(["n_orders", "s_suppkey"],
+                               ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["s_suppkey", "n_orders"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -7804,6 +7882,7 @@ QUERIES = {
     "customer_l_diversity": q_customer_l_diversity,
     "emb_pca_power": q_emb_pca_power,
     "pages_link_census": q_pages_link_census,
+    "supplier_sole_late": q_supplier_sole_late,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -11995,6 +12074,29 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "supplier_sole_late": """
+        -- Q21 shape: sole late shipper on multi-supplier orders;
+        -- EXISTS/NOT-EXISTS as grouped aggregates, winner recovered
+        -- via sum(skey*late) under the n_late=1 condition
+        WITH lo AS (
+            SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+                   max(CASE WHEN epoch_us(l.l_shipdate)
+                             > epoch_us(o.o_orderdate) + 5184000000000
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ),
+        po AS (
+            SELECT okey, count(*) AS n_supp, sum(late) AS n_late,
+                   sum(skey * late) AS w
+            FROM lo GROUP BY 1
+        )
+        SELECT w::BIGINT AS s_suppkey, count(*)::BIGINT AS n_orders
+        FROM po WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY 1 ORDER BY n_orders DESC, s_suppkey
+        LIMIT 10
+    """,
     "pages_link_census": f"""
         -- outlink census re-derived ENTIRELY in SQL from the written
         -- raw page rows: regexp_extract_all == the engine's
