@@ -7656,6 +7656,60 @@ def q_supplier_sole_late(sf_dir: str):
     return out[["s_suppkey", "n_orders"]]
 
 
+def q_emb_feature_profile(sf_dir: str):
+    """Per-dimension feature profile of the embedding corpus — the
+    drift/QC table a feature store publishes per batch (which
+    dimensions moved, died, or blew up): for each of the 64
+    dimensions, count, sum, sum-of-squares, min and max over the
+    micro-unit quantized values (the emb_pca_power rule), all int64
+    so the oracle matches by exact equality with no float-mean
+    round-off contract. One streaming pass of per-batch (64 × 5)
+    partials — the mergeable sufficient statistic; no exchange, no
+    driver guard needed (the fold is O(n_batches · 64))."""
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.array([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])
+        q = (np.sign(m) * np.floor(np.abs(m) * PCA_SCALE_Q + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()],
+                          pa.list_(pa.int64())),
+            "ss": pa.array([(q * q).sum(axis=0).tolist()],
+                           pa.list_(pa.int64())),
+            "mn": pa.array([q.min(axis=0).tolist()],
+                           pa.list_(pa.int64())),
+            "mx": pa.array([q.max(axis=0).tolist()],
+                           pa.list_(pa.int64())),
+        })
+
+    n = 0
+    s = np.zeros(64, np.int64)
+    ss = np.zeros(64, np.int64)
+    mn = np.full(64, np.iinfo(np.int64).max)
+    mx = np.full(64, np.iinfo(np.int64).min)
+    for b in ds.map_batches(partial,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            n += int(b["n"][i].as_py())
+            s += np.asarray(b["s"][i].as_py(), np.int64)
+            ss += np.asarray(b["ss"][i].as_py(), np.int64)
+            mn = np.minimum(mn, np.asarray(b["mn"][i].as_py(),
+                                           np.int64))
+            mx = np.maximum(mx, np.asarray(b["mx"][i].as_py(),
+                                           np.int64))
+    if n == 0:
+        raise RuntimeError("emb_feature_profile: empty table")
+    return pd.DataFrame({
+        "dim": np.arange(64, dtype=np.int64),
+        "n": np.full(64, n, dtype=np.int64),
+        "s": s, "ss": ss, "mn": mn, "mx": mx,
+    }).astype("int64")
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -7883,6 +7937,7 @@ QUERIES = {
     "emb_pca_power": q_emb_pca_power,
     "pages_link_census": q_pages_link_census,
     "supplier_sole_late": q_supplier_sole_late,
+    "emb_feature_profile": q_emb_feature_profile,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12074,6 +12129,26 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "emb_feature_profile": f"""
+        -- per-dimension integer sufficient stats over the micro-unit
+        -- quantization (sign·floor(|x|·1e6+0.5) of the DOUBLE cast)
+        SELECT q.i::BIGINT AS dim,
+               count(*)::BIGINT AS n,
+               sum(qv)::BIGINT AS s,
+               sum(qv * qv)::BIGINT AS ss,
+               min(qv)::BIGINT AS mn,
+               max(qv)::BIGINT AS mx
+        FROM (
+            SELECT i.i,
+                   CAST(sign(emb[i.i + 1])
+                        * floor(abs(emb[i.i + 1]) * {PCA_SCALE_Q}
+                                + 0.5) AS BIGINT) AS qv
+            FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings)
+            CROSS JOIN (SELECT unnest(range(64)) AS i) i
+        ) q(i, qv)
+        GROUP BY 1 ORDER BY dim
+    """,
     "supplier_sole_late": """
         -- Q21 shape: sole late shipper on multi-supplier orders;
         -- EXISTS/NOT-EXISTS as grouped aggregates, winner recovered
