@@ -7710,6 +7710,78 @@ def q_emb_feature_profile(sf_dir: str):
     }).astype("int64")
 
 
+SIL_ORACLE_DIR = "/tmp/ocracle_silhouette_oracle"
+
+
+def q_emb_silhouette(sf_dir: str):
+    """Simplified silhouette (Hruschka 2004) of the k-means
+    clustering — the cluster-quality score an embedding-store QC
+    publishes: per vector, a = squared distance to OWN centroid,
+    b = min over OTHER centroids, s = (b−a)/max(a,b) ∈ [0, 1)
+    (centroid-based, so a ≤ b by the argmin — the full
+    pairwise-silhouette's negative branch cannot occur). All
+    comparisons in integer micro-units (floor(d²·1e6 + 0.5)) and
+    integer ppm with truncating division, so per-cell sums are exact
+    on both sides. Trains via the SAME oracled lloyd_kmeans the IVF
+    family uses; centroids are the written artifact, and SQL
+    re-derives every distance, assignment (ties → lowest cell),
+    every per-vector score and the per-cell census from raw
+    embeddings + the 8 written centroid rows — only the training is
+    trusted (and it is itself oracled by emb_kmeans). One streaming
+    scoring pass; per-batch per-cell (n, Σs) partials."""
+    import shutil
+
+    from ray.data import from_arrow
+
+    from ..stages.kmeans import lloyd_kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _counts = lloyd_kmeans(ds, k=KMEANS_K, n_iters=KMEANS_ITERS)
+
+    out_dir = f"{SIL_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    from_arrow(pa.table({
+        "cell": pa.array(np.arange(len(cents), dtype=np.int64)),
+        "v": pa.array([c.tolist() for c in cents],
+                      pa.list_(pa.float64())),
+    })).repartition(1).write_parquet(out_dir)
+
+    import ray
+    ref = ray.put(cents)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        c = _cached_broadcast(ref)
+        v = np.stack([np.asarray(x, np.float64)
+                      for x in t["embedding"].to_pylist()])
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        d_us = np.floor(d2 * 1_000_000 + 0.5).astype(np.int64)
+        own = np.argmin(d_us, axis=1)  # ties → lowest cell
+        rows = np.arange(len(v))
+        a = d_us[rows, own]
+        masked = d_us.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b = masked.min(axis=1)
+        s_ppm = ((b - a) * 1_000_000
+                 // np.maximum(np.maximum(a, b), 1))
+        df = pd.DataFrame({"cell": own.astype(np.int64),
+                           "s": s_ppm.astype(np.int64)})
+        g = df.groupby("cell")["s"].agg(["count", "sum"])
+        return pa.table({
+            "cell": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g["count"].to_numpy(np.int64)),
+            "sum_s_ppm": pa.array(g["sum"].to_numpy(np.int64)),
+        })
+
+    g = driver_grouped_agg(
+        ds.map_batches(score_partial, batch_format="pyarrow"),
+        ["cell"], {"n": ("n", "sum"), "sum_s_ppm": ("sum_s_ppm", "sum")})
+    g = g.sort_values("cell").reset_index(drop=True)
+    g["silhouette_ppm"] = g["sum_s_ppm"] // g["n"]
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g[["cell", "n", "sum_s_ppm", "silhouette_ppm"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -7938,6 +8010,7 @@ QUERIES = {
     "pages_link_census": q_pages_link_census,
     "supplier_sole_late": q_supplier_sole_late,
     "emb_feature_profile": q_emb_feature_profile,
+    "emb_silhouette": q_emb_silhouette,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12129,6 +12202,40 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "emb_silhouette": f"""
+        -- simplified silhouette from raw embeddings + the written
+        -- trained centroids: micro-unit distances, lowest-cell ties,
+        -- integer-ppm scores, per-cell census
+        WITH c AS (SELECT cell, v
+                   FROM read_parquet('{SIL_ORACLE_DIR}/current/*.parquet')),
+        d AS (
+            SELECT e.vec_id, c.cell,
+                   CAST(floor(list_sum(list_transform(range(1, 65),
+                        i -> (e.emb[i] - c.v[i]) * (e.emb[i] - c.v[i])))
+                        * 1000000 + 0.5) AS BIGINT) AS d_us
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings) e
+            CROSS JOIN c
+        ),
+        asg AS (SELECT vec_id, cell, d_us,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d_us, cell) AS rn
+                FROM d),
+        own AS (SELECT vec_id, cell AS own_cell, d_us AS a_us
+                FROM asg WHERE rn = 1),
+        bb AS (SELECT d.vec_id, min(d.d_us) AS b_us
+               FROM d JOIN own o ON d.vec_id = o.vec_id
+                                AND d.cell <> o.own_cell
+               GROUP BY 1),
+        s AS (SELECT o.own_cell AS cell,
+                     ((bb.b_us - o.a_us) * 1000000)
+                     // greatest(o.a_us, bb.b_us, 1) AS s_ppm
+              FROM own o JOIN bb USING (vec_id))
+        SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n,
+               sum(s_ppm)::BIGINT AS sum_s_ppm,
+               (sum(s_ppm) // count(*))::BIGINT AS silhouette_ppm
+        FROM s GROUP BY 1 ORDER BY cell
+    """,
     "emb_feature_profile": f"""
         -- per-dimension integer sufficient stats over the micro-unit
         -- quantization (sign·floor(|x|·1e6+0.5) of the DOUBLE cast)
