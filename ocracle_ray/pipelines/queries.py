@@ -7782,6 +7782,71 @@ def q_emb_silhouette(sf_dir: str):
     return g[["cell", "n", "sum_s_ppm", "silhouette_ppm"]]
 
 
+def q_emb_mutual_nn(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embedding corpus — the
+    reciprocal-best-match rule bitext mining / cross-modal alignment
+    uses (a pair counts only when EACH side is the other's top-1):
+    per-batch top-1 cosine against the broadcast corpus matrix
+    (round-6 before the argmax, ties → lowest vec_id — the
+    similarity-graph rules), then the mutuality check on the O(n)
+    (vec, nn) map. Driver holds one int64 pair per vector, bounded by
+    the same broadcast guard as the similarity-graph family (at
+    100 TB: the LSH-bucketed candidate machinery feeds the same
+    mutual filter). Output: the mutual pairs with their round-6
+    cosine in integer micro-units."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding"]).materialize()
+    full = ds.to_pandas()
+    if len(full) > EMB_TRI_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"emb_mutual_nn: {len(full)} vectors exceed the broadcast "
+            f"limit {EMB_TRI_BROADCAST_LIMIT}; feed the mutual filter "
+            f"from the LSH bucket machinery instead")
+    order = np.argsort(full["vec_id"].to_numpy(np.int64))
+    ids = full["vec_id"].to_numpy(np.int64)[order]
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in full["embedding"]])[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def top1(t: pa.Table) -> pa.Table:
+        all_ids, m = _cached_broadcast(ref)
+        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        av = np.stack([np.asarray(v, np.float64)
+                       for v in t["embedding"].to_pylist()])
+        av = av / np.linalg.norm(av, axis=1, keepdims=True)
+        cos = np.round(av @ m.T, 6)
+        self_col = np.searchsorted(all_ids, a_ids)
+        cos[np.arange(len(a_ids)), self_col] = -2.0
+        # columns ascend by vec_id ⇒ first-max argmax = lowest-id tie
+        best = np.argmax(cos, axis=1)
+        return pa.table({
+            "a": pa.array(a_ids.astype(np.int64)),
+            "nn": pa.array(all_ids[best].astype(np.int64)),
+            "cos_us": pa.array(np.rint(
+                cos[np.arange(len(a_ids)), best] * 1_000_000
+            ).astype(np.int64)),
+        })
+
+    nn = ds.map_batches(top1, batch_format="pyarrow").to_pandas()
+    nn_map = dict(zip(nn["a"].astype("int64"),
+                      nn["nn"].astype("int64")))
+    cos_map = dict(zip(nn["a"].astype("int64"),
+                       nn["cos_us"].astype("int64")))
+    rows = []
+    for a, b in nn_map.items():
+        if a < b and nn_map.get(int(b)) == a:
+            rows.append({"a": int(a), "b": int(b),
+                         "cos_us": int(cos_map[a])})
+    out = pd.DataFrame(rows, columns=["a", "b", "cos_us"]) \
+        .sort_values("a").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8011,6 +8076,7 @@ QUERIES = {
     "supplier_sole_late": q_supplier_sole_late,
     "emb_feature_profile": q_emb_feature_profile,
     "emb_silhouette": q_emb_silhouette,
+    "emb_mutual_nn": q_emb_mutual_nn,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12202,6 +12268,31 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "emb_mutual_nn": """
+        -- reciprocal best match: per-vector top-1 (round-6 cosine,
+        -- ties -> lowest vec_id), pairs where each is the other's
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        p AS MATERIALIZED (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS c
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        top AS MATERIALIZED (
+            SELECT a, b, c FROM (
+                SELECT a, b, c, row_number() OVER (
+                    PARTITION BY a ORDER BY c DESC, b) AS rn
+                FROM p
+            ) WHERE rn = 1
+        )
+        SELECT t1.a AS a, t1.b AS b,
+               CAST(round(t1.c * 1000000) AS BIGINT) AS cos_us
+        FROM top t1 JOIN top t2
+          ON t1.b = t2.a AND t2.b = t1.a AND t1.a < t1.b
+        ORDER BY a
+    """,
     "emb_silhouette": f"""
         -- simplified silhouette from raw embeddings + the written
         -- trained centroids: micro-unit distances, lowest-cell ties,
