@@ -1503,6 +1503,90 @@ def q_events_value_mad(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def q_events_anomaly_mad(sf_dir: str):
+    """Robust anomaly census — the MAD-z outlier gate (flag when
+    2·|2c − med2| > 5·mad4, i.e. |v − median| > 5·MAD) composed from
+    the exact quantile machinery, ENTIRELY in integers: medians of
+    integer cents are half-integers, so doubling (med2 = 2·median(c),
+    mad4 = 2·median(|2c − med2|)) keeps every quantity an exactly-
+    representable int64 on both sides — unlike a float z-score there
+    is NO boundary ulp to argue about. Five streaming passes (two per
+    median + one census), zero shuffle; census = per-type counts,
+    ppm, and XOR of anomalous event_ids (0 is the XOR identity, so
+    the CASE-gated bit_xor pins membership exactly)."""
+    from ..stages.quantile import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_t(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(
+            np.int64)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "c": pa.array(c.astype(np.float64), pa.float64()),
+        })
+
+    cents = ds.map_batches(cents_t, batch_format="pyarrow")
+    med_df = grouped_exact_quantiles(cents, "event_type", "c",
+                                     probs=(0.5,))
+    med2 = {k: int(np.rint(2 * v)) for k, v in
+            zip(med_df["event_type"], med_df["p50"])}
+
+    def dev_t(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.empty(len(c), np.int64)
+        for et, mv in med2.items():
+            m[types == et] = mv
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "c": t["c"],
+            "dev2": pa.array(np.abs(2 * c - m).astype(np.float64),
+                             pa.float64()),
+        })
+
+    dev = cents.map_batches(dev_t, batch_format="pyarrow")
+    mad_df = grouped_exact_quantiles(dev, "event_type", "dev2",
+                                     probs=(0.5,))
+    mad4 = {k: int(np.rint(2 * v)) for k, v in
+            zip(mad_df["event_type"], mad_df["p50"])}
+
+    def census(t: pa.Table) -> pa.Table:
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        dev2 = t["dev2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        m4 = np.empty(len(dev2), np.int64)
+        for et, mv in mad4.items():
+            m4[types == et] = mv
+        flag = (2 * dev2 > 5 * m4).astype(np.int64)
+        df = pd.DataFrame({"event_type": types, "flag": flag,
+                           "x": np.where(flag == 1, eid, 0)})
+        g = df.groupby("event_type").agg(
+            n=("flag", "size"), n_anom=("flag", "sum"),
+            id_xor=("x", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))))
+        return pa.table({
+            "event_type": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "n_anom": pa.array(g["n_anom"].to_numpy(np.int64)),
+            "id_xor": pa.array(g["id_xor"].to_numpy(np.int64)),
+        })
+
+    parts = dev.map_batches(census, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), n_anom=("n_anom", "sum"),
+        id_xor=("id_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out["anom_ppm"] = out["n_anom"] * 1_000_000 // out["n"]
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("n", "n_anom", "anom_ppm", "id_xor"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "n", "n_anom", "anom_ppm", "id_xor"]]
+
+
 DAY_US = 86_400_000_000
 
 
@@ -8077,6 +8161,7 @@ QUERIES = {
     "emb_feature_profile": q_emb_feature_profile,
     "emb_silhouette": q_emb_silhouette,
     "emb_mutual_nn": q_emb_mutual_nn,
+    "events_anomaly_mad": q_events_anomaly_mad,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12268,6 +12353,43 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "events_anomaly_mad": """
+        -- MAD-z anomaly census in doubled integer cents: med2/mad4
+        -- are exact (medians of ints are half-integers; 2x keeps
+        -- int64); flag 2*dev2 > 5*mad4; XOR pins membership
+        WITH c AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(round(2 * median(c)) AS BIGINT) AS med2
+            FROM c GROUP BY 1
+        ),
+        dev AS (
+            SELECT c.event_id, c.event_type,
+                   abs(2 * c.c - m.med2) AS dev2
+            FROM c JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type,
+                   CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN 2 * d.dev2 > 5 * m.mad4
+                        THEN 1 ELSE 0 END)::BIGINT AS n_anom,
+               (sum(CASE WHEN 2 * d.dev2 > 5 * m.mad4
+                         THEN 1 ELSE 0 END) * 1000000
+                // count(*))::BIGINT AS anom_ppm,
+               bit_xor(CASE WHEN 2 * d.dev2 > 5 * m.mad4
+                            THEN d.event_id ELSE 0 END)::BIGINT
+                   AS id_xor
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1 ORDER BY event_type
+    """,
     "emb_mutual_nn": """
         -- reciprocal best match: per-vector top-1 (round-6 cosine,
         -- ties -> lowest vec_id), pairs where each is the other's
