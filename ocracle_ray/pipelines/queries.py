@@ -7931,6 +7931,181 @@ def q_emb_mutual_nn(sf_dir: str):
     return out
 
 
+MHCAL_ORACLE_DIR = "/tmp/ocracle_mhcal_oracle"
+MHCAL_WORDS = 120
+MHCAL_LEVELS = (25, 50, 75, 100)
+
+
+def q_docs_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration audit — the measurement a dedup
+    pipeline owes its threshold: how far does the 128-perm signature
+    estimate sit from TRUE shingle Jaccard, across the similarity
+    range? Controlled pairs per audited doc (base = first 120 words;
+    variant = first 25/50/75/100% of them — a deterministic overlap
+    ladder, p=100 pinning the degenerate exact case), scored both
+    ways in integer ppm and aggregated per level.
+    Shape: one pass over the guarded audit slice (lowest doc_ids);
+    everything per-doc, zero shuffle.
+    STRONG artifact oracle: the per-pair distinct shingle-hash lists
+    are written; SQL re-derives the 128 permutation seeds (FNV-1a
+    over the literal seed strings via list_reduce — the docs_dsir
+    rule), the FULL splitmix64 mixing (golden-gamma add + the shared
+    _sm64_ctes finalizer chain), every signature component via
+    min-per-perm, every estimate, every true Jaccard
+    (list_intersect) and the per-level sums — only blake2b shingle
+    hashing is trusted (unit-tested separately)."""
+    import shutil
+
+    from ..core.dedup import _perm_seeds, _splitmix64, shingle_hashes
+    from ..sources.pages import sf_of_dir
+
+    n_audit = max(20, min(100, int(1000 * sf_of_dir(sf_dir))))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    lim = pa.scalar(n_audit, pa.int64())
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(pc.cast(t["doc_id"], pa.int64()),
+                                   lim)),
+        batch_format="pyarrow")
+    seeds = _perm_seeds(128)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "p": [], "sh_a": [], "sh_b": [],
+               "est_ppm": [], "true_ppm": []}
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            words = text.split()
+            if len(words) < 12:
+                continue  # variants need >= 3 meaningful words
+            base_words = words[:MHCAL_WORDS]
+            ha = shingle_hashes(" ".join(base_words))
+            if ha.size == 0:
+                continue
+            sig_a = _splitmix64(ha[:, None] ^ seeds[None, :]).min(
+                axis=0)
+            for p in MHCAL_LEVELS:
+                nb = max(3, len(base_words) * p // 100)
+                hb = shingle_hashes(" ".join(base_words[:nb]))
+                if hb.size == 0:
+                    continue
+                sig_b = _splitmix64(hb[:, None] ^ seeds[None, :]) \
+                    .min(axis=0)
+                inter = np.intersect1d(ha, hb,
+                                       assume_unique=True).size
+                uni = ha.size + hb.size - inter
+                out["doc_id"].append(did)
+                out["p"].append(p)
+                out["sh_a"].append(
+                    ha.astype(np.int64).tolist())  # two's-complement
+                out["sh_b"].append(hb.astype(np.int64).tolist())
+                out["est_ppm"].append(
+                    int((sig_a == sig_b).sum()) * 1_000_000 // 128)
+                out["true_ppm"].append(
+                    int(inter) * 1_000_000 // int(uni))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "p": pa.array(out["p"], pa.int64()),
+            "sh_a": pa.array(out["sh_a"], pa.list_(pa.int64())),
+            "sh_b": pa.array(out["sh_b"], pa.list_(pa.int64())),
+            "est_ppm": pa.array(out["est_ppm"], pa.int64()),
+            "true_ppm": pa.array(out["true_ppm"], pa.int64()),
+        })
+
+    scored = ds.map_batches(pairs, batch_format="pyarrow") \
+        .materialize()
+    out_dir = f"{MHCAL_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    scored.write_parquet(out_dir)
+
+    sp = scored.select_columns(
+        ["p", "est_ppm", "true_ppm"]).to_pandas()
+    sp["abs_err_ppm"] = (sp["est_ppm"] - sp["true_ppm"]).abs()
+    g = sp.groupby("p", as_index=False).agg(
+        n_pairs=("p", "size"), sum_true_ppm=("true_ppm", "sum"),
+        sum_est_ppm=("est_ppm", "sum"),
+        sum_abs_err_ppm=("abs_err_ppm", "sum"))
+    g = g.sort_values("p").reset_index(drop=True)
+    for c in g.columns:
+        g[c] = g[c].astype("int64")
+    return g
+
+
+def _mhcal_oracle_sql() -> str:
+    """Generated mirror over the written shingle lists: FNV seeds,
+    golden-gamma splitmix64 mixing (the shared _sm64_ctes chain),
+    min-per-perm signatures, estimates, true Jaccard, level sums."""
+    gamma = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+    sm, last = _sm64_ctes("mh", "mix0", ["doc_id", "p", "side", "i"])
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT doc_id, p, sh_a, sh_b
+            FROM read_parquet('{MHCAL_ORACLE_DIR}/current/*.parquet')
+        ),
+        tj AS (
+            SELECT doc_id, p,
+                   len(list_intersect(sh_a, sh_b))::BIGINT AS inter,
+                   (len(sh_a) + len(sh_b)
+                    - len(list_intersect(sh_a, sh_b)))::BIGINT AS uni
+            FROM src
+        ),
+        seeds AS MATERIALIZED (
+            SELECT i, CAST(list_reduce(
+                list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+                    list_transform(
+                        string_split('ocracle-minhash-' || i, ''),
+                        c -> CAST(unicode(c) AS UHUGEINT))),
+                (h, c) -> (xor(CAST(h AS UBIGINT),
+                               CAST(c AS UBIGINT))::UHUGEINT
+                           * 1099511628211)
+                          % {m64}::UHUGEINT
+            ) AS UHUGEINT) AS seed
+            FROM (SELECT unnest(range(128)) AS i)
+        ),
+        sh AS (
+            SELECT doc_id, p, 0 AS side, unnest(sh_a) AS hs FROM src
+            UNION ALL
+            SELECT doc_id, p, 1, unnest(sh_b) FROM src
+        ),
+        shu AS (
+            SELECT doc_id, p, side,
+                   CASE WHEN hs < 0
+                        THEN (hs::HUGEINT + {m64}::HUGEINT)::UHUGEINT
+                        ELSE hs::UHUGEINT END AS h
+            FROM sh
+        ),
+        mix0 AS (
+            SELECT doc_id, p, side, s.i,
+                   (xor(h::UBIGINT, seed::UBIGINT)::UHUGEINT
+                    + {gamma}::UHUGEINT) % {m64}::UHUGEINT AS x
+            FROM shu CROSS JOIN seeds s
+        ),
+        {sm},
+        sig AS MATERIALIZED (
+            SELECT doc_id, p, side, i, min(x) AS v
+            FROM {last} GROUP BY 1, 2, 3, 4
+        ),
+        est AS (
+            SELECT a.doc_id, a.p,
+                   (sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)
+                    * 1000000 // 128)::BIGINT AS est_ppm
+            FROM sig a JOIN sig b
+              ON a.doc_id = b.doc_id AND a.p = b.p AND a.i = b.i
+             AND a.side = 0 AND b.side = 1
+            GROUP BY 1, 2
+        )
+        SELECT t.p::BIGINT AS p,
+               count(*)::BIGINT AS n_pairs,
+               sum(t.inter * 1000000 // t.uni)::BIGINT
+                   AS sum_true_ppm,
+               sum(e.est_ppm)::BIGINT AS sum_est_ppm,
+               sum(abs(e.est_ppm
+                       - t.inter * 1000000 // t.uni))::BIGINT
+                   AS sum_abs_err_ppm
+        FROM tj t JOIN est e USING (doc_id, p)
+        GROUP BY 1 ORDER BY p
+    """
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8162,6 +8337,7 @@ QUERIES = {
     "emb_silhouette": q_emb_silhouette,
     "emb_mutual_nn": q_emb_mutual_nn,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "docs_minhash_calibration": q_docs_minhash_calibration,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12353,6 +12529,7 @@ ORACLE_SQL = {
     "media_video_neardup": _vfh_oracle_sql(),
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
+    "docs_minhash_calibration": _mhcal_oracle_sql(),
     "events_anomaly_mad": """
         -- MAD-z anomaly census in doubled integer cents: med2/mad4
         -- are exact (medians of ints are half-integers; 2x keeps
