@@ -8106,6 +8106,97 @@ def _mhcal_oracle_sql() -> str:
     """
 
 
+def q_docs_quality_prune(sf_dir: str):
+    """Stratified quality pruning — the FineWeb-style "keep the top
+    quality slice per language" release gate, tie-exact: each doc
+    scores the LEXICOGRAPHIC (gate count, length) composite
+    score = q4·100000 + min(codepoints, 99999), where q4 counts the
+    four shared quality gates (quality_scores_vec's 0.25 steps ×4 —
+    the gate count alone is degenerate on this corpus: 99.6% of docs
+    pass all four, measured, so length breaks the tie the way a real
+    release ranks within a quality band). Per lang, the threshold t
+    is the 80th-percentile ORDER STATISTIC at ascending rank
+    ceil(0.8·n); the census reports strictly-above and at-threshold
+    separately, so no tie-splitting rule is ever needed (the
+    boundary mass is visible, not silently split). Two streaming
+    passes, zero shuffle: (lang, score) histogram via driver-folded
+    combiners (domain ≤ distinct scores, loud-guarded), then a
+    census pass against the broadcast thresholds with kept-doc XOR
+    membership."""
+    from ..core.textstats import quality_scores_vec
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def q4_t(t: pa.Table) -> pa.Table:
+        q = quality_scores_vec(t["text"])
+        ln = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        score = (np.rint(4 * q).astype(np.int64) * 100_000
+                 + np.minimum(ln, 99_999))
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "lang": t["lang"],
+            "q4": pa.array(score, pa.int64()),
+        })
+
+    scored = ds.map_batches(q4_t, batch_format="pyarrow").materialize()
+    hist = driver_grouped_agg(scored, ["lang", "q4"],
+                              {"c": ("q4", "count")})
+    if len(hist) > 2_000_000:
+        raise RuntimeError(
+            "docs_quality_prune: score histogram exceeds the driver "
+            "fold guard; switch the threshold to the two-pass "
+            "histogram-refinement quantile machinery")
+    thr = {}
+    n_by_lang = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("q4")
+        n = int(g["c"].sum())
+        n_by_lang[lang] = n
+        k = (4 * n + 4) // 5  # ceil(0.8 n)
+        cum = g["c"].cumsum()
+        thr[lang] = int(g["q4"].to_numpy()[
+            np.searchsorted(cum.to_numpy(), k)])
+
+    def census(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        q4 = t["q4"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = np.empty(len(q4), np.int64)
+        for lg, tv in thr.items():
+            tt[langs == lg] = tv
+        above = q4 > tt
+        df = pd.DataFrame({
+            "lang": langs, "above": above.astype(np.int64),
+            "at": (q4 == tt).astype(np.int64),
+            "x": np.where(above, did, 0),
+        })
+        g = df.groupby("lang").agg(
+            n_above=("above", "sum"), n_at=("at", "sum"),
+            id_xor=("x", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))))
+        return pa.table({
+            "lang": pa.array(g.index.tolist(), pa.string()),
+            "n_above": pa.array(g["n_above"].to_numpy(np.int64)),
+            "n_at": pa.array(g["n_at"].to_numpy(np.int64)),
+            "id_xor": pa.array(g["id_xor"].to_numpy(np.int64)),
+        })
+
+    parts = scored.map_batches(census,
+                               batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_above=("n_above", "sum"), n_at=("n_at", "sum"),
+        id_xor=("id_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out["n"] = out["lang"].map(n_by_lang)
+    out["thr_score"] = out["lang"].map(thr)
+    out = out.sort_values("lang").reset_index(drop=True)
+    for c in ("n", "thr_score", "n_above", "n_at", "id_xor"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "n", "thr_score", "n_above", "n_at",
+                "id_xor"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8338,6 +8429,7 @@ QUERIES = {
     "emb_mutual_nn": q_emb_mutual_nn,
     "events_anomaly_mad": q_events_anomaly_mad,
     "docs_minhash_calibration": q_docs_minhash_calibration,
+    "docs_quality_prune": q_docs_quality_prune,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12530,6 +12622,57 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "docs_quality_prune": """
+        -- stratified 80th-percentile quality prune: lexicographic
+        -- (gate count, length) composite score, order-statistic
+        -- threshold at ceil(0.8 n), above/at split (no tie rule),
+        -- kept-id XOR membership
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   ((CASE WHEN length(text) BETWEEN 50 AND 10000
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_words > 0 AND (sum_wl * 1.0 / n_words)
+                               BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN length(text) = 0
+                          OR (n_punct * 1.0 / length(text)) < 0.2
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_words >= 10 THEN 1 ELSE 0 END))
+                   * 100000 + least(length(text), 99999) AS q4
+            FROM (
+                SELECT doc_id, lang, text,
+                       len(list_filter(regexp_split_to_array(text,
+                           '\\s+'), x -> x <> '')) AS n_words,
+                       coalesce(list_sum(list_transform(
+                           list_filter(regexp_split_to_array(text,
+                               '\\s+'), x -> x <> ''),
+                           x -> length(x))), 0) AS sum_wl,
+                       length(regexp_extract_all(text,
+                           '[!-/:-@\\[-`{-~]')) AS n_punct
+                FROM documents
+            )
+        ),
+        cum AS (
+            SELECT lang, q4,
+                   sum(count(*)) OVER (PARTITION BY lang
+                                       ORDER BY q4) AS cc,
+                   sum(count(*)) OVER (PARTITION BY lang) AS n
+            FROM scored GROUP BY lang, q4
+        ),
+        thr AS (
+            SELECT lang, min(q4) AS t, any_value(n) AS n
+            FROM cum WHERE cc >= (4 * n + 4) // 5 GROUP BY lang
+        )
+        SELECT s.lang, any_value(t2.n)::BIGINT AS n,
+               any_value(t2.t)::BIGINT AS thr_score,
+               sum(CASE WHEN s.q4 > t2.t THEN 1 ELSE 0 END)::BIGINT
+                   AS n_above,
+               sum(CASE WHEN s.q4 = t2.t THEN 1 ELSE 0 END)::BIGINT
+                   AS n_at,
+               bit_xor(CASE WHEN s.q4 > t2.t THEN s.doc_id
+                            ELSE 0 END)::BIGINT AS id_xor
+        FROM scored s JOIN thr t2 USING (lang)
+        GROUP BY s.lang ORDER BY s.lang
+    """,
     "events_anomaly_mad": """
         -- MAD-z anomaly census in doubled integer cents: med2/mad4
         -- are exact (medians of ints are half-integers; 2x keeps
