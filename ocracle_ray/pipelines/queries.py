@@ -8197,6 +8197,127 @@ def q_docs_quality_prune(sf_dir: str):
                 "id_xor"]]
 
 
+SCHEMA_EVO_DIR = "/tmp/ocracle_schema_evo"
+
+
+def q_pages_schema_evolution(sf_dir: str):
+    """Schema-evolution-tolerant reading (sources.readers.evolve_to —
+    the Delta/Iceberg mergeSchema rule): a crawl store whose schema
+    grew across generations (gen0: url/ts/n_chars int32; gen1 adds
+    lang; gen2 adds fetch_status and widens n_chars to int64) reads
+    as ONE unified dataset — missing columns null-fill, compatible
+    types widen, dropped columns vanish, incompatible casts raise
+    loud. Census per generation: rows, nulls per late column, an
+    n_chars sum (proving the int32→int64 widen) and an English
+    count. Deterministic fixture store under /tmp (seeded rows, one
+    parquet per generation).
+    Oracle: DuckDB re-reads the SAME files with
+    ``read_parquet(union_by_name=true, filename=true)`` — the
+    reference implementation of by-name unification — and re-derives
+    the census; engine and oracle must agree on every fill/widen."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..sources.pages import sf_of_dir
+    from ..sources.readers import evolve_to
+
+    n_per = max(50, min(500, int(5000 * sf_of_dir(sf_dir))))
+    root = f"{SCHEMA_EVO_DIR}/current"
+    shutil.rmtree(root, ignore_errors=True)
+    langs = ["en", "de", "fr", "es", "zh"]
+    for gen in range(3):
+        rng = np.random.RandomState(70_000 + gen)
+        n = n_per + gen * 7
+        cols = {
+            "url": pa.array(
+                [f"https://g{gen}.example.com/p{i}" for i in range(n)],
+                pa.string()),
+            "warc_ts": pa.array(
+                (1_700_000_000_000_000
+                 + rng.randint(0, 10**9, n)).tolist(),
+                pa.timestamp("us")),
+        }
+        if gen < 2:
+            cols["n_chars"] = pa.array(
+                rng.randint(10, 5000, n).astype(np.int32), pa.int32())
+        else:
+            cols["n_chars"] = pa.array(
+                rng.randint(10, 5000, n).astype(np.int64), pa.int64())
+        if gen >= 1:
+            cols["lang"] = pa.array(
+                [langs[i] for i in rng.randint(0, 5, n)], pa.string())
+        if gen >= 2:
+            cols["fetch_status"] = pa.array(
+                rng.choice([200, 301, 404], n).astype(np.int64),
+                pa.int64())
+        d = os.path.join(root, f"gen={gen}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table(cols), os.path.join(d, "part.parquet"))
+
+    target = pa.schema([
+        ("gen", pa.int64()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("n_chars", pa.int64()),
+        ("lang", pa.string()),
+        ("fetch_status", pa.int64()),
+    ])
+
+    parts = []
+    for gen in range(3):
+        ds = rd.read_parquet(os.path.join(root, f"gen={gen}"))
+
+        def tag(t: pa.Table, g=gen) -> pa.Table:
+            # Ray hive-infers the gen= dir as a STRING partition
+            # column; replace it with the typed generation id
+            if "gen" in t.column_names:
+                t = t.drop_columns(["gen"])
+            return evolve_to(
+                t.append_column(
+                    "gen", pa.array([g] * t.num_rows, pa.int64())),
+                target)
+
+        parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+    unified = parts[0].union(*parts[1:])
+
+    def census(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "gen": t["gen"].to_numpy(zero_copy_only=False),
+            "lang_null": pc.is_null(t["lang"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "status_null": pc.is_null(t["fetch_status"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "nc": t["n_chars"].to_numpy(zero_copy_only=False),
+            "en": pc.fill_null(pc.equal(t["lang"], pa.scalar("en")),
+                               False).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby("gen").agg(
+            n=("gen", "size"), n_lang_null=("lang_null", "sum"),
+            n_status_null=("status_null", "sum"),
+            sum_n_chars=("nc", "sum"), n_en=("en", "sum"))
+        return pa.table({
+            "gen": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "n_lang_null": pa.array(g["n_lang_null"].to_numpy(np.int64)),
+            "n_status_null": pa.array(
+                g["n_status_null"].to_numpy(np.int64)),
+            "sum_n_chars": pa.array(g["sum_n_chars"].to_numpy(np.int64)),
+            "n_en": pa.array(g["n_en"].to_numpy(np.int64)),
+        })
+
+    parts_df = unified.map_batches(census,
+                                   batch_format="pyarrow").to_pandas()
+    out = parts_df.groupby("gen", as_index=False).sum()
+    out = out.sort_values("gen").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8430,6 +8551,7 @@ QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "docs_minhash_calibration": q_docs_minhash_calibration,
     "docs_quality_prune": q_docs_quality_prune,
+    "pages_schema_evolution": q_pages_schema_evolution,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12622,6 +12744,23 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "pages_schema_evolution": f"""
+        -- DuckDB's union_by_name IS the reference semantics for
+        -- by-name schema unification; filename recovers the gen
+        SELECT CAST(regexp_extract(filename, 'gen=(\\d+)', 1)
+                    AS BIGINT) AS gen,
+               count(*)::BIGINT AS n,
+               sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_lang_null,
+               sum(CASE WHEN fetch_status IS NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_status_null,
+               sum(n_chars)::BIGINT AS sum_n_chars,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_en
+        FROM read_parquet('{SCHEMA_EVO_DIR}/current/gen=*/*.parquet',
+                          union_by_name=true, filename=true)
+        GROUP BY 1 ORDER BY gen
+    """,
     "docs_quality_prune": """
         -- stratified 80th-percentile quality prune: lexicographic
         -- (gate count, length) composite score, order-statistic

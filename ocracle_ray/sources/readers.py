@@ -177,3 +177,24 @@ def read_pages_ipc(paths: Sequence[str], **kwargs):
                 else _PAGES_ARROW_SCHEMA.empty_table())
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def evolve_to(t: pa.Table, target: pa.Schema) -> pa.Table:
+    """Schema-evolution unifier — the Delta/Iceberg mergeSchema read
+    rule: project ANY batch onto ``target``, filling columns the file
+    predates with nulls, dropping columns the target no longer
+    carries, and casting compatible types (int widths, string ↔
+    large_string, timestamp units). Raises loud on an incompatible
+    cast (a schema change that silently coerces data is a pipeline
+    bug, not an evolution). Semantics match DuckDB's
+    ``read_parquet(..., union_by_name=true)`` restricted to the
+    target's columns — pinned by the pages_schema_evolution oracle."""
+    import pyarrow.compute as pc
+
+    arrays = []
+    for f in target:
+        if f.name in t.column_names:
+            arrays.append(pc.cast(t[f.name], f.type))
+        else:
+            arrays.append(pa.nulls(t.num_rows, f.type))
+    return pa.Table.from_arrays(arrays, schema=target)
