@@ -414,7 +414,13 @@ class ImageDHash:
         ids, hashes, grays = [], [], []
         for mid, payload in zip(t[self.id_col].to_pylist(),
                                 t[self.payload_col].to_pylist()):
-            px = self._decoder.decode(payload)
+            try:
+                px = self._decoder.decode(payload)
+            except (NotImplementedError, ValueError):
+                # unrecognized container (the decoder raises its
+                # no-PIL gate) or malformed known container → skip
+                # row, the stage contract (found by the stage fuzz)
+                px = None
             if px is None:
                 continue
             _w, _h, arr = px

@@ -125,6 +125,39 @@ def _mutations(data: bytes, rng):
         yield data[:12] + rng.bytes(n)
 
 
+@pytest.mark.parametrize("stage", ["dhash", "audio", "video"])
+def test_fuzz_near_dup_stages_skip_rows(stage):
+    """End-to-end stage contract for the near-dup key trio: a batch of
+    corrupted payloads must produce SKIPPED rows (possibly zero
+    output), never an exception — the stages catch exactly STRICT, so
+    this also re-checks the decoders through the stage plumbing."""
+    import pyarrow as pa
+
+    from ocracle_ray.stages.multimodal import (AudioFingerprint,
+                                               ImageDHash,
+                                               VideoFrameHash)
+
+    files = _valid_files()
+    sources = {
+        "dhash": ("png", "gif", "bmp", "tiff", "webp"),
+        "audio": ("wav", "flac", "ogg"),
+        "video": ("gif", "webp_anim"),
+    }[stage]
+    make = {"dhash": ImageDHash, "audio": AudioFingerprint,
+            "video": VideoFrameHash}[stage]()
+    payloads = []
+    for name in sources:
+        rng = np.random.RandomState(zlib.crc32(b"stage" + name.encode()))
+        muts = list(_mutations(files[name], rng))
+        payloads.extend(muts[:: max(1, len(muts) // 64)])
+    t = pa.table({
+        "media_id": pa.array(range(len(payloads)), pa.int64()),
+        "payload": pa.array(payloads, pa.large_binary()),
+    })
+    out = make(t)  # must not raise
+    assert out.num_rows <= len(payloads)
+
+
 @pytest.mark.parametrize("name", sorted(_valid_files()))
 def test_fuzz_decoder_error_contract(name):
     data = _valid_files()[name]
