@@ -8318,6 +8318,58 @@ def q_pages_schema_evolution(sf_dir: str):
     return out
 
 
+def q_events_hourly_ivm(sf_dir: str):
+    """Incremental view maintenance (the Materialize/Flink IVM
+    algebra): the hourly revenue view is built from a 90% BASE slice
+    and a 10% DELTA slice (deterministic Knuth-hash split — the
+    docs_split rule, shared verbatim with SQL), aggregated
+    INDEPENDENTLY and then merged by groupby-sum of the view partials
+    — proving the aggregate is self-mergeable (the property IVM rests
+    on: view ⊕ delta-view = view-of-union). The oracle recomputes the
+    view from the full table in one pass; engine merge ≡ oracle
+    recompute is exactly the IVM correctness statement. Integer
+    cents; per-slice aggregation via bounded driver-folded combiners
+    (hour × type domain), merge associative."""
+    from ..stages.watermark import knuth_arrival
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type",
+                                  "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        part = (knuth_arrival(eid) % 10 == 0).astype(np.int64)
+        hour = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 3_600_000_000)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            "part": pa.array(part, pa.int64()),
+            "hour": pa.array(hour, pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    k = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    views = []
+    for p in (0, 1):
+        s = pa.scalar(p, pa.int64())
+        part_ds = k.map_batches(
+            lambda t, s=s: t.filter(pc.equal(t["part"], s)),
+            batch_format="pyarrow")
+        views.append(driver_grouped_agg(
+            part_ds, ["hour", "event_type"],
+            {"n": ("cents", "count"), "cents": ("cents", "sum")}))
+    merged = pd.concat(views, ignore_index=True).groupby(
+        ["hour", "event_type"], as_index=False).sum()
+    out = merged.sort_values(["hour", "event_type"]) \
+        .reset_index(drop=True)
+    for c in ("hour", "n", "cents"):
+        out[c] = out[c].astype("int64")
+    return out[["hour", "event_type", "n", "cents"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8552,6 +8604,7 @@ QUERIES = {
     "docs_minhash_calibration": q_docs_minhash_calibration,
     "docs_quality_prune": q_docs_quality_prune,
     "pages_schema_evolution": q_pages_schema_evolution,
+    "events_hourly_ivm": q_events_hourly_ivm,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12744,6 +12797,16 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "events_hourly_ivm": """
+        -- IVM correctness statement: the engine's base⊕delta merged
+        -- view must equal the one-pass full recompute
+        SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                   AS cents
+        FROM events
+        GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
     "pages_schema_evolution": f"""
         -- DuckDB's union_by_name IS the reference semantics for
         -- by-name schema unification; filename recovers the gen
