@@ -8386,6 +8386,106 @@ def q_events_hourly_ivm(sf_dir: str):
     return out[["hour", "event_type", "n", "cents"]]
 
 
+def q_docs_global_index(sf_dir: str):
+    """Global contiguous index assignment (zipWithIndex) — the
+    distributed primitive behind deterministic epoch ordering and
+    record addressing: every doc gets a gap-free int64 position in
+    the Knuth-hash shuffle order ((h, doc_id) — a total order, so
+    the assignment is unique), via the global prefix-scan primitive
+    with unit weights (one sort + materialized block boundaries +
+    an O(blocks) offset carry — no per-row driver work, the
+    watermark/Pareto machinery reused verbatim). Output is the full
+    (doc_id, gidx) mapping; the oracle is row_number() over the same
+    order."""
+    from ..stages.prefix import global_prefix_sum
+    from ..stages.watermark import knuth_arrival
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "h": pa.array(knuth_arrival(d).astype(np.int64)),
+            "one": pa.array(np.ones(len(d), np.int64)),
+        })
+
+    scanned, total = global_prefix_sum(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        order_cols=[("h", "ascending"), ("doc_id", "ascending")],
+        val_col="one", out_col="cum")
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "gidx": pa.array(
+                t["cum"].to_numpy(zero_copy_only=False) - 1,
+                pa.int64()),
+        })
+
+    out = scanned.map_batches(emit, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == total and out["gidx"].max() == total - 1
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_referential_audit(sf_dir: str):
+    """Warehouse-wide referential-integrity audit — the
+    expectations suite's FK check generalized to every relation in
+    the star schema: orphan counts for lineitem→orders,
+    lineitem→part, lineitem→supplier, orders→customer,
+    customer→nation, nation→region. Dimension key sets broadcast
+    (ray.put + cached_get, loud-guarded at the supplier precedent's
+    limit); each fact side is ONE zero-exchange pc.is_in pass
+    emitting per-batch (checked, orphans) partials. All clean at
+    every sf BY CONSTRUCTION of the generator — the audit proves it
+    rather than assuming it (the FAIL path is pinned by
+    events_expectations' planted-violation machinery)."""
+    import ray
+
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for fact, fk, dim, pk in rels:
+        keys = pd.read_parquet(_p(sf_dir, dim), columns=[pk])[pk] \
+            .to_numpy(np.int64)
+        if len(keys) > 20_000_000:
+            raise RuntimeError(
+                f"referential_audit: {dim} too large to broadcast — "
+                f"switch this relation to the anti-join machinery")
+        ref = ray.put(pa.array(np.unique(keys), pa.int64()))
+        ds = _read(sf_dir, fact, [fk])
+
+        def probe(t: pa.Table, ref=ref, fk=fk) -> pa.Table:
+            vs = _cached_broadcast(ref)
+            ok = pc.is_in(pc.cast(t[fk], pa.int64()), value_set=vs)
+            n = t.num_rows
+            orph = n - pc.sum(pc.cast(ok, pa.int64())).as_py()
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "orphans": pa.array([orph], pa.int64())})
+
+        parts = ds.map_batches(probe, batch_format="pyarrow") \
+            .to_pandas()
+        rows.append({
+            "relation": f"{fact}.{fk}->{dim}.{pk}",
+            "n_rows": int(parts["n"].sum()),
+            "n_orphans": int(parts["orphans"].sum()),
+        })
+    out = pd.DataFrame(rows).sort_values("relation") \
+        .reset_index(drop=True)
+    for c in ("n_rows", "n_orphans"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8621,6 +8721,8 @@ QUERIES = {
     "docs_quality_prune": q_docs_quality_prune,
     "pages_schema_evolution": q_pages_schema_evolution,
     "events_hourly_ivm": q_events_hourly_ivm,
+    "docs_global_index": q_docs_global_index,
+    "referential_audit": q_referential_audit,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12813,6 +12915,64 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "docs_global_index": """
+        -- zipWithIndex: row_number over the shared Knuth-hash total
+        -- order, returned keyed by doc_id
+        SELECT doc_id,
+               (row_number() OVER (
+                   ORDER BY ((doc_id % 2147483648) * 2654435761)
+                            % 4294967296, doc_id) - 1)::BIGINT
+                   AS gidx
+        FROM documents ORDER BY doc_id
+    """,
+    "referential_audit": """
+        -- star-schema FK orphan census (clean by construction —
+        -- the audit proves it)
+        SELECT * FROM (
+            SELECT 'customer.c_nationkey->nation.n_nationkey'
+                       AS relation,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN n.n_nationkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+            FROM customer c LEFT JOIN nation n
+              ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+                   count(*)::BIGINT,
+                   sum(CASE WHEN o.o_orderkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part.p_partkey',
+                   count(*)::BIGINT,
+                   sum(CASE WHEN p.p_partkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM lineitem l LEFT JOIN part p
+              ON l.l_partkey = p.p_partkey
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                   count(*)::BIGINT,
+                   sum(CASE WHEN s.s_suppkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM lineitem l LEFT JOIN supplier s
+              ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'nation.n_regionkey->region.r_regionkey',
+                   count(*)::BIGINT,
+                   sum(CASE WHEN r.r_regionkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM nation n LEFT JOIN region r
+              ON n.n_regionkey = r.r_regionkey
+            UNION ALL
+            SELECT 'orders.o_custkey->customer.c_custkey',
+                   count(*)::BIGINT,
+                   sum(CASE WHEN c.c_custkey IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+        ) ORDER BY relation
+    """,
     "events_hourly_ivm": """
         -- IVM correctness statement: the engine's base⊕delta merged
         -- view must equal the one-pass full recompute
