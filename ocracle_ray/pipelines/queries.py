@@ -8486,6 +8486,74 @@ def q_referential_audit(sf_dir: str):
     return out
 
 
+URLFILTER_ORACLE_DIR = "/tmp/ocracle_urlfilter_oracle"
+
+
+def q_pages_url_filter(sf_dir: str):
+    """Robots-style URL gating — the crawl-scope filter in front of
+    every fetch/extract stage: a declared disallow list (one rule per
+    matcher kind — prefix, substring, suffix) applied with FIRST-
+    MATCHING-RULE attribution in fixed order (the filter-funnel
+    trick), so per-outcome counts PARTITION the page rows exactly.
+    Vectorized Arrow matchers (starts_with / match_substring /
+    ends_with); census = per-outcome row count + XOR of the trailing
+    doc numbers (membership pinned).
+    STRONG artifact oracle: the raw url rows are written; SQL
+    re-derives every rule match, the attribution order, the doc-
+    number extraction and the census — only written-equals-read is
+    trusted."""
+    import shutil
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, \
+        sf_of_dir
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    pages = generate_pages_dataset(n)
+
+    urls = pages.map_batches(
+        lambda t: pa.table({"url": pc.cast(t["url"], pa.string())}),
+        batch_format="pyarrow").materialize()
+    out_dir = f"{URLFILTER_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    urls.write_parquet(out_dir)
+
+    def census(t: pa.Table) -> pa.Table:
+        u = t["url"]
+        doc = pc.struct_field(
+            pc.extract_regex(u, r"doc(?P<d>\d+)$"), "d")
+        docn = np.array([int(x) for x in doc.to_pylist()], np.int64)
+        m1 = pc.starts_with(
+            u, "https://exam.example/TMA").to_numpy(
+                zero_copy_only=False)
+        m2 = pc.match_substring(u, "/V23/").to_numpy(
+            zero_copy_only=False)
+        m3 = pc.ends_with(u, "0").to_numpy(zero_copy_only=False)
+        outcome = np.select(
+            [m1, m2, m3],
+            ["deny_prefix_tma", "deny_contains_v23", "deny_suffix_0"],
+            "allowed")
+        df = pd.DataFrame({"outcome": outcome, "d": docn})
+        g = df.groupby("outcome").agg(
+            n=("d", "size"),
+            doc_xor=("d", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))))
+        return pa.table({
+            "outcome": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "doc_xor": pa.array(g["doc_xor"].to_numpy(np.int64)),
+        })
+
+    parts = urls.map_batches(census, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("outcome", as_index=False).agg(
+        n=("n", "sum"),
+        doc_xor=("doc_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out = out.sort_values("outcome").reset_index(drop=True)
+    for c in ("n", "doc_xor"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8723,6 +8791,7 @@ QUERIES = {
     "events_hourly_ivm": q_events_hourly_ivm,
     "docs_global_index": q_docs_global_index,
     "referential_audit": q_referential_audit,
+    "pages_url_filter": q_pages_url_filter,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12915,6 +12984,29 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "pages_url_filter": f"""
+        -- robots-style gate re-derived from written urls: same three
+        -- matchers, same first-match attribution order
+        WITH r AS (
+            SELECT url,
+                   CAST(regexp_extract(url, 'doc(\\d+)$', 1)
+                        AS BIGINT) AS d,
+                   CASE
+                     WHEN starts_with(url,
+                          'https://exam.example/TMA')
+                          THEN 'deny_prefix_tma'
+                     WHEN contains(url, '/V23/')
+                          THEN 'deny_contains_v23'
+                     WHEN ends_with(url, '0')
+                          THEN 'deny_suffix_0'
+                     ELSE 'allowed' END AS outcome
+            FROM read_parquet(
+                '{URLFILTER_ORACLE_DIR}/current/*.parquet')
+        )
+        SELECT outcome, count(*)::BIGINT AS n,
+               bit_xor(d)::BIGINT AS doc_xor
+        FROM r GROUP BY 1 ORDER BY outcome
+    """,
     "docs_global_index": """
         -- zipWithIndex: row_number over the shared Knuth-hash total
         -- order, returned keyed by doc_id
