@@ -8554,6 +8554,80 @@ def q_pages_url_filter(sf_dir: str):
     return out
 
 
+AUG_DROP_PCT = 10
+
+
+def q_docs_augmentation(sf_dir: str):
+    """Deterministic data augmentation (EDA-style token dropout) —
+    the training-data expansion pass, with the randomness replaced by
+    the repo's seeded-hash discipline: token at position i of doc d
+    drops iff ((d·1000003 + i) % 2^31 · 2654435761) % 2^32 % 100 <
+    10 (the docs_split Knuth rule over a mixed key), so the
+    augmented corpus is reproducible byte-for-byte across runs,
+    engines and the oracle. Tokenization is the shared BM25/dsir
+    lowercase [a-z0-9]+ rule. Census per lang: docs, tokens in/kept,
+    drop ppm, and the XOR of per-doc FNV-1a fingerprints of the
+    REBUILT augmented text — so the oracle pins the exact output
+    strings, not just counts. One streaming pass, zero shuffle;
+    fully SQL-re-derived (tokens, hash rule, kept set, string_agg
+    rebuild, FNV via list_reduce — no artifact)."""
+    from ..core.textstats import fnv1a64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        rows = {"lang": [], "n_docs": [], "tokens_in": [],
+                "tokens_kept": [], "fp_xor": []}
+        acc: dict[str, list[int]] = {}
+        for did, lang, text in zip(t["doc_id"].to_pylist(),
+                                   t["lang"].to_pylist(),
+                                   t["text"].to_pylist()):
+            toks = [w for w in __import__("re").split(
+                r"[^a-z0-9]+", text.lower()) if w]
+            if not toks:
+                continue
+            pos = np.arange(len(toks), dtype=np.int64)
+            h = (((did * 1_000_003 + pos) % 2**31)
+                 * 2654435761) % 2**32 % 100
+            keep = h >= AUG_DROP_PCT
+            kept = [w for w, k in zip(toks, keep) if k]
+            a = acc.setdefault(lang, [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += len(toks)
+            a[2] += len(kept)
+            if kept:
+                fp = fnv1a64(" ".join(kept).encode())
+                a[3] ^= int(np.uint64(fp).astype(np.int64))
+        for lang, a in acc.items():
+            rows["lang"].append(lang)
+            rows["n_docs"].append(a[0])
+            rows["tokens_in"].append(a[1])
+            rows["tokens_kept"].append(a[2])
+            rows["fp_xor"].append(a[3])
+        return pa.table({
+            "lang": pa.array(rows["lang"], pa.string()),
+            "n_docs": pa.array(rows["n_docs"], pa.int64()),
+            "tokens_in": pa.array(rows["tokens_in"], pa.int64()),
+            "tokens_kept": pa.array(rows["tokens_kept"], pa.int64()),
+            "fp_xor": pa.array(rows["fp_xor"], pa.int64()),
+        })
+
+    parts = ds.map_batches(aug, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), tokens_in=("tokens_in", "sum"),
+        tokens_kept=("tokens_kept", "sum"),
+        fp_xor=("fp_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out["drop_ppm"] = ((out["tokens_in"] - out["tokens_kept"])
+                       * 1_000_000 // out["tokens_in"])
+    out = out.sort_values("lang").reset_index(drop=True)
+    for c in ("n_docs", "tokens_in", "tokens_kept", "drop_ppm",
+              "fp_xor"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "n_docs", "tokens_in", "tokens_kept",
+                "drop_ppm", "fp_xor"]]
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8792,6 +8866,7 @@ QUERIES = {
     "docs_global_index": q_docs_global_index,
     "referential_audit": q_referential_audit,
     "pages_url_filter": q_pages_url_filter,
+    "docs_augmentation": q_docs_augmentation,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -12984,6 +13059,69 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "docs_augmentation": """
+        -- deterministic token dropout fully re-derived: shared
+        -- tokenizer, the mixed-key Knuth drop rule, string_agg
+        -- rebuild, FNV-1a via list_reduce (ASCII: codepoint == byte)
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(ts) AS tok,
+                   unnest(range(len(ts))) AS i
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS ts
+                FROM documents
+            ) WHERE len(ts) > 0
+        ),
+        kept AS (
+            SELECT doc_id, lang, tok, i FROM toks
+            WHERE (((doc_id * 1000003 + i) % 2147483648)
+                   * 2654435761) % 4294967296 % 100 >= 10
+        ),
+        built AS (
+            SELECT doc_id, any_value(lang) AS lang,
+                   string_agg(tok, ' ' ORDER BY i) AS aug
+            FROM kept GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT lang,
+                   CAST(list_reduce(
+                       list_prepend(
+                           CAST(14695981039346656037 AS UHUGEINT),
+                           list_transform(string_split(aug, ''),
+                               c -> CAST(unicode(c) AS UHUGEINT))),
+                       (h, c) -> (xor(CAST(h AS UBIGINT),
+                                      CAST(c AS UBIGINT))::UHUGEINT
+                                  * 1099511628211)
+                                 % 18446744073709551616::UHUGEINT
+                   ) AS UHUGEINT) AS f
+            FROM built
+        ),
+        fx AS (
+            SELECT lang,
+                   bit_xor(CAST(CASE WHEN f >= 9223372036854775808
+                                     THEN f::HUGEINT
+                                          - 18446744073709551616::HUGEINT
+                                     ELSE f::HUGEINT END
+                                AS BIGINT)) AS fp_xor
+            FROM fp GROUP BY lang
+        ),
+        cin AS (
+            SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS tokens_in
+            FROM toks GROUP BY lang
+        ),
+        ck AS (
+            SELECT lang, count(*)::BIGINT AS tokens_kept
+            FROM kept GROUP BY lang
+        )
+        SELECT cin.lang, cin.n_docs, cin.tokens_in, ck.tokens_kept,
+               ((cin.tokens_in - ck.tokens_kept) * 1000000
+                // cin.tokens_in)::BIGINT AS drop_ppm,
+               fx.fp_xor::BIGINT AS fp_xor
+        FROM cin JOIN ck USING (lang) JOIN fx USING (lang)
+        ORDER BY cin.lang
+    """,
     "pages_url_filter": f"""
         -- robots-style gate re-derived from written urls: same three
         -- matchers, same first-match attribution order
