@@ -8628,6 +8628,80 @@ def q_docs_augmentation(sf_dir: str):
                 "drop_ppm", "fp_xor"]]
 
 
+NEG_N_ANCHORS = 20
+NEG_K = 5
+
+
+def q_emb_hard_negatives(sf_dir: str):
+    """Hard negative mining — the contrastive-training-data op
+    (DPR/SimCSE batch construction): for each anchor, the K closest
+    vectors BELOW the positive threshold (cosine < 0.3, the
+    similarity-graph rule) — similar-but-not-positive examples, the
+    ones that actually train the margin. Deterministic end to end:
+    cosine rounds to 6 then scales to integer micro-units, ranking
+    is (cos_us DESC, vec_id ASC) — no float tie ambiguity. Anchors =
+    the NEG_N_ANCHORS lowest vec_ids; per-batch scoring against the
+    broadcast corpus matrix (one matmul per batch, the knn shape).
+    Output: (anchor, rank, neg_id, cos_us) rows; the oracle
+    re-derives every candidate, the threshold mask and the
+    row_number pick."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings",
+               ["vec_id", "embedding"]).materialize()
+    full = ds.to_pandas()
+    if len(full) > EMB_TRI_BROADCAST_LIMIT:
+        raise RuntimeError(
+            f"emb_hard_negatives: {len(full)} vectors exceed the "
+            f"broadcast limit; mine negatives from the IVF cell "
+            f"machinery instead")
+    order = np.argsort(full["vec_id"].to_numpy(np.int64))
+    ids = full["vec_id"].to_numpy(np.int64)[order]
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in full["embedding"]])[order]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+    lim = pa.scalar(int(ids[min(NEG_N_ANCHORS, len(ids)) - 1]),
+                    pa.int64())
+
+    def mine(t: pa.Table) -> pa.Table:
+        all_ids, m = _cached_broadcast(ref)
+        keep = pc.less_equal(pc.cast(t["vec_id"], pa.int64()), lim)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({
+                "anchor": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "neg_id": pa.array([], pa.int64()),
+                "cos_us": pa.array([], pa.int64()),
+            })
+        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        av = np.stack([np.asarray(v, np.float64)
+                       for v in t["embedding"].to_pylist()])
+        av = av / np.linalg.norm(av, axis=1, keepdims=True)
+        cos_us = np.rint(np.round(av @ m.T, 6) * 1_000_000) \
+            .astype(np.int64)
+        out = {"anchor": [], "rank": [], "neg_id": [], "cos_us": []}
+        for r, aid in enumerate(a_ids):
+            row = cos_us[r]
+            mask = (row < 300_000) & (all_ids != aid)
+            cand = np.nonzero(mask)[0]
+            pick = cand[np.lexsort((all_ids[cand], -row[cand]))][:NEG_K]
+            for k, j in enumerate(pick):
+                out["anchor"].append(int(aid))
+                out["rank"].append(k + 1)
+                out["neg_id"].append(int(all_ids[j]))
+                out["cos_us"].append(int(row[j]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    res = ds.map_batches(mine, batch_format="pyarrow").to_pandas()
+    out = res.sort_values(["anchor", "rank"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8867,6 +8941,7 @@ QUERIES = {
     "referential_audit": q_referential_audit,
     "pages_url_filter": q_pages_url_filter,
     "docs_augmentation": q_docs_augmentation,
+    "emb_hard_negatives": q_emb_hard_negatives,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13059,6 +13134,31 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "emb_hard_negatives": f"""
+        -- hardest negatives below the positive threshold: integer
+        -- micro-unit cosine, (cos_us DESC, vec_id) row_number pick
+        WITH anchors AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings ORDER BY vec_id LIMIT {NEG_N_ANCHORS}
+        ),
+        cand AS (
+            SELECT a.vec_id AS anchor, b.vec_id AS neg_id,
+                   CAST(round(round(list_cosine_similarity(
+                       a.v, CAST(b.embedding AS DOUBLE[])), 6)
+                       * 1000000) AS BIGINT) AS cos_us
+            FROM anchors a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT anchor, neg_id, cos_us,
+                   row_number() OVER (PARTITION BY anchor
+                       ORDER BY cos_us DESC, neg_id) AS rank
+            FROM cand WHERE cos_us < 300000
+        )
+        SELECT anchor, rank::BIGINT AS rank, neg_id, cos_us
+        FROM ranked WHERE rank <= {NEG_K}
+        ORDER BY anchor, rank
+    """,
     "docs_augmentation": """
         -- deterministic token dropout fully re-derived: shared
         -- tokenizer, the mixed-key Knuth drop rule, string_agg
