@@ -8702,6 +8702,77 @@ def q_emb_hard_negatives(sf_dir: str):
     return out
 
 
+def _varint_bytes(u: np.ndarray) -> np.ndarray:
+    """LEB128 size of unsigned int64 values: 1 + Σ_{k=1..9} [u ≥ 128^k]
+    — the closed form shared digit-for-digit with the SQL oracle."""
+    size = np.ones(len(u), np.int64)
+    for k in range(1, 10):
+        size += (u >= np.uint64(128) ** k).astype(np.int64)
+    return size
+
+
+def q_events_storage_advisor(sf_dir: str):
+    """Columnar storage advisor — the encoding-selection probe a
+    table-format optimizer runs: estimated bytes per column under
+    delta + zigzag + LEB128 varint in event_id order, vs raw 8-byte
+    ints. Exact integer arithmetic end to end (delta in int64 with
+    wraparound-safe uint64 zigzag, the varint size a closed-form
+    comparison ladder). Shape: ONE global sort by event_id, then
+    per-block partial sums with an O(blocks) boundary carry (each
+    block's first delta needs the previous block's last value — the
+    watermark/prefix boundary-fold pattern; blocks of a materialized
+    sorted Dataset iterate in order). Measured at sf0.01: event_id
+    deltas hit the 1-byte floor (8.0×), value_cents ≈ 2.2 bytes
+    (3.7×), ts_us ≈ 4.6 bytes (1.7× — event_id order is NOT time
+    order in this corpus, so timestamp deltas jump) — exactly the
+    per-column decision the advisor exists to surface."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "value_cents": pa.array(
+                (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5))
+                .astype(np.int64), pa.int64()),
+        })
+
+    s = ds.map_batches(keyed, batch_format="pyarrow") \
+        .sort("event_id").materialize()
+    cols = ["event_id", "ts_us", "value_cents"]
+    totals = {c: 0 for c in cols}
+    n = 0
+    prev_last = {c: 0 for c in cols}  # delta of first row is vs 0
+
+    def zz(d: np.ndarray) -> np.ndarray:
+        # standard zigzag: (d << 1) ^ (d >> 63) in uint64 space —
+        # equals 2d for d ≥ 0, -2d-1 for d < 0 (the SQL form)
+        return (d.astype(np.uint64) << np.uint64(1)) \
+            ^ (d >> 63).astype(np.uint64)
+
+    for b in s.iter_batches(batch_format="pyarrow", batch_size=65536):
+        if b.num_rows == 0:
+            continue
+        n += b.num_rows
+        for c in cols:
+            v = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = np.empty(len(v), np.int64)
+            d[0] = v[0] - prev_last[c]
+            d[1:] = v[1:] - v[:-1]
+            totals[c] += int(_varint_bytes(zz(d)).sum())
+            prev_last[c] = int(v[-1])
+    rows = [{"column": c, "n": n, "raw_bytes": 8 * n,
+             "varint_bytes": totals[c],
+             "ratio_ppm": totals[c] * 1_000_000 // (8 * n)}
+            for c in cols]
+    out = pd.DataFrame(rows).sort_values("column").reset_index(
+        drop=True)
+    for c in ("n", "raw_bytes", "varint_bytes", "ratio_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_customer_record_linkage(sf_dir: str):
     """Probabilistic record linkage (stages.linkage — Fellegi–Sunter
     1969): the entity-resolution op beside the ed-1 fuzzy join — a
@@ -8942,6 +9013,7 @@ QUERIES = {
     "pages_url_filter": q_pages_url_filter,
     "docs_augmentation": q_docs_augmentation,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "events_storage_advisor": q_events_storage_advisor,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13134,6 +13206,58 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "events_storage_advisor": """
+        -- delta+zigzag+varint size per column in event_id order;
+        -- first delta vs 0 (lag default); varint size = 1 + the
+        -- 128^k comparison ladder; pure integers
+        WITH s AS (
+            SELECT event_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events
+        ),
+        d AS (
+            SELECT 'event_id' AS col,
+                   event_id - lag(event_id, 1, 0)
+                       OVER (ORDER BY event_id) AS dv
+            FROM s
+            UNION ALL
+            SELECT 'ts_us',
+                   ts_us - lag(ts_us, 1, 0) OVER (ORDER BY event_id)
+            FROM s
+            UNION ALL
+            SELECT 'value_cents',
+                   value_cents - lag(value_cents, 1, 0)
+                       OVER (ORDER BY event_id)
+            FROM s
+        ),
+        z AS (
+            SELECT col,
+                   CASE WHEN dv >= 0 THEN 2 * dv::HUGEINT
+                        ELSE -2 * dv::HUGEINT - 1 END AS u
+            FROM d
+        ),
+        sz AS (
+            SELECT col,
+                   1 + (CASE WHEN u >= 128::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 16384::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 2097152::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 268435456::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 34359738368::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 4398046511104::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 562949953421312::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 72057594037927936::HUGEINT THEN 1 ELSE 0 END)
+                     + (CASE WHEN u >= 9223372036854775808::HUGEINT THEN 1 ELSE 0 END)
+                       AS b
+            FROM z
+        )
+        SELECT col AS "column", count(*)::BIGINT AS n,
+               (count(*) * 8)::BIGINT AS raw_bytes,
+               sum(b)::BIGINT AS varint_bytes,
+               (sum(b) * 1000000 // (count(*) * 8))::BIGINT
+                   AS ratio_ppm
+        FROM sz GROUP BY 1 ORDER BY "column"
+    """,
     "emb_hard_negatives": f"""
         -- hardest negatives below the positive threshold: integer
         -- micro-unit cosine, (cos_us DESC, vec_id) row_number pick
