@@ -8423,6 +8423,11 @@ def q_docs_global_index(sf_dir: str):
                 pa.int64()),
         })
 
+    if total > 2_000_000:
+        raise RuntimeError(
+            f"docs_global_index: {total} rows — return the mapping "
+            f"as written parquet (write_parquet the emit stage) "
+            f"instead of a driver DataFrame")
     out = scanned.map_batches(emit, batch_format="pyarrow") \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(out) == total and out["gidx"].max() == total - 1
@@ -8741,9 +8746,6 @@ def q_events_storage_advisor(sf_dir: str):
     s = ds.map_batches(keyed, batch_format="pyarrow") \
         .sort("event_id").materialize()
     cols = ["event_id", "ts_us", "value_cents"]
-    totals = {c: 0 for c in cols}
-    n = 0
-    prev_last = {c: 0 for c in cols}  # delta of first row is vs 0
 
     def zz(d: np.ndarray) -> np.ndarray:
         # standard zigzag: (d << 1) ^ (d >> 63) in uint64 space —
@@ -8751,21 +8753,43 @@ def q_events_storage_advisor(sf_dir: str):
         return (d.astype(np.uint64) << np.uint64(1)) \
             ^ (d >> 63).astype(np.uint64)
 
-    for b in s.iter_batches(batch_format="pyarrow", batch_size=65536):
-        if b.num_rows == 0:
-            continue
-        n += b.num_rows
+    def block_partial(t: pa.Table) -> pa.Table:
+        # one partial row per BLOCK (batch_size=None): in-block varint
+        # sums with the block's first delta EXCLUDED (it needs the
+        # previous block's last value — the driver boundary fold adds
+        # it), plus the per-column first/last boundary values
+        if t.num_rows == 0:
+            return pa.table({
+                "first_key": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                **{f"{c}_{k}": pa.array([], pa.int64())
+                   for c in cols for k in ("sum", "first", "last")},
+            })
+        row = {"first_key": [int(t["event_id"][0].as_py())],
+               "n": [t.num_rows]}
         for c in cols:
-            v = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = np.empty(len(v), np.int64)
-            d[0] = v[0] - prev_last[c]
-            d[1:] = v[1:] - v[:-1]
-            totals[c] += int(_varint_bytes(zz(d)).sum())
-            prev_last[c] = int(v[-1])
-    rows = [{"column": c, "n": n, "raw_bytes": 8 * n,
-             "varint_bytes": totals[c],
-             "ratio_ppm": totals[c] * 1_000_000 // (8 * n)}
-            for c in cols]
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = v[1:] - v[:-1]
+            row[f"{c}_sum"] = [int(_varint_bytes(zz(d)).sum())]
+            row[f"{c}_first"] = [int(v[0])]
+            row[f"{c}_last"] = [int(v[-1])]
+        return pa.table({k: pa.array(vv, pa.int64())
+                         for k, vv in row.items()})
+
+    parts = s.map_batches(block_partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    parts = parts.sort_values("first_key")  # global key order ⇒
+    n = int(parts["n"].sum())               # block order
+    rows = []
+    for c in cols:
+        total = int(parts[f"{c}_sum"].sum())
+        firsts = parts[f"{c}_first"].to_numpy(np.int64)
+        lasts = parts[f"{c}_last"].to_numpy(np.int64)
+        prev = np.concatenate([[0], lasts[:-1]])  # first delta vs 0
+        total += int(_varint_bytes(zz(firsts - prev)).sum())
+        rows.append({"column": c, "n": n, "raw_bytes": 8 * n,
+                     "varint_bytes": total,
+                     "ratio_ppm": total * 1_000_000 // (8 * n)})
     out = pd.DataFrame(rows).sort_values("column").reset_index(
         drop=True)
     for c in ("n", "raw_bytes", "varint_bytes", "ratio_ppm"):
