@@ -834,6 +834,48 @@ class TestLinkCensusExtraction:
         assert "unterminated then href=" in want
 
 
+class TestEvolveTo:
+    """The mergeSchema read rule: null-fill, widen, drop, and the
+    loud-on-incompatible contract (ArrowInvalid IS a ValueError, so
+    the skip/abort machinery upstream sees the standard type)."""
+
+    def test_fill_widen_drop(self):
+        import pyarrow as pa
+
+        from ocracle_ray.sources.readers import evolve_to
+
+        t = pa.table({
+            "a": pa.array([1, 2], pa.int32()),
+            "junk": pa.array(["x", "y"]),
+        })
+        target = pa.schema([("a", pa.int64()), ("b", pa.string())])
+        out = evolve_to(t, target)
+        assert out.schema == target
+        assert out["a"].to_pylist() == [1, 2]
+        assert out["b"].null_count == 2
+        assert "junk" not in out.column_names
+
+    def test_incompatible_cast_raises_valueerror(self):
+        import pyarrow as pa
+        import pytest
+
+        from ocracle_ray.sources.readers import evolve_to
+
+        t = pa.table({"a": pa.array(["not-a-number"])})
+        with pytest.raises(ValueError):
+            evolve_to(t, pa.schema([("a", pa.int64())]))
+
+    def test_lossy_narrowing_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from ocracle_ray.sources.readers import evolve_to
+
+        t = pa.table({"a": pa.array([2**40], pa.int64())})
+        with pytest.raises(ValueError):
+            evolve_to(t, pa.schema([("a", pa.int32())]))
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
