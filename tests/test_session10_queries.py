@@ -876,6 +876,44 @@ class TestEvolveTo:
             evolve_to(t, pa.schema([("a", pa.int32())]))
 
 
+class TestVarintZigzag:
+    """The storage advisor's closed forms vs real encoders: the
+    128^k comparison ladder must equal the length of an actual
+    LEB128 encoding, and the uint64-wraparound zigzag must equal the
+    SQL 2d / −2d−1 form for every int64."""
+
+    @staticmethod
+    def _leb128_len(u: int) -> int:
+        n = 1
+        while u >= 0x80:
+            u >>= 7
+            n += 1
+        return n
+
+    def test_varint_ladder_matches_encoder(self):
+        from ocracle_ray.pipelines.queries import _varint_bytes
+
+        rng = np.random.RandomState(41)
+        vals = [0, 1, 127, 128, 16383, 16384, 2**63 - 1, 2**64 - 1]
+        vals += [int(rng.randint(0, 2**62)) for _ in range(200)]
+        vals += [(1 << k) - 1 for k in range(1, 64)]
+        vals += [1 << k for k in range(64)]
+        got = _varint_bytes(np.array(vals, np.uint64))
+        assert got.tolist() == [self._leb128_len(v) for v in vals]
+
+    def test_zigzag_equals_sql_form(self):
+        rng = np.random.RandomState(43)
+        d = np.concatenate([
+            rng.randint(-2**62, 2**62, 500),
+            np.array([0, 1, -1, 2**62, -2**62], np.int64),
+        ]).astype(np.int64)
+        zz = (d.astype(np.uint64) << np.uint64(1)) \
+            ^ (d >> 63).astype(np.uint64)
+        ref = np.where(d >= 0, 2 * d.astype(object),
+                       -2 * d.astype(object) - 1)
+        assert [int(x) for x in zz] == [int(x) for x in ref]
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
