@@ -8709,10 +8709,15 @@ def q_emb_hard_negatives(sf_dir: str):
 
 def _varint_bytes(u: np.ndarray) -> np.ndarray:
     """LEB128 size of unsigned int64 values: 1 + Σ_{k=1..9} [u ≥ 128^k]
-    — the closed form shared digit-for-digit with the SQL oracle."""
+    — the closed form shared digit-for-digit with the SQL oracle.
+    Thresholds are built with uint64 SHIFTS: ``np.uint64(128) ** 9``
+    promotes to float64, whose 52-bit mantissa rounds the last 1024
+    integers below 2^63 UP across the boundary — the property sweep
+    caught the off-by-one at exactly 2^63 − 1."""
     size = np.ones(len(u), np.int64)
     for k in range(1, 10):
-        size += (u >= np.uint64(128) ** k).astype(np.int64)
+        size += (u >= (np.uint64(1) << np.uint64(7 * k))) \
+            .astype(np.int64)
     return size
 
 
