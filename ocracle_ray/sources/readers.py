@@ -77,6 +77,8 @@ def _format_of(path: str) -> str:
         return "avro"
     if ext in ("arrow", "feather", "ipc"):
         return "ipc"
+    if ext == "tfrecord":
+        return "tfrecord"
     return "parquet"  # directories / extension-less: the canonical format
 
 
@@ -108,6 +110,10 @@ def read_pages_any(paths: str | Sequence[str], **kwargs):
         from .avro import read_pages_avro
 
         return read_pages_avro(path_list, **kwargs)
+    if fmt == "tfrecord":
+        from .tfrecord import read_pages_tfrecord
+
+        return read_pages_tfrecord(path_list, **kwargs)
     if fmt == "ipc":
         return read_pages_ipc(path_list, **kwargs)
     if fmt == "json":

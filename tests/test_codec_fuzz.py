@@ -58,6 +58,7 @@ def _valid_files():
             [("http://t.test/a", "2024-01-01T00:00:00Z", b"<p>x</p>")]
         ),
         "avro": _avro_bytes(),
+        "tfrecord": _tfrecord_bytes(),
     }
 
 
@@ -73,6 +74,21 @@ def _avro_bytes():
     with tempfile.TemporaryDirectory() as d:
         p = write_avro(os.path.join(d, "f.avro"), PAGES_AVRO_SCHEMA,
                        rows, codec="deflate", block_records=2)
+        with open(p, "rb") as f:
+            return f.read()
+
+
+def _tfrecord_bytes():
+    import os
+    import tempfile
+
+    from ocracle_ray.sources.tfrecord import write_tfrecord
+
+    rows = [{"url": f"http://t.test/{i}", "warc_ts": 1000 + i,
+             "html": b"<p>x</p>" * (i + 1), "lang": "nb"}
+            for i in range(4)]
+    with tempfile.TemporaryDirectory() as d:
+        p = write_tfrecord(os.path.join(d, "f.tfrecord"), rows)
         with open(p, "rb") as f:
             return f.read()
 
@@ -96,6 +112,10 @@ def _decoder(name):
         "avro": __import__(
             "ocracle_ray.sources.avro", fromlist=["parse_avro"]
         ).parse_avro,
+        "tfrecord": __import__(
+            "ocracle_ray.sources.tfrecord",
+            fromlist=["parse_tfrecord_pages"]
+        ).parse_tfrecord_pages,
     }[name]
 
 
