@@ -35,7 +35,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--demo", metavar="DIR",
                     help="generate a small synthetic pages corpus under DIR "
                          "and run the job against it")
+    ap.add_argument("--query", metavar="NAME",
+                    help="run one registry query against --sf-dir and "
+                         "print its result as JSON")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory for --query")
+    ap.add_argument("--list-queries", action="store_true",
+                    help="print the registry query names and exit")
     args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from .pipelines.queries import QUERIES
+
+        for name in QUERIES:
+            print(name)
+        return 0
 
     import ray
 
@@ -53,6 +67,23 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     try:
+        if args.query:
+            from .pipelines.queries import QUERIES
+
+            if args.query not in QUERIES:
+                print(f"unknown query {args.query!r} "
+                      f"(see --list-queries)", file=sys.stderr)
+                return 2
+            res = QUERIES[args.query](args.sf_dir)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            print(json.dumps({
+                "query": args.query,
+                "sf_dir": args.sf_dir,
+                "rows": len(df),
+                "result": json.loads(
+                    df.head(1000).to_json(orient="records")),
+            }))
+            return 0
         if args.demo:
             import os
 

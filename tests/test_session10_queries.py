@@ -914,6 +914,37 @@ class TestVarintZigzag:
         assert [int(x) for x in zz] == [int(x) for x in ref]
 
 
+class TestCliQueryRunner:
+    """The --query/--list-queries CLI surface (in-process: main()
+    detects the fixture-owned Ray session and must not tear it
+    down)."""
+
+    def test_list_queries(self, capsys):
+        from ocracle_ray.__main__ import main
+
+        assert main(["--list-queries"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert "pricing_summary" in out and len(out) >= 170
+
+    def test_run_query(self, ray_session, capsys):
+        import json
+
+        import ray
+
+        from ocracle_ray.__main__ import main
+
+        assert main(["--query", "nation_region_counts",
+                     "--sf-dir", "/root/testdata/sf0.001"]) == 0
+        res = json.loads(capsys.readouterr().out)
+        assert res["rows"] == 5
+        assert ray.is_initialized()  # caller-owned session survives
+
+    def test_unknown_query_exits_2(self, ray_session, capsys):
+        from ocracle_ray.__main__ import main
+
+        assert main(["--query", "no_such_query"]) == 2
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
