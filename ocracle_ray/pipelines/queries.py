@@ -6690,6 +6690,186 @@ def _increx_oracle_sql() -> str:
     """
 
 
+BLOOMJOIN_ORACLE_DIR = "/tmp/ocracle_bloomjoin_oracle"
+
+
+def q_lineitem_bloom_join(sf_dir: str):
+    """Bloom semi-join pushdown — the classic distributed-join
+    optimization (a bits-only summary of the build side ships to
+    every probe task, pruning provable non-matches BEFORE the join
+    exchange; at scale the build side may exceed the broadcast limit
+    while its Bloom still fits): lineitem probes a Bloom of the
+    supplier subset s_nationkey < 5, rows surviving the filter are
+    exactly verified, and the census measures what the optimization
+    delivered — rows pruned, false-positive rate vs nominal 1%, and
+    the (invariant!) revenue over true matches in exact per-row
+    integer cents. No false negatives by construction, so the join
+    RESULT is provably unchanged — the self-verifying property that
+    makes the pushdown safe.
+    STRONG artifact oracle (the docs_incremental_exact machinery):
+    the filter words + sizing are the only artifact; SQL re-derives
+    the splitmix64 double-hash chain, all k Kirsch–Mitzenmacher
+    positions and every word-bit lookup for every DISTINCT probe
+    key, the subset and truth from the raw views, and the census."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    from ..core.sketch import BloomFilter
+
+    supp = pd.read_parquet(_p(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+    sub = supp.loc[supp["s_nationkey"] < 5, "s_suppkey"] \
+        .to_numpy(np.int64)
+    if len(sub) == 0:
+        raise RuntimeError("lineitem_bloom_join: empty build side")
+    bloom = BloomFilter(capacity=len(sub), fp_rate=0.01)
+    bloom.add_hashes(sub.astype(np.uint64))
+
+    out_dir = f"{BLOOMJOIN_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    _pq.write_table(pa.table({
+        "m": pa.array([bloom.m], pa.int64()),
+        "k": pa.array([bloom.k], pa.int64()),
+    }), f"{out_dir}/bloom_params.parquet")
+    _pq.write_table(pa.table({
+        "i": pa.array(np.arange(len(bloom.words), dtype=np.int64)),
+        "w": pa.array(bloom.words.astype(np.int64)),
+    }), f"{out_dir}/bloom_words.parquet")
+
+    ref = ray.put((bloom, pa.array(np.unique(sub), pa.int64())))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bf, exact = _cached_broadcast(ref)
+        keys = t["l_suppkey"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kept = bf.contains_hashes(keys.astype(np.uint64))
+        true = pc.is_in(pa.array(keys, pa.int64()),
+                        value_set=exact).to_numpy(
+            zero_copy_only=False)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = ep * (1.0 - dc) * 100.0
+        cents = (np.sign(rev) * np.floor(np.abs(rev) + 0.5)) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "n_kept": pa.array([int(kept.sum())], pa.int64()),
+            "n_true": pa.array([int(true.sum())], pa.int64()),
+            "cents": pa.array([int(cents[true].sum())], pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    parts = li.map_batches(probe, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    n_kept = int(parts["n_kept"].sum())
+    n_true = int(parts["n_true"].sum())
+    out = pd.DataFrame([{
+        "n_lineitem": n,
+        "n_subset": int(len(sub)),
+        "n_bloom_kept": n_kept,
+        "n_true_match": n_true,
+        "n_bloom_fp": n_kept - n_true,
+        "fp_ppm": (n_kept - n_true) * 1_000_000
+                  // max(n - n_true, 1),
+        "revenue_cents": int(parts["cents"].sum()),
+    }])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _bloomjoin_oracle_sql() -> str:
+    """Generated mirror: the incremental-exact Bloom SQL machinery
+    applied to DISTINCT probe keys (u = l_suppkey raw — the filter
+    hashes via its own splitmix chain), truth/subset/revenue from the
+    raw views."""
+    gamma = 0x9E3779B97F4A7C15
+    c1 = 0xBF58476D1CE4E5B9
+    c2 = 0x94D049BB133111EB
+    h2x = 0xA076_1D64_78BD_642F
+    m64 = "(1::UHUGEINT << 64)"
+    base = f"{BLOOMJOIN_ORACLE_DIR}/current"
+    return f"""
+        WITH params AS (
+            SELECT m::UHUGEINT AS m, k
+            FROM read_parquet('{base}/bloom_params.parquet')),
+        words AS (
+            SELECT i, CASE WHEN w < 0
+                 THEN (w::HUGEINT + (1::HUGEINT << 64))::UHUGEINT
+                 ELSE w::UHUGEINT END AS uw
+            FROM read_parquet('{base}/bloom_words.parquet')),
+        keys AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+        ku AS (SELECT key, key::UHUGEINT AS u FROM keys),
+        a0 AS (SELECT key, u,
+                      (u + {gamma}::UHUGEINT) % {m64} AS x FROM ku),
+        a1 AS (SELECT key, u,
+                      (xor(x, x >> 30) * {c1}::UHUGEINT) % {m64} AS x
+               FROM a0),
+        a2 AS (SELECT key, u,
+                      (xor(x, x >> 27) * {c2}::UHUGEINT) % {m64} AS x
+               FROM a1),
+        h1t AS (SELECT key, u, xor(x, x >> 31) AS h1 FROM a2),
+        b0 AS (SELECT key, h1,
+                      (xor(u, {h2x}::UHUGEINT) + {gamma}::UHUGEINT)
+                        % {m64} AS x FROM h1t),
+        b1 AS (SELECT key, h1,
+                      (xor(x, x >> 30) * {c1}::UHUGEINT) % {m64} AS x
+               FROM b0),
+        b2 AS (SELECT key, h1,
+                      (xor(x, x >> 27) * {c2}::UHUGEINT) % {m64} AS x
+               FROM b1),
+        h2t AS (SELECT key, h1,
+                       xor(x, x >> 31) // 2 * 2 + 1 AS h2 FROM b2),
+        ks AS (SELECT unnest(range(0, (SELECT k FROM params))) AS i),
+        posn AS (
+            SELECT key,
+                   ((h1 + ks.i::UHUGEINT * h2) % {m64})
+                     % (SELECT m FROM params) AS pos
+            FROM h2t CROSS JOIN ks
+        ),
+        hits AS (
+            SELECT p.key,
+                   min(CASE WHEN
+                       (w.uw // (1::UHUGEINT << (p.pos % 64)))
+                            % 2 = 1 THEN 1 ELSE 0 END) AS hit
+            FROM posn p JOIN words w ON w.i = (p.pos // 64)::BIGINT
+            GROUP BY p.key
+        ),
+        sub AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+        rows AS (
+            SELECT l.l_suppkey AS key,
+                   CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT) AS cents,
+                   (l.l_suppkey IN (SELECT s_suppkey FROM sub))
+                       AS is_true
+            FROM lineitem l
+        ),
+        j AS (SELECT r.key, r.cents, r.is_true, h.hit
+              FROM rows r JOIN hits h ON r.key = h.key)
+        SELECT count(*)::BIGINT AS n_lineitem,
+               (SELECT count(*) FROM sub)::BIGINT AS n_subset,
+               sum(hit)::BIGINT AS n_bloom_kept,
+               sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_match,
+               (sum(hit) - sum(CASE WHEN is_true THEN 1 ELSE 0 END))
+                   ::BIGINT AS n_bloom_fp,
+               ((sum(hit) - sum(CASE WHEN is_true THEN 1 ELSE 0 END))
+                * 1000000
+                // greatest(count(*) - sum(CASE WHEN is_true
+                                           THEN 1 ELSE 0 END), 1))
+                   ::BIGINT AS fp_ppm,
+               sum(CASE WHEN is_true THEN cents ELSE 0 END)::BIGINT
+                   AS revenue_cents
+        FROM j
+    """
+
+
 K_ANON_K = 10
 
 
@@ -9043,6 +9223,7 @@ QUERIES = {
     "docs_augmentation": q_docs_augmentation,
     "emb_hard_negatives": q_emb_hard_negatives,
     "events_storage_advisor": q_events_storage_advisor,
+    "lineitem_bloom_join": q_lineitem_bloom_join,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13235,6 +13416,7 @@ ORACLE_SQL = {
     "emb_kcore": _kcore_oracle_sql(),
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
+    "lineitem_bloom_join": _bloomjoin_oracle_sql(),
     "events_storage_advisor": """
         -- delta+zigzag+varint size per column in event_id order;
         -- first delta vs 0 (lag default); varint size = 1 + the
