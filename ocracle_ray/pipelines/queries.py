@@ -6870,6 +6870,92 @@ def _bloomjoin_oracle_sql() -> str:
     """
 
 
+URLDEDUP_ORACLE_DIR = "/tmp/ocracle_urldedup_oracle"
+
+
+def q_pages_urlnorm_dedup(sf_dir: str):
+    """Canonical-URL deduplication — the crawl-frontier merge in
+    front of url-keyed dedup (core.urlnorm: case/default-port/
+    fragment/tracking-param/param-order/trailing-slash variants all
+    canonicalize to one key): a deterministic variant corpus (five
+    surface forms per base url, each with its own crawl ts) collapses
+    under keep-latest-per-canonical; output = one row per canonical
+    group (FNV fingerprint of the canonical url, variant count,
+    winning ts). Canonicalization itself is the trusted step
+    (unit+hypothesis-tested: idempotent and total); everything
+    downstream — grouping, keep-latest, fingerprints, census — is
+    SQL-re-derived from the written (url, ts_us, canon) rows, incl.
+    the FNV via list_reduce (urls are ASCII)."""
+    import shutil
+
+    from ray.data import from_arrow
+
+    from ..core.urlnorm import canonical_url
+    from ..sources.pages import sf_of_dir
+
+    n_base = max(20, min(300, int(3000 * sf_of_dir(sf_dir))))
+    urls, tss = [], []
+    for b in range(n_base):
+        path = f"p{b:05d}"
+        variants = [
+            f"https://exam.example/{path}?a=1&b=2",
+            f"https://Exam.Example:443/{path}?b=2&a=1",
+            f"https://exam.example/{path}/?a=1&b=2&utm_source=mail",
+            f"https://exam.example/{path}?a=1&b=2#frag",
+            f"https://exam.example:443/{path}/?utm_campaign=x&a=1&b=2",
+        ]
+        for v, u in enumerate(variants):
+            urls.append(u)
+            tss.append(1_700_000_000_000_000 + b * 1000 + v * 7)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "ts_us": t["ts_us"],
+            "canon": pa.array([canonical_url(u)
+                               for u in t["url"].to_pylist()],
+                              pa.string()),
+        })
+
+    ds = from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "ts_us": pa.array(tss, pa.int64()),
+    })).map_batches(canon, batch_format="pyarrow").materialize()
+
+    out_dir = f"{URLDEDUP_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(out_dir)
+
+    from ..core.textstats import fnv1a64
+
+    def group_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "canon": t["canon"].to_pylist(),
+            "ts": t["ts_us"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("canon").agg(n=("ts", "size"),
+                                    win=("ts", "max"))
+        fps = []
+        for c in g.index:
+            fp = fnv1a64(c.encode())
+            fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
+        return pa.table({
+            "canon_fp": pa.array(fps, pa.int64()),
+            "n_variants": pa.array(g["n"].to_numpy(np.int64)),
+            "winner_ts_us": pa.array(g["win"].to_numpy(np.int64)),
+        })
+
+    parts = ds.map_batches(group_partial,
+                           batch_format="pyarrow").to_pandas()
+    out = parts.groupby("canon_fp", as_index=False).agg(
+        n_variants=("n_variants", "sum"),
+        winner_ts_us=("winner_ts_us", "max"))
+    out = out.sort_values("canon_fp").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 K_ANON_K = 10
 
 
@@ -9224,6 +9310,7 @@ QUERIES = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "events_storage_advisor": q_events_storage_advisor,
     "lineitem_bloom_join": q_lineitem_bloom_join,
+    "pages_urlnorm_dedup": q_pages_urlnorm_dedup,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13417,6 +13504,40 @@ ORACLE_SQL = {
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
+    "pages_urlnorm_dedup": f"""
+        -- keep-latest per canonical url over the written rows; the
+        -- canonicalization map is the trusted (unit-tested) step,
+        -- the FNV group fingerprints are re-derived in SQL
+        WITH src AS (
+            SELECT url, ts_us, canon
+            FROM read_parquet('{URLDEDUP_ORACLE_DIR}/current/*.parquet')
+        ),
+        g AS (
+            SELECT canon, count(*)::BIGINT AS n_variants,
+                   max(ts_us)::BIGINT AS winner_ts_us
+            FROM src GROUP BY canon
+        ),
+        fp AS (
+            SELECT CAST(list_reduce(
+                       list_prepend(
+                           CAST(14695981039346656037 AS UHUGEINT),
+                           list_transform(string_split(canon, ''),
+                               c -> CAST(unicode(c) AS UHUGEINT))),
+                       (h, c) -> (xor(CAST(h AS UBIGINT),
+                                      CAST(c AS UBIGINT))::UHUGEINT
+                                  * 1099511628211)
+                                 % 18446744073709551616::UHUGEINT
+                   ) AS UHUGEINT) AS f,
+                   n_variants, winner_ts_us
+            FROM g
+        )
+        SELECT CAST(CASE WHEN f >= 9223372036854775808
+                         THEN f::HUGEINT
+                              - 18446744073709551616::HUGEINT
+                         ELSE f::HUGEINT END AS BIGINT) AS canon_fp,
+               n_variants, winner_ts_us
+        FROM fp ORDER BY canon_fp
+    """,
     "events_storage_advisor": """
         -- delta+zigzag+varint size per column in event_id order;
         -- first delta vs 0 (lag default); varint size = 1 + the
