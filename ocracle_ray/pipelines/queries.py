@@ -6956,6 +6956,165 @@ def q_pages_urlnorm_dedup(sf_dir: str):
     return out
 
 
+ROBOTS_ORACLE_DIR = "/tmp/ocracle_robots_oracle"
+# (verdict, rule-path) in robots.txt syntax: '*' any-span, trailing
+# '$' end-anchor; precedence = rule-string length, tie → allow
+# (RFC 9309 longest-match; the length metric is the declared one)
+ROBOTS_RULES = [
+    ("disallow", "/TMA"),
+    ("allow", "/TMA4100/V24"),
+    ("disallow", "/*/K24/"),
+    ("disallow", "/*0$"),
+    ("allow", "/ING*0$"),
+]
+
+
+def _robots_regex(rule: str) -> str:
+    """robots path rule -> the RE2 pattern BOTH engines run
+    (pyarrow and DuckDB share the RE2 engine, so one literal string
+    guarantees one semantics)."""
+    import re as _re
+
+    anchor = ""
+    body = rule
+    if body.endswith("$"):
+        body = body[:-1]
+        anchor = "$"
+    return "^" + _re.escape(body).replace(r"\*", ".*") + anchor
+
+
+def q_pages_robots_txt(sf_dir: str):
+    """robots.txt evaluation (RFC 9309) — the REAL crawl-scope
+    component behind the url_filter's declared gates: a rule group
+    with wildcard '*' spans and '$' end anchors, applied with
+    LONGEST-MATCH precedence (rule-string length; ties → Allow —
+    the subtle REP semantics worth pinning: here the len-7 Allow
+    '/ING*0$' overrides the len-4 Disallow '/*0$' for ING pages
+    ending in 0, while '/TMA4100/V24' re-allows a subtree inside
+    the '/TMA' disallow). Vectorized: one pc.match_substring_regex
+    pass per rule (the rule count is the robots-file size, not the
+    corpus), priority argmax in numpy, census per (winning rule,
+    verdict) with doc-number XOR membership.
+    STRONG artifact oracle: raw (url, path) rows are written; SQL
+    re-runs the IDENTICAL generated RE2 patterns with
+    regexp_matches, the same length/tie precedence via row_number,
+    and the census — the regex strings are shared literals, so
+    engine and oracle cannot drift."""
+    import shutil
+
+    from ..sources.pages import generate_pages_dataset, n_docs_for_sf, \
+        sf_of_dir
+
+    n = min(1000, n_docs_for_sf(sf_of_dir(sf_dir)))
+    pages = generate_pages_dataset(n)
+    host = "https://exam.example"
+
+    def rows(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["url"], pa.string())
+        path = pc.replace_substring(u, host, "")
+        return pa.table({"url": u, "path": path})
+
+    ds = pages.map_batches(rows, batch_format="pyarrow").materialize()
+    out_dir = f"{ROBOTS_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.write_parquet(out_dir)
+
+    def census(t: pa.Table) -> pa.Table:
+        path = t["path"]
+        doc = pc.struct_field(
+            pc.extract_regex(t["url"], r"doc(?P<d>\d+)$"), "d")
+        docn = np.array([int(x) for x in doc.to_pylist()], np.int64)
+        best_rule = np.full(t.num_rows, -1, np.int64)
+        best_pri = np.full(t.num_rows, -1, np.int64)
+        for idx, (verdict, rule) in enumerate(ROBOTS_RULES):
+            m = pc.match_substring_regex(
+                path, _robots_regex(rule)).to_numpy(
+                zero_copy_only=False)
+            # priority: length first, allow beats disallow on ties,
+            # lowest rule index on full ties (deterministic)
+            pri = (len(rule) * 100
+                   + (10 if verdict == "allow" else 0)
+                   + (len(ROBOTS_RULES) - idx))
+            upd = m & (pri > best_pri)
+            best_pri[upd] = pri
+            best_rule[upd] = idx
+        verdicts = np.where(
+            best_rule < 0, "allow",
+            np.array([v for v, _ in ROBOTS_RULES])[
+                np.clip(best_rule, 0, None)])
+        df = pd.DataFrame({"rule_idx": best_rule, "verdict": verdicts,
+                           "d": docn})
+        g = df.groupby(["rule_idx", "verdict"]).agg(
+            n=("d", "size"),
+            doc_xor=("d", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))))
+        g = g.reset_index()
+        return pa.table({
+            "rule_idx": pa.array(g["rule_idx"].to_numpy(np.int64)),
+            "verdict": pa.array(g["verdict"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "doc_xor": pa.array(g["doc_xor"].to_numpy(np.int64)),
+        })
+
+    parts = ds.map_batches(census, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["rule_idx", "verdict"], as_index=False).agg(
+        n=("n", "sum"),
+        doc_xor=("doc_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out = out.sort_values(["rule_idx", "verdict"]).reset_index(
+        drop=True)
+    for c in ("rule_idx", "n", "doc_xor"):
+        out[c] = out[c].astype("int64")
+    return out[["rule_idx", "verdict", "n", "doc_xor"]]
+
+
+def _robots_oracle_sql() -> str:
+    """Generated mirror: the same RE2 pattern literals, the same
+    (length, allow, index) precedence via row_number, default-allow
+    for unmatched paths."""
+    rows = []
+    for idx, (verdict, rule) in enumerate(ROBOTS_RULES):
+        pri = (len(rule) * 100 + (10 if verdict == "allow" else 0)
+               + (len(ROBOTS_RULES) - idx))
+        pat = _robots_regex(rule).replace("\\", "\\\\") \
+            .replace("'", "''")
+        rows.append(f"({idx}, '{verdict}', '{pat}', {pri})")
+    values = ",\n               ".join(rows)
+    return f"""
+        WITH src AS (
+            SELECT url, path,
+                   CAST(regexp_extract(url, 'doc(\\d+)$', 1)
+                        AS BIGINT) AS d
+            FROM read_parquet('{ROBOTS_ORACLE_DIR}/current/*.parquet')
+        ),
+        rules(rule_idx, verdict, pat, pri) AS (
+            VALUES {values}
+        ),
+        m AS (
+            SELECT s.url, s.d, r.rule_idx, r.verdict, r.pri
+            FROM src s JOIN rules r
+              ON regexp_matches(s.path, r.pat)
+        ),
+        win AS (
+            SELECT url, d, rule_idx, verdict FROM (
+                SELECT url, d, rule_idx, verdict,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY pri DESC) AS rn
+                FROM m
+            ) WHERE rn = 1
+        ),
+        allrows AS (
+            SELECT coalesce(w.rule_idx, -1) AS rule_idx,
+                   coalesce(w.verdict, 'allow') AS verdict, s.d
+            FROM src s LEFT JOIN win w ON s.url = w.url
+        )
+        SELECT rule_idx::BIGINT AS rule_idx, verdict,
+               count(*)::BIGINT AS n,
+               bit_xor(d)::BIGINT AS doc_xor
+        FROM allrows GROUP BY 1, 2 ORDER BY rule_idx, verdict
+    """
+
+
 K_ANON_K = 10
 
 
@@ -9311,6 +9470,7 @@ QUERIES = {
     "events_storage_advisor": q_events_storage_advisor,
     "lineitem_bloom_join": q_lineitem_bloom_join,
     "pages_urlnorm_dedup": q_pages_urlnorm_dedup,
+    "pages_robots_txt": q_pages_robots_txt,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13504,6 +13664,7 @@ ORACLE_SQL = {
     "emb_pca_power": _pca_oracle_sql(),
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
+    "pages_robots_txt": _robots_oracle_sql(),
     "pages_urlnorm_dedup": f"""
         -- keep-latest per canonical url over the written rows; the
         -- canonicalization map is the trusted (unit-tested) step,
