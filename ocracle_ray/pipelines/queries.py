@@ -6956,6 +6956,117 @@ def q_pages_urlnorm_dedup(sf_dir: str):
     return out
 
 
+REDIR_ORACLE_DIR = "/tmp/ocracle_redir_oracle"
+
+
+def q_pages_redirects(sf_dir: str):
+    """Redirect-chain resolution — the crawl-frontier canonicalizer
+    (every 301/302 chain resolves to its terminal page; loops are
+    flagged, not followed forever): a capped walk over the broadcast
+    edge map with EXACT hop accounting — the in-repo form when the
+    redirect map fits a broadcast; at 100 TB the same semantics run
+    as pointer doubling (f ← f∘f, d ← d + d∘f — the
+    distributed-components contraction's sibling, O(log chain)
+    rounds of (key, target) projections). A node is RESOLVED when
+    its walk ends at a url with no outgoing edge; a walk still
+    redirecting at the cap sits on/behind a loop. Fixture:
+    deterministic chains of length 1..6 plus planted 3-cycles (and a
+    self-loop). Census per kind: n, total hops (resolved only), and
+    an FNV XOR over terminal targets (resolved) / member urls
+    (loop) — membership and targets pinned.
+    Oracle: a recursive CTE walks the written edge rows from every
+    url with a depth cap (loop ⇔ the cap is hit before a terminal),
+    re-deriving hops, every terminal, both fingerprint XORs and the
+    census; the engine's log-round doubling must agree with the
+    step-by-step walk exactly."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..core.textstats import fnv1a64
+    from ..sources.pages import sf_of_dir
+
+    n_chain = max(10, min(150, int(1500 * sf_of_dir(sf_dir))))
+    edges = {}
+    urls = []
+    for c in range(n_chain):
+        ln = 1 + (c * 7 + 3) % 6  # deterministic 1..6
+        names = [f"https://r.example/c{c:04d}/h{i}"
+                 for i in range(ln + 1)]
+        urls.extend(names)
+        for i in range(ln):
+            edges[names[i]] = names[i + 1]
+    for c in range(max(2, n_chain // 10)):  # planted 3-cycles
+        names = [f"https://r.example/loop{c:03d}/n{i}"
+                 for i in range(3)]
+        urls.extend(names)
+        for i in range(3):
+            edges[names[i]] = names[(i + 1) % 3]
+    urls.append("https://r.example/self")
+    edges["https://r.example/self"] = "https://r.example/self"
+
+    out_dir = f"{REDIR_ORACLE_DIR}/current"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    _pq.write_table(pa.table({
+        "src": pa.array(sorted(edges), pa.string()),
+        "dst": pa.array([edges[k] for k in sorted(edges)],
+                        pa.string()),
+    }), f"{out_dir}/edges.parquet")
+    _pq.write_table(pa.table({"url": pa.array(sorted(set(urls)),
+                                              pa.string())}),
+                    f"{out_dir}/urls.parquet")
+
+    import ray
+    ref = ray.put(edges)
+
+    CAP = 64  # > any real chain; a walk still redirecting at the
+    # cap sits on/behind a loop (identical rule in the oracle CTE)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        e = _cached_broadcast(ref)
+        us = t["url"].to_pylist()
+        kinds, hops, fps = [], [], []
+        for u in us:
+            cur, h = u, 0
+            while cur in e and h < CAP:
+                cur = e[cur]
+                h += 1
+            if cur in e:  # cap hit while still redirecting → loop
+                kinds.append("loop")
+                hops.append(0)
+                fp = fnv1a64(u.encode())
+            else:
+                kinds.append("resolved")
+                hops.append(h)
+                fp = fnv1a64(cur.encode())
+            fps.append(fp - (1 << 64) if fp >= 1 << 63 else fp)
+        df = pd.DataFrame({"kind": kinds, "h": hops, "x": fps})
+        g = df.groupby("kind").agg(
+            n=("h", "size"), sum_hops=("h", "sum"),
+            fp_xor=("x", lambda s: int(np.bitwise_xor.reduce(
+                s.to_numpy(np.int64)))))
+        return pa.table({
+            "kind": pa.array(g.index.tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "sum_hops": pa.array(g["sum_hops"].to_numpy(np.int64)),
+            "fp_xor": pa.array(g["fp_xor"].to_numpy(np.int64)),
+        })
+
+    import ray.data as rd
+    parts = rd.read_parquet(f"{out_dir}/urls.parquet").map_batches(
+        resolve, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("kind", as_index=False).agg(
+        n=("n", "sum"), sum_hops=("sum_hops", "sum"),
+        fp_xor=("fp_xor", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy(np.int64)))))
+    out = out.sort_values("kind").reset_index(drop=True)
+    for c in ("n", "sum_hops", "fp_xor"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 ROBOTS_ORACLE_DIR = "/tmp/ocracle_robots_oracle"
 # (verdict, rule-path) in robots.txt syntax: '*' any-span, trailing
 # '$' end-anchor; precedence = rule-string length, tie → allow
@@ -9471,6 +9582,7 @@ QUERIES = {
     "lineitem_bloom_join": q_lineitem_bloom_join,
     "pages_urlnorm_dedup": q_pages_urlnorm_dedup,
     "pages_robots_txt": q_pages_robots_txt,
+    "pages_redirects": q_pages_redirects,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13665,6 +13777,65 @@ ORACLE_SQL = {
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
     "pages_robots_txt": _robots_oracle_sql(),
+    "pages_redirects": f"""
+        -- capped recursive walk per url; loop ⇔ still redirecting at
+        -- the cap; FNV fingerprints over terminal (resolved) or the
+        -- url itself (loop); census by kind
+        WITH RECURSIVE
+        e AS (SELECT src, dst
+              FROM read_parquet('{REDIR_ORACLE_DIR}/current/edges.parquet')),
+        u AS (SELECT url
+              FROM read_parquet('{REDIR_ORACLE_DIR}/current/urls.parquet')),
+        walk(url, cur, h) AS (
+            SELECT url, url, 0 FROM u
+            UNION ALL
+            SELECT w.url, e.dst, w.h + 1
+            FROM walk w JOIN e ON w.cur = e.src
+            WHERE w.h < 64
+        ),
+        fin AS (
+            SELECT url, cur, h FROM (
+                SELECT url, cur, h,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY h DESC) AS rn
+                FROM walk
+            ) WHERE rn = 1
+        ),
+        cls AS (
+            SELECT f.url,
+                   CASE WHEN EXISTS (SELECT 1 FROM e
+                                     WHERE e.src = f.cur)
+                        THEN 'loop' ELSE 'resolved' END AS kind,
+                   f.h,
+                   CASE WHEN EXISTS (SELECT 1 FROM e
+                                     WHERE e.src = f.cur)
+                        THEN f.url ELSE f.cur END AS fpkey
+            FROM fin f
+        ),
+        fp AS (
+            SELECT kind, h,
+                   CAST(list_reduce(
+                       list_prepend(
+                           CAST(14695981039346656037 AS UHUGEINT),
+                           list_transform(string_split(fpkey, ''),
+                               c -> CAST(unicode(c) AS UHUGEINT))),
+                       (hh, c) -> (xor(CAST(hh AS UBIGINT),
+                                       CAST(c AS UBIGINT))::UHUGEINT
+                                   * 1099511628211)
+                                  % 18446744073709551616::UHUGEINT
+                   ) AS UHUGEINT) AS f
+            FROM cls
+        )
+        SELECT kind, count(*)::BIGINT AS n,
+               sum(CASE WHEN kind = 'resolved' THEN h
+                        ELSE 0 END)::BIGINT AS sum_hops,
+               bit_xor(CAST(CASE WHEN f >= 9223372036854775808
+                                 THEN f::HUGEINT
+                                      - 18446744073709551616::HUGEINT
+                                 ELSE f::HUGEINT END
+                            AS BIGINT))::BIGINT AS fp_xor
+        FROM fp GROUP BY 1 ORDER BY kind
+    """,
     "pages_urlnorm_dedup": f"""
         -- keep-latest per canonical url over the written rows; the
         -- canonicalization map is the trusted (unit-tested) step,
