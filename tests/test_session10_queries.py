@@ -945,6 +945,115 @@ class TestCliQueryRunner:
         assert main(["--query", "no_such_query"]) == 2
 
 
+class TestStorageAdvisorLayoutInvariance:
+    """The per-block partial + boundary-carry fold must equal the
+    single-pass varint-delta sum under ANY block layout — the
+    property the distributed rewrite rests on."""
+
+    @staticmethod
+    def _direct(v):
+        from ocracle_ray.pipelines.queries import _varint_bytes
+
+        d = np.empty(len(v), np.int64)
+        d[0] = v[0]
+        d[1:] = v[1:] - v[:-1]
+        zz = (d.astype(np.uint64) << np.uint64(1)) \
+            ^ (d >> 63).astype(np.uint64)
+        return int(_varint_bytes(zz).sum())
+
+    def test_random_splits(self):
+        from ocracle_ray.pipelines.queries import _varint_bytes
+
+        rng = np.random.RandomState(47)
+        for _ in range(25):
+            n = rng.randint(5, 400)
+            v = rng.randint(-10**12, 10**12, n).astype(np.int64)
+            cuts = np.unique(rng.randint(1, n, rng.randint(0, 6)))
+            blocks = np.split(v, cuts)
+            total, prev = 0, 0
+            for b in blocks:
+                if len(b) == 0:
+                    continue
+                d = b[1:] - b[:-1]
+                zz = (d.astype(np.uint64) << np.uint64(1)) \
+                    ^ (d >> 63).astype(np.uint64)
+                total += int(_varint_bytes(zz).sum())
+                first = np.array([b[0] - prev], np.int64)
+                zf = (first.astype(np.uint64) << np.uint64(1)) \
+                    ^ (first >> 63).astype(np.uint64)
+                total += int(_varint_bytes(zf).sum())
+                prev = int(b[-1])
+            assert total == self._direct(v)
+
+
+class TestRobotsPriorityEncoding:
+    """The packed priority (len·100 + allow-bonus + index term) must
+    order rules exactly like the declared (length DESC, allow-first,
+    index ASC) tuple — collision-free for any realistic rule count,
+    and matching a naive reference argmax on random rule sets."""
+
+    def test_priorities_pairwise_distinct_and_ordered(self):
+        from ocracle_ray.pipelines.queries import ROBOTS_RULES
+
+        n = len(ROBOTS_RULES)
+        pris = {}
+        for idx, (verdict, rule) in enumerate(ROBOTS_RULES):
+            pris[idx] = (len(rule) * 100
+                         + (10 if verdict == "allow" else 0)
+                         + (n - idx))
+        assert len(set(pris.values())) == n
+        # packed order == tuple order for every pair
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    continue
+                va, ra = ROBOTS_RULES[a]
+                vb, rb = ROBOTS_RULES[b]
+                tup_a = (len(ra), va == "allow", -a)
+                tup_b = (len(rb), vb == "allow", -b)
+                assert (pris[a] > pris[b]) == (tup_a > tup_b)
+
+    def test_random_rule_sets_match_reference(self):
+        import re
+
+        from ocracle_ray.pipelines.queries import _robots_regex
+
+        rng = np.random.RandomState(53)
+        segs = ["/a", "/bb", "/ccc", "/*", "/a*", "/b$", "/ab*c"]
+        for _ in range(30):
+            k = rng.randint(2, 7)
+            rules = [("allow" if rng.rand() < 0.5 else "disallow",
+                      "".join(rng.choice(segs)
+                              for _ in range(rng.randint(1, 3))))
+                     for _ in range(k)]
+            # sanitize: '$' only meaningful at the end; drop inner $
+            rules = [(v, r.replace("$", "") + ("$" if r.endswith("$")
+                                               else ""))
+                     for v, r in rules]
+            paths = ["/a/bb", "/ccc/a", "/ab Zc", "/b", "/a" * 5]
+            for p in paths:
+                best = None  # (len, allow, -idx, idx, verdict)
+                for idx, (v, r) in enumerate(rules):
+                    if re.match(_robots_regex(r), p):
+                        key = (len(r), v == "allow", -idx)
+                        if best is None or key > best[0]:
+                            best = (key, idx, v)
+                # packed-priority winner
+                got = None
+                bp = -1
+                for idx, (v, r) in enumerate(rules):
+                    if re.match(_robots_regex(r), p):
+                        pri = (len(r) * 100
+                               + (10 if v == "allow" else 0)
+                               + (len(rules) - idx))
+                        if pri > bp:
+                            bp = pri
+                            got = (idx, v)
+                assert (got is None) == (best is None)
+                if best is not None:
+                    assert got == (best[1], best[2])
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
