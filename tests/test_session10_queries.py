@@ -1054,6 +1054,68 @@ class TestRobotsPriorityEncoding:
                     assert got == (best[1], best[2])
 
 
+class TestCrossEngineParityKernels:
+    """Direct DuckDB-in-the-loop sweeps of the parity kernels the
+    oracles rest on — sharper than catching a divergence through a
+    whole query."""
+
+    def test_truncdiv_equals_duckdb_floordiv(self):
+        import duckdb
+
+        from ocracle_ray.stages.linkage import truncdiv
+
+        rng = np.random.RandomState(59)
+        v = np.concatenate([
+            rng.randint(-10**12, 10**12, 300),
+            np.array([0, 1, -1, 499_999, -499_999, 500_000,
+                      -500_000, 500_001, -500_001], np.int64),
+        ]).astype(np.int64)
+        for d in (7, 500_000, 200_000):
+            got = truncdiv(v, d)
+            want = duckdb.connect().execute(
+                "SELECT list_transform($1::BIGINT[], x -> x // $2)",
+                [v.tolist(), d]).fetchone()[0]
+            assert got.tolist() == want
+
+    def test_batch_levenshtein_equals_duckdb(self):
+        import duckdb
+
+        from ocracle_ray.stages.linkage import batch_levenshtein
+
+        rng = np.random.RandomState(61)
+        pairs = []
+        for _ in range(150):
+            la, lb = rng.randint(0, 15, 2)
+            a = "".join(chr(97 + c) for c in rng.randint(0, 5, la))
+            b = "".join(chr(97 + c) for c in rng.randint(0, 5, lb))
+            pairs.append((a, b))
+        pairs += [("Customer#000000042", "Customer#0X0000042"),
+                  ("ababab", "bababa"), ("", "abc"), ("x", "")]
+        got = batch_levenshtein([p[0] for p in pairs],
+                                [p[1] for p in pairs])
+        con = duckdb.connect()
+        want = [con.execute("SELECT levenshtein($1, $2)",
+                            [a, b]).fetchone()[0] for a, b in pairs]
+        assert got.tolist() == want
+
+    def test_round_half_away_equals_duckdb_round(self):
+        import duckdb
+
+        from ocracle_ray.core.textstats import round_half_away
+
+        rng = np.random.RandomState(67)
+        # exact-decimal inputs (2 decimals scaled from ints), the
+        # regime every cents conversion lives in
+        cents = rng.randint(-10**7, 10**7, 300)
+        v = cents / 100.0
+        got = round_half_away(v * 100.0, 0).astype(np.int64)
+        want = duckdb.connect().execute(
+            "SELECT list_transform($1::DOUBLE[], "
+            "x -> CAST(round(x * 100) AS BIGINT))",
+            [v.tolist()]).fetchone()[0]
+        assert got.tolist() == want
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
