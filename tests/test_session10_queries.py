@@ -1116,6 +1116,44 @@ class TestCrossEngineParityKernels:
         assert got.tolist() == want
 
 
+class TestFnvSqlIdiom:
+    """The list_reduce FNV-1a SQL fragment (shared by the dsir,
+    augmentation, urlnorm-dedup and redirect oracles) vs
+    core.textstats.fnv1a64, over random ASCII incl. spaces and
+    URL-ish punctuation (codepoint == UTF-8 byte in ASCII — the
+    idiom's documented domain)."""
+
+    def test_matches_python_fnv(self):
+        import duckdb
+
+        from ocracle_ray.core.textstats import fnv1a64
+
+        rng = np.random.RandomState(71)
+        alphabet = ("abcdefghijklmnopqrstuvwxyz0123456789"
+                    " ./:?=&#%-_")
+        strs = ["".join(alphabet[c] for c in
+                        rng.randint(0, len(alphabet),
+                                    rng.randint(1, 40)))
+                for _ in range(100)]
+        strs += ["a", " ", "https://exam.example/p?a=1&b=2"]
+        con = duckdb.connect()
+        sql = """
+            SELECT CAST(list_reduce(
+                list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+                    list_transform(string_split($1, ''),
+                        c -> CAST(unicode(c) AS UHUGEINT))),
+                (h, c) -> (xor(CAST(h AS UBIGINT),
+                               CAST(c AS UBIGINT))::UHUGEINT
+                           * 1099511628211)
+                          % 18446744073709551616::UHUGEINT
+            ) AS UHUGEINT)
+        """
+        for s in strs:
+            want = fnv1a64(s.encode())
+            got = int(con.execute(sql, [s]).fetchone()[0])
+            assert got == want, s
+
+
 class TestKAnonymityBanding:
     """The quasi-id banding arithmetic on signed balances — DuckDB //
     truncates toward zero, so -4999.99 dollars must band to 0 and
