@@ -6956,6 +6956,37 @@ def q_pages_urlnorm_dedup(sf_dir: str):
     return out
 
 
+def q_events_daily_quantiles(sf_dir: str):
+    """Per-day p50/p95 value trend — the ops-dashboard gauge (daily
+    latency/size percentiles), on the exact two-pass histogram-
+    refinement quantile machinery GROUPED BY DAY (~100+ groups vs
+    the 5-type precedent — per-group state is two histogram partials,
+    bounded by groups × bins, never by rows; no group materializes).
+    quantile_cont-exact, so the oracle is DuckDB's quantile_cont
+    directly; floats round to 4 on both sides (the events_value_mad
+    rule)."""
+    from ..stages.quantile import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        day = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        return pa.table({
+            "day": pa.array(day, pa.int64()),
+            "value": t["value"],
+        })
+
+    out = grouped_exact_quantiles(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "day", "value", probs=(0.5, 0.95))
+    out["p50"] = out["p50"].round(4)
+    out["p95"] = out["p95"].round(4)
+    out = out.sort_values("day").reset_index(drop=True)
+    out["day"] = out["day"].astype("int64")
+    return out[["day", "p50", "p95"]]
+
+
 REDIR_ORACLE_DIR = "/tmp/ocracle_redir_oracle"
 
 
@@ -9583,6 +9614,7 @@ QUERIES = {
     "pages_urlnorm_dedup": q_pages_urlnorm_dedup,
     "pages_robots_txt": q_pages_robots_txt,
     "pages_redirects": q_pages_redirects,
+    "events_daily_quantiles": q_events_daily_quantiles,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13777,6 +13809,13 @@ ORACLE_SQL = {
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
     "pages_robots_txt": _robots_oracle_sql(),
+    "events_daily_quantiles": """
+        -- per-day exact quantile_cont, round-4 (the value_mad rule)
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY 1 ORDER BY day
+    """,
     "pages_redirects": f"""
         -- capped recursive walk per url; loop ⇔ still redirecting at
         -- the cap; FNV fingerprints over terminal (resolved) or the
