@@ -6987,6 +6987,82 @@ def q_events_daily_quantiles(sf_dir: str):
     return out[["day", "p50", "p95"]]
 
 
+def q_orders_open_concurrency(sf_dir: str):
+    """Sweep-line interval concurrency — the occupancy/backlog curve
+    ("how many orders were open on day d"): each order spans
+    [orderdate, max lineitem shipdate] (clamped non-negative), and
+    the daily open count is the prefix sum of a DIFF ARRAY (+1 at
+    the open day, −1 after the close day) — the classic O(n + days)
+    sweep that replaces an O(n·span) interval explosion. Shape: one
+    hash join (spans need both tables; partitions clamped + CPU
+    reservation pinned) → per-batch diff-array combiners over the
+    bounded day domain → driver prefix sum over O(days) rows.
+    Output: the top-10 peak days by (n_open DESC, day ASC).
+    The oracle pays the explosion on purpose (generate_series per
+    order) — the naive form the sweep provably equals."""
+    from ray.data.aggregate import Max
+
+    from ..pool import clamp_join_partitions, pin_join_cpu_reservation
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    n_parts = clamp_join_partitions(8, n_joins=1)
+    j = li.join(orders, join_type="inner", num_partitions=n_parts,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = pin_join_cpu_reservation(j, n_parts, n_joins=1)
+
+    def span_flag(t: pa.Table) -> pa.Table:
+        open_d = (t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        ship_d = (t["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "okey": t["l_orderkey"].cast(pa.int64()),
+            "open_day": pa.array(open_d, pa.int64()),
+            "ship_day": pa.array(ship_d, pa.int64()),
+        })
+
+    spans = j.map_batches(span_flag, batch_format="pyarrow") \
+        .materialize() \
+        .groupby("okey").aggregate(
+            Max("open_day", alias_name="open_day"),
+            Max("ship_day", alias_name="close_day")).materialize()
+
+    def diff_partial(t: pa.Table) -> pa.Table:
+        o = t["open_day"].to_numpy(zero_copy_only=False)
+        c = np.maximum(t["close_day"].to_numpy(zero_copy_only=False),
+                       o)
+        days = np.concatenate([o, c + 1])
+        deltas = np.concatenate([np.ones(len(o), np.int64),
+                                 -np.ones(len(c), np.int64)])
+        df = pd.DataFrame({"day": days, "delta": deltas})
+        g = df.groupby("day", as_index=False)["delta"].sum()
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "delta": pa.array(g["delta"].to_numpy(np.int64)),
+        })
+
+    diffs = driver_grouped_agg(
+        spans.map_batches(diff_partial, batch_format="pyarrow"),
+        ["day"], {"delta": ("delta", "sum")})
+    diffs = diffs.sort_values("day").reset_index(drop=True)
+    # the step function only CHANGES at delta days — expand to every
+    # day so plateau ties rank identically to the per-day oracle
+    # (a peak spanning days 10..13 must list all four)
+    ddays = diffs["day"].to_numpy(np.int64)
+    steps = diffs["delta"].to_numpy(np.int64).cumsum()
+    full = np.arange(ddays.min(), ddays.max() + 1, dtype=np.int64)
+    n_open = steps[np.searchsorted(ddays, full, side="right") - 1]
+    curve = pd.DataFrame({"day": full, "n_open": n_open})
+    curve = curve[curve["n_open"] > 0]  # only days with open orders
+    out = curve.sort_values(["n_open", "day"],
+                            ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 REDIR_ORACLE_DIR = "/tmp/ocracle_redir_oracle"
 
 
@@ -9615,6 +9691,7 @@ QUERIES = {
     "pages_robots_txt": q_pages_robots_txt,
     "pages_redirects": q_pages_redirects,
     "events_daily_quantiles": q_events_daily_quantiles,
+    "orders_open_concurrency": q_orders_open_concurrency,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13809,6 +13886,28 @@ ORACLE_SQL = {
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
     "pages_robots_txt": _robots_oracle_sql(),
+    "orders_open_concurrency": """
+        -- the naive per-day interval explosion the sweep must equal:
+        -- one row per (order, open day), count per day, top-10
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   epoch_us(o.o_orderdate) // 86400000000 AS open_day,
+                   greatest(max(epoch_us(l.l_shipdate))
+                            // 86400000000,
+                            epoch_us(o.o_orderdate) // 86400000000)
+                       AS close_day
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2
+        ),
+        expl AS (
+            SELECT unnest(range(open_day, close_day + 1)) AS day
+            FROM spans
+        )
+        SELECT day::BIGINT AS day, count(*)::BIGINT AS n_open
+        FROM expl GROUP BY 1
+        ORDER BY n_open DESC, day LIMIT 10
+    """,
     "events_daily_quantiles": """
         -- per-day exact quantile_cont, round-4 (the value_mad rule)
         SELECT epoch_us(ts) // 86400000000 AS day,
