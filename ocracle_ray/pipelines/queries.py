@@ -7063,6 +7063,36 @@ def q_orders_open_concurrency(sf_dir: str):
     return out
 
 
+def q_events_dict_advisor(sf_dir: str):
+    """Dictionary-encoding advisor — the categorical sibling of the
+    varint storage advisor: for the event_type column, the dictionary
+    cardinality, the fixed-width code size ceil(log2 k), exact
+    integer byte estimates (raw 8-byte vs dictionary-coded
+    (n·bits+7)//8), and the Shannon lower bound as integer micro-nats
+    (the docs_char_entropy rule — one half-away rounding point over
+    H = ln n − Σc·ln c / n). One bounded grouped count; everything
+    else is O(k) arithmetic."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    g = driver_grouped_agg(ds, ["event_type"],
+                           {"c": ("event_type", "count")})
+    c = g["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    k = int(len(c))
+    fixed_bits = (k - 1).bit_length() if k > 1 else 0
+    h = float(np.log(n) - (c * np.log(c)).sum() / n)
+    out = pd.DataFrame([{
+        "n_rows": n,
+        "n_distinct": k,
+        "fixed_bits": fixed_bits,
+        "raw_bytes": 8 * n,
+        "dict_bytes": (n * fixed_bits + 7) // 8,
+        "entropy_micro_nats": int(np.floor(h * 1_000_000 + 0.5)),
+    }])
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return out
+
+
 REDIR_ORACLE_DIR = "/tmp/ocracle_redir_oracle"
 
 
@@ -9692,6 +9722,7 @@ QUERIES = {
     "pages_redirects": q_pages_redirects,
     "events_daily_quantiles": q_events_daily_quantiles,
     "orders_open_concurrency": q_orders_open_concurrency,
+    "events_dict_advisor": q_events_dict_advisor,
 }
 
 # Registry ORDER insurance: round 3 worked to a 50-entry driver
@@ -13886,6 +13917,34 @@ ORACLE_SQL = {
     "docs_minhash_calibration": _mhcal_oracle_sql(),
     "lineitem_bloom_join": _bloomjoin_oracle_sql(),
     "pages_robots_txt": _robots_oracle_sql(),
+    "events_dict_advisor": """
+        -- dictionary advisor: grouped counts -> ceil(log2 k) code
+        -- width, exact byte estimates, micro-nat Shannon bound
+        WITH cc AS (
+            SELECT event_type, count(*)::BIGINT AS c
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+                   ln(sum(c)::DOUBLE)
+                     - sum(c::DOUBLE * ln(c::DOUBLE))
+                       / sum(c)::DOUBLE AS h
+            FROM cc
+        )
+        SELECT n AS n_rows, k AS n_distinct,
+               CASE WHEN k > 1
+                    THEN CAST(ceil(log2((k)::DOUBLE)) AS BIGINT)
+                    ELSE 0 END AS fixed_bits,
+               (8 * n)::BIGINT AS raw_bytes,
+               ((n * (CASE WHEN k > 1
+                           THEN CAST(ceil(log2((k)::DOUBLE))
+                                     AS BIGINT)
+                           ELSE 0 END) + 7) // 8)::BIGINT
+                   AS dict_bytes,
+               CAST(floor(h * 1000000 + 0.5) AS BIGINT)
+                   AS entropy_micro_nats
+        FROM s
+    """,
     "orders_open_concurrency": """
         -- the naive per-day interval explosion the sweep must equal:
         -- one row per (order, open day), count per day, top-10
