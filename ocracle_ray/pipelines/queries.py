@@ -33,6 +33,23 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _lookup_int64(keys: np.ndarray, mapping: dict) -> np.ndarray:
+    """Vectorized per-row int64 lookup of a driver-side broadcast map,
+    failing LOUD on any key absent from the map (ADVICE r4: the
+    np.empty fill pattern would silently read uninitialized memory if a
+    group ever missed the map)."""
+    out = np.full(len(keys), np.iinfo(np.int64).min, np.int64)
+    hit = np.zeros(len(keys), bool)
+    for k, v in mapping.items():
+        m = keys == k
+        out[m] = v
+        hit |= m
+    if not hit.all():
+        missing = sorted(set(np.asarray(keys)[~hit].tolist()))[:5]
+        raise KeyError(f"group keys missing from driver map: {missing}")
+    return out
+
+
 def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
                        batch_format: str = "pyarrow",
                        max_partial_rows: int = 2_000_000):
@@ -1537,9 +1554,7 @@ def q_events_anomaly_mad(sf_dir: str):
     def dev_t(t: pa.Table) -> pa.Table:
         types = t["event_type"].to_numpy(zero_copy_only=False)
         c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.empty(len(c), np.int64)
-        for et, mv in med2.items():
-            m[types == et] = mv
+        m = _lookup_int64(types, med2)
         return pa.table({
             "event_id": t["event_id"],
             "event_type": t["event_type"],
@@ -1558,9 +1573,7 @@ def q_events_anomaly_mad(sf_dir: str):
         types = t["event_type"].to_numpy(zero_copy_only=False)
         dev2 = t["dev2"].to_numpy(zero_copy_only=False).astype(np.int64)
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        m4 = np.empty(len(dev2), np.int64)
-        for et, mv in mad4.items():
-            m4[types == et] = mv
+        m4 = _lookup_int64(types, mad4)
         flag = (2 * dev2 > 5 * m4).astype(np.int64)
         df = pd.DataFrame({"event_type": types, "flag": flag,
                            "x": np.where(flag == 1, eid, 0)})
@@ -8851,9 +8864,7 @@ def q_docs_quality_prune(sf_dir: str):
         langs = t["lang"].to_numpy(zero_copy_only=False)
         q4 = t["q4"].to_numpy(zero_copy_only=False)
         did = t["doc_id"].to_numpy(zero_copy_only=False)
-        tt = np.empty(len(q4), np.int64)
-        for lg, tv in thr.items():
-            tt[langs == lg] = tv
+        tt = _lookup_int64(langs, thr)
         above = q4 > tt
         df = pd.DataFrame({
             "lang": langs, "above": above.astype(np.int64),
@@ -9725,14 +9736,18 @@ QUERIES = {
     "events_dict_advisor": q_events_dict_advisor,
 }
 
-# Registry ORDER insurance: round 3 worked to a 50-entry driver
-# correctness cap (see q_distinct_counts). Whether the round-4 driver
-# truncates is unknown — so the round-3 query set stays FIRST in
-# insertion order (a first-N truncation reproduces the r3 coverage
-# exactly, no apparent regressions) and round-4 additions follow in
-# priority order. Every entry regardless of position is oracle-checked
-# in pytest (tests/test_queries_oracle.py parametrizes over ALL of
-# them at sf0.001).
+# Registry ORDER rotation: the driver verifies only the first ~50
+# entries in insertion order, so each round the head is rotated to
+# sample entries that have never had an independent driver check
+# (VERDICT r4 "Next round" #1). Round-5 head = extract_flagship + the
+# dedup/near-dup family (the always-on anchors) + ~40 entries drawn
+# from the pool that rounds 3-4 never surfaced to the driver
+# (perplexity, funnel, substring dedup, packing, PQ/IVF-PQ, semdedup,
+# watermark, robots, attribution, the similarity-graph family, ...).
+# Every entry regardless of position is oracle-checked in pytest
+# (tests/test_queries_oracle.py parametrizes over ALL of them at
+# sf0.001). Rounds verified by the driver so far: r3/r4 = _R3_ORDER
+# below (kept for the record), r5 = _R5_HEAD.
 _R3_ORDER = [
     "pricing_summary", "order_priority_count", "mktsegment_revenue",
     "nation_region_counts", "top_orders_by_revenue", "revenue_forecast",
@@ -9753,9 +9768,30 @@ _R3_ORDER = [
     "pages_census", "figure_pixel_crops", "pdf_branch", "media_features",
     "webview_tasks", "salted_events_value",
 ]
+_R5_HEAD = [
+    # anchors (driver-green in r4, kept every round)
+    "extract_flagship", "docs_exact_dedup", "docs_dup_count",
+    "docs_ngram_neardup", "docs_minhash_neardup",
+    "docs_incremental_neardup", "docs_simhash_dups",
+    "docs_neardup_clusters", "emb_label_neardup",
+    # never-driver-checked pool (41 entries)
+    "docs_perplexity", "docs_filter_funnel", "docs_substring_dedup",
+    "docs_seq_packing", "emb_semantic_dedup", "emb_pq", "emb_pq_search",
+    "knn_ivfpq", "events_watermark_late", "pages_robots_txt",
+    "events_attribution", "docs_repetition", "docs_decontaminate",
+    "docs_source_mixture", "docs_nb_classifier", "docs_chunking",
+    "docs_split", "docs_bm25_topk", "docs_bpe_merges", "docs_bpe_encode",
+    "events_conversion_funnel", "events_distinct_hll", "events_user_cms",
+    "events_quantile_sketch", "pages_snapshot_delta", "pages_boilerplate",
+    "pages_url_simjoin", "pages_urlnorm_dedup", "pages_redirects",
+    "pages_link_census", "emb_kmeans", "emb_kcore",
+    "emb_similarity_triangles", "emb_graph_bfs", "emb_label_propagation",
+    "emb_mutual_nn", "docs_dsir", "docs_blocklist", "docs_cdc_chunks",
+    "media_phash_dedup", "media_audio_fingerprint",
+]
 QUERIES = {
-    **{k: QUERIES[k] for k in _R3_ORDER},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R3_ORDER)},
+    **{k: QUERIES[k] for k in _R5_HEAD},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_HEAD)},
 }
 
 _SHINGLE_JACCARD_SQL = """

@@ -94,7 +94,10 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         out |= (b & 0x7F) << shift
         if not b & 0x80:
-            return out, pos
+            # Protobuf wire format is 64-bit: a 10-byte varint carries
+            # bits above 2^64 that a C decoder would drop — mask so
+            # _signed64 sees the same value (ADVICE r4).
+            return out & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 70:
             raise ValueError("tfrecord: varint too long")
@@ -218,6 +221,8 @@ def parse_tfrecord_pages(data: bytes) -> pa.Table:
         for req in ("url", "html"):
             if req not in feats:
                 raise ValueError(f"tfrecord: missing feature {req!r}")
+            if not feats[req][1]:
+                raise ValueError(f"tfrecord: empty feature {req!r}")
         urls.append(feats["url"][1][0].decode("utf-8"))
         htmls.append(feats["html"][1][0])
         ts = feats.get("warc_ts", ("int64", [-1]))[1]

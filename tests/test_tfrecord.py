@@ -104,6 +104,58 @@ def test_hostile_inputs(tmp_path):
         parse_tfrecord_pages(framed)
 
 
+def _frame(ex: bytes) -> bytes:
+    from ocracle_ray.sources.tfrecord import _masked
+
+    hdr = struct.pack("<Q", len(ex))
+    return (hdr + struct.pack("<I", _masked(crc32c(hdr)))
+            + ex + struct.pack("<I", _masked(crc32c(ex))))
+
+
+def test_empty_required_feature_is_valueerror():
+    """ADVICE r4: a crc-valid record whose required feature carries an
+    EMPTY bytes_list must hit the corruption contract (ValueError), not
+    IndexError."""
+    ex = encode_example({"url": ("bytes", []), "html": ("bytes", [b"<p>"])})
+    with pytest.raises(ValueError, match="empty feature"):
+        parse_tfrecord_pages(_frame(ex))
+    ex = encode_example({"url": ("bytes", [b"u"]), "html": ("bytes", [])})
+    with pytest.raises(ValueError, match="empty feature"):
+        parse_tfrecord_pages(_frame(ex))
+
+
+def test_varint_masks_to_64_bits():
+    """ADVICE r4: protobuf varints are 64-bit on the wire; a 10-byte
+    varint carrying bits >= 2^64 must decode to the masked value a C
+    decoder would produce (not a Python big int that breaks _signed64)."""
+    from ocracle_ray.sources.tfrecord import _read_varint, _signed64
+
+    def enc(u: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    # canonical encodings round-trip unchanged
+    for v in (0, 1, 127, 128, (1 << 63) - 1, (1 << 64) - 1):
+        got, pos = _read_varint(enc(v), 0)
+        assert got == v and pos == len(enc(v))
+    # over-long encoding of 2^64 + 5 -> masked to 5
+    got, _ = _read_varint(enc((1 << 64) + 5), 0)
+    assert got == 5
+    # -1 zigzag-free two's-complement (all 10 bytes set) -> signed -1
+    got, _ = _read_varint(enc((1 << 64) - 1), 0)
+    assert _signed64(got) == -1
+    # masked value stays in uint64 range so _signed64 never overflows
+    got, _ = _read_varint(enc((1 << 70) - 1), 0)
+    assert 0 <= got < (1 << 64)
+
+
 def test_tfrecord_extraction_matches_parquet(ray_session, tmp_path):
     from ocracle_ray.pipelines.extraction import extract_records
     from ocracle_ray.sources.readers import read_pages_any
