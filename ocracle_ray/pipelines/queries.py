@@ -4349,47 +4349,31 @@ def q_events_dau_wau_hll(sf_dir: str):
 
 
 EMB_TRI_TAU = 0.3
-EMB_TRI_BROADCAST_LIMIT = 200_000
 EMB_TRI_NODE_LIMIT = 4_000
 EMB_TRI_EDGE_LIMIT = 2_000_000
+EMB_TRI_CHUNKS = 8
 
 
 def _emb_threshold_edges(sf_dir: str):
     """Shared edge builder for the similarity-graph queries: all
-    (a < b) pairs with round-6 cosine ≥ EMB_TRI_TAU, via one matmul
-    pass per batch against the broadcast corpus matrix; returns
-    (a, b) int64 arrays folded on the driver behind the edge guard."""
-    import ray
+    (a < b) pairs with round-6 cosine ≥ EMB_TRI_TAU — EXACT, fully
+    distributed (round 5): the blocked chunk-pair all-pairs join in
+    ``stages/simgraph.py`` replaces the r3/r4 broadcast-corpus-matrix
+    builder (which gathered the corpus to the driver behind a
+    200k-vector guard). Nothing is broadcast; per-task memory is two
+    chunks of the corpus; raise EMB_TRI_CHUNKS for bigger corpora.
+    Only the resulting EDGES fold to the driver (the census/peel
+    algorithms downstream are driver folds behind node guards), still
+    behind the loud edge guard."""
+    from ..stages.simgraph import blocked_cosine_edges
 
-    ds = _read(sf_dir, "embeddings",
-               ["vec_id", "embedding"]).materialize()
-    full = ds.to_pandas()
-    if len(full) > EMB_TRI_BROADCAST_LIMIT:
-        raise RuntimeError(
-            f"similarity edges: {len(full)} vectors exceed the "
-            f"broadcast limit {EMB_TRI_BROADCAST_LIMIT}; derive edges "
-            f"from the LSH bucket machinery (stages/dedup.py) instead"
-        )
-    ids = full["vec_id"].to_numpy(np.int64)
-    mat = np.stack([np.asarray(v, np.float64) for v in full["embedding"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
-
-    def edges_of(t: pa.Table) -> pa.Table:
-        all_ids, m = _cached_broadcast(ref)
-        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        av = np.stack([np.asarray(v, np.float64)
-                       for v in t["embedding"].to_pylist()])
-        av = av / np.linalg.norm(av, axis=1, keepdims=True)
-        cos = np.round(av @ m.T, 6)
-        keep = (cos >= EMB_TRI_TAU) & (a_ids[:, None] < all_ids[None, :])
-        ii, jj = np.nonzero(keep)
-        return pa.table({"a": pa.array(a_ids[ii]),
-                         "b": pa.array(all_ids[jj])})
-
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = blocked_cosine_edges(
+        ds, "vec_id", "embedding", tau=EMB_TRI_TAU,
+        n_chunks=EMB_TRI_CHUNKS)
     parts, n = [], 0
-    for b in ds.map_batches(edges_of, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=65536):
+    for b in edges.iter_batches(batch_format="pyarrow",
+                                batch_size=65536):
         n += b.num_rows
         if n > EMB_TRI_EDGE_LIMIT:
             raise RuntimeError(
@@ -4397,7 +4381,7 @@ def _emb_threshold_edges(sf_dir: str):
                 f"{EMB_TRI_EDGE_LIMIT}; lower tau or move the census to "
                 f"the node-iterator MapReduce form"
             )
-        parts.append(b)
+        parts.append(b.select(["a", "b"]))
     e = pa.concat_tables(parts)
     return (e["a"].to_numpy(zero_copy_only=False),
             e["b"].to_numpy(zero_copy_only=False))
@@ -8572,51 +8556,19 @@ def q_emb_mutual_nn(sf_dir: str):
     """Mutual nearest-neighbor pairs over the embedding corpus — the
     reciprocal-best-match rule bitext mining / cross-modal alignment
     uses (a pair counts only when EACH side is the other's top-1):
-    per-batch top-1 cosine against the broadcast corpus matrix
-    (round-6 before the argmax, ties → lowest vec_id — the
-    similarity-graph rules), then the mutuality check on the O(n)
-    (vec, nn) map. Driver holds one int64 pair per vector, bounded by
-    the same broadcast guard as the similarity-graph family (at
-    100 TB: the LSH-bucketed candidate machinery feeds the same
-    mutual filter). Output: the mutual pairs with their round-6
-    cosine in integer micro-units."""
-    import ray
+    EXACT global top-1 per vector from the distributed chunk-pair
+    machinery (``stages/simgraph.blocked_top1`` — per-group local
+    best, round-6 cosine, ties → lowest vec_id, folded to the global
+    best under the same rule; round 5 replaced the broadcast corpus
+    matrix), then the mutuality check on the O(n) (vec, nn) map.
+    Driver holds one int64 pair per vector — O(nodes), never the
+    matrix. Output: the mutual pairs with their round-6 cosine in
+    integer micro-units."""
+    from ..stages.simgraph import blocked_top1
 
-    ds = _read(sf_dir, "embeddings",
-               ["vec_id", "embedding"]).materialize()
-    full = ds.to_pandas()
-    if len(full) > EMB_TRI_BROADCAST_LIMIT:
-        raise RuntimeError(
-            f"emb_mutual_nn: {len(full)} vectors exceed the broadcast "
-            f"limit {EMB_TRI_BROADCAST_LIMIT}; feed the mutual filter "
-            f"from the LSH bucket machinery instead")
-    order = np.argsort(full["vec_id"].to_numpy(np.int64))
-    ids = full["vec_id"].to_numpy(np.int64)[order]
-    mat = np.stack([np.asarray(v, np.float64)
-                    for v in full["embedding"]])[order]
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
-
-    def top1(t: pa.Table) -> pa.Table:
-        all_ids, m = _cached_broadcast(ref)
-        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        av = np.stack([np.asarray(v, np.float64)
-                       for v in t["embedding"].to_pylist()])
-        av = av / np.linalg.norm(av, axis=1, keepdims=True)
-        cos = np.round(av @ m.T, 6)
-        self_col = np.searchsorted(all_ids, a_ids)
-        cos[np.arange(len(a_ids)), self_col] = -2.0
-        # columns ascend by vec_id ⇒ first-max argmax = lowest-id tie
-        best = np.argmax(cos, axis=1)
-        return pa.table({
-            "a": pa.array(a_ids.astype(np.int64)),
-            "nn": pa.array(all_ids[best].astype(np.int64)),
-            "cos_us": pa.array(np.rint(
-                cos[np.arange(len(a_ids)), best] * 1_000_000
-            ).astype(np.int64)),
-        })
-
-    nn = ds.map_batches(top1, batch_format="pyarrow").to_pandas()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    nn = blocked_top1(ds, "vec_id", "embedding",
+                      n_chunks=EMB_TRI_CHUNKS).to_pandas()
     nn_map = dict(zip(nn["a"].astype("int64"),
                       nn["nn"].astype("int64")))
     cos_map = dict(zip(nn["a"].astype("int64"),
@@ -9329,63 +9281,64 @@ def q_emb_hard_negatives(sf_dir: str):
     ones that actually train the margin. Deterministic end to end:
     cosine rounds to 6 then scales to integer micro-units, ranking
     is (cos_us DESC, vec_id ASC) — no float tie ambiguity. Anchors =
-    the NEG_N_ANCHORS lowest vec_ids; per-batch scoring against the
-    broadcast corpus matrix (one matmul per batch, the knn shape).
-    Output: (anchor, rank, neg_id, cos_us) rows; the oracle
-    re-derives every candidate, the threshold mask and the
-    row_number pick."""
+    the NEG_N_ANCHORS lowest vec_ids. Round 5 inverted the broadcast
+    (the knn_bruteforce shape): the 20 tiny ANCHORS are the broadcast
+    side (ray.put once, cached per worker) and the corpus STREAMS
+    through map_batches, each batch emitting its local top-K per
+    anchor; the driver folds ≤ anchors × K × blocks candidate rows —
+    the corpus is never gathered or broadcast, so the r3/r4
+    200k-vector guard is gone. Output: (anchor, rank, neg_id,
+    cos_us) rows; the oracle re-derives every candidate, the
+    threshold mask and the row_number pick."""
     import ray
 
-    ds = _read(sf_dir, "embeddings",
-               ["vec_id", "embedding"]).materialize()
-    full = ds.to_pandas()
-    if len(full) > EMB_TRI_BROADCAST_LIMIT:
-        raise RuntimeError(
-            f"emb_hard_negatives: {len(full)} vectors exceed the "
-            f"broadcast limit; mine negatives from the IVF cell "
-            f"machinery instead")
-    order = np.argsort(full["vec_id"].to_numpy(np.int64))
-    ids = full["vec_id"].to_numpy(np.int64)[order]
-    mat = np.stack([np.asarray(v, np.float64)
-                    for v in full["embedding"]])[order]
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
-    lim = pa.scalar(int(ids[min(NEG_N_ANCHORS, len(ids)) - 1]),
-                    pa.int64())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # anchors = global NEG_N_ANCHORS lowest vec_ids: per-batch
+    # bottom-k partials folded on the driver (≤ k × blocks rows)
+    small = ds.map_batches(
+        lambda t: _topk_batch(t, [("vec_id", "ascending")],
+                              NEG_N_ANCHORS),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values("vec_id").head(NEG_N_ANCHORS)
+    a_ids = small["vec_id"].to_numpy(np.int64)
+    av = np.stack([np.asarray(v, np.float64)
+                   for v in small["embedding"]])
+    av = av / np.linalg.norm(av, axis=1, keepdims=True)
+    ref = ray.put((a_ids, av))
 
     def mine(t: pa.Table) -> pa.Table:
-        all_ids, m = _cached_broadcast(ref)
-        keep = pc.less_equal(pc.cast(t["vec_id"], pa.int64()), lim)
-        t = t.filter(keep)
-        if t.num_rows == 0:
-            return pa.table({
-                "anchor": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "neg_id": pa.array([], pa.int64()),
-                "cos_us": pa.array([], pa.int64()),
-            })
-        a_ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        av = np.stack([np.asarray(v, np.float64)
-                       for v in t["embedding"].to_pylist()])
-        av = av / np.linalg.norm(av, axis=1, keepdims=True)
-        cos_us = np.rint(np.round(av @ m.T, 6) * 1_000_000) \
+        anchor_ids, am = _cached_broadcast(ref)
+        c_ids = t["vec_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        out = {"anchor": [], "rank": [], "neg_id": [], "cos_us": []}
-        for r, aid in enumerate(a_ids):
+        cv = np.stack([np.asarray(v, np.float64)
+                       for v in t["embedding"].to_pylist()])
+        cv = cv / np.linalg.norm(cv, axis=1, keepdims=True)
+        order = np.argsort(c_ids)
+        c_ids, cv = c_ids[order], cv[order]
+        cos_us = np.rint(np.round(am @ cv.T, 6) * 1_000_000) \
+            .astype(np.int64)
+        out = {"anchor": [], "neg_id": [], "cos_us": []}
+        for r, aid in enumerate(anchor_ids):
             row = cos_us[r]
-            mask = (row < 300_000) & (all_ids != aid)
+            mask = (row < 300_000) & (c_ids != aid)
             cand = np.nonzero(mask)[0]
-            pick = cand[np.lexsort((all_ids[cand], -row[cand]))][:NEG_K]
-            for k, j in enumerate(pick):
-                out["anchor"].append(int(aid))
-                out["rank"].append(k + 1)
-                out["neg_id"].append(int(all_ids[j]))
-                out["cos_us"].append(int(row[j]))
+            pick = cand[np.lexsort((c_ids[cand], -row[cand]))][:NEG_K]
+            out["anchor"].extend([int(aid)] * len(pick))
+            out["neg_id"].extend(c_ids[pick].tolist())
+            out["cos_us"].extend(row[pick].tolist())
         return pa.table({k: pa.array(v, pa.int64())
                          for k, v in out.items()})
 
     res = ds.map_batches(mine, batch_format="pyarrow").to_pandas()
-    out = res.sort_values(["anchor", "rank"]).reset_index(drop=True)
+    # global fold: per anchor, top-K of the per-batch partials under
+    # the same (cos_us DESC, neg_id ASC) rule
+    res = res.sort_values(["anchor", "cos_us", "neg_id"],
+                          ascending=[True, False, True])
+    res = res.groupby("anchor", as_index=False).head(NEG_K)
+    res["rank"] = res.groupby("anchor").cumcount() + 1
+    out = res[["anchor", "rank", "neg_id", "cos_us"]] \
+        .sort_values(["anchor", "rank"]).reset_index(drop=True)
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out

@@ -1,0 +1,213 @@
+"""Distributed EXACT all-pairs cosine machinery for the embedding
+similarity-graph family (kcore / triangles / BFS / label-prop /
+mutual-NN; VERDICT r4 next-round #2).
+
+The round-3/4 edge builder gathered the corpus to the driver and
+broadcast the full matrix to every worker behind a 200k-vector guard.
+This module replaces it with the classic blocked all-pairs join
+("chunk-pair cover"): hash every vector into one of ``n_chunks``
+chunks, replicate each row to the ``n_chunks`` chunk-PAIR groups it
+participates in, and let one ``groupby(pair).map_groups`` task score
+each chunk pair with a single vectorized matmul.
+
+Exactness: every unordered vector pair {u, v} lands in exactly one
+group — (chunk(u), chunk(v)) ordered — so the edge set equals the
+brute-force all-pairs result (no LSH recall loss; at cosine tau 0.3
+sign-bucket LSH retains <2% of true pairs, which is why the near-dup
+bucket machinery in ``stages/dedup.py`` CANNOT feed this family).
+
+Scale shape (100 TB): nothing is broadcast and nothing touches the
+driver — per-task memory is O(2·n/B·dim) for B = ``n_chunks`` (pick
+B ~ n·dim·8 / worker_heap), shipping cost is the unavoidable B-fold
+replication of an exact all-pairs join, compute is the inherent
+O(n²·dim/B²) per task across B(B+1)/2 tasks. The O(n²) total work is
+the QUERY's semantics (exact threshold graph), not an implementation
+artifact; raising tau enough to make LSH recall viable is the
+documented cheaper path when approximation is acceptable.
+
+Determinism: chunk id is a pure function of the key (Knuth
+multiplicative hash), cosines round to 6 decimals before any
+threshold/argmax, ties break to the lowest key — byte-identical
+output across block layouts and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = np.uint64(2654435761)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _chunk_of(keys: np.ndarray, n_chunks: int) -> np.ndarray:
+    """Deterministic balanced chunk id: Knuth multiplicative hash of
+    the int64 key, mod n_chunks (uint64 ops only — no float
+    promotion, see the varint-ladder hazard)."""
+    h = (keys.astype(np.uint64) * _KNUTH) & _MASK32
+    return (h % np.uint64(n_chunks)).astype(np.int64)
+
+
+def _unit_rows(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> row-normalized float64 matrix."""
+    mat = np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _fan_out(t: pa.Table, key: str, emb: str, n_chunks: int) -> pa.Table:
+    """Replicate each row to its n_chunks chunk-pair groups.
+    ``_grp`` = c*B + d with c ≤ d so (c,d) and (d,c) share a group."""
+    ids = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = _chunk_of(ids, n_chunks)
+    n = len(ids)
+    idx_parts, grp_parts, chunk_parts = [], [], []
+    for j in range(n_chunks):
+        lo = np.minimum(c, j)
+        hi = np.maximum(c, j)
+        idx_parts.append(np.arange(n))
+        grp_parts.append(lo * n_chunks + hi)
+        chunk_parts.append(c)
+    idx = np.concatenate(idx_parts)
+    rep = t.select([key, emb]).take(pa.array(idx))
+    return rep.append_column(
+        "_grp", pa.array(np.concatenate(grp_parts), pa.int64())
+    ).append_column(
+        "_chunk", pa.array(np.concatenate(chunk_parts), pa.int64())
+    )
+
+
+def blocked_cosine_edges(ds, key: str, emb: str, *, tau: float,
+                         n_chunks: int = 8):
+    """EXACT threshold edge Dataset: all (a < b) key pairs with
+    round-6 cosine ≥ tau. Returns a Dataset with int64 columns
+    (a, b, cos_us) — cosine in integer micro-units so nothing float
+    leaves the task."""
+
+    def pairs_closure(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cos_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        grp = int(g["_grp"][0].as_py())
+        c, d = grp // n_chunks, grp % n_chunks
+        ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = g["_chunk"].to_numpy(zero_copy_only=False)
+        unit = _unit_rows(g[emb])
+        if c == d:
+            # within-chunk: all i<j pairs, ordered by key
+            order = np.argsort(ids)
+            ids, unit = ids[order], unit[order]
+            cos = np.round(unit @ unit.T, 6)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            m = cos[ii, jj] >= tau
+            a, b, cv = ids[ii[m]], ids[jj[m]], cos[ii[m], jj[m]]
+        else:
+            left, right = chunks == c, chunks == d
+            la, ra = ids[left], ids[right]
+            cos = np.round(unit[left] @ unit[right].T, 6)
+            ii, jj = np.nonzero(cos >= tau)
+            a, b, cv = la[ii], ra[jj], cos[ii, jj]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            a, b = a2, b2
+        return pa.table({
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "cos_us": pa.array(
+                np.rint(cv * 1_000_000).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(lambda t: _fan_out(t, key, emb, n_chunks),
+                       batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(pairs_closure, batch_format="pyarrow")
+    )
+
+
+def blocked_top1(ds, key: str, emb: str, *, n_chunks: int = 8):
+    """EXACT global top-1 neighbor Dataset (a, nn, cos_us): per
+    chunk-pair group each row reports its LOCAL best (round-6 cosine,
+    ties → lowest key), then a second groupby folds partials into the
+    global best under the same rule. No corpus broadcast, no driver
+    work; each candidate appears in exactly one group so the fold of
+    per-group maxima is the true global maximum."""
+
+    def local_best(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "nn": pa.array([], pa.int64()),
+            "cos_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows < 2:
+            return empty
+        grp = int(g["_grp"][0].as_py())
+        c, d = grp // n_chunks, grp % n_chunks
+        ids = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunks = g["_chunk"].to_numpy(zero_copy_only=False)
+        unit = _unit_rows(g[emb])
+
+        def best_vs(q_ids, q_unit, c_ids, c_unit, exclude_self):
+            # candidates ordered by ascending id ⇒ first-max argmax
+            # realizes the lowest-id tie rule
+            order = np.argsort(c_ids)
+            c_ids, c_unit = c_ids[order], c_unit[order]
+            cos = np.round(q_unit @ c_unit.T, 6)
+            if exclude_self:
+                self_col = np.searchsorted(c_ids, q_ids)
+                ok = (self_col < len(c_ids))
+                rows = np.nonzero(ok)[0]
+                cos[rows, self_col[ok]] = np.where(
+                    c_ids[self_col[ok]] == q_ids[ok], -2.0,
+                    cos[rows, self_col[ok]])
+            if cos.shape[1] == 0:
+                return None
+            bi = np.argmax(cos, axis=1)
+            return pa.table({
+                "a": pa.array(q_ids, pa.int64()),
+                "nn": pa.array(c_ids[bi], pa.int64()),
+                "cos_us": pa.array(np.rint(
+                    cos[np.arange(len(q_ids)), bi] * 1_000_000
+                ).astype(np.int64), pa.int64()),
+            })
+
+        parts = []
+        if c == d:
+            r = best_vs(ids, unit, ids, unit, True)
+            if r is not None:
+                parts.append(r)
+        else:
+            left, right = chunks == c, chunks == d
+            for qm, cm in ((left, right), (right, left)):
+                r = best_vs(ids[qm], unit[qm], ids[cm], unit[cm], False)
+                if r is not None:
+                    parts.append(r)
+        return pa.concat_tables(parts) if parts else empty
+
+    def fold_best(g: pa.Table) -> pa.Table:
+        ids = g["a"].to_numpy(zero_copy_only=False)
+        nn = g["nn"].to_numpy(zero_copy_only=False)
+        cu = g["cos_us"].to_numpy(zero_copy_only=False)
+        # global rule: max cos_us, ties → lowest nn id
+        order = np.lexsort((nn, -cu))
+        k = order[0]
+        return pa.table({
+            "a": pa.array([int(ids[k])], pa.int64()),
+            "nn": pa.array([int(nn[k])], pa.int64()),
+            "cos_us": pa.array([int(cu[k])], pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(lambda t: _fan_out(t, key, emb, n_chunks),
+                       batch_format="pyarrow")
+        .groupby("_grp")
+        .map_groups(local_best, batch_format="pyarrow")
+    )
+    return partials.groupby("a").map_groups(
+        fold_best, batch_format="pyarrow")

@@ -1,0 +1,105 @@
+"""Blocked (chunk-pair) exact all-pairs cosine machinery vs brute
+force: the distributed edge source for the similarity-graph family
+must equal the O(n^2) numpy reference for any chunking, since every
+unordered pair lands in exactly one chunk-pair group."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocracle_ray.stages.simgraph import (_chunk_of, blocked_cosine_edges,
+                                         blocked_top1)
+
+
+def _corpus(n=60, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)  # sparse ids
+    mat = rng.randn(n, dim)
+    # plant exact duplicates and near-dups so ties and high-cos pairs exist
+    mat[7] = mat[3]
+    mat[11] = mat[5] + 1e-9 * rng.randn(dim)
+    return ids, mat
+
+
+def _brute_edges(ids, mat, tau):
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(unit @ unit.T, 6)
+    out = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and cos[i, j] >= tau:
+                out.append((ids[i], ids[j],
+                            int(np.rint(cos[i, j] * 1_000_000))))
+    return sorted(out)
+
+
+def _brute_top1(ids, mat):
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(unit @ unit.T, 6)
+    out = {}
+    for i in range(len(ids)):
+        best, best_id = -2.0, None
+        for j in range(len(ids)):
+            if j == i:
+                continue
+            c = cos[i, j]
+            if c > best or (c == best and ids[j] < best_id):
+                best, best_id = c, ids[j]
+        out[int(ids[i])] = (int(best_id), int(np.rint(best * 1_000_000)))
+    return out
+
+
+def _ds(ids, mat, blocks=5):
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [row.tolist() for row in mat]})
+    return rd.from_pandas(df).repartition(blocks)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3, 8])
+@pytest.mark.parametrize("tau", [0.3, 0.95])
+def test_blocked_edges_equal_brute_force(ray_session, n_chunks, tau):
+    ids, mat = _corpus()
+    got = blocked_cosine_edges(_ds(ids, mat), "vec_id", "embedding",
+                               tau=tau, n_chunks=n_chunks).to_pandas()
+    got_t = sorted(zip(got["a"].astype("int64"),
+                       got["b"].astype("int64"),
+                       got["cos_us"].astype("int64")))
+    assert got_t == _brute_edges(ids, mat, tau)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 4, 7])
+def test_blocked_top1_equal_brute_force(ray_session, n_chunks):
+    ids, mat = _corpus(n=45)
+    got = blocked_top1(_ds(ids, mat), "vec_id", "embedding",
+                       n_chunks=n_chunks).to_pandas()
+    assert len(got) == len(ids)
+    want = _brute_top1(ids, mat)
+    for a, nn, cu in zip(got["a"].astype("int64"),
+                         got["nn"].astype("int64"),
+                         got["cos_us"].astype("int64")):
+        assert want[int(a)] == (int(nn), int(cu)), f"vec {a}"
+
+
+def test_chunk_of_is_deterministic_and_balanced():
+    keys = np.arange(100_000, dtype=np.int64)
+    c = _chunk_of(keys, 16)
+    assert (c == _chunk_of(keys, 16)).all()
+    counts = np.bincount(c, minlength=16)
+    assert counts.min() > 0.8 * counts.mean()
+    assert counts.max() < 1.2 * counts.mean()
+
+
+def test_blocked_edges_layout_invariant(ray_session):
+    """Output is byte-identical across input block layouts (the
+    flagship's determinism rule applied to the edge source)."""
+    ids, mat = _corpus(n=40)
+    a = blocked_cosine_edges(_ds(ids, mat, blocks=1), "vec_id",
+                             "embedding", tau=0.5).to_pandas()
+    b = blocked_cosine_edges(_ds(ids, mat, blocks=9), "vec_id",
+                             "embedding", tau=0.5).to_pandas()
+    key = ["a", "b", "cos_us"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key])
