@@ -82,16 +82,20 @@ def attribution_by_type(
 
     n_kinds = len(kinds)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        code = g["code"].to_numpy()
+    def per_group(g: pa.Table) -> pa.Table:
+        # Arrow-native group kernel (VERDICT r4 wrong#3): columns go
+        # straight to numpy, no pandas block construction per group
+        code = g["code"].to_numpy(zero_copy_only=False)
         pmask = code == -1
         out_cents = np.zeros(n_kinds + 1, np.int64)  # [-1] unattributed
         out_n = np.zeros(n_kinds + 1, np.int64)
         if pmask.any():
-            pts = g["ts_us"].to_numpy()[pmask]
-            pcents = g["cents"].to_numpy()[pmask]
-            tts = g["ts_us"].to_numpy()[~pmask]
-            tid = g["eid"].to_numpy()[~pmask]
+            ts_all = g["ts_us"].to_numpy(zero_copy_only=False)
+            cents_all = g["cents"].to_numpy(zero_copy_only=False)
+            pts = ts_all[pmask]
+            pcents = cents_all[pmask]
+            tts = ts_all[~pmask]
+            tid = g["eid"].to_numpy(zero_copy_only=False)[~pmask]
             tcode = code[~pmask]
             order = np.lexsort((tid, tts))
             tts, tcode = tts[order], tcode[order]
@@ -111,16 +115,17 @@ def attribution_by_type(
                 np.add.at(out_n, codes, 1)
                 # exactness invariant: shares reconstruct the cents
                 assert base * k + rem == c
-        return pd.DataFrame({
-            "kind": kinds + ["unattributed"],
-            "cents": out_cents[list(range(n_kinds)) + [-1]],
-            "n": out_n[list(range(n_kinds)) + [-1]],
+        sel = list(range(n_kinds)) + [-1]
+        return pa.table({
+            "kind": pa.array(kinds + ["unattributed"], pa.string()),
+            "cents": pa.array(out_cents[sel], pa.int64()),
+            "n": pa.array(out_n[sel], pa.int64()),
         })
 
     parts = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby([user_col, "bucket"])
-        .map_groups(per_group, batch_format="pandas")
+        .map_groups(per_group, batch_format="pyarrow")
         .to_pandas()
     )
     out = parts.groupby("kind", as_index=False).agg(
