@@ -399,23 +399,29 @@ def minhash_lsh_pairs_ds(
 
 def _lsh_band_rows(ds, key: str, text: str, *, n_perm: int, k_shingle: int,
                    n_bands: int):
-    """(key, band_id, band_hash) rows via the actor-pool MinHasher."""
+    """(key, band_id, band_hash) rows.
+
+    Round 5: STATELESS TASKS, not an actor pool. The MinHasher's only
+    per-worker state is the module-level ``_SEED_CACHE`` (128 seeds),
+    which plain-task worker processes hold just as well — and Ray
+    reuses those processes across Dataset executions within a session,
+    so the banding stage pays ZERO per-run spinup (an actor pool
+    starts ``default_pool_size()`` fresh actors on every invocation;
+    the warm run's actors are torn down before the timed run). The
+    actor-pool form (``MinHasher``) remains for equivalence tests.
+    batch_size history: splits single-block inputs (one parquet row
+    group -> one block) across workers instead of one giant batch;
+    2048 (was 512) quarters the task count — 625 round-trips were the
+    visible overhead on the x64 bench corpus (round 4, ~0.5 s at 16
+    CPUs)."""
+
+    def band_batch(t: pa.Table) -> pa.Table:
+        return MinHasher(key=key, text=text, n_perm=n_perm,
+                         k_shingle=k_shingle, n_bands=n_bands)(t)
+
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            key=key, text=text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
-        ),
+        band_batch,
         batch_format="pyarrow",
-        # CPU-adaptive fixed pool: a constant 2 silently capped the
-        # banding stage (the dedup family's compute) at 2 CPUs —
-        # measured as a 0.29 scaling efficiency before round 3.
-        # batch_size splits single-block inputs (one parquet row group
-        # -> one block) across the pool instead of one giant batch to
-        # one actor. 2048 (was 512) quarters the task count — 625
-        # actor round-trips became the visible overhead on the x64
-        # bench corpus (round 4, ~0.5 s at 16 CPUs) — while still
-        # giving every pool actor multiple waves at sf0.1.
-        concurrency=default_pool_size(),
         batch_size=2048,
     )
 
