@@ -3521,6 +3521,31 @@ def q_media_features(sf_dir: str):
                                      * np.arange(1700) / 8000.0), 8000,
                 mixed_blocks=True)
         payloads.append(v6)
+        # MPEG-1 audio (round 5): Layer I mono/stereo and Layer II on
+        # the table-a profile with two scfsi modes — the lossy-audio
+        # gap's derivable half closed (core.mpeg1audio; Layer III
+        # stays gated). Decoded in-pipeline with NO skip rows.
+        from ..core.mpeg1audio import (encode_mpeg1_layer1,
+                                       encode_mpeg1_layer2)
+
+        mt = np.arange(12000)
+        mclip = 0.35 * np.sin(2 * np.pi * (330 + 95 * j) * mt / 48000.0)
+        ids.append(n + 68 + j)
+        kinds.append("audio")
+        if j % 2 == 0:
+            payloads.append(encode_mpeg1_layer1(mclip, 48000))
+        else:
+            payloads.append(encode_mpeg1_layer1(
+                np.stack([mclip, -0.6 * mclip], axis=1), 48000))
+        ids.append(n + 72 + j)
+        kinds.append("audio")
+        if j < 2:
+            payloads.append(encode_mpeg1_layer2(mclip, 48000,
+                                                scfsi_mode=j))
+        else:
+            payloads.append(encode_mpeg1_layer2(
+                np.stack([mclip, 0.5 * mclip], axis=1), 48000,
+                scfsi_mode=j))
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each
         ids.append(n + 28 + j)

@@ -194,12 +194,16 @@ class AudioFeatures:
     WAVE_FORMAT_EXTENSIBLE), real FLAC via ``core.flac`` (all subframe
     types, Rice partitions, stereo decorrelation modes), real Ogg
     Vorbis via ``core.vorbis`` (self-describing codebooks, floor1,
-    residue 1/2, MDCT); mp3/aac honestly raise — their spec constant
-    tables are absent in this sandbox."""
+    residue 1/2, MDCT), real MPEG-1 Layer I/II via ``core.mpeg1audio``
+    (round 5 — spec-exact subband decode, PCM via the documented
+    substitute prototype; see that module's exactness notes); mp3
+    (Layer III)/aac still honestly raise — their Huffman spec tables
+    are absent in this sandbox."""
 
     def __init__(self):
         # bind once per actor
         from ..core.flac import decode_flac, is_flac
+        from ..core.mpeg1audio import decode_mpeg1_audio, is_mpeg_audio
         from ..core.vorbis import decode_vorbis, is_ogg
         from ..core.wav import decode_wav, is_wav
 
@@ -209,6 +213,8 @@ class AudioFeatures:
         self._is_flac = is_flac
         self._decode_vorbis = decode_vorbis
         self._is_ogg = is_ogg
+        self._decode_mpeg = decode_mpeg1_audio
+        self._is_mpeg = is_mpeg_audio
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, rates, ns, durs, rms_out, peaks = [], [], [], [], [], []
@@ -227,11 +233,14 @@ class AudioFeatures:
                 rate, _ch, samples = self._decode_flac(payload)
             elif self._is_ogg(payload):
                 rate, _ch, samples = self._decode_vorbis(payload)
+            elif self._is_mpeg(payload):
+                rate, _ch, samples = self._decode_mpeg(payload)
             else:
                 raise NotImplementedError(
-                    "mp3/aac decode requires codec spec tables absent in "
-                    "this sandbox; AUD1 synthetic, stdlib-WAV, stdlib-FLAC "
-                    "and stdlib-Ogg-Vorbis payloads are supported"
+                    "mp3 (Layer III)/aac decode requires Huffman spec "
+                    "tables absent in this sandbox; AUD1 synthetic, WAV, "
+                    "FLAC, Ogg-Vorbis and MPEG-1 Layer I/II payloads are "
+                    "supported"
                 )
             mono = samples.mean(axis=1)
             ids.append(mid)
