@@ -4401,7 +4401,13 @@ def q_events_dau_wau_hll(sf_dir: str):
 
 EMB_TRI_TAU = 0.3
 EMB_TRI_NODE_LIMIT = 4_000
-EMB_TRI_EDGE_LIMIT = 2_000_000
+# raised 10x in round 5: with the broadcast corpus matrix gone, the
+# edge fold is the ONLY driver materialization left in this family —
+# 20M (a, b) int64 pairs is 320 MB against the 128 GB driver heap,
+# and the peel/census algorithms are O(edges) numpy. The distributed
+# escape hatch (node-iterator MapReduce census / degree-filter
+# iterations) stays documented in each consumer.
+EMB_TRI_EDGE_LIMIT = 20_000_000
 EMB_TRI_CHUNKS = 8
 
 

@@ -237,10 +237,10 @@ class AudioFeatures:
                 rate, _ch, samples = self._decode_mpeg(payload)
             else:
                 raise NotImplementedError(
-                    "mp3 (Layer III)/aac decode requires Huffman spec "
-                    "tables absent in this sandbox; AUD1 synthetic, WAV, "
-                    "FLAC, Ogg-Vorbis and MPEG-1 Layer I/II payloads are "
-                    "supported"
+                    "mp3 (Layer III)/aac decode requires codec Huffman "
+                    "spec tables absent in this sandbox; AUD1 synthetic, "
+                    "WAV, FLAC, Ogg-Vorbis and MPEG-1 Layer I/II payloads "
+                    "are supported"
                 )
             mono = samples.mean(axis=1)
             ids.append(mid)
