@@ -399,29 +399,31 @@ def minhash_lsh_pairs_ds(
 
 def _lsh_band_rows(ds, key: str, text: str, *, n_perm: int, k_shingle: int,
                    n_bands: int):
-    """(key, band_id, band_hash) rows.
+    """(key, band_id, band_hash) rows via the actor-pool MinHasher.
 
-    Round 5: STATELESS TASKS, not an actor pool. The MinHasher's only
-    per-worker state is the module-level ``_SEED_CACHE`` (128 seeds),
-    which plain-task worker processes hold just as well — and Ray
-    reuses those processes across Dataset executions within a session,
-    so the banding stage pays ZERO per-run spinup (an actor pool
-    starts ``default_pool_size()`` fresh actors on every invocation;
-    the warm run's actors are torn down before the timed run). The
-    actor-pool form (``MinHasher``) remains for equivalence tests.
-    batch_size history: splits single-block inputs (one parquet row
-    group -> one block) across workers instead of one giant batch;
-    2048 (was 512) quarters the task count — 625 round-trips were the
-    visible overhead on the x64 bench corpus (round 4, ~0.5 s at 16
-    CPUs)."""
+    MEASURED DEAD END (round 5): a stateless-TASK variant (plain
+    function map_batches, seed cache per worker process, zero actor
+    spinup) was neutral at 16 CPUs (13-14 s on the x64 bench corpus)
+    but a 2x REGRESSION at 4 CPUs — 69-71 s vs the actor pool's
+    34.8 s, back-to-back A/B on a quiet host. Task maps are fusible
+    into the downstream sort-groupby's map phase, which strangles the
+    banding stage's parallelism exactly when CPUs are scarce; the
+    actor pool forms its own fusion barrier with a dedicated fixed
+    pool. Keep the pool.
 
-    def band_batch(t: pa.Table) -> pa.Table:
-        return MinHasher(key=key, text=text, n_perm=n_perm,
-                         k_shingle=k_shingle, n_bands=n_bands)(t)
-
+    Pool history: a constant concurrency=2 silently capped the
+    banding stage at 2 CPUs (0.29 scaling efficiency pre-round-3).
+    batch_size splits single-block inputs (one parquet row group ->
+    one block) across the pool; 2048 (was 512) quarters the task
+    count — 625 actor round-trips were the visible overhead on the
+    x64 bench corpus (round 4, ~0.5 s at 16 CPUs)."""
     return ds.map_batches(
-        band_batch,
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            key=key, text=text, n_perm=n_perm, k_shingle=k_shingle, n_bands=n_bands
+        ),
         batch_format="pyarrow",
+        concurrency=default_pool_size(),
         batch_size=2048,
     )
 
