@@ -50,6 +50,21 @@ def _lookup_int64(keys: np.ndarray, mapping: dict) -> np.ndarray:
     return out
 
 
+def _lookup_float64(keys: np.ndarray, mapping: dict) -> np.ndarray:
+    """Float twin of :func:`_lookup_int64` — NaN sentinel + loud
+    KeyError on any key absent from the driver-side map."""
+    out = np.full(len(keys), np.nan, np.float64)
+    hit = np.zeros(len(keys), bool)
+    for k, v in mapping.items():
+        m = keys == k
+        out[m] = v
+        hit |= m
+    if not hit.all():
+        missing = sorted(set(np.asarray(keys)[~hit].tolist()))[:5]
+        raise KeyError(f"group keys missing from driver map: {missing}")
+    return out
+
+
 def driver_grouped_agg(ds, group_cols: list[str], named_aggs: dict, *,
                        batch_format: str = "pyarrow",
                        max_partial_rows: int = 2_000_000):
@@ -1528,9 +1543,7 @@ def q_events_value_mad(sf_dir: str):
     def absdev(t: pa.Table) -> pa.Table:
         types = t["event_type"].to_numpy(zero_copy_only=False)
         v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        m = np.empty(len(v), np.float64)
-        for et, mv in med.items():
-            m[types == et] = mv
+        m = _lookup_float64(types, med)
         return pa.table({"event_type": t["event_type"],
                          "dev": pa.array(np.abs(v - m), pa.float64())})
 
