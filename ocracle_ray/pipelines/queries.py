@@ -8074,11 +8074,35 @@ def q_emb_kcore(sf_dir: str):
     exact (the textrank/HITS generated-oracle precedent applied to
     an iterate-to-fixpoint).
     Shape: edges from the shared `_emb_threshold_edges` distributed
-    builder (broadcast matmul per batch); the peel itself is a
-    driver fold behind the node/edge guards — the 100-TB path is
-    the same rule as distributed degree-filter iterations
-    (groupby(node).count → is_in filter per round)."""
-    a, b = _emb_threshold_edges(sf_dir)
+    builder (blocked chunk-pair all-pairs); the peel itself is a
+    driver fold behind the node/edge guards, and past them it
+    DISPATCHES to the fully distributed degree-filter lane
+    (`stages.simgraph.kcore_census_distributed` — one degree groupby
+    per round over the materialized edge Dataset, broadcast alive
+    set, driver holds O(alive) ids; round 5 implemented the escape
+    hatch the r4 docstring only documented). `GRAFT_KCORE_DISTRIBUTED=1`
+    forces the distributed lane; equivalence pinned in
+    tests/test_simgraph.py."""
+    from ..stages.simgraph import blocked_cosine_edges, \
+        kcore_census_distributed
+
+    if os.environ.get("GRAFT_KCORE_DISTRIBUTED") == "1":
+        edges = blocked_cosine_edges(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=EMB_TRI_TAU,
+            n_chunks=EMB_TRI_CHUNKS)
+        return kcore_census_distributed(edges, k=KCORE_K,
+                                        rounds=KCORE_ROUNDS)
+    try:
+        a, b = _emb_threshold_edges(sf_dir)
+    except RuntimeError:
+        # edge fold past the guard: the 100-TB distributed peel
+        edges = blocked_cosine_edges(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=EMB_TRI_TAU,
+            n_chunks=EMB_TRI_CHUNKS)
+        return kcore_census_distributed(edges, k=KCORE_K,
+                                        rounds=KCORE_ROUNDS)
     nodes = np.unique(np.concatenate([a, b]))
     if len(nodes) > EMB_TRI_NODE_LIMIT:
         raise RuntimeError(

@@ -211,3 +211,73 @@ def blocked_top1(ds, key: str, emb: str, *, n_chunks: int = 8):
     )
     return partials.groupby("a").map_groups(
         fold_best, batch_format="pyarrow")
+
+
+def kcore_census_distributed(edges_ds, *, k: int, rounds: int):
+    """Distributed k-core peel over an EDGE DATASET — the escape hatch
+    the driver-fold `q_emb_kcore` documents for corpora past the edge
+    guard. Each round is one degree groupby over the (materialized)
+    edges plus a broadcast alive-set filter; the driver only ever
+    holds O(alive nodes) int64 ids (never edges, never texts).
+
+    Semantics mirror the driver peel EXACTLY: simultaneous removal of
+    every node whose degree among SURVIVING edges is < k, census rows
+    (rnd, n_alive, id_xor) for rounds 0..rounds, loud failure if the
+    peel has not reached fixpoint by ``rounds``.
+    """
+    import pandas as pd
+    import ray
+
+    from ..broadcast import cached_get
+
+    edges_ds = edges_ds.select_columns(["a", "b"]).materialize()
+
+    def degrees(alive_ref):
+        def partial(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            if alive_ref is not None:
+                alive = cached_get(alive_ref)  # sorted int64 array
+                keep = np.isin(a, alive) & np.isin(b, alive)
+                a, b = a[keep], b[keep]
+            v = np.concatenate([a, b])
+            ids, cnt = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(ids, pa.int64()),
+                             "d": pa.array(cnt, pa.int64())})
+
+        return (
+            edges_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .sum("d")
+        )
+
+    # round 0: every touched node is alive
+    deg0 = degrees(None).to_pandas()
+    alive = np.sort(deg0["v"].to_numpy(np.int64))
+
+    def census(rnd: int, nodes: np.ndarray) -> dict:
+        x = int(np.bitwise_xor.reduce(nodes)) if len(nodes) else 0
+        return {"rnd": rnd, "n_alive": int(len(nodes)), "id_xor": x}
+
+    rows = [census(0, alive)]
+    converged = False
+    for r in range(1, rounds + 1):
+        if converged:
+            rows.append(census(r, alive))
+            continue
+        ref = ray.put(alive)
+        deg = degrees(ref).to_pandas()
+        keep = deg[deg["sum(d)"] >= k]
+        new_alive = np.sort(keep["v"].to_numpy(np.int64))
+        # alive & deg>=k: nodes absent from deg have degree 0 < k
+        new_alive = new_alive[np.isin(new_alive, alive)]
+        rows.append(census(r, new_alive))
+        converged = len(new_alive) == len(alive) and \
+            bool((new_alive == alive).all())
+        alive = new_alive
+    if not converged:
+        raise RuntimeError(
+            f"kcore_census_distributed: no fixpoint within {rounds} "
+            f"rounds — raise the round budget (the oracle unroll must "
+            f"grow with it)")
+    return pd.DataFrame(rows).astype("int64")

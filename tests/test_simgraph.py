@@ -91,6 +91,58 @@ def test_chunk_of_is_deterministic_and_balanced():
     assert counts.max() < 1.2 * counts.mean()
 
 
+def test_kcore_distributed_equals_driver_peel(ray_session):
+    """The distributed degree-filter peel must reproduce the driver
+    fold's full census trajectory (incl. membership XOR per round)
+    on a graph engineered to peel over several rounds."""
+    from ocracle_ray.stages.simgraph import kcore_census_distributed
+
+    # path-cube (i ~ i+1, i+2, i+3): at k=4 the ends have degree 3 and
+    # peel; each removal drops the next node below 4 → the erosion
+    # cascades inward one layer per round. A 6-clique core survives.
+    edges = []
+    m = 10
+    for i in range(m):
+        for d in (1, 2, 3):
+            if i + d < m:
+                edges.append((i, i + d))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.append((100 + i, 100 + j))
+    edges.append((m - 1, 100))
+    a = np.array([e[0] for e in edges], np.int64)
+    b = np.array([e[1] for e in edges], np.int64)
+
+    k, rounds = 4, 12
+    # driver peel (the q_emb_kcore fold, re-derived)
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    alive = np.ones(len(nodes), bool)
+
+    def census(rnd, mask):
+        ids = nodes[mask]
+        return {"rnd": rnd, "n_alive": int(mask.sum()),
+                "id_xor": int(np.bitwise_xor.reduce(ids)) if len(ids)
+                else 0}
+
+    want = [census(0, alive)]
+    for r in range(1, rounds + 1):
+        keep = alive[ai] & alive[bi]
+        deg = np.zeros(len(nodes), np.int64)
+        np.add.at(deg, ai[keep], 1)
+        np.add.at(deg, bi[keep], 1)
+        alive = alive & (deg >= k)
+        want.append(census(r, alive))
+    want_df = pd.DataFrame(want).astype("int64")
+    assert want_df["n_alive"].nunique() > 3  # multi-round peel
+
+    edges_ds = rd.from_pandas(
+        pd.DataFrame({"a": a, "b": b})).repartition(4)
+    got = kcore_census_distributed(edges_ds, k=k, rounds=rounds)
+    pd.testing.assert_frame_equal(got, want_df)
+
+
 def test_blocked_edges_layout_invariant(ray_session):
     """Output is byte-identical across input block layouts (the
     flagship's determinism rule applied to the edge source)."""
