@@ -5228,14 +5228,33 @@ def q_emb_graph_bfs(sf_dir: str):
     ("how much of the near-dup graph does one hub touch in k hops?").
     Edges come from the shared `_emb_threshold_edges` distributed
     pass; each BFS level is ONE packed-bitword OR/ANDNOT over the
-    frontier rows — no per-node Python. Oracle: seed + every level
-    re-derived relationally from the identical edge rule."""
-    a, b = _emb_threshold_edges(sf_dir)
+    frontier rows — no per-node Python. Past the node/edge guards (or
+    under GRAFT_GRAPH_DISTRIBUTED=1) it dispatches to the distributed
+    frontier-join lane (`stages.simgraph.bfs_hop_census_distributed`
+    — broadcast frontier, per-hop map over the edge Dataset, driver
+    holds O(visited) ids; round 5 implemented the documented escape
+    hatch, equivalence in tests/test_simgraph.py). Oracle: seed +
+    every level re-derived relationally from the identical edge
+    rule."""
+    def _distributed():
+        from ..stages.simgraph import (blocked_cosine_edges,
+                                       bfs_hop_census_distributed)
+
+        edges = blocked_cosine_edges(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=EMB_TRI_TAU,
+            n_chunks=EMB_TRI_CHUNKS)
+        return bfs_hop_census_distributed(edges, hops=BFS_HOPS)
+
+    if os.environ.get("GRAFT_GRAPH_DISTRIBUTED") == "1":
+        return _distributed()
+    try:
+        a, b = _emb_threshold_edges(sf_dir)
+    except RuntimeError:
+        return _distributed()
     nodes = np.unique(np.concatenate([a, b]))
     if len(nodes) > EMB_TRI_NODE_LIMIT:
-        raise RuntimeError(
-            f"emb_graph_bfs: {len(nodes)} nodes exceed "
-            f"{EMB_TRI_NODE_LIMIT}; use a distributed frontier join")
+        return _distributed()
     m = len(nodes)
     ai = np.searchsorted(nodes, a)
     bi = np.searchsorted(nodes, b)
@@ -6061,19 +6080,42 @@ def q_emb_label_propagation(sf_dir: str):
     each non-seed takes the mode of its neighbors' current labels
     (unlabeled neighbors abstain, ties break to the smallest label,
     no labeled neighbor ⇒ stays −1). Edges come from the shared
-    `_emb_threshold_edges` distributed builder (broadcast matmul per
-    batch, loud-guarded fold — at 100 TB the rounds become the
-    groupby-mode form over an LSH-derived edge Dataset). Rounds are
-    numpy run-length modes over the guarded edge arrays; the oracle
-    unrolls both rounds relationally."""
-    a, b = _emb_threshold_edges(sf_dir)
+    `_emb_threshold_edges` distributed builder (blocked chunk-pair
+    all-pairs, loud-guarded fold); past the guard — or under
+    GRAFT_GRAPH_DISTRIBUTED=1 — the rounds run as the distributed
+    groupby-mode form (`stages.simgraph.lpa_rounds_distributed`,
+    round 5: the documented escape hatch implemented; identical vote
+    rule, equivalence in tests/test_simgraph.py). Rounds are numpy
+    run-length modes over the guarded edge arrays; the oracle unrolls
+    both rounds relationally."""
     emb = (_read(sf_dir, "embeddings", ["vec_id", "label"])
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     vids = emb["vec_id"].to_numpy(np.int64)
     labs = emb["label"].to_numpy(np.int64)
     seed = (vids % 5) == 0
-    cur = _lpa_propagate(vids, np.where(seed, labs, np.int64(-1)),
-                         seed, a, b, LPA_ROUNDS)
+
+    def _distributed():
+        from ..stages.simgraph import (blocked_cosine_edges,
+                                       lpa_rounds_distributed)
+
+        edges = blocked_cosine_edges(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=EMB_TRI_TAU,
+            n_chunks=EMB_TRI_CHUNKS)
+        return lpa_rounds_distributed(
+            vids, np.where(seed, labs, np.int64(-1)), seed, edges,
+            rounds=LPA_ROUNDS)
+
+    if os.environ.get("GRAFT_GRAPH_DISTRIBUTED") == "1":
+        cur = _distributed()
+    else:
+        try:
+            a, b = _emb_threshold_edges(sf_dir)
+            cur = _lpa_propagate(
+                vids, np.where(seed, labs, np.int64(-1)), seed, a, b,
+                LPA_ROUNDS)
+        except RuntimeError:
+            cur = _distributed()
     lab_u, lab_n = np.unique(cur, return_counts=True)
     return pd.DataFrame({"label": lab_u.astype("int64"),
                          "n_nodes": lab_n.astype("int64")})

@@ -213,6 +213,121 @@ def blocked_top1(ds, key: str, emb: str, *, n_chunks: int = 8):
         fold_best, batch_format="pyarrow")
 
 
+def bfs_hop_census_distributed(edges_ds, *, hops: int):
+    """Distributed hop-census BFS from the max-degree node (tie:
+    smallest id) — the escape hatch for `q_emb_graph_bfs` past the
+    dense-bitset node guard. Per hop: broadcast the frontier/visited
+    id arrays, one map pass over the materialized edge Dataset
+    emitting per-batch unique new neighbors, driver union. Driver
+    state is O(visited nodes); edges never leave the cluster.
+    Output matches the driver lane: (hop, seed_vec_id, n_new,
+    n_reached) for hops 1..hops."""
+    import pandas as pd
+    import ray
+
+    from ..broadcast import cached_get
+
+    edges_ds = edges_ds.select_columns(["a", "b"]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])
+        ids, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(ids, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("v").sum("d").to_pandas())
+    deg = deg.sort_values(["sum(d)", "v"],
+                          ascending=[False, True])
+    seed = int(deg["v"].iloc[0])
+
+    visited = np.array([seed], np.int64)
+    frontier = visited
+    rows = []
+    for hop in range(1, hops + 1):
+        ref = ray.put((np.sort(frontier), np.sort(visited)))
+
+        def new_nodes(t: pa.Table) -> pa.Table:
+            fr, vis = cached_get(ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            out = np.concatenate([b[np.isin(a, fr)],
+                                  a[np.isin(b, fr)]])
+            out = np.unique(out)
+            out = out[~np.isin(out, vis)]
+            return pa.table({"v": pa.array(out, pa.int64())})
+
+        parts = edges_ds.map_batches(
+            new_nodes, batch_format="pyarrow").to_pandas()
+        frontier = np.unique(parts["v"].to_numpy(np.int64)) \
+            if len(parts) else np.array([], np.int64)
+        visited = np.union1d(visited, frontier)
+        rows.append({"hop": hop, "n_new": int(len(frontier)),
+                     "n_reached": int(len(visited)) - 1})
+    out = pd.DataFrame(rows)
+    out["seed_vec_id"] = seed
+    return out[["hop", "seed_vec_id", "n_new", "n_reached"]].astype(
+        "int64")
+
+
+def lpa_rounds_distributed(vids: np.ndarray, init_labels: np.ndarray,
+                           seed_mask: np.ndarray, edges_ds, *,
+                           rounds: int) -> np.ndarray:
+    """Distributed synchronous seed-clamped label propagation — the
+    groupby-mode form of `_lpa_propagate` (the escape hatch
+    `q_emb_label_propagation` documents). Per round: broadcast the
+    O(nodes) label state, one map pass over the materialized edge
+    Dataset emitting per-batch (target, label) vote partials, a
+    distributed groupby sum, then the driver resolves each target's
+    mode under the exact driver-lane rule (count DESC, label ASC).
+    Driver state is O(nodes) + O(distinct (node, label)) vote rows —
+    never edges."""
+    import ray
+
+    from ..broadcast import cached_get
+
+    edges_ds = edges_ds.select_columns(["a", "b"]).materialize()
+    vids = np.asarray(vids, np.int64)
+    cur = np.asarray(init_labels, np.int64).copy()
+    seed = np.asarray(seed_mask, bool)
+    n = len(vids)
+    for _ in range(rounds):
+        ref = ray.put((vids, cur))
+
+        def votes(t: pa.Table) -> pa.Table:
+            ids, labels = cached_get(ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            la = labels[np.searchsorted(ids, a)]
+            lb = labels[np.searchsorted(ids, b)]
+            tgt = np.concatenate([b[la != -1], a[lb != -1]])
+            lab = np.concatenate([la[la != -1], lb[lb != -1]])
+            g = pa.table({"tgt": pa.array(tgt, pa.int64()),
+                          "lab": pa.array(lab, pa.int64())}) \
+                .group_by(["tgt", "lab"], use_threads=False) \
+                .aggregate([([], "count_all")])
+            return g.rename_columns(["tgt", "lab", "c"])
+
+        agg = (edges_ds.map_batches(votes, batch_format="pyarrow")
+               .groupby(["tgt", "lab"]).sum("c").to_pandas())
+        upd = np.full(n, -1, np.int64)
+        if len(agg):
+            rt = np.searchsorted(vids, agg["tgt"].to_numpy(np.int64))
+            rl = agg["lab"].to_numpy(np.int64)
+            counts = agg["sum(c)"].to_numpy(np.int64)
+            o2 = np.lexsort((rl, -counts, rt))
+            rt2, rl2 = rt[o2], rl[o2]
+            first = np.ones(len(rt2), bool)
+            first[1:] = rt2[1:] != rt2[:-1]
+            upd[rt2[first]] = rl2[first]
+        nxt = cur.copy()
+        nxt[~seed] = upd[~seed]
+        cur = nxt
+    return cur
+
+
 def kcore_census_distributed(edges_ds, *, k: int, rounds: int):
     """Distributed k-core peel over an EDGE DATASET — the escape hatch
     the driver-fold `q_emb_kcore` documents for corpora past the edge

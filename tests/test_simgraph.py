@@ -143,6 +143,60 @@ def test_kcore_distributed_equals_driver_peel(ray_session):
     pd.testing.assert_frame_equal(got, want_df)
 
 
+def test_bfs_distributed_matches_driver_query(ray_session):
+    """Distributed frontier-join BFS == the driver bitset lane, via
+    the real query at sf0.001 under the force flag."""
+    import os
+
+    from ocracle_ray.pipelines.queries import q_emb_graph_bfs
+
+    want = q_emb_graph_bfs("/root/testdata/sf0.001")
+    os.environ["GRAFT_GRAPH_DISTRIBUTED"] = "1"
+    try:
+        got = q_emb_graph_bfs("/root/testdata/sf0.001")
+    finally:
+        del os.environ["GRAFT_GRAPH_DISTRIBUTED"]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_lpa_distributed_matches_driver_query(ray_session):
+    import os
+
+    from ocracle_ray.pipelines.queries import q_emb_label_propagation
+
+    want = q_emb_label_propagation("/root/testdata/sf0.001")
+    os.environ["GRAFT_GRAPH_DISTRIBUTED"] = "1"
+    try:
+        got = q_emb_label_propagation("/root/testdata/sf0.001")
+    finally:
+        del os.environ["GRAFT_GRAPH_DISTRIBUTED"]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_lpa_distributed_vote_rule_on_engineered_ties(ray_session):
+    """The distributed groupby-mode must reproduce _lpa_propagate's
+    exact tie rule (count DESC, label ASC; abstaining -1 neighbors;
+    isolated non-seeds -> -1) on a crafted tie graph."""
+    from ocracle_ray.pipelines.queries import _lpa_propagate
+    from ocracle_ray.stages.simgraph import lpa_rounds_distributed
+
+    vids = np.arange(10, dtype=np.int64) * 3  # sparse ids
+    # node 0,1 seeds with labels 7 and 2; node 2 neighbors both (tie
+    # -> smaller label 2); node 3 chain; node 9 isolated
+    seed = np.zeros(10, bool)
+    seed[[0, 1]] = True
+    labs = np.full(10, -1, np.int64)
+    labs[0], labs[1] = 7, 2
+    edges = [(0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (0, 6), (6, 7)]
+    a = np.array([vids[x] for x, _ in edges], np.int64)
+    b = np.array([vids[y] for _, y in edges], np.int64)
+    want = _lpa_propagate(vids, labs, seed, a, b, 3)
+    edges_ds = rd.from_pandas(
+        pd.DataFrame({"a": a, "b": b})).repartition(3)
+    got = lpa_rounds_distributed(vids, labs, seed, edges_ds, rounds=3)
+    assert np.array_equal(got, want)
+
+
 def test_blocked_edges_layout_invariant(ray_session):
     """Output is byte-identical across input block layouts (the
     flagship's determinism rule applied to the edge source)."""
