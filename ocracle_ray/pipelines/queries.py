@@ -4470,17 +4470,30 @@ def q_emb_similarity_triangles(sf_dir: str):
     once, one matmul per batch); the edge fold and the A@A*A triangle
     count are driver-side behind node/edge guards (the scale path is
     the node-iterator MapReduce algorithm — Suri/Vassilvitskii 2011).
-    Input materialized inside `_emb_threshold_edges` — unmaterialized,
-    the read lineage re-executed per consumer (10.7 s -> 3.4 s at
-    sf0.1)."""
-    a, b = _emb_threshold_edges(sf_dir)
+    Past the node/edge guards — or under GRAFT_GRAPH_DISTRIBUTED=1 —
+    the census dispatches to the node-iterator MapReduce form
+    (`stages.simgraph.triangle_census_distributed`, Suri &
+    Vassilvitskii 2011; round 5 implemented the documented escape
+    hatch — equivalence in tests/test_simgraph.py)."""
+    def _distributed():
+        from ..stages.simgraph import (blocked_cosine_edges,
+                                       triangle_census_distributed)
+
+        edges = blocked_cosine_edges(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            "vec_id", "embedding", tau=EMB_TRI_TAU,
+            n_chunks=EMB_TRI_CHUNKS)
+        return triangle_census_distributed(edges)
+
+    if os.environ.get("GRAFT_GRAPH_DISTRIBUTED") == "1":
+        return _distributed()
+    try:
+        a, b = _emb_threshold_edges(sf_dir)
+    except RuntimeError:
+        return _distributed()
     nodes = np.unique(np.concatenate([a, b]))
     if len(nodes) > EMB_TRI_NODE_LIMIT:
-        raise RuntimeError(
-            f"emb_similarity_triangles: {len(nodes)} touched nodes "
-            f"exceed the dense-adjacency limit {EMB_TRI_NODE_LIMIT}; "
-            f"use the node-iterator MapReduce form"
-        )
+        return _distributed()
     m = len(nodes)
     ai = np.searchsorted(nodes, a)
     bi = np.searchsorted(nodes, b)

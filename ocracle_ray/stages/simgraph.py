@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _KNUTH = np.uint64(2654435761)
 _MASK32 = np.uint64(0xFFFFFFFF)
@@ -326,6 +327,102 @@ def lpa_rounds_distributed(vids: np.ndarray, init_labels: np.ndarray,
         nxt[~seed] = upd[~seed]
         cur = nxt
     return cur
+
+
+def triangle_census_distributed(edges_ds):
+    """Distributed triangle census — the node-iterator MapReduce
+    algorithm (Suri & Vassilvitskii 2011), the escape hatch for
+    `q_emb_similarity_triangles` past the dense-bitset node guard:
+
+    1. adjacency rows (v, u) both directions, one groupby(v) pass
+       emits each node's open wedges (u < w over its neighbor list —
+       the inherent Σ deg² cost of an exact census);
+    2. wedge multiplicities + the edge set fold in ONE further
+       groupby over the (u, w) pair key: a pair's wedge count joins
+       the census iff the pair is itself an edge — each triangle
+       matches at exactly its 3 centers, so n_triangles = matches/3;
+    3. n_nodes / n_edges / n_wedges come from the degree groupby
+       (driver holds one int64 row per node, never edges or wedges).
+
+    Output row matches the driver lane exactly: (n_nodes, n_edges,
+    n_triangles, n_wedges, global_cc_ppm)."""
+    import pandas as pd
+
+    edges_ds = edges_ds.select_columns(["a", "b"]).materialize()
+    n_edges = edges_ds.count()
+
+    def adj(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "v": pa.array(np.concatenate([a, b]), pa.int64()),
+            "u": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    def wedges(g: pa.Table) -> pa.Table:
+        nb = np.unique(g["u"].to_numpy(zero_copy_only=False))
+        if len(nb) < 2:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(nb), k=1)
+        return pa.table({"u": pa.array(nb[ii], pa.int64()),
+                         "w": pa.array(nb[jj], pa.int64())})
+
+    wedge_rows = (
+        edges_ds.map_batches(adj, batch_format="pyarrow")
+        .groupby("v")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "w"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        g = g.rename_columns(["u", "w", "wc"])
+        return g.append_column(
+            "is_edge", pa.array(np.zeros(g.num_rows, np.int64)))
+
+    def edge_marker(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t["a"], "w": t["b"],
+            "wc": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_edge": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    tagged = wedge_rows.map_batches(
+        wedge_partial, batch_format="pyarrow"
+    ).union(edges_ds.map_batches(edge_marker, batch_format="pyarrow"))
+
+    def matches(g: pa.Table) -> pa.Table:
+        has_edge = int(pc.sum(g["is_edge"]).as_py() or 0) > 0
+        wc = int(pc.sum(g["wc"]).as_py() or 0)
+        return pa.table({
+            "m": pa.array([wc if has_edge else 0], pa.int64())})
+
+    total = 0
+    for b in (tagged.groupby(["u", "w"])
+              .map_groups(matches, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        total += int(pc.sum(b["m"]).as_py() or 0)
+    tri = total // 3
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])
+        ids, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(ids, pa.int64()),
+                         "d": pa.array(cnt, pa.int64())})
+
+    deg = (edges_ds.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("v").sum("d").to_pandas())
+    d = deg["sum(d)"].to_numpy(np.int64)
+    wedges_n = int((d * (d - 1) // 2).sum())
+    return pd.DataFrame([{
+        "n_nodes": int(len(deg)), "n_edges": int(n_edges),
+        "n_triangles": int(tri), "n_wedges": wedges_n,
+        "global_cc_ppm": 3 * tri * 1_000_000 // wedges_n
+        if wedges_n else 0,
+    }]).astype("int64")
 
 
 def kcore_census_distributed(edges_ds, *, k: int, rounds: int):

@@ -197,6 +197,47 @@ def test_lpa_distributed_vote_rule_on_engineered_ties(ray_session):
     assert np.array_equal(got, want)
 
 
+def test_triangles_distributed_matches_driver_query(ray_session):
+    import os
+
+    from ocracle_ray.pipelines.queries import q_emb_similarity_triangles
+
+    want = q_emb_similarity_triangles("/root/testdata/sf0.001")
+    os.environ["GRAFT_GRAPH_DISTRIBUTED"] = "1"
+    try:
+        got = q_emb_similarity_triangles("/root/testdata/sf0.001")
+    finally:
+        del os.environ["GRAFT_GRAPH_DISTRIBUTED"]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_triangles_distributed_known_graph(ray_session):
+    """Node-iterator census on a hand-countable graph: K4 (4
+    triangles) + a C5 (0) + one extra chord on the C5 (1)."""
+    from ocracle_ray.stages.simgraph import triangle_census_distributed
+
+    edges = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            edges.append((i, j))          # K4: 4 triangles, 6 edges
+    cyc = [10, 11, 12, 13, 14]
+    for i in range(5):
+        edges.append((cyc[i], cyc[(i + 1) % 5]))  # C5: 0 triangles
+    edges.append((10, 12))                # chord -> exactly 1 triangle
+    a = np.array([min(e) for e in edges], np.int64)
+    b = np.array([max(e) for e in edges], np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"a": a, "b": b})).repartition(3)
+    got = triangle_census_distributed(ds)
+    assert got["n_nodes"].iloc[0] == 9
+    assert got["n_edges"].iloc[0] == len(edges)
+    assert got["n_triangles"].iloc[0] == 5
+    deg = np.zeros(20, np.int64)
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    assert got["n_wedges"].iloc[0] == int((deg * (deg - 1) // 2).sum())
+
+
 def test_blocked_edges_layout_invariant(ray_session):
     """Output is byte-identical across input block layouts (the
     flagship's determinism rule applied to the edge source)."""
