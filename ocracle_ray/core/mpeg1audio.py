@@ -529,11 +529,12 @@ def _quant(s: float, levels: int, nb: int, c: float, d: float,
     return max(0, min(levels - 1, code))
 
 
-def _header_word(layer: int, br_idx: int, sr_idx: int, mode: int) -> int:
+def _header_word(layer: int, br_idx: int, sr_idx: int, mode: int,
+                 mode_ext: int = 0) -> int:
     return ((0x7FF << 21) | (3 << 19)
             | ((3 if layer == 1 else 2) << 17) | (1 << 16)  # no CRC
             | (br_idx << 12) | (sr_idx << 10) | (0 << 9)
-            | (mode << 6))
+            | (mode << 6) | (mode_ext << 4))
 
 
 def encode_mpeg1_layer1(samples: np.ndarray, rate: int) -> bytes:
@@ -595,19 +596,33 @@ def encode_mpeg1_layer1(samples: np.ndarray, rate: int) -> bytes:
 
 
 def encode_mpeg1_layer2(samples: np.ndarray, rate: int = 48000,
-                        scfsi_mode: int = 0) -> bytes:
+                        scfsi_mode: int = 0,
+                        joint_bound: int | None = None) -> bytes:
     """Fixture encoder: PCM → Layer II bitstream on the table-a
     profile (48 kHz, ≥56 kbit/s/ch). Allocation exercises grouped
     (3/5-level) and non-grouped classes: sb 0-2 → 31 levels, 3-10 →
     5 levels (grouped), 11-22 → 3 levels (grouped), 23-26 → 5
-    levels."""
+    levels. ``joint_bound`` ∈ {4, 8, 12, 16} emits intensity joint
+    stereo: above the bound allocation + sample codes are written
+    ONCE (from channel 0) and only scalefactors stay per channel —
+    the shared-subband decoder path."""
     if rate != 48000:
         raise ValueError("fixture encoder pins the 48 kHz table-a row")
     if samples.ndim == 1:
         samples = samples[:, None]
     ch = samples.shape[1]
     sr_idx = SAMPLE_RATES.index(rate)
-    mode = 3 if ch == 1 else 0
+    mode_ext = 0
+    if joint_bound is not None:
+        if ch != 2 or joint_bound not in (4, 8, 12, 16):
+            raise ValueError("joint_bound needs stereo input and a "
+                             "bound in {4, 8, 12, 16}")
+        mode = 1
+        mode_ext = joint_bound // 4 - 1
+        bound = joint_bound
+    else:
+        mode = 3 if ch == 1 else 0
+        bound = 32
     sblimit = 27
     rows = _l2_alloc_rows(sblimit)
     plan = {}
@@ -621,13 +636,15 @@ def encode_mpeg1_layer2(samples: np.ndarray, rate: int = 48000,
         else:
             plan[sb] = rows[sb][1].index(5) + 1
     # bit budget: header + alloc + scfsi + sfs (worst case 3) + samples
+    # (above a joint bound, alloc + samples are written once)
     need = 32
     for sb in range(sblimit):
-        need += rows[sb][0] * ch + 2 * ch + 18 * ch
+        nch = ch if sb < bound else 1
+        need += rows[sb][0] * nch + 2 * ch + 18 * ch
         levels = rows[sb][1][plan[sb] - 1]
         nb, grouped, _, _ = _class_of(levels)
         per3 = {3: 5, 5: 7, 9: 10}[levels] if grouped else 3 * nb
-        need += 12 * per3 * ch
+        need += 12 * per3 * nch
     br_idx = next(i for i in range(1, 15)
                   if (144 * BITRATES_L2[i] * 1000 // rate) * 8 >= need
                   and BITRATES_L2[i] * 1000 // ch >= 56_000)
@@ -635,14 +652,14 @@ def encode_mpeg1_layer2(samples: np.ndarray, rate: int = 48000,
     subs = [analyze(samples[:, c]) for c in range(ch)]
     n_gr = min(s.shape[0] for s in subs)
     n_frames = n_gr // 36
-    hdr_word = _header_word(2, br_idx, sr_idx, mode)
+    hdr_word = _header_word(2, br_idx, sr_idx, mode, mode_ext)
     out = bytearray()
     for f in range(n_frames):
         w = _BitWriter()
         w.write(hdr_word, 32)
         gr0 = f * 36
         for sb in range(sblimit):
-            for c in range(ch):
+            for c in range(ch if sb < bound else 1):
                 w.write(plan[sb], rows[sb][0])
         for sb in range(sblimit):
             for c in range(ch):
@@ -678,7 +695,7 @@ def encode_mpeg1_layer2(samples: np.ndarray, rate: int = 48000,
             for sb in range(sblimit):
                 levels = rows[sb][1][plan[sb] - 1]
                 nb, grouped, cc, dd = _class_of(levels)
-                for c in range(ch):
+                for c in range(ch if sb < bound else 1):
                     sf = SCALEFACTORS[sfs[c][sb][part]]
                     codes = [
                         _quant(subs[c][gr0 + gr * 3 + k, sb], levels,

@@ -3556,9 +3556,11 @@ def q_media_features(sf_dir: str):
             payloads.append(encode_mpeg1_layer2(mclip, 48000,
                                                 scfsi_mode=j))
         else:
+            # j==3: intensity joint stereo — the shared-subband
+            # decoder path in-pipeline
             payloads.append(encode_mpeg1_layer2(
                 np.stack([mclip, 0.5 * mclip], axis=1), 48000,
-                scfsi_mode=j))
+                scfsi_mode=j, joint_bound=8 if j == 3 else None))
         # animated GIF as VIDEO (round 4, late): FrameSample's real-
         # codec branch — 6 frames, sampled every 2nd -> 3 rows each
         ids.append(n + 28 + j)

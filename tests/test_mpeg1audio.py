@@ -125,6 +125,36 @@ class TestLayerRoundTrips:
                 assert np.abs(sub[c][:27] - want[:27]).max() < 0.1, \
                     (scfsi, fi, c)
 
+    def test_layer2_joint_stereo_shared_subbands(self):
+        """Intensity joint stereo (mode 01): above the bound the
+        decoder must replicate ONE shared code stream into both
+        channels scaled by each channel's own scalefactor — i.e. the
+        two decoded channels are exactly proportional per (subband,
+        scalefactor part), while below the bound they carry
+        independent codes."""
+        x = _tone()
+        st = np.stack([x, 0.45 * _tone(f=2100)], axis=1)
+        enc = m.encode_mpeg1_layer2(st, 48000, joint_bound=8)
+        hdrs = [h for h, _ in m.iter_frames(enc)]
+        assert all(h.mode == 1 and h.bound == 8 for h in hdrs)
+        ref = [m.analyze(st[:, c]) for c in range(2)]
+        for fi, (hdr, sub) in enumerate(m.iter_frames(enc)):
+            # below bound: channels decode their own codes
+            for c in range(2):
+                want = ref[c][fi * 36:(fi + 1) * 36].T
+                assert np.abs(sub[c][:8] - want[:8]).max() < 0.1
+            # above bound: exact per-(sb, part) proportionality
+            for sb in range(8, 27):
+                for part in range(3):
+                    v0 = sub[0][sb, part * 12:(part + 1) * 12]
+                    v1 = sub[1][sb, part * 12:(part + 1) * 12]
+                    nz = np.abs(v0) > 1e-12
+                    if not nz.any():
+                        assert np.abs(v1).max() < 1e-12
+                        continue
+                    r = v1[nz] / v0[nz]
+                    assert np.ptp(r) < 1e-9, (fi, sb, part)
+
     def test_layer1_pcm_snr(self):
         x = _tone()
         enc = m.encode_mpeg1_layer1(x, 48000)
