@@ -537,20 +537,36 @@ def _header_word(layer: int, br_idx: int, sr_idx: int, mode: int,
             | (mode << 6) | (mode_ext << 4))
 
 
-def encode_mpeg1_layer1(samples: np.ndarray, rate: int) -> bytes:
+def encode_mpeg1_layer1(samples: np.ndarray, rate: int,
+                        joint_bound: int | None = None) -> bytes:
     """Fixture encoder: mono/stereo PCM → Layer I bitstream (alloc
     nb=8 on subbands 0..29). Picks the smallest bitrate index whose
-    frame holds the fixed allocation; round-trip tested vs decode."""
+    frame holds the fixed allocation; round-trip tested vs decode.
+    ``joint_bound`` ∈ {4, 8, 12, 16}: intensity joint stereo — above
+    the bound one shared allocation + sample code stream, per-channel
+    scalefactors (the Layer I shared-subband decoder path)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     ch = samples.shape[1]
     sr_idx = SAMPLE_RATES.index(rate)
-    mode = 3 if ch == 1 else 0
+    mode_ext = 0
+    if joint_bound is not None:
+        if ch != 2 or joint_bound not in (4, 8, 12, 16):
+            raise ValueError("joint_bound needs stereo input and a "
+                             "bound in {4, 8, 12, 16}")
+        mode = 1
+        mode_ext = joint_bound // 4 - 1
+        bound = joint_bound
+    else:
+        mode = 3 if ch == 1 else 0
+        bound = 32
     # richest (used_sb, nb) plan whose fixed allocation fits a legal
     # bitrate (stereo at 30×8 bits would exceed the 448 kbit/s cap)
     for used_sb, nb in ((30, 8), (27, 6), (24, 4), (16, 4), (8, 4)):
-        need_bits = 32 + 32 * ch * 4 + used_sb * ch * 6 \
-            + 12 * used_sb * ch * nb
+        shared_sb = max(0, used_sb - bound)
+        need_bits = 32 + (32 * ch - max(0, 32 - bound) * (ch - 1)) * 4 \
+            + used_sb * ch * 6 \
+            + 12 * (used_sb * ch - shared_sb * (ch - 1)) * nb
         br_idx = next(
             (i for i in range(1, 15)
              if ((12 * BITRATES_L1[i] * 1000 // rate) * 4) * 8
@@ -565,14 +581,14 @@ def encode_mpeg1_layer1(samples: np.ndarray, rate: int) -> bytes:
     out = bytearray()
     levels = (1 << nb) - 1
     cc, dd = (1 << nb) / levels, 2.0 ** (1 - nb)
-    hdr_word = _header_word(1, br_idx, sr_idx, mode)
+    hdr_word = _header_word(1, br_idx, sr_idx, mode, mode_ext)
     frame_bytes = (12 * BITRATES_L1[br_idx] * 1000 // rate) * 4
     for f in range(n_frames):
         w = _BitWriter()
         w.write(hdr_word, 32)
         gr0 = f * 12
         for sb in range(32):
-            for c in range(ch):
+            for c in range(ch if sb < bound else 1):
                 w.write(nb - 1 if sb < used_sb else 0, 4)
         sf_idx = [[0] * used_sb for _ in range(ch)]
         for sb in range(used_sb):
@@ -585,7 +601,7 @@ def encode_mpeg1_layer1(samples: np.ndarray, rate: int) -> bytes:
             for sb in range(32):
                 if sb >= used_sb:
                     continue
-                for c in range(ch):
+                for c in range(ch if sb < bound else 1):
                     sf = SCALEFACTORS[sf_idx[c][sb]]
                     w.write(_quant(subs[c][gr0 + s, sb], levels, nb,
                                    cc, dd, sf), nb)

@@ -155,6 +155,51 @@ class TestLayerRoundTrips:
                     r = v1[nz] / v0[nz]
                     assert np.ptp(r) < 1e-9, (fi, sb, part)
 
+    def test_layer1_joint_stereo_shared_subbands(self):
+        x = _tone()
+        st = np.stack([x, 0.45 * _tone(f=2100)], axis=1)
+        enc = m.encode_mpeg1_layer1(st, 48000, joint_bound=8)
+        hdrs = [h for h, _ in m.iter_frames(enc)]
+        assert all(h.mode == 1 and h.bound == 8 for h in hdrs)
+        for _, sub in m.iter_frames(enc):
+            for sb in range(8, 30):
+                v0, v1 = sub[0][sb], sub[1][sb]
+                nz = np.abs(v0) > 1e-12
+                if not nz.any():
+                    assert np.abs(v1).max() < 1e-12
+                    continue
+                r = v1[nz] / v0[nz]
+                assert np.ptp(r) < 1e-9, sb
+
+    @pytest.mark.parametrize("rate", [32000, 44100, 48000])
+    def test_layer1_all_sample_rates(self, rate):
+        t = np.arange(rate // 3)
+        x = 0.3 * np.sin(2 * np.pi * 500 * t / rate)
+        enc = m.encode_mpeg1_layer1(x, rate)
+        got_rate, ch, out = m.decode_mpeg1_audio(enc)
+        assert got_rate == rate and ch == 1
+        n_frames = sum(1 for _ in m.iter_frames(enc))
+        assert len(out) == n_frames * 384
+
+    def test_padding_bit_frame_sizing(self):
+        """A frame with the padding bit set is one slot longer
+        (Layer II: 1 byte; Layer I: 4 bytes); the pad carries no
+        payload bits, so decode must skip it and keep frame sync."""
+        x = _tone(n=4608)  # 4 Layer II frames
+        enc = bytearray(m.encode_mpeg1_layer2(x, 48000))
+        hdr = m._Header(bytes(enc), 0)
+        fb = hdr.frame_bytes
+        # set padding on frame 0 and insert one pad byte at its end
+        enc[1 + 0]  # noqa: B018 (readability)
+        padded = bytearray(enc)
+        padded[2] |= 0x02  # padding bit
+        padded[fb:fb] = b"\x00"
+        subs_ref = [s for _, s in m.iter_frames(bytes(enc))]
+        subs_pad = [s for _, s in m.iter_frames(bytes(padded))]
+        assert len(subs_ref) == len(subs_pad)
+        for a, b in zip(subs_ref, subs_pad):
+            assert np.array_equal(a, b)
+
     def test_layer1_pcm_snr(self):
         x = _tone()
         enc = m.encode_mpeg1_layer1(x, 48000)
