@@ -3548,8 +3548,10 @@ def q_media_features(sf_dir: str):
         if j % 2 == 0:
             payloads.append(encode_mpeg1_layer1(mclip, 48000))
         else:
+            # j==3: Layer I intensity joint stereo in-pipeline
             payloads.append(encode_mpeg1_layer1(
-                np.stack([mclip, -0.6 * mclip], axis=1), 48000))
+                np.stack([mclip, -0.6 * mclip], axis=1), 48000,
+                joint_bound=8 if j == 3 else None))
         ids.append(n + 72 + j)
         kinds.append("audio")
         if j < 2:
