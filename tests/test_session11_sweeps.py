@@ -163,6 +163,80 @@ class TestHllRegisterSweep:
         assert h1.estimate() == h2.estimate()
 
 
+class TestGammaSplitmixChainSweep:
+    """The GOLDEN-GAMMA splitmix64 variant (core.dedup._splitmix64 —
+    the MinHash permutation / Bloom double-hash chain) vs the inline
+    SQL idiom the bloom/incremental-exact oracles embed: the gamma
+    add wraps mod 2^64 BEFORE the finalizer, h2 is forced odd with
+    // 2 * 2 + 1, and the Kirsch-Mitzenmacher position schedule runs
+    (h1 + i·h2) mod 2^64 mod m. The ladder hugs the 2^64 − gamma
+    wraparound boundary the CMS sweep can't reach (its chain has no
+    additive step)."""
+
+    GAMMA = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    H2X = 0xA076_1D64_78BD_642F
+
+    def _chain_sql(self, con, us, xor_const=0):
+        m64 = "(1::UHUGEINT << 64)"
+        rows = ",".join(f"({i}, {int(u)})" for i, u in enumerate(us))
+        pre = (f"xor(u, {xor_const}::UHUGEINT)" if xor_const else "u")
+        q = f"""
+        WITH raw(i, u) AS (VALUES {rows}),
+        src AS (SELECT i, u::UHUGEINT AS u FROM raw),
+        a0 AS (SELECT i, ({pre} + {self.GAMMA}::UHUGEINT) % {m64} AS x
+               FROM src),
+        a1 AS (SELECT i, (xor(x, x >> 30) * {self.C1}::UHUGEINT)
+                          % {m64} AS x FROM a0),
+        a2 AS (SELECT i, (xor(x, x >> 27) * {self.C2}::UHUGEINT)
+                          % {m64} AS x FROM a1)
+        SELECT i, xor(x, x >> 31) FROM a2 ORDER BY i
+        """
+        return [int(r[1]) for r in con.sql(q).fetchall()]
+
+    def test_gamma_chain_ladder(self):
+        from ocracle_ray.core.dedup import _splitmix64
+
+        g = self.GAMMA
+        vals = [0, 1, (1 << 64) - 1, (1 << 64) - g, (1 << 64) - g - 1,
+                (1 << 64) - g + 1, (1 << 63), (1 << 63) - 1,
+                0x5555555555555555]
+        for k in range(1, 64):
+            vals += [(1 << k) - 1, 1 << k]
+        vals = sorted(set(v & ((1 << 64) - 1) for v in vals))
+        us = np.array(vals, np.uint64)
+        got_py = _splitmix64(us).tolist()
+        con = duckdb.connect()
+        assert self._chain_sql(con, vals) == got_py
+
+    def test_bloom_positions_match_sql(self):
+        from ocracle_ray.core.dedup import _splitmix64
+        from ocracle_ray.core.sketch import BloomFilter
+
+        rng = np.random.RandomState(77)
+        hs = np.array(
+            sorted({int(x) for x in rng.randint(0, 2**63, 120)}
+                   | {0, 1, (1 << 64) - 1, (1 << 64) - self.GAMMA}),
+            np.uint64)
+        bf = BloomFilter(capacity=500, fp_rate=0.01)
+        pos_py = bf._positions(hs)
+        con = duckdb.connect()
+        h1_sql = self._chain_sql(con, hs.tolist())
+        h2_raw = self._chain_sql(con, hs.tolist(), xor_const=self.H2X)
+        for j, h in enumerate(hs.tolist()):
+            h1 = h1_sql[j]
+            # note: _positions forces oddness with | 1, the SQL with
+            # // 2 * 2 + 1 — identical on unsigned integers
+            h2 = (h2_raw[j] // 2) * 2 + 1
+            assert h1 == int(_splitmix64(np.uint64([h]))[0])
+            assert h2 == int(_splitmix64(
+                np.uint64([h ^ self.H2X]))[0] | np.uint64(1))
+            for i in range(bf.k):
+                want = ((h1 + i * h2) % (1 << 64)) % bf.m
+                assert int(pos_py[j][i]) == want, (j, i)
+
+
 def _rep_match(rule: str, path: str) -> bool:
     """Independent RFC 9309 reference matcher: literal chars, '*' =
     any span, trailing '$' = end anchor (mid-rule '$' is literal).
