@@ -522,13 +522,15 @@ class AudioFingerprint:
     def __init__(self, payload_col: str = "payload",
                  id_col: str = "media_id"):
         from ..core.flac import decode_flac, is_flac
+        from ..core.mpeg1audio import decode_mpeg1_audio, is_mpeg_audio
         from ..core.vorbis import decode_vorbis, is_ogg
         from ..core.wav import decode_wav, is_wav
 
         self.payload_col = payload_col
         self.id_col = id_col
         self._codecs = ((is_wav, decode_wav), (is_flac, decode_flac),
-                        (is_ogg, decode_vorbis))
+                        (is_ogg, decode_vorbis),
+                        (is_mpeg_audio, decode_mpeg1_audio))
 
     @classmethod
     def _energies(cls, mono: np.ndarray) -> np.ndarray | None:

@@ -241,6 +241,56 @@ class TestLayerRoundTrips:
         assert e[4] > 10 * np.sort(e)[-3]
 
 
+class TestFingerprintIntegration:
+    """AudioFingerprint decodes MPEG payloads (round 5: the codec
+    joined its sniff list), and the Haitsma-Kalker key's behavior
+    across the lossy round trip is PINNED as measured: robust once
+    the filterbank delay is compensated (~15/128 bits), but
+    alignment-SENSITIVE to the raw 2×480-sample codec delay (the
+    segment grid shifts ~68% of a segment → near-random hamming).
+    Neither side should silently drift."""
+
+    def _clip(self):
+        rng = np.random.RandomState(3)
+        t = np.arange(24000)
+        clip = sum(0.08 * np.sin(2 * np.pi * (300 + 400 * b) * t
+                                 / 48000 + rng.rand() * 6)
+                   for b in range(9))
+        return np.clip(clip, -0.9, 0.9)
+
+    def test_mpeg_payloads_are_fingerprintable(self):
+        import pyarrow as pa
+
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        clip = self._clip()
+        tb = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [m.encode_mpeg1_layer1(clip, 48000),
+                 m.encode_mpeg1_layer2(clip, 48000)],
+                pa.large_binary()),
+        })
+        out = AudioFingerprint()(tb).to_pandas()
+        assert len(out) == 2  # decoded, not skipped
+
+    def test_delay_aligned_roundtrip_is_near_dup(self):
+        from ocracle_ray.stages.multimodal import AudioFingerprint
+
+        clip = self._clip()
+        _, _, dec = m.decode_mpeg1_audio(
+            m.encode_mpeg1_layer2(clip, 48000))
+        d = 2 * m._BANK_DELAY
+        aligned = dec[d:, 0][: len(clip) - d]
+        ref = clip[: len(aligned)]
+        fp = AudioFingerprint()
+        b1 = fp._pack_bits(fp._energies(ref))
+        b2 = fp._pack_bits(fp._energies(aligned))
+        ham = sum(bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                  for x, y in zip(b1, b2))
+        assert ham <= 25, ham  # measured 15/128; cross-family is >=52
+
+
 class TestHostileAndGated:
     def test_is_mpeg_audio(self):
         enc = m.encode_mpeg1_layer1(_tone(), 48000)
