@@ -301,8 +301,19 @@ def lpa_rounds_distributed(vids: np.ndarray, init_labels: np.ndarray,
             ids, labels = cached_get(ref)
             a = t["a"].to_numpy(zero_copy_only=False)
             b = t["b"].to_numpy(zero_copy_only=False)
-            la = labels[np.searchsorted(ids, a)]
-            lb = labels[np.searchsorted(ids, b)]
+            ia = np.searchsorted(ids, a)
+            ib = np.searchsorted(ids, b)
+            # guard-don't-hope: an endpoint absent from vids would
+            # otherwise silently read a NEIGHBOR's label (searchsorted
+            # returns the insertion point, not a miss)
+            if (ia >= len(ids)).any() or (ib >= len(ids)).any() \
+                    or (ids[np.minimum(ia, len(ids) - 1)] != a).any() \
+                    or (ids[np.minimum(ib, len(ids) - 1)] != b).any():
+                raise KeyError(
+                    "lpa_rounds_distributed: edge endpoint not in the "
+                    "node id array — edges must be built over vids")
+            la = labels[ia]
+            lb = labels[ib]
             tgt = np.concatenate([b[la != -1], a[lb != -1]])
             lab = np.concatenate([la[la != -1], lb[lb != -1]])
             g = pa.table({"tgt": pa.array(tgt, pa.int64()),

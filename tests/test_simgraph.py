@@ -197,6 +197,21 @@ def test_lpa_distributed_vote_rule_on_engineered_ties(ray_session):
     assert np.array_equal(got, want)
 
 
+def test_lpa_distributed_unknown_endpoint_fails_loud(ray_session):
+    """An edge endpoint missing from vids must raise (searchsorted
+    would otherwise silently read a neighbor's label)."""
+    from ocracle_ray.stages.simgraph import lpa_rounds_distributed
+
+    vids = np.array([0, 10, 20], np.int64)
+    seed = np.array([True, False, False])
+    labs = np.array([1, -1, -1], np.int64)
+    edges_ds = rd.from_pandas(pd.DataFrame(
+        {"a": np.array([0, 5], np.int64),   # 5 not in vids
+         "b": np.array([10, 20], np.int64)}))
+    with pytest.raises(Exception, match="endpoint not in"):
+        lpa_rounds_distributed(vids, labs, seed, edges_ds, rounds=1)
+
+
 def test_triangles_distributed_matches_driver_query(ray_session):
     import os
 
